@@ -1,0 +1,51 @@
+"""Central query registry: name -> (spark callable, DuckDB oracle SQL).
+
+Every operator claimed as implemented (SURVEY §2) registers here; the driver
+runs the Spark callable and the oracle SQL side-by-side at sf0.01 and
+hash-compares results. Column names/aliases must match exactly on both sides
+(the compare sorts columns by name before hashing).
+
+Registration is decentralized: each plans/operators module calls
+``register(name, fn, sql)`` at import time; this module imports them all.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE_SQL: dict[str, str] = {}
+
+
+def register(
+    name: str,
+    fn: Callable[[SparkSession, str], DataFrame],
+    sql: str | None = None,
+) -> None:
+    """Add a named query. ``sql=None`` -> non-SQL-expressible op; the driver
+    records a weaker rows-only check for it."""
+    QUERIES[name] = fn
+    if sql is not None:
+        ORACLE_SQL[name] = sql
+
+
+def _load_all() -> None:
+    # Import for side effect: each module registers its queries.
+    from flink_streaming_demo_spark.plans import (  # noqa: F401
+        taxi_queries,
+    )
+    for optional in (
+        "flink_streaming_demo_spark.plans.tpch_queries",
+        "flink_streaming_demo_spark.plans.event_queries",
+        "flink_streaming_demo_spark.plans.text_queries",
+        "flink_streaming_demo_spark.plans.vector_queries",
+    ):
+        try:
+            __import__(optional)
+        except ImportError:
+            pass
+
+
+_load_all()

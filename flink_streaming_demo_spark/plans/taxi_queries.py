@@ -1,0 +1,198 @@
+"""Registered queries for the taxi-demo surface (SURVEY §2.1-§2.6).
+
+Each query has a DuckDB oracle twin computing the identical arithmetic, so
+the driver's order-insensitive value-hash matches.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_streaming_demo_spark.functions import geo
+from flink_streaming_demo_spark.plans import taxi_apps
+from flink_streaming_demo_spark.plans.registry import register
+from flink_streaming_demo_spark.sources.taxi import (
+    synthetic_taxi_rides,
+    synthetic_taxi_sql,
+)
+
+_RIDES_SQL = synthetic_taxi_sql("events")
+
+
+# --- F1 + F2 + P1: stateless filter/project stage ---------------------------
+
+def taxi_end_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter END events (F1), NYC bbox (F2), project to cell/ts/cnt (P1)."""
+    return taxi_apps.arrival_events(synthetic_taxi_rides(spark, sf_dir))
+
+
+register(
+    "taxi_end_events",
+    taxi_end_events,
+    f"""
+    WITH rides AS ({_RIDES_SQL})
+    SELECT
+        {geo.sql_grid_cell('lon', 'lat')} AS cell,
+        ts,
+        passenger_cnt
+    FROM rides
+    WHERE NOT is_start AND {geo.sql_is_in_nyc('lon', 'lat')}
+    """,
+)
+
+
+# --- U2 + U3: grid-cell mapping and its inverse ------------------------------
+
+def taxi_cell_centers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct grid cells with their center coordinates (U2 -> U3 roundtrip;
+    reference: utils/NycGeoUtils.scala:65-86)."""
+    rides = synthetic_taxi_rides(spark, sf_dir)
+    cells = (
+        rides.filter(geo.is_in_nyc(F.col("lon"), F.col("lat")))
+        .select(geo.grid_cell(F.col("lon"), F.col("lat")).alias("cell"))
+        .distinct()
+    )
+    return cells.select(
+        F.col("cell"),
+        geo.cell_center_lon(F.col("cell")).alias("center_lon"),
+        geo.cell_center_lat(F.col("cell")).alias("center_lat"),
+    )
+
+
+register(
+    "taxi_cell_centers",
+    taxi_cell_centers,
+    f"""
+    WITH rides AS ({_RIDES_SQL}),
+    cells AS (
+        SELECT DISTINCT {geo.sql_grid_cell('lon', 'lat')} AS cell
+        FROM rides
+        WHERE {geo.sql_is_in_nyc('lon', 'lat')}
+    )
+    SELECT
+        cell,
+        {geo.sql_cell_center_lon('cell')} AS center_lon,
+        {geo.sql_cell_center_lat('cell')} AS center_lat
+    FROM cells
+    """,
+)
+
+
+# --- App 1: total arrival count (A1 + A2 + P2) -------------------------------
+
+def taxi_total_arrival_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return taxi_apps.total_arrival_count(synthetic_taxi_rides(spark, sf_dir))
+
+
+register(
+    "taxi_total_arrival_count",
+    taxi_total_arrival_count,
+    taxi_apps.total_arrival_count_sql(_RIDES_SQL),
+)
+
+
+# --- App 2: sliding-window arrival count (W1 + W2) ---------------------------
+
+def taxi_sliding_arrival_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return taxi_apps.sliding_arrival_count(synthetic_taxi_rides(spark, sf_dir))
+
+
+register(
+    "taxi_sliding_arrival_count",
+    taxi_sliding_arrival_count,
+    taxi_apps.sliding_arrival_count_sql(_RIDES_SQL),
+)
+
+
+# --- S4: trip -> two-event ETL ----------------------------------------------
+
+def taxi_trip_etl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trip -> START/END event ETL (S4; reference:
+    src/main/scripts/convertTrips.sh:24-35) over a synthetic trips view:
+    each event row is a trip starting at ``ts`` lasting ``int(value)``
+    minutes. Two projections + union; the global sort of convertTrips.sh:35
+    is dropped here because the driver's compare is order-insensitive and a
+    100 TB pipeline would only range-sort at the final write."""
+    from flink_streaming_demo_spark.schemas import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    trips = events.select(
+        F.col("event_id").alias("trip_id"),
+        F.col("ts").alias("start_ts"),
+        (
+            F.col("ts")
+            + F.make_dt_interval(mins=F.floor(F.col("value")).cast("int"))
+        ).alias("end_ts"),
+        (
+            F.lit(-74.1)
+            + ((F.col("event_id") * 7919) % 1000).cast("double") * F.lit(0.0005)
+        ).alias("start_lon"),
+        (
+            F.lit(40.4)
+            + ((F.col("event_id") * 104729) % 1000).cast("double") * F.lit(0.0007)
+        ).alias("start_lat"),
+        (
+            F.lit(-74.1)
+            + ((F.col("event_id") * 104729) % 1000).cast("double") * F.lit(0.0005)
+        ).alias("end_lon"),
+        (
+            F.lit(40.4)
+            + ((F.col("event_id") * 7919) % 1000).cast("double") * F.lit(0.0007)
+        ).alias("end_lat"),
+        (F.lit(1) + (F.col("event_id") % 4)).cast("int").alias("passenger_cnt"),
+        F.col("value").cast("float").alias("travel_dist"),
+    )
+    starts = trips.select(
+        F.col("trip_id").alias("ride_id"),
+        F.col("start_ts").alias("ts"),
+        F.lit(True).alias("is_start"),
+        F.col("start_lon").alias("lon"),
+        F.col("start_lat").alias("lat"),
+        F.col("passenger_cnt"),
+        F.lit(-1.0).cast("float").alias("travel_dist"),
+    )
+    ends = trips.select(
+        F.col("trip_id").alias("ride_id"),
+        F.col("end_ts").alias("ts"),
+        F.lit(False).alias("is_start"),
+        F.col("end_lon").alias("lon"),
+        F.col("end_lat").alias("lat"),
+        F.col("passenger_cnt"),
+        F.col("travel_dist"),
+    )
+    return starts.unionAll(ends)
+
+
+register(
+    "taxi_trip_etl",
+    taxi_trip_etl,
+    """
+    WITH trips AS (
+        SELECT
+            event_id AS trip_id,
+            CAST(ts AS TIMESTAMP) AS start_ts,
+            CAST(ts AS TIMESTAMP)
+                + INTERVAL 1 MINUTE * CAST(FLOOR(value) AS INT) AS end_ts,
+            (-74.1 + CAST((event_id * 7919) % 1000 AS DOUBLE) * 0.0005)
+                AS start_lon,
+            (40.4 + CAST((event_id * 104729) % 1000 AS DOUBLE) * 0.0007)
+                AS start_lat,
+            (-74.1 + CAST((event_id * 104729) % 1000 AS DOUBLE) * 0.0005)
+                AS end_lon,
+            (40.4 + CAST((event_id * 7919) % 1000 AS DOUBLE) * 0.0007)
+                AS end_lat,
+            CAST(1 + (event_id % 4) AS INT) AS passenger_cnt,
+            CAST(value AS FLOAT) AS travel_dist
+        FROM events
+    )
+    SELECT trip_id AS ride_id, start_ts AS ts, TRUE AS is_start,
+           start_lon AS lon, start_lat AS lat, passenger_cnt,
+           CAST(-1.0 AS FLOAT) AS travel_dist
+    FROM trips
+    UNION ALL
+    SELECT trip_id AS ride_id, end_ts AS ts, FALSE AS is_start,
+           end_lon AS lon, end_lat AS lat, passenger_cnt, travel_dist
+    FROM trips
+    """,
+)

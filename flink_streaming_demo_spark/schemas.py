@@ -1,0 +1,94 @@
+"""Static schemas for the engine.
+
+The reference's single input record type is ``TaxiRide``
+(reference: datatypes/TaxiRide.scala:36-42); its Spark mapping (SURVEY §1.2)
+is declared here, alongside the driver-generated star-schema/event tables
+(TESTDATA.md) the engine's general operator surface runs on.
+
+GeoPoint (reference: datatypes/TaxiRide.scala:99) is flattened to two
+DoubleType columns ``lon``/``lat`` — flatter plans, parquet-friendly, and
+min/max row-group pruning works on each coordinate independently.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import types as T
+
+# Reference: datatypes/TaxiRide.scala:36-42 — rideId, time, isStart,
+# location(lon,lat), passengerCnt, travelDist (-1.0 on START events,
+# semantics at TaxiRide.scala:34).
+TAXI_RIDE_SCHEMA = T.StructType(
+    [
+        T.StructField("ride_id", T.LongType(), False),
+        T.StructField("ts", T.TimestampType(), False),
+        T.StructField("is_start", T.BooleanType(), False),
+        T.StructField("lon", T.DoubleType(), True),
+        T.StructField("lat", T.DoubleType(), True),
+        T.StructField("passenger_cnt", T.ShortType(), True),
+        T.StructField("travel_dist", T.FloatType(), True),
+    ]
+)
+
+# CSV wire format of the reference (reference: datatypes/TaxiRide.scala:68-90):
+# rideId,time,(START|END),lon,lat,passengerCnt,travelDist
+TAXI_RIDE_CSV_SCHEMA = T.StructType(
+    [
+        T.StructField("ride_id", T.LongType(), False),
+        T.StructField("time_str", T.StringType(), False),
+        T.StructField("start_end", T.StringType(), False),
+        T.StructField("lon", T.DoubleType(), True),
+        T.StructField("lat", T.DoubleType(), True),
+        T.StructField("passenger_cnt", T.ShortType(), True),
+        T.StructField("travel_dist", T.FloatType(), True),
+    ]
+)
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType(), True),
+        T.StructField("ts", T.TimestampType(), True),
+        T.StructField("user_id", T.LongType(), True),
+        T.StructField("event_type", T.StringType(), True),
+        T.StructField("value", T.DoubleType(), True),
+        T.StructField("props", T.StringType(), True),
+    ]
+)
+
+STAR_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+# Testdata parquet stores timestamps as INT64 TIMESTAMP(NANOS), which Spark's
+# vectorized reader rejects; with spark.sql.legacy.parquet.nanosAsLong they
+# arrive as LongType nanos and are truncated to microsecond timestamps here
+# (matching DuckDB's TIMESTAMP_NS -> TIMESTAMP truncation; SURVEY §7.4).
+NANO_TS_COLS = {
+    "events": ("ts",),
+    "orders": ("o_orderdate",),
+    "lineitem": ("l_shipdate",),
+}
+
+
+def load_table(spark, sf_dir: str, name: str):
+    """Read one driver-generated parquet table (TESTDATA.md), converting
+    nano-precision timestamp columns to TimestampType (microseconds)."""
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    dtypes = dict(df.dtypes)
+    for c in NANO_TS_COLS.get(name, ()):
+        if dtypes.get(c) == "bigint":
+            df = df.withColumn(c, F.expr(f"timestamp_micros({c} DIV 1000)"))
+    return df
