@@ -1,0 +1,270 @@
+"""Event-stream analytics over the driver's ``events`` table: tumbling
+windows, sessionization, as-of join, pivot, JSON props.
+
+These are the batch analogues of the streaming patterns in SURVEY §2.4/§2.10;
+the Structured Streaming variants live in flink_streaming_demo_spark.streaming.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from flink_streaming_demo_spark.plans.registry import register
+from flink_streaming_demo_spark.schemas import load_table as t
+
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+# --- Tumbling window (W1 degenerate case: slide == length) ------------------
+
+def events_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time window per event_type — the degenerate
+    slide==length case of W1 (SURVEY §2.10). Same code runs under
+    readStream + withWatermark in streaming/pipelines.py."""
+    ev = t(spark, sf_dir, "events")
+    agg = ev.groupBy(
+        F.window("ts", "1 hour"), F.col("event_type")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+    return agg.select(
+        F.col("window.start").alias("window_start"),
+        F.col("event_type"),
+        F.col("n_events"),
+        F.col("total_value"),
+    )
+
+
+register(
+    "events_hourly_counts",
+    events_hourly_counts,
+    """
+    SELECT
+        time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS window_start,
+        event_type,
+        COUNT(*) AS n_events,
+        ROUND(SUM(value), 2) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+
+
+# --- Sessionization (gap-based) ---------------------------------------------
+
+def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """30-minute-gap sessionization per user: lag(ts) -> gap flag -> running
+    sum = session id, then per-session aggregates. Scale: one shuffle on
+    user_id; windows within a partition are linear scans. Streaming analogue
+    is session_window(ts, '30 minutes') (streaming/pipelines.py)."""
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    with_gap = ev.withColumn(
+        "new_session",
+        (
+            F.col("ts").cast("long")
+            - F.lag(F.col("ts").cast("long"), 1).over(w)
+            > 1800
+        ).cast("int"),
+    ).withColumn(
+        "session_seq",
+        F.sum(F.coalesce(F.col("new_session"), F.lit(1))).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return with_gap.groupBy("user_id", "session_seq").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.round(F.sum("value"), 2).alias("session_value"),
+    )
+
+
+register(
+    "events_sessionization",
+    events_sessionization,
+    """
+    WITH gaps AS (
+        SELECT
+            user_id,
+            event_id,
+            CAST(ts AS TIMESTAMP) AS ts,
+            value,
+            CAST(epoch(CAST(ts AS TIMESTAMP))
+                 - epoch(LAG(CAST(ts AS TIMESTAMP), 1) OVER w) > 1800
+                 AS INT) AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+    ),
+    sess AS (
+        SELECT
+            *,
+            CAST(SUM(COALESCE(new_session, 1)) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+            ) AS BIGINT) AS session_seq
+        FROM gaps
+    )
+    SELECT
+        user_id,
+        session_seq,
+        COUNT(*) AS n_events,
+        MIN(ts) AS session_start,
+        MAX(ts) AS session_end,
+        ROUND(SUM(value), 2) AS session_value
+    FROM sess
+    GROUP BY user_id, session_seq
+    """,
+)
+
+
+# --- As-of join --------------------------------------------------------------
+
+def events_asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (SURVEY §2.10 — absent from the reference, core for a
+    training-data pipeline): for each purchase event, the user's most recent
+    order strictly before a fixed cutoff-mapped event time.
+
+    Implementation: equi-join on user key + argmax via max(struct(ts, key))
+    — one shuffle, no per-row subquery. The struct max tie-breaks on
+    (o_orderdate, o_orderkey), mirrored in the oracle's row_number order.
+    At scale, a broadcast of the (small) dimension or `pd.merge_asof` inside
+    applyInPandas per key are the alternatives; the struct-max form keeps
+    everything in built-in aggregates."""
+    ev = t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    orders = t(spark, sf_dir, "orders")
+    # Map 2024 event times onto the 1995-2001 order-date axis deterministically:
+    # day-of-month d -> cutoff year 1995 + (d % 7), month from event month.
+    ev = ev.withColumn(
+        "cutoff",
+        F.make_timestamp(
+            F.lit(1995) + (F.dayofmonth("ts") % 7),
+            F.month("ts"),
+            F.lit(1),
+            F.lit(0),
+            F.lit(0),
+            F.lit(0),
+        ),
+    )
+    joined = ev.join(
+        orders,
+        (ev.user_id == orders.o_custkey) & (orders.o_orderdate < ev.cutoff),
+        "inner",
+    )
+    agg = joined.groupBy("event_id", "user_id", "cutoff").agg(
+        F.max(
+            F.struct(F.col("o_orderdate"), F.col("o_orderkey"))
+        ).alias("latest")
+    )
+    return agg.select(
+        "event_id",
+        "user_id",
+        "cutoff",
+        F.col("latest.o_orderdate").alias("o_orderdate"),
+        F.col("latest.o_orderkey").alias("o_orderkey"),
+    )
+
+
+register(
+    "events_asof_latest_order",
+    events_asof_latest_order,
+    """
+    WITH ev AS (
+        SELECT
+            event_id,
+            user_id,
+            make_timestamp(
+                CAST(1995 + (DAYOFMONTH(CAST(ts AS TIMESTAMP)) % 7) AS BIGINT),
+                CAST(MONTH(CAST(ts AS TIMESTAMP)) AS BIGINT),
+                1, 0, 0, 0.0
+            ) AS cutoff
+        FROM events
+        WHERE event_type = 'purchase'
+    ),
+    ranked AS (
+        SELECT
+            ev.event_id,
+            ev.user_id,
+            ev.cutoff,
+            CAST(o.o_orderdate AS TIMESTAMP) AS o_orderdate,
+            o.o_orderkey,
+            ROW_NUMBER() OVER (
+                PARTITION BY ev.event_id
+                ORDER BY o.o_orderdate DESC, o.o_orderkey DESC
+            ) AS rn
+        FROM ev
+        JOIN orders o
+          ON ev.user_id = o.o_custkey AND o.o_orderdate < ev.cutoff
+    )
+    SELECT event_id, user_id, cutoff, o_orderdate, o_orderkey
+    FROM ranked WHERE rn = 1
+    """,
+)
+
+
+# --- Pivot -------------------------------------------------------------------
+
+def events_pivot_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot event_type counts into columns per user (explicit value list so
+    the plan is a single pass, no distinct-values pre-query)."""
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", list(EVENT_TYPES))
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, list(EVENT_TYPES))
+    )
+
+
+register(
+    "events_pivot_type_counts",
+    events_pivot_type_counts,
+    """
+    SELECT
+        user_id,
+        COUNT(*) FILTER (event_type = 'click') AS click,
+        COUNT(*) FILTER (event_type = 'error') AS error,
+        COUNT(*) FILTER (event_type = 'purchase') AS purchase,
+        COUNT(*) FILTER (event_type = 'signup') AS signup,
+        COUNT(*) FILTER (event_type = 'view') AS view
+    FROM events
+    GROUP BY user_id
+    """,
+)
+
+
+# --- JSON props --------------------------------------------------------------
+
+def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction from the props column + aggregation on the extracted
+    value (get_json_object stays JVM-side; no Python in the hot path)."""
+    ev = t(spark, sf_dir, "events")
+    parsed = ev.select(
+        "event_type",
+        F.get_json_object("props", "$.k").cast("int").alias("k"),
+    )
+    return parsed.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("k").cast("bigint").alias("sum_k"),
+        F.min("k").alias("min_k"),
+        F.max("k").alias("max_k"),
+    )
+
+
+register(
+    "events_json_props",
+    events_json_props,
+    """
+    SELECT
+        event_type,
+        COUNT(*) AS n_events,
+        CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT)
+            AS sum_k,
+        MIN(CAST(json_extract_string(props, '$.k') AS INT)) AS min_k,
+        MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
