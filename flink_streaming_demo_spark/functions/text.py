@@ -1,0 +1,139 @@
+"""Text-analysis scalar library for training-data pipelines — pure Column
+expressions (tokenization, quality metrics, language scoring, fingerprints,
+simhash). No Python UDFs: everything stays inside whole-stage codegen, and
+every function has an ANSI-SQL twin for the DuckDB oracle.
+
+These extend the reference's surface (it has no text functions) per the
+north-star brief: language-ID heuristic, quality scoring, token counting,
+document fingerprinting.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Small deterministic English stopword list (language-ID heuristic).
+STOPWORDS_EN = (
+    "the", "a", "an", "of", "to", "and", "in", "is", "it", "that",
+    "for", "on", "as", "with", "at", "by", "from", "this", "be", "are",
+)
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization (documents are single-space joined)."""
+    return F.split(text, " ")
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def distinct_token_count(text: Column) -> Column:
+    return F.size(F.array_distinct(tokens(text)))
+
+
+def avg_token_len(text: Column) -> Column:
+    """Mean token length, derived from string lengths (single-space-joined
+    corpus: chars = sum(len) + (n-1) separators) — avoids materializing the
+    token array twice."""
+    n = token_count(text)
+    return F.round(
+        (F.length(text) - (n - F.lit(1))).cast("double") / n.cast("double"), 6
+    )
+
+
+def stopword_count(text: Column) -> Column:
+    sw = F.array(*[F.lit(s) for s in STOPWORDS_EN])
+    return F.size(F.filter(tokens(text), lambda t: F.array_contains(sw, t)))
+
+
+def stopword_ratio(text: Column) -> Column:
+    return F.round(
+        stopword_count(text).cast("double") / token_count(text).cast("double"), 6
+    )
+
+
+def fingerprint(text: Column) -> Column:
+    """Exact-content fingerprint: md5 of the raw text."""
+    return F.md5(text)
+
+
+def normalized_fingerprint(text: Column) -> Column:
+    """Case/whitespace-insensitive fingerprint."""
+    return F.md5(F.regexp_replace(F.lower(F.trim(text)), r"\s+", " "))
+
+
+def simhash16(text: Column) -> Column:
+    """16-bit simhash over tokens as a bit string.
+
+    Bit j (1-based) is the sign of sum over tokens of +-1, where a token
+    votes +1 iff hex digit j of md5(token) has its high bit set (digit in
+    '89abcdef'). Integer votes make the sum order-independent, so the
+    expression is deterministic across engines and partitionings.
+    """
+    toks = tokens(text)
+    high_digits = F.array(*[F.lit(c) for c in "89abcdef"])
+
+    def bit(j: Column) -> Column:
+        votes = F.aggregate(
+            toks,
+            F.lit(0),
+            lambda acc, tok: acc
+            + F.when(
+                F.array_contains(high_digits, F.md5(tok).substr(j, F.lit(1))),
+                F.lit(1),
+            ).otherwise(F.lit(-1)),
+        )
+        return F.when(votes >= 0, F.lit("1")).otherwise(F.lit("0"))
+
+    return F.concat_ws("", F.transform(F.sequence(F.lit(1), F.lit(16)), bit))
+
+
+# --- ANSI-SQL twins ----------------------------------------------------------
+
+SQL_STOPWORDS_EN = "[" + ", ".join(f"'{s}'" for s in STOPWORDS_EN) + "]"
+
+
+def sql_token_count(text: str) -> str:
+    return f"CAST(len(string_split({text}, ' ')) AS INT)"
+
+
+def sql_distinct_token_count(text: str) -> str:
+    return f"CAST(len(list_distinct(string_split({text}, ' '))) AS INT)"
+
+
+def sql_avg_token_len(text: str) -> str:
+    n = sql_token_count(text)
+    return (
+        f"ROUND(CAST(LENGTH({text}) - ({n} - 1) AS DOUBLE)"
+        f" / CAST({n} AS DOUBLE), 6)"
+    )
+
+
+def sql_stopword_count(text: str) -> str:
+    return (
+        f"CAST(len(list_filter(string_split({text}, ' '), "
+        f"t -> list_contains({SQL_STOPWORDS_EN}, t))) AS INT)"
+    )
+
+
+def sql_stopword_ratio(text: str) -> str:
+    return (
+        f"ROUND(CAST({sql_stopword_count(text)} AS DOUBLE)"
+        f" / CAST({sql_token_count(text)} AS DOUBLE), 6)"
+    )
+
+
+def sql_normalized_fingerprint(text: str) -> str:
+    return f"md5(regexp_replace(LOWER(TRIM({text})), '\\s+', ' ', 'g'))"
+
+
+def sql_simhash16(text: str) -> str:
+    return f"""
+        array_to_string(list_transform(generate_series(1, 16), j ->
+            CASE WHEN list_sum(list_transform(string_split({text}, ' '), t ->
+                CASE WHEN strpos('89abcdef', substr(md5(t), j, 1)) > 0
+                     THEN 1 ELSE -1 END)) >= 0
+            THEN '1' ELSE '0' END), '')
+    """

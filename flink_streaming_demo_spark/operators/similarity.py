@@ -1,0 +1,195 @@
+"""Similarity search over embedding columns (array<float>).
+
+Not in the reference; required by the north-star brief. Two tiers:
+
+* **brute-force cosine top-k** — the exact baseline. Queries (small) are
+  broadcast against the corpus; dot products are pure array expressions
+  (zip_with + aggregate — JVM-side, no Python); top-k per query via a
+  row_number window on the rounded score. Cost O(|Q| x |C| x d): right for
+  |Q| small or as the rerank stage.
+* **LSH-bucketed (scale path)** — deterministic hyperplane signs using the
+  md5-derived pseudo-random plane family (seeded, engine-reproducible):
+  bucket on the sign bit-string, search within bucket (+ optional multi-probe).
+  Cuts the candidate set by ~2^bits; used before brute-force rerank at scale.
+
+Determinism: elementwise products are summed in index order (sequential
+IEEE adds) on both engines; floats are cast to double *before* multiply;
+final scores rounded to 6 places before ranking so ranking ties break on
+vec_id identically everywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _to_double(arr: Column) -> Column:
+    return F.transform(arr, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-order dot product (deterministic IEEE)."""
+    return F.aggregate(
+        F.zip_with(_to_double(a), _to_double(b), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(_to_double(a), lambda x: x * x),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k: (query_id, rank, neighbor_id, score).
+
+    The query side is broadcast (ANN queries are few); the corpus is scanned
+    once — a single narrow stage at any scale, no shuffle except the final
+    per-query top-k, which is bounded by |Q| x k rows after the window
+    filter's partial ranking.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "score")
+    )
+
+
+def lsh_hyperplane_signature(vec: Column, n_bits: int = 8) -> Column:
+    """Deterministic random-hyperplane signature as a bit string.
+
+    Plane p's component for dimension i is derived from md5(p:i): take the
+    first 8 hex chars as an integer, map to [-0.5, 0.5). Engine-reproducible
+    (md5 + integer arithmetic only), seedable by changing the tag. The sign
+    of <v, plane_p> is bit p.
+    """
+
+    def plane_component(p: Column, i: Column) -> Column:
+        h = F.conv(
+            F.substring(F.md5(F.concat(p.cast("string"), F.lit(":"),
+                                       i.cast("string"))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        return (h % F.lit(1000000)).cast("double") / F.lit(1000000.0) - F.lit(0.5)
+
+    def bit(p: Column) -> Column:
+        proj = F.aggregate(
+            F.zip_with(
+                _to_double(vec),
+                F.transform(
+                    F.sequence(
+                        F.lit(0), F.size(vec) - F.lit(1)
+                    ),
+                    lambda i: plane_component(p, i),
+                ),
+                lambda x, w: x * w,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        return F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0"))
+
+    return F.concat_ws(
+        "", F.transform(F.sequence(F.lit(0), F.lit(n_bits - 1)), bit)
+    )
+
+
+def lsh_bucketed_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    n_bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: candidates limited to the query's LSH bucket, then
+    exact cosine rerank. Scale path: bucket join replaces the cross join;
+    recall traded via n_bits (fewer bits -> bigger buckets -> higher recall)."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        lsh_hyperplane_signature(F.col(vec_col), n_bits).alias("bucket"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        lsh_hyperplane_signature(F.col(vec_col), n_bits).alias("bucket"),
+    )
+    scored = (
+        F.broadcast(q)
+        .join(c, "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "score")
+    )
+
+
+# --- ANSI-SQL twins ----------------------------------------------------------
+
+def sql_dot(a: str, b: str, dims: int = 64) -> str:
+    return f"""
+        list_sum(list_transform(generate_series(1, {dims}),
+            i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))
+    """
+
+
+def sql_l2_norm(a: str, dims: int = 64) -> str:
+    return f"""
+        sqrt(list_sum(list_transform(generate_series(1, {dims}),
+            i -> CAST({a}[i] AS DOUBLE) * CAST({a}[i] AS DOUBLE))))
+    """
+
+
+def sql_cosine(a: str, b: str, dims: int = 64) -> str:
+    return (
+        f"({sql_dot(a, b, dims)} / ({sql_l2_norm(a, dims)} * "
+        f"{sql_l2_norm(b, dims)}))"
+    )

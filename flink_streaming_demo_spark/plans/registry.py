@@ -34,18 +34,12 @@ def register(
 def _load_all() -> None:
     # Import for side effect: each module registers its queries.
     from flink_streaming_demo_spark.plans import (  # noqa: F401
+        event_queries,
         taxi_queries,
+        text_queries,
+        tpch_queries,
+        vector_queries,
     )
-    for optional in (
-        "flink_streaming_demo_spark.plans.tpch_queries",
-        "flink_streaming_demo_spark.plans.event_queries",
-        "flink_streaming_demo_spark.plans.text_queries",
-        "flink_streaming_demo_spark.plans.vector_queries",
-    ):
-        try:
-            __import__(optional)
-        except ImportError:
-            pass
 
 
 _load_all()

@@ -1,0 +1,317 @@
+"""Registered queries for the text/dedup/multimodal surface over
+``documents``. The testdata corpus has no duplicate texts, so the dedup
+queries run over a *planted-duplicate* corpus derived deterministically from
+documents (exact copies at doc_id%10==0, near-copies with an appended tail at
+doc_id%25==0) — both engines derive the identical corpus, and the dedup
+operators have real work to do.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_streaming_demo_spark.functions import text as TX
+from flink_streaming_demo_spark.operators import dedup, multimodal
+from flink_streaming_demo_spark.plans.registry import register
+from flink_streaming_demo_spark.schemas import load_table as t
+
+NEAR_TAIL = " zzz zzz zzz"
+
+
+def _planted_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    exact_copies = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), F.col("text")
+    )
+    near_copies = docs.filter(F.col("doc_id") % 25 == 0).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(NEAR_TAIL)).alias("text"),
+    )
+    return docs.unionAll(exact_copies).unionAll(near_copies)
+
+
+_PLANTED_SQL = f"""
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id, text
+        FROM documents WHERE doc_id % 10 = 0
+        UNION ALL
+        SELECT doc_id + 2000000 AS doc_id, text || '{NEAR_TAIL}' AS text
+        FROM documents WHERE doc_id % 25 = 0
+"""
+
+
+# --- Exact dedup -------------------------------------------------------------
+
+def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_dedup_groups(_planted_corpus(spark, sf_dir))
+
+
+register(
+    "dedup_exact_groups",
+    dedup_exact_groups,
+    f"""
+    WITH corpus AS ({_PLANTED_SQL})
+    SELECT
+        md5(text) AS text_hash,
+        MIN(doc_id) AS keep_id,
+        COUNT(*) AS n_copies
+    FROM corpus
+    GROUP BY md5(text)
+    """,
+)
+
+
+def dedup_exact_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deduplicated corpus itself (min doc_id survives)."""
+    return dedup.exact_dedup(_planted_corpus(spark, sf_dir)).select(
+        "doc_id", F.md5("text").alias("text_hash")
+    )
+
+
+register(
+    "dedup_exact_survivors",
+    dedup_exact_survivors,
+    f"""
+    WITH corpus AS ({_PLANTED_SQL})
+    SELECT doc_id, md5(text) AS text_hash
+    FROM corpus
+    WHERE doc_id IN (
+        SELECT MIN(doc_id) FROM corpus GROUP BY md5(text)
+    )
+    """,
+)
+
+
+# --- MinHash + LSH near-dedup ------------------------------------------------
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_lsh_pairs(
+        _planted_corpus(spark, sf_dir), threshold=0.5
+    )
+
+
+register(
+    "dedup_minhash_lsh",
+    dedup_minhash_lsh,
+    f"""
+    WITH corpus AS ({_PLANTED_SQL}),
+    sigs AS (
+        SELECT
+            doc_id,
+            {dedup.sql_minhash_signature(dedup.sql_shingles('text'))} AS sig
+        FROM corpus
+        WHERE len(string_split(text, ' ')) >= {dedup.SHINGLE_N}
+    ),
+    banded AS (
+        SELECT doc_id, sig, unnest({dedup.sql_lsh_band_keys('sig')}) AS band_key
+        FROM sigs
+    ),
+    cand AS (
+        SELECT DISTINCT
+            a.doc_id AS id_a, b.doc_id AS id_b, a.sig AS sig_a, b.sig AS sig_b
+        FROM banded a
+        JOIN banded b
+          ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b,
+        ROUND(CAST(list_sum(list_transform(generate_series(1, {dedup.N_HASHES}),
+            j -> CASE WHEN sig_a[j] = sig_b[j] THEN 1 ELSE 0 END)) AS DOUBLE)
+            / {float(dedup.N_HASHES)}, 6) AS est_jaccard
+    FROM cand
+    WHERE CAST(list_sum(list_transform(generate_series(1, {dedup.N_HASHES}),
+            j -> CASE WHEN sig_a[j] = sig_b[j] THEN 1 ELSE 0 END)) AS DOUBLE)
+            / {float(dedup.N_HASHES)} >= 0.5
+    """,
+)
+
+
+# --- Exact n-gram Jaccard ----------------------------------------------------
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.ngram_jaccard_pairs(
+        _planted_corpus(spark, sf_dir), threshold=0.5
+    )
+
+
+register(
+    "dedup_ngram_jaccard",
+    dedup_ngram_jaccard,
+    f"""
+    WITH corpus AS ({_PLANTED_SQL}),
+    sh AS (
+        SELECT doc_id, unnest({dedup.sql_shingles('text')}) AS shingle
+        FROM corpus
+        WHERE len(string_split(text, ' ')) >= {dedup.SHINGLE_N}
+    ),
+    counts AS (
+        SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+    ),
+    shared AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
+        FROM sh a
+        JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT
+        id_a,
+        id_b,
+        ROUND(CAST(n_shared AS DOUBLE)
+              / CAST(ca.n_sh + cb.n_sh - n_shared AS DOUBLE), 6) AS jaccard
+    FROM shared
+    JOIN counts ca ON ca.doc_id = id_a
+    JOIN counts cb ON cb.doc_id = id_b
+    WHERE CAST(n_shared AS DOUBLE)
+          / CAST(ca.n_sh + cb.n_sh - n_shared AS DOUBLE) >= 0.5
+    """,
+)
+
+
+# --- SimHash fingerprints ----------------------------------------------------
+
+def doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        TX.simhash16(F.col("text")).alias("simhash"),
+        TX.token_count(F.col("text")).alias("n_tokens"),
+    )
+
+
+register(
+    "doc_simhash",
+    doc_simhash,
+    f"""
+    SELECT
+        doc_id,
+        {TX.sql_simhash16('text')} AS simhash,
+        {TX.sql_token_count('text')} AS n_tokens
+    FROM documents
+    """,
+)
+
+
+# --- Quality scoring ---------------------------------------------------------
+
+def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality metrics: length, token stats, stopword ratio,
+    uniqueness ratio — the standard pre-training corpus filters."""
+    docs = t(spark, sf_dir, "documents")
+    n = TX.token_count(F.col("text"))
+    uniq = TX.distinct_token_count(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        n.alias("n_tokens"),
+        uniq.alias("n_distinct_tokens"),
+        F.round(uniq.cast("double") / n.cast("double"), 6).alias("uniq_ratio"),
+        TX.avg_token_len(F.col("text")).alias("avg_token_len"),
+        TX.stopword_ratio(F.col("text")).alias("stopword_ratio"),
+        (
+            (n >= 5) & (TX.avg_token_len(F.col("text")) >= 2.0)
+        ).alias("passes_quality"),
+    )
+
+
+register(
+    "text_quality_scores",
+    text_quality_scores,
+    f"""
+    SELECT
+        doc_id,
+        CAST(LENGTH(text) AS INT) AS n_chars,
+        {TX.sql_token_count('text')} AS n_tokens,
+        {TX.sql_distinct_token_count('text')} AS n_distinct_tokens,
+        ROUND(CAST({TX.sql_distinct_token_count('text')} AS DOUBLE)
+              / CAST({TX.sql_token_count('text')} AS DOUBLE), 6) AS uniq_ratio,
+        {TX.sql_avg_token_len('text')} AS avg_token_len,
+        {TX.sql_stopword_ratio('text')} AS stopword_ratio,
+        ({TX.sql_token_count('text')} >= 5
+         AND {TX.sql_avg_token_len('text')} >= 2.0) AS passes_quality
+    FROM documents
+    """,
+)
+
+
+# --- Language-ID scoring -----------------------------------------------------
+
+def lang_id_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram-free language-ID heuristic: English stopword hit ratio vs the
+    declared lang label (the corpus is synthetic English-ish words)."""
+    docs = t(spark, sf_dir, "documents")
+    ratio = TX.stopword_ratio(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("declared_lang"),
+        ratio.alias("en_score"),
+        (ratio >= 0.05).alias("looks_english"),
+    )
+
+
+register(
+    "lang_id_scores",
+    lang_id_scores,
+    f"""
+    SELECT
+        doc_id,
+        lang AS declared_lang,
+        {TX.sql_stopword_ratio('text')} AS en_score,
+        ({TX.sql_stopword_ratio('text')} >= 0.05) AS looks_english
+    FROM documents
+    """,
+)
+
+
+# --- Fingerprints ------------------------------------------------------------
+
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        TX.fingerprint(F.col("text")).alias("content_md5"),
+        TX.normalized_fingerprint(F.col("text")).alias("normalized_md5"),
+        F.substring(TX.fingerprint(F.col("text")), 1, 8).alias("short_id"),
+    )
+
+
+register(
+    "doc_fingerprints",
+    doc_fingerprints,
+    f"""
+    SELECT
+        doc_id,
+        md5(text) AS content_md5,
+        {TX.sql_normalized_fingerprint('text')} AS normalized_md5,
+        substr(md5(text), 1, 8) AS short_id
+    FROM documents
+    """,
+)
+
+
+# --- Multimodal features (mapInPandas plumbing) ------------------------------
+
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload feature extraction through the real Arrow/mapInPandas
+    path (decode stubbed deterministically — see operators/multimodal.py)."""
+    docs = t(spark, sf_dir, "documents")
+    media = multimodal.documents_as_media(docs)
+    return multimodal.extract_features(media)
+
+
+register(
+    "multimodal_features",
+    multimodal_features,
+    """
+    SELECT
+        doc_id AS media_id,
+        CASE CAST(doc_id % 3 AS INT)
+            WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video'
+        END AS media_type,
+        CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+        md5(text) AS content_hash,
+        CAST(octet_length(encode(text)) % 640 AS BIGINT) AS fake_width,
+        CAST(octet_length(encode(text)) % 480 AS BIGINT) AS fake_height
+    FROM documents
+    """,
+)

@@ -1,0 +1,58 @@
+"""Behavioral tests for dedup operators on crafted fixtures (the testdata
+corpus has no organic duplicates; these pin down semantics)."""
+
+from __future__ import annotations
+
+from flink_streaming_demo_spark.operators import dedup
+
+
+def _corpus(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),     # exact dup of 1
+        (3, "the quick brown fox jumps over the lazy dog tail"),  # near dup
+        (4, "completely different words entirely here now folks"),
+        (5, "short text"),                                       # < 3 tokens
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_keeps_min_id(spark):
+    out = dedup.exact_dedup(_corpus(spark)).select("doc_id").collect()
+    ids = sorted(r.doc_id for r in out)
+    assert ids == [1, 3, 4, 5]  # 2 dropped (dup of 1)
+
+
+def test_exact_dedup_groups_counts(spark):
+    groups = {
+        r.keep_id: r.n_copies
+        for r in dedup.exact_dedup_groups(_corpus(spark)).collect()
+    }
+    assert groups[1] == 2
+    assert groups[3] == 1
+
+
+def test_minhash_finds_near_dup_pair(spark):
+    pairs = {
+        (r.id_a, r.id_b): r.est_jaccard
+        for r in dedup.minhash_lsh_pairs(_corpus(spark), threshold=0.3).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] == 1.0  # identical text
+    assert (1, 3) in pairs  # near dup collides in some band
+    assert not any({a, b} == {1, 4} for a, b in pairs)  # unrelated docs
+
+
+def test_ngram_jaccard_exact_values(spark):
+    pairs = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.ngram_jaccard_pairs(_corpus(spark), threshold=0.1).collect()
+    }
+    assert pairs[(1, 2)] == 1.0
+    # doc1 has 7 shingles, doc3 has 8, sharing 7 -> 7/8
+    assert abs(pairs[(1, 3)] - 7 / 8) < 1e-9
+    assert not any({a, b} == {1, 4} for a, b in pairs)
+
+
+def test_short_docs_excluded(spark):
+    pairs = dedup.minhash_lsh_pairs(_corpus(spark), threshold=0.0).collect()
+    assert not any(5 in (r.id_a, r.id_b) for r in pairs)

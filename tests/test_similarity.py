@@ -1,0 +1,67 @@
+"""Behavioral tests for similarity search on crafted vectors."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from flink_streaming_demo_spark.operators import similarity as SIM
+
+
+def _vectors(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),   # close to 0
+        (2, [0.0, 1.0, 0.0]),   # orthogonal to 0
+        (3, [-1.0, 0.0, 0.0]),  # opposite of 0
+        (4, [2.0, 0.0, 0.0]),   # same direction as 0, larger norm
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_cosine_basics(spark):
+    df = _vectors(spark)
+    a = df.filter("vec_id = 0").select(F.col("embedding").alias("a"))
+    pairs = a.crossJoin(df).select(
+        "vec_id", SIM.cosine(F.col("a"), F.col("embedding")).alias("cos")
+    )
+    got = {r.vec_id: r.cos for r in pairs.collect()}
+    assert abs(got[0] - 1.0) < 1e-12
+    assert abs(got[4] - 1.0) < 1e-12       # scale-invariant
+    assert abs(got[2]) < 1e-12             # orthogonal
+    assert abs(got[3] + 1.0) < 1e-12       # opposite
+
+
+def test_brute_force_topk_ordering(spark):
+    df = _vectors(spark)
+    out = SIM.brute_force_topk(df.filter("vec_id = 0"), df, k=4).collect()
+    ranked = [r.neighbor_id for r in sorted(out, key=lambda r: r.rank)]
+    assert ranked[0] == 4      # cosine 1.0
+    assert ranked[1] == 1      # ~0.994
+    assert ranked[-1] == 3     # -1.0 last
+    assert all(r.query_id == 0 for r in out)
+
+
+def test_l2_norm(spark):
+    df = _vectors(spark)
+    norms = {
+        r.vec_id: r.n
+        for r in df.select(
+            "vec_id", SIM.l2_norm(F.col("embedding")).alias("n")
+        ).collect()
+    }
+    assert abs(norms[0] - 1.0) < 1e-12
+    assert abs(norms[4] - 2.0) < 1e-12
+    assert abs(norms[1] - math.sqrt(0.81 + 0.01)) < 1e-6  # float32 inputs
+
+
+def test_lsh_bucket_recall_of_identical_direction(spark):
+    df = _vectors(spark)
+    sigs = df.select(
+        "vec_id",
+        SIM.lsh_hyperplane_signature(F.col("embedding"), 8).alias("sig"),
+    ).collect()
+    by_id = {r.vec_id: r.sig for r in sigs}
+    assert by_id[0] == by_id[4]  # same direction -> identical signature
+    assert by_id[0] != by_id[3]  # opposite direction -> different signature
