@@ -1,0 +1,98 @@
+"""Count-driven early-firing window aggregation (W3) — the one operator in
+the reference with no built-in Spark equivalent (SURVEY §2.4, §7.3).
+
+Reference semantics (EarlyCountTrigger; reference:
+examples/EarlyArrivalCount.scala:117-160):
+
+* per (key, window), a counter accumulates passenger counts
+  (`personCnt`, reference: EarlyArrivalCount.scala:129-131);
+* each time the counter reaches ``threshold`` (50, reference:
+  EarlyArrivalCount.scala:58), FIRE a *partial* result — the current pane
+  total — and reset the counter (reference: EarlyArrivalCount.scala:133-141);
+* at watermark >= window end, FIRE_AND_PURGE the final result
+  (reference: EarlyArrivalCount.scala:144-151).
+
+The fire points are inherently sequential (each fire re-bases the next
+threshold), so this is NOT expressible as an ANSI-SQL aggregation — it is
+the engine's one custom stateful operator, implemented as:
+
+* batch: ``applyInPandas`` per (cell, window) — replays events in event-time
+  order, emitting every partial fire + the final (this module);
+* streaming: ``applyInPandasWithState`` with event-time timeout
+  (streaming/early_trigger.py) — identical per-group logic with the counter
+  carried in keyed state across micro-batches.
+
+Scale: groups are (cell, window) — bounded at ~100k cells x 3 live panes;
+each group's pane events fit trivially in an Arrow batch. One shuffle on the
+group key, same as the plain windowed aggregate.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+from flink_streaming_demo_spark.operators.windows import assign_sliding_windows
+
+DEFAULT_THRESHOLD = 50  # reference: examples/EarlyArrivalCount.scala:58
+
+FIRE_SCHEMA = T.StructType(
+    [
+        T.StructField("cell", T.IntegerType(), False),
+        T.StructField("window_end", T.TimestampType(), False),
+        T.StructField("cnt", T.LongType(), False),
+        T.StructField("is_final", T.BooleanType(), False),
+        T.StructField("fire_seq", T.IntegerType(), False),
+    ]
+)
+
+
+def _replay_group(pdf: pd.DataFrame, threshold: int) -> pd.DataFrame:
+    """Replay one (cell, window) pane in event-time order, emitting the
+    reference trigger's fire sequence."""
+    pdf = pdf.sort_values(["ts", "passenger_cnt"], kind="mergesort")
+    cell = int(pdf["cell"].iloc[0])
+    w_end = pdf["w_end"].iloc[0]
+    fires: list[tuple] = []
+    counter = 0
+    total = 0
+    seq = 0
+    for cnt in pdf["passenger_cnt"]:
+        c = int(cnt)
+        total += c
+        counter += c
+        if counter >= threshold:
+            fires.append((cell, w_end, total, False, seq))
+            seq += 1
+            counter = 0
+    fires.append((cell, w_end, total, True, seq))
+    return pd.DataFrame(
+        fires, columns=["cell", "window_end", "cnt", "is_final", "fire_seq"]
+    )
+
+
+def early_fire_counts(
+    arrivals: DataFrame,
+    threshold: int = DEFAULT_THRESHOLD,
+    window_secs: int = 900,
+    slide_secs: int = 300,
+) -> DataFrame:
+    """Batch-exact early-fire emission sequence.
+
+    Input: (cell, ts, passenger_cnt) arrival events (see
+    plans/taxi_apps.arrival_events). Output: every partial fire and the
+    final fire per (cell, window), with fire_seq ordering.
+    """
+    windowed = assign_sliding_windows(
+        arrivals, "ts", window_secs, slide_secs
+    )
+
+    def apply_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        return _replay_group(pdf, threshold)
+
+    return windowed.groupBy("cell", "w_start").applyInPandas(
+        apply_fn, FIRE_SCHEMA
+    )

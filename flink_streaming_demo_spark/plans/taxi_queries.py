@@ -105,6 +105,67 @@ register(
 )
 
 
+# --- App 3: early-firing windowed count (W3) --------------------------------
+
+def taxi_early_arrival_fires(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full emission sequence of the count-driven early trigger (partials +
+    finals) — the one genuinely non-SQL-expressible operator (fire points are
+    sequential; each fire re-bases the next threshold), so no oracle: the
+    driver records a rows-only check. The emission *sequence* is pinned by
+    unit tests (tests/test_early_fire.py) and the final results are
+    oracle-checked via taxi_early_arrival_final."""
+    from flink_streaming_demo_spark.operators.early_fire import (
+        early_fire_counts,
+    )
+
+    arrivals = taxi_apps.arrival_events(synthetic_taxi_rides(spark, sf_dir))
+    return early_fire_counts(arrivals)
+
+
+register("taxi_early_arrival_fires", taxi_early_arrival_fires, None)
+
+
+def taxi_early_arrival_final(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Final (FIRE_AND_PURGE) results of the early-fire operator — must
+    equal the plain sliding-window aggregate (reference:
+    examples/EarlyArrivalCount.scala:144-151; the trigger changes cadence,
+    not final values). Oracle: the sliding-window SQL."""
+    from flink_streaming_demo_spark.operators.early_fire import (
+        early_fire_counts,
+    )
+
+    arrivals = taxi_apps.arrival_events(synthetic_taxi_rides(spark, sf_dir))
+    return (
+        early_fire_counts(arrivals)
+        .filter(F.col("is_final"))
+        .select("cell", "window_end", "cnt")
+    )
+
+
+register(
+    "taxi_early_arrival_final",
+    taxi_early_arrival_final,
+    f"""
+    WITH rides AS ({_RIDES_SQL}),
+    arrivals AS (
+        SELECT {geo.sql_grid_cell('lon', 'lat')} AS cell, ts, passenger_cnt
+        FROM rides
+        WHERE NOT is_start AND {geo.sql_is_in_nyc('lon', 'lat')}
+    ),
+    expanded AS (
+        SELECT cell, passenger_cnt,
+               time_bucket(INTERVAL '5 minutes', ts)
+                   - g.k * INTERVAL '5 minutes' AS w_start
+        FROM arrivals, generate_series(0, 2) AS g(k)
+    )
+    SELECT cell, w_start + INTERVAL '15 minutes' AS window_end,
+           CAST(SUM(passenger_cnt) AS BIGINT) AS cnt
+    FROM expanded
+    GROUP BY cell, w_start
+    """,
+)
+
+
 # --- S4: trip -> two-event ETL ----------------------------------------------
 
 def taxi_trip_etl(spark: SparkSession, sf_dir: str) -> DataFrame:

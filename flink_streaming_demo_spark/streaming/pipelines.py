@@ -1,0 +1,74 @@
+"""Structured Streaming variants of the three demo apps.
+
+The *same* transformation chains as plans/taxi_apps.py, applied to a
+streaming DataFrame — the point of the Spark-first design: one logical plan,
+batch or incremental physical execution chosen by the engine.
+
+Output-mode mapping (SURVEY §3):
+
+* App 1 (running total, per-record emission — reference:
+  examples/TotalArrivalCount.scala:75-80): ``update`` output mode — every
+  changed cell re-emits per micro-batch, the micro-batch analogue of Flink's
+  per-record fold emission. Combined with a keyed upsert sink (K3) the
+  observable behavior is identical: last write per cell wins.
+* App 2 (sliding window, fire at watermark — reference:
+  examples/SlidingArrivalCount.scala:81-93): ``append`` mode after
+  ``withWatermark`` — results emit exactly once when the watermark passes
+  window end, Flink's default event-time trigger.
+* App 3 (early firing — reference: examples/EarlyArrivalCount.scala:117-160):
+  ``update`` mode emits time-driven partials (every micro-batch); the exact
+  *count-driven* cadence lives in streaming/early_trigger.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from flink_streaming_demo_spark.functions import geo
+from flink_streaming_demo_spark.plans.taxi_apps import arrival_events
+
+
+def streaming_total_arrival_count(rides: DataFrame) -> DataFrame:
+    """App 1 streaming: unbounded keyed running aggregate (use with
+    outputMode('update') + upsert sink keyed by cell)."""
+    agg = arrival_events(rides).groupBy("cell").agg(
+        F.max("ts").alias("max_ts"),
+        F.sum("passenger_cnt").cast("bigint").alias("cnt"),
+    )
+    return agg.select(
+        "cell",
+        "max_ts",
+        geo.cell_center_lon(F.col("cell")).alias("center_lon"),
+        geo.cell_center_lat(F.col("cell")).alias("center_lat"),
+        "cnt",
+    )
+
+
+def streaming_sliding_arrival_count(
+    rides: DataFrame,
+    watermark_delay: str = "60 seconds",
+    window: str = "15 minutes",
+    slide: str = "5 minutes",
+) -> DataFrame:
+    """App 2 streaming: watermarked sliding event-time window (use with
+    outputMode('append') — emits once per window at watermark passage, or
+    outputMode('update') for time-driven early partials ≈ App 3).
+
+    The watermark delay mirrors the reference's maxServingDelay=60s
+    (reference: examples/SlidingArrivalCount.scala:49) and its bounded-delay
+    watermark contract (reference: sources/TaxiRideSource.scala:195,258).
+    """
+    agg = (
+        rides.withWatermark("ts", watermark_delay)
+        .transform(arrival_events)
+        .groupBy(F.window(F.col("ts"), window, slide), F.col("cell"))
+        .agg(F.sum("passenger_cnt").cast("bigint").alias("cnt"))
+    )
+    return agg.select(
+        F.col("cell"),
+        F.col("window.end").alias("window_end"),
+        geo.cell_center_lon(F.col("cell")).alias("center_lon"),
+        geo.cell_center_lat(F.col("cell")).alias("center_lat"),
+        F.col("cnt"),
+    )
