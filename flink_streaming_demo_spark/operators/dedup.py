@@ -114,13 +114,13 @@ def minhash_lsh_pairs(
     Returns (id_a, id_b, est_jaccard) with id_a < id_b and estimated
     Jaccard (signature agreement fraction) >= threshold.
     """
+    # Materialize the shingle array once; the 16 hash lambdas then reference
+    # the bound column instead of re-deriving shingles per hash.
     sigs = (
         df.select(F.col(id_col), F.col(text_col))
         .filter(F.size(tokens(F.col(text_col))) >= min_tokens)
-        .select(
-            F.col(id_col),
-            minhash_signature(shingles(F.col(text_col))).alias("sig"),
-        )
+        .select(F.col(id_col), shingles(F.col(text_col)).alias("sh"))
+        .select(F.col(id_col), minhash_signature(F.col("sh")).alias("sig"))
     )
     banded = sigs.select(
         F.col(id_col),
