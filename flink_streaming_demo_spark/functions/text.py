@@ -54,6 +54,20 @@ def stopword_ratio(text: Column) -> Column:
     )
 
 
+# BPE-ish subword chunking: letter runs, short digit runs (<=3, the way
+# modern BPE vocabularies chunk numbers), punctuation runs. Works identically
+# under Java regex (Spark) and RE2 (DuckDB) — no lookaround, no classes
+# beyond ASCII ranges.
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]{1,3}|[^A-Za-z0-9\s]+"
+
+
+def bpe_token_count(text: Column) -> Column:
+    """Count of BPE-ish regex tokens (vs whitespace tokens)."""
+    return F.size(
+        F.regexp_extract_all(text, F.lit(BPE_ISH_PATTERN), F.lit(0))
+    )
+
+
 def fingerprint(text: Column) -> Column:
     """Exact-content fingerprint: md5 of the raw text."""
     return F.md5(text)
@@ -122,6 +136,13 @@ def sql_stopword_ratio(text: str) -> str:
     return (
         f"ROUND(CAST({sql_stopword_count(text)} AS DOUBLE)"
         f" / CAST({sql_token_count(text)} AS DOUBLE), 6)"
+    )
+
+
+def sql_bpe_token_count(text: str) -> str:
+    return (
+        f"CAST(len(regexp_extract_all({text}, "
+        f"'{BPE_ISH_PATTERN}')) AS INT)"
     )
 
 

@@ -37,6 +37,7 @@ def _load_all() -> None:
         event_queries,
         taxi_queries,
         text_queries,
+        tpch_more,
         tpch_queries,
         vector_queries,
     )

@@ -234,6 +234,38 @@ register(
 )
 
 
+# --- Token counting (whitespace + BPE-ish regex) ------------------------------
+
+def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting for training-data budgeting: whitespace tokens,
+    BPE-ish regex tokens, and their ratio (tokens-per-word is the standard
+    tokenizer fertility estimate). Pure JVM regex — no Python."""
+    docs = t(spark, sf_dir, "documents")
+    ws = TX.token_count(F.col("text"))
+    bpe = TX.bpe_token_count(F.col("text"))
+    return docs.select(
+        "doc_id",
+        ws.alias("ws_tokens"),
+        bpe.alias("bpe_tokens"),
+        F.round(bpe.cast("double") / ws.cast("double"), 6).alias("fertility"),
+    )
+
+
+register(
+    "text_token_counts",
+    text_token_counts,
+    f"""
+    SELECT
+        doc_id,
+        {TX.sql_token_count('text')} AS ws_tokens,
+        {TX.sql_bpe_token_count('text')} AS bpe_tokens,
+        ROUND(CAST({TX.sql_bpe_token_count('text')} AS DOUBLE)
+              / CAST({TX.sql_token_count('text')} AS DOUBLE), 6) AS fertility
+    FROM documents
+    """,
+)
+
+
 # --- Language-ID scoring -----------------------------------------------------
 
 def lang_id_scores(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1,0 +1,529 @@
+"""Extended TPC-H-style coverage over the driver's (reduced) star schema.
+
+The reference has no joins/subqueries at all (SURVEY §2.10); these queries
+exist to exercise the full relational operator surface a reference user
+would expect from a general engine: multi-way joins with disjunctive
+predicates, left-join histograms, correlated and scalar subqueries,
+ratio aggregates, and top-k.
+
+The driver's schema is a *reduced* TPC-H (no partsupp, no
+comment/phone/shipmode/commitdate columns), so each query is the standard
+TPC-H shape adapted to available columns; adaptations are noted per query.
+
+Float determinism (same policy as tpch_queries): every double aggregate is
+ROUND()ed on both sides, and ratios divide *already-rounded* sums so the
+quotient is identical regardless of addition order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_streaming_demo_spark.plans.registry import register
+from flink_streaming_demo_spark.schemas import load_table as t
+
+
+# --- TPC-H Q7: volume shipping between two nations ---------------------------
+
+def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bidirectional nation-pair trade volume by ship year.
+
+    Scale: nation/supplier/customer broadcast; the only shuffle is
+    lineitem⋈orders on orderkey, then a tiny (2x2xyears) final aggregate.
+    The disjunctive nation-pair predicate is applied after the broadcast
+    joins, still before the shuffle-side aggregation.
+    """
+    n1 = "NATION_1"
+    n2 = "NATION_2"
+    supp = t(spark, sf_dir, "supplier")
+    cust = t(spark, sf_dir, "customer")
+    nat_s = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    nat_c = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.expr("timestamp'1996-01-01'"))
+        & (F.col("l_shipdate") < F.expr("timestamp'1998-01-01'"))
+    )
+    orders = t(spark, sf_dir, "orders")
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nat_s), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(nat_c), F.col("c_nationkey") == F.col("cn_key"))
+        .filter(
+            ((F.col("supp_nation") == n1) & (F.col("cust_nation") == n2))
+            | ((F.col("supp_nation") == n2) & (F.col("cust_nation") == n1))
+        )
+    )
+    return joined.groupBy(
+        "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+    ).agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue")
+    )
+
+
+register(
+    "tpch_q7_volume_shipping",
+    tpch_q7_volume_shipping,
+    """
+    SELECT
+        supp_nation,
+        cust_nation,
+        l_year,
+        ROUND(SUM(volume), 2) AS revenue
+    FROM (
+        SELECT
+            n1.n_name AS supp_nation,
+            n2.n_name AS cust_nation,
+            CAST(YEAR(l_shipdate) AS INT) AS l_year,
+            l_extendedprice * (1 - l_discount) AS volume
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+            OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+          AND l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1998-01-01'
+    )
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+
+
+# --- TPC-H Q8: national market share -----------------------------------------
+
+def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share of NATION_1 suppliers in ASIA's STANDARD-part revenue by year.
+
+    The ratio divides two *rounded* sums so float addition order cannot
+    perturb the quotient. Scale: all dims broadcast; one orderkey shuffle.
+    """
+    prt = t(spark, sf_dir, "part").filter(F.col("p_type") == "STANDARD")
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.expr("timestamp'1996-01-01'"))
+        & (F.col("o_orderdate") < F.expr("timestamp'1998-01-01'"))
+    )
+    cust = t(spark, sf_dir, "customer")
+    nat_c = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey")
+    )
+    reg = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    supp = t(spark, sf_dir, "supplier")
+    nat_s = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    joined = (
+        li.join(F.broadcast(prt), li.l_partkey == prt.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nat_c), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(reg), F.col("n_regionkey") == reg.r_regionkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nat_s), F.col("s_nationkey") == F.col("sn_key"))
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    agg = joined.groupBy(F.year("o_orderdate").alias("o_year")).agg(
+        F.round(
+            F.sum(F.when(F.col("supp_nation") == "NATION_1", vol).otherwise(0.0)),
+            2,
+        ).alias("nation_vol"),
+        F.round(F.sum(vol), 2).alias("total_vol"),
+    )
+    return agg.select(
+        "o_year",
+        F.round(F.col("nation_vol") / F.col("total_vol"), 6).alias("mkt_share"),
+    )
+
+
+register(
+    "tpch_q8_market_share",
+    tpch_q8_market_share,
+    """
+    SELECT
+        o_year,
+        ROUND(nation_vol / total_vol, 6) AS mkt_share
+    FROM (
+        SELECT
+            CAST(YEAR(o_orderdate) AS INT) AS o_year,
+            ROUND(SUM(CASE WHEN n2.n_name = 'NATION_1'
+                           THEN l_extendedprice * (1 - l_discount)
+                           ELSE 0.0 END), 2) AS nation_vol,
+            ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_vol
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        JOIN region ON n1.n_regionkey = r_regionkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        WHERE r_name = 'ASIA'
+          AND p_type = 'STANDARD'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1998-01-01'
+        GROUP BY CAST(YEAR(o_orderdate) AS INT)
+    )
+    """,
+)
+
+
+# --- TPC-H Q10: returned-item reporting --------------------------------------
+
+def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top 20 customers by lost revenue (returned items, one quarter).
+
+    Adaptation: the reduced customer table has no address/phone/comment, so
+    the output carries (custkey, name, nation, mktsegment, acctbal).
+    Scale: customer/nation broadcast; orderkey shuffle; top-20 via
+    TakeOrdered (per-partition top-k), not a global sort.
+    """
+    cust = t(spark, sf_dir, "customer")
+    nat = t(spark, sf_dir, "nation")
+    orders = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.expr("timestamp'1997-01-01'"))
+        & (F.col("o_orderdate") < F.expr("timestamp'1997-04-01'"))
+    )
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+    )
+    agg = joined.groupBy(
+        "c_custkey", "c_name", "c_acctbal", "n_name", "c_mktsegment"
+    ).agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue")
+    )
+    return agg.orderBy(F.desc("revenue"), F.asc("c_custkey")).limit(20)
+
+
+register(
+    "tpch_q10_returned_items",
+    tpch_q10_returned_items,
+    """
+    SELECT
+        c_custkey,
+        c_name,
+        c_acctbal,
+        n_name,
+        c_mktsegment,
+        ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate < TIMESTAMP '1997-04-01'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, c_acctbal, n_name, c_mktsegment
+    ORDER BY revenue DESC, c_custkey ASC
+    LIMIT 20
+    """,
+)
+
+
+# --- TPC-H Q13: customer order-count distribution ----------------------------
+
+def tpch_q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram of orders-per-customer including zero-order customers.
+
+    Adaptation: TPC-H excludes orders by o_comment pattern; the reduced
+    schema has no comment, so the exclusion predicate is on
+    o_orderpriority instead (same left-join-then-histogram shape).
+    Scale: two aggregations; the first shuffles on custkey, the second on
+    the (tiny-cardinality) count value.
+    """
+    cust = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "3-MEDIUM"
+    )
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("custdist")
+    )
+
+
+register(
+    "tpch_q13_customer_distribution",
+    tpch_q13_customer_distribution,
+    """
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+        SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        FROM customer
+        LEFT JOIN orders
+          ON c_custkey = o_custkey AND o_orderpriority <> '3-MEDIUM'
+        GROUP BY c_custkey
+    )
+    GROUP BY c_count
+    """,
+)
+
+
+# --- TPC-H Q14: promotion effect ---------------------------------------------
+
+def tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent of one month's revenue from PROMO parts (conditional-sum
+    ratio). Adaptation: p_type is a single token here, so the predicate is
+    equality rather than TPC-H's 'PROMO%' prefix match. Scale: part
+    broadcast; single scalar result, all partial-aggregated map-side.
+    """
+    prt = t(spark, sf_dir, "part")
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.expr("timestamp'1997-09-01'"))
+        & (F.col("l_shipdate") < F.expr("timestamp'1997-10-01'"))
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    agg = li.join(F.broadcast(prt), li.l_partkey == prt.p_partkey).agg(
+        F.round(
+            F.sum(F.when(F.col("p_type") == "PROMO", vol).otherwise(0.0)), 2
+        ).alias("promo_vol"),
+        F.round(F.sum(vol), 2).alias("total_vol"),
+    )
+    return agg.select(
+        F.round(
+            F.lit(100.0) * F.col("promo_vol") / F.col("total_vol"), 6
+        ).alias("promo_pct")
+    )
+
+
+register(
+    "tpch_q14_promo_revenue",
+    tpch_q14_promo_revenue,
+    """
+    SELECT ROUND(100.0 * promo_vol / total_vol, 6) AS promo_pct
+    FROM (
+        SELECT
+            ROUND(SUM(CASE WHEN p_type = 'PROMO'
+                           THEN l_extendedprice * (1 - l_discount)
+                           ELSE 0.0 END), 2) AS promo_vol,
+            ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_vol
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+          AND l_shipdate < TIMESTAMP '1997-10-01'
+    )
+    """,
+)
+
+
+# --- TPC-H Q15: top supplier (scalar subquery on an aggregate) ---------------
+
+def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier(s) with the maximum quarterly revenue.
+
+    The scalar MAX is joined back via an inner join on the rounded revenue
+    value (Spark-side: cross-joinable 1-row aggregate, broadcast); ties are
+    all returned, matching the SQL semantics. Scale: the revenue view is
+    |suppliers|-sized — tiny after the lineitem aggregation.
+    """
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.expr("timestamp'1997-01-01'"))
+        & (F.col("l_shipdate") < F.expr("timestamp'1997-04-01'"))
+    )
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("total_revenue")
+    )
+    max_rev = rev.agg(F.max("total_revenue").alias("max_revenue"))
+    supp = t(spark, sf_dir, "supplier")
+    return (
+        rev.join(
+            F.broadcast(max_rev),
+            rev.total_revenue == max_rev.max_revenue,
+        )
+        .join(F.broadcast(supp), F.col("supplier_no") == supp.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+register(
+    "tpch_q15_top_supplier",
+    tpch_q15_top_supplier,
+    """
+    WITH rev AS (
+        SELECT
+            l_suppkey AS supplier_no,
+            ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate < TIMESTAMP '1997-04-01'
+        GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier
+    JOIN rev ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+    """,
+)
+
+
+# --- TPC-H Q17: small-quantity-order revenue (correlated subquery) -----------
+
+def tpch_q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average yearly revenue lost if small-quantity orders stopped.
+
+    The correlated sub-aggregate (per-part average quantity) is decorrelated
+    Spark-side into a groupBy + join — exactly what Catalyst would do to the
+    SQL form. The avg is exact (integral quantities sum exactly in doubles),
+    so the 0.2*avg threshold is order-independent without rounding.
+    Scale: the per-part avg table is |part|-sized -> broadcast.
+    """
+    li = t(spark, sf_dir, "lineitem")
+    prt = t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#13")
+    avg_qty = li.groupBy(F.col("l_partkey").alias("ap_key")).agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("qty_threshold")
+    )
+    return (
+        li.join(F.broadcast(prt), li.l_partkey == prt.p_partkey)
+        .join(F.broadcast(avg_qty), li.l_partkey == F.col("ap_key"))
+        .filter(F.col("l_quantity") < F.col("qty_threshold"))
+        .agg(
+            F.round(F.round(F.sum("l_extendedprice"), 2) / 7.0, 2).alias(
+                "avg_yearly"
+            )
+        )
+    )
+
+
+register(
+    "tpch_q17_small_quantity",
+    tpch_q17_small_quantity,
+    """
+    SELECT ROUND(ROUND(SUM(l_extendedprice), 2) / 7.0, 2) AS avg_yearly
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#13'
+      AND l_quantity < (
+          SELECT 0.2 * AVG(l2.l_quantity)
+          FROM lineitem l2
+          WHERE l2.l_partkey = p_partkey
+      )
+    """,
+)
+
+
+# --- TPC-H Q19: discounted revenue (disjunctive join predicates) -------------
+
+def tpch_q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue over three disjunctive brand/size/quantity branches.
+
+    Adaptation: no shipmode/shipinstruct columns, so the branches combine
+    p_brand, p_size and l_quantity only. The OR-of-ANDs stays a single
+    broadcast hash join on partkey with a post-join disjunction — one pass.
+    """
+    li = t(spark, sf_dir, "lineitem")
+    prt = t(spark, sf_dir, "part")
+    j = li.join(F.broadcast(prt), li.l_partkey == prt.p_partkey)
+    branch1 = (
+        (F.col("p_brand") == "Brand#12")
+        & F.col("p_size").between(1, 5)
+        & F.col("l_quantity").between(1, 11)
+    )
+    branch2 = (
+        (F.col("p_brand") == "Brand#23")
+        & F.col("p_size").between(1, 10)
+        & F.col("l_quantity").between(10, 20)
+    )
+    branch3 = (
+        (F.col("p_brand") == "Brand#34")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(20, 30)
+    )
+    return j.filter(branch1 | branch2 | branch3).agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+register(
+    "tpch_q19_discounted_revenue",
+    tpch_q19_discounted_revenue,
+    """
+    SELECT
+        ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        COUNT(*) AS n_items
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 20 AND 30)
+    """,
+)
+
+
+# --- TPC-H Q22: customers with no orders above average balance ---------------
+
+def tpch_q22_global_sales_opportunity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Well-funded customers who never ordered, grouped by segment.
+
+    Adaptation: no c_phone, so grouping is by c_mktsegment instead of
+    country code. The average balance is rounded to 2dp before the
+    comparison so the threshold double is identical on both engines
+    regardless of summation order. Scale: scalar avg broadcast; anti join
+    on custkey (orders' custkey projection dedups small enough to
+    broadcast under AQE).
+    """
+    cust = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders")
+    avg_bal = cust.filter(F.col("c_acctbal") > 0.0).agg(
+        F.round(F.avg("c_acctbal"), 2).alias("avg_bal")
+    )
+    rich = cust.join(
+        F.broadcast(avg_bal), cust.c_acctbal > F.col("avg_bal")
+    )
+    return (
+        rich.join(orders, rich.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )
+
+
+register(
+    "tpch_q22_global_sales_opportunity",
+    tpch_q22_global_sales_opportunity,
+    """
+    SELECT
+        c_mktsegment,
+        COUNT(*) AS numcust,
+        ROUND(SUM(c_acctbal), 2) AS totacctbal
+    FROM customer
+    WHERE c_acctbal > (
+            SELECT ROUND(AVG(c_acctbal), 2)
+            FROM customer
+            WHERE c_acctbal > 0.0
+          )
+      AND NOT EXISTS (
+            SELECT 1 FROM orders WHERE o_custkey = c_custkey
+          )
+    GROUP BY c_mktsegment
+    """,
+)

@@ -81,6 +81,131 @@ register(
 )
 
 
+# --- LSH-bucketed ANN (the scale path) ---------------------------------------
+
+LSH_BITS = 4
+
+
+def sql_lsh_signature(vec: str, n_bits: int, dims: int = DIMS) -> str:
+    """DuckDB twin of operators.similarity.lsh_hyperplane_signature.
+
+    Same md5-derived plane family: component(p, i) =
+    (hex64(md5(p:':':i)[1:8]) % 1e6) / 1e6 - 0.5; bit p = sign of the
+    projection. DuckDB parses '0x...' strings as BIGINT, matching Spark's
+    conv(_, 16, 10).
+    """
+    comp = (
+        "((CAST(('0x' || substr(md5(CAST(p AS VARCHAR) || ':' || "
+        "CAST(i - 1 AS VARCHAR)), 1, 8)) AS BIGINT) % 1000000) "
+        "/ 1000000.0 - 0.5)"
+    )
+    return f"""
+        array_to_string(list_transform(generate_series(0, {n_bits - 1}), p ->
+            CASE WHEN list_sum(list_transform(generate_series(1, {dims}),
+                i -> CAST({vec}[i] AS DOUBLE) * {comp})) >= 0
+            THEN '1' ELSE '0' END), '')
+    """
+
+
+def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k: hyperplane-LSH bucket join + exact cosine rerank.
+
+    The scale path for ANN (brief: "IVF or LSH-bucketed variant"): the cross
+    join of sim_topk_cosine becomes an equi-join on the signature, cutting
+    candidates ~2^bits; recall is tuned via LSH_BITS. Oracle replicates the
+    signature arithmetic exactly, so this is fully hash-checked.
+    """
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    return SIM.lsh_bucketed_topk(queries, emb, k=TOP_K, n_bits=LSH_BITS)
+
+
+register(
+    "sim_ann_lsh",
+    sim_ann_lsh,
+    f"""
+    WITH sigs AS (
+        SELECT
+            vec_id,
+            embedding,
+            {sql_lsh_signature('embedding', LSH_BITS)} AS bucket
+        FROM embeddings
+    ),
+    scored AS (
+        SELECT
+            q.vec_id AS query_id,
+            c.vec_id AS neighbor_id,
+            ROUND({SIM.sql_cosine('q.embedding', 'c.embedding', DIMS)}, 6)
+                AS score
+        FROM sigs q
+        JOIN sigs c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+        WHERE q.vec_id < {N_QUERIES}
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC
+        ) AS rank
+        FROM scored
+    )
+    SELECT query_id, rank, neighbor_id, score
+    FROM ranked WHERE rank <= {TOP_K}
+    """,
+)
+
+
+# --- Embedding-cosine near-duplicate pairs -----------------------------------
+
+NEARDUP_THRESHOLD = 0.4
+
+
+def dedup_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup candidate pairs (id_a < id_b, cosine >=
+    threshold), exact all-pairs within vec_id blocks.
+
+    Dedup tier 5 of the brief (exact / minhash / simhash / ngram /
+    embedding-cosine). Here the candidate generator is the full self-join
+    (the corpus is small); at 100 TB the generator swaps to the LSH bucket
+    join above (same rerank expression) — blocking changes, scoring doesn't.
+    The self-join condition id_a < id_b halves the pair space and fixes
+    pair orientation for the hash compare.
+    """
+    emb = t(spark, sf_dir, "embeddings")
+    a = emb.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("vec_a")
+    )
+    b = emb.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("vec_b")
+    )
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(SIM.cosine(F.col("vec_a"), F.col("vec_b")), 6).alias(
+                "cos_sim"
+            ),
+        )
+        .filter(F.col("cos_sim") >= NEARDUP_THRESHOLD)
+    )
+
+
+register(
+    "dedup_embedding_neardup",
+    dedup_embedding_neardup,
+    f"""
+    SELECT
+        a.vec_id AS id_a,
+        b.vec_id AS id_b,
+        ROUND({SIM.sql_cosine('a.embedding', 'b.embedding', DIMS)}, 6)
+            AS cos_sim
+    FROM embeddings a
+    JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE ROUND({SIM.sql_cosine('a.embedding', 'b.embedding', DIMS)}, 6)
+          >= {NEARDUP_THRESHOLD}
+    """,
+)
+
+
 # --- Label-centroid similarity ----------------------------------------------
 
 def label_centroid_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
