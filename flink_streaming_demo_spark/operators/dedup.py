@@ -30,9 +30,13 @@ from pyspark.sql import functions as F
 
 from flink_streaming_demo_spark.functions.text import tokens
 
+# 16 hashes as 8 bands x 2 rows: the LSH s-curve midpoint is
+# (1/b)^(1/r) = (1/8)^(1/2) ~ 0.35, so jaccard >= 0.5 pairs collide in some
+# band with prob >= 1-(1-0.25)^8 ~ 0.9 and near-identical pairs ~ always;
+# the est_jaccard >= threshold filter then removes low-sim candidates.
 N_HASHES = 16
-N_BANDS = 4
-ROWS_PER_BAND = 4
+N_BANDS = 8
+ROWS_PER_BAND = 2
 SHINGLE_N = 3
 
 
@@ -68,17 +72,63 @@ def shingles(text: Column, n: int = SHINGLE_N) -> Column:
     )
 
 
+# Universal-hash family for minhash: one md5 per shingle (the expensive
+# step), then n_hashes cheap integer functions h_j(x) = (a_j*x + b_j) mod P
+# over the digest. P = 2^31-1 (Mersenne prime). The (a_j, b_j) pairs are
+# md5-derived so the 16 permutations are mutually independent (a_j = j*A
+# style linear families are degenerate: h_j(x) = j*(Ax+B) shares one
+# argmin across ALL components). The pairs are embedded as integer
+# LITERALS in both the Spark expression and the SQL twin, so any engine
+# with 64-bit ints reproduces the signature bit-for-bit; x < 2^31 and
+# a_j < 2^31 keep a_j*x < 2^62 — no overflow.
+MINHASH_P = (1 << 31) - 1
+
+
+def _minhash_coeff(tag: str, j: int) -> int:
+    import hashlib
+
+    h = hashlib.md5(f"{tag}:{j}".encode()).hexdigest()[:8]
+    return int(h, 16) % MINHASH_P
+
+
+MINHASH_AS = [(_minhash_coeff("a", j) | 1) for j in range(N_HASHES)]
+MINHASH_BS = [_minhash_coeff("b", j) for j in range(N_HASHES)]
+
+
+def shingle_hashes(shingle_arr: Column) -> Column:
+    """array<bigint>: md5-derived 31-bit int per shingle (first 8 hex chars
+    mod P) — the single expensive hashing pass."""
+    return F.transform(
+        shingle_arr,
+        lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")
+        % F.lit(MINHASH_P),
+    )
+
+
 def minhash_signature(shingle_arr: Column, n_hashes: int = N_HASHES) -> Column:
-    """MinHash signature as array<string>: component j is
-    min over shingles of md5(j || ':' || shingle). Pure array expressions —
-    no shuffle, no UDF; the j-indexed md5 family is reproducible in any
-    engine with md5."""
+    """MinHash signature as array<bigint>: component j is
+    min over shingles of ((a_j * md5int(s) + b_j) mod P).
+
+    Pure array expressions — no shuffle, no UDF. The md5 pass runs ONCE per
+    shingle (via shingle_hashes); the j-indexed family is integer-only, so
+    widening the signature costs almost nothing. (The naive alternative —
+    md5(j:shingle) per component — does n_hashes x the digest work and was
+    ~10x slower end-to-end at sf0.1.)
+    """
+    hashes = shingle_hashes(shingle_arr)
+    p = F.lit(MINHASH_P)
+    a_arr = F.array(*[F.lit(a) for a in MINHASH_AS[:n_hashes]])
+    b_arr = F.array(*[F.lit(b) for b in MINHASH_BS[:n_hashes]])
     return F.transform(
         F.sequence(F.lit(0), F.lit(n_hashes - 1)),
         lambda j: F.array_min(
             F.transform(
-                shingle_arr,
-                lambda s: F.md5(F.concat(j.cast("string"), F.lit(":"), s)),
+                hashes,
+                lambda x: (
+                    F.element_at(a_arr, j + 1).cast("long") * x
+                    + F.element_at(b_arr, j + 1).cast("long")
+                )
+                % p,
             )
         ),
     )
@@ -94,7 +144,9 @@ def lsh_band_keys(sig: Column, n_bands: int = N_BANDS,
                 "|",
                 b.cast("string"),
                 *[
-                    F.element_at(sig, b * F.lit(rows_per_band) + F.lit(r + 1))
+                    F.element_at(
+                        sig, b * F.lit(rows_per_band) + F.lit(r + 1)
+                    ).cast("string")
                     for r in range(rows_per_band)
                 ],
             )
@@ -114,6 +166,12 @@ def minhash_lsh_pairs(
     Returns (id_a, id_b, est_jaccard) with id_a < id_b and estimated
     Jaccard (signature agreement fraction) >= threshold.
     """
+    # Local-mode guard: a handful of input files would confine the (CPU-
+    # heavy) signature stage to that many cores. At cluster scale the input
+    # split count exceeds defaultParallelism and this is a no-op.
+    target_parallelism = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target_parallelism:
+        df = df.repartition(target_parallelism)
     # Materialize the shingle array once; the 16 hash lambdas then reference
     # the bound column instead of re-deriving shingles per hash.
     sigs = (
@@ -127,8 +185,11 @@ def minhash_lsh_pairs(
         F.col("sig"),
         F.explode(lsh_band_keys(F.col("sig"))).alias("band_key"),
     )
-    a = banded.alias("a")
-    b = banded.alias("b")
+    # shuffle_hash (not broadcast): both sides then shuffle on band_key with
+    # IDENTICAL plans, and ReuseExchange computes the signature subtree once
+    # instead of once per join side.
+    a = banded.alias("a").hint("shuffle_hash")
+    b = banded.alias("b").hint("shuffle_hash")
     cand = (
         a.join(
             b,
@@ -229,17 +290,29 @@ def sql_shingles(text: str, n: int = SHINGLE_N) -> str:
 
 
 def sql_minhash_signature(shingle_expr: str, n_hashes: int = N_HASHES) -> str:
+    """DuckDB twin of minhash_signature: same md5-once + universal-hash
+    family ((a_j*x + b_j) mod P over the 31-bit digest int). '0x..'-string
+    cast reproduces Spark's conv(_, 16, 10)."""
+    x = (
+        "(CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT) "
+        f"% {MINHASH_P})"
+    )
+    a_list = "[" + ", ".join(str(a) for a in MINHASH_AS[:n_hashes]) + "]"
+    b_list = "[" + ", ".join(str(b) for b in MINHASH_BS[:n_hashes]) + "]"
     return f"""
         list_transform(generate_series(0, {n_hashes - 1}), j ->
-            list_min(list_transform({shingle_expr},
-                s -> md5(j::VARCHAR || ':' || s))))
+            list_min(list_transform({shingle_expr}, s ->
+                (CAST(({a_list})[j + 1] AS BIGINT) * {x}
+                 + CAST(({b_list})[j + 1] AS BIGINT))
+                % {MINHASH_P})))
     """
 
 
 def sql_lsh_band_keys(sig: str, n_bands: int = N_BANDS,
                       rows_per_band: int = ROWS_PER_BAND) -> str:
     parts = " || '|' || ".join(
-        f"{sig}[b * {rows_per_band} + {r + 1}]" for r in range(rows_per_band)
+        f"CAST({sig}[b * {rows_per_band} + {r + 1}] AS VARCHAR)"
+        for r in range(rows_per_band)
     )
     return f"""
         list_transform(generate_series(0, {n_bands - 1}), b ->
