@@ -29,13 +29,19 @@ HEADLINE = [
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",
     "tpch_q5_local_supplier_volume",
+    "tpch_q10_returned_items",
+    "tpch_q13_customer_distribution",
     "tpch_q18_large_volume_customer",
     "events_sessionization",
     "events_asof_latest_order",
+    "events_value_stats",
     "dedup_exact_groups",
     "dedup_minhash_lsh",
+    "dedup_embedding_neardup",
     "sim_topk_cosine",
+    "sim_ann_lsh",
     "text_quality_scores",
+    "text_token_counts",
     "multimodal_features",
 ]
 

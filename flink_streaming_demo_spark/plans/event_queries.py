@@ -235,6 +235,45 @@ register(
 )
 
 
+# --- Statistical aggregates ---------------------------------------------------
+
+def events_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregate surface per event_type: sample stddev/variance,
+    exact interpolated percentiles (median, p90), and Pearson correlation.
+    Spark's percentile() and DuckDB's quantile_cont() share the same
+    linear-interpolation definition; moment aggregates are rounded to absorb
+    addition-order drift."""
+    ev = t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.stddev_samp("value"), 4).alias("value_stddev"),
+        F.round(F.var_samp("value"), 4).alias("value_var"),
+        F.round(F.expr("percentile(value, 0.5)"), 4).alias("value_median"),
+        F.round(F.expr("percentile(value, 0.9)"), 4).alias("value_p90"),
+        F.round(F.corr("value", F.col("user_id").cast("double")), 4).alias(
+            "value_user_corr"
+        ),
+    )
+
+
+register(
+    "events_value_stats",
+    events_value_stats,
+    """
+    SELECT
+        event_type,
+        COUNT(*) AS n_events,
+        ROUND(STDDEV_SAMP(value), 4) AS value_stddev,
+        ROUND(VAR_SAMP(value), 4) AS value_var,
+        ROUND(quantile_cont(value, 0.5), 4) AS value_median,
+        ROUND(quantile_cont(value, 0.9), 4) AS value_p90,
+        ROUND(CORR(value, CAST(user_id AS DOUBLE)), 4) AS value_user_corr
+    FROM events
+    GROUP BY event_type
+    """,
+)
+
+
 # --- JSON props --------------------------------------------------------------
 
 def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:

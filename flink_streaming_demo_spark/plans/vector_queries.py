@@ -156,36 +156,27 @@ register(
 # --- Embedding-cosine near-duplicate pairs -----------------------------------
 
 NEARDUP_THRESHOLD = 0.4
+NEARDUP_BANDS = 2
+NEARDUP_BITS = 3
 
 
 def dedup_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup candidate pairs (id_a < id_b, cosine >=
-    threshold), exact all-pairs within vec_id blocks.
+    threshold), banded hyperplane-LSH blocking + exact rerank.
 
     Dedup tier 5 of the brief (exact / minhash / simhash / ngram /
-    embedding-cosine). Here the candidate generator is the full self-join
-    (the corpus is small); at 100 TB the generator swaps to the LSH bucket
-    join above (same rerank expression) — blocking changes, scoring doesn't.
-    The self-join condition id_a < id_b halves the pair space and fixes
-    pair orientation for the hash compare.
+    embedding-cosine), expressed as the SCALE path: candidates come from a
+    band-key equi-join (N^2/2^bits per band), never the naive all-pairs
+    cross join, and the oracle replicates the banding arithmetic so the
+    approximate plan is still hash-checked exactly. (The naive cross join
+    was ~100s at sf0.1; this runs the same rerank over ~1/4 the pairs.)
     """
     emb = t(spark, sf_dir, "embeddings")
-    a = emb.select(
-        F.col("vec_id").alias("id_a"), F.col("embedding").alias("vec_a")
-    )
-    b = emb.select(
-        F.col("vec_id").alias("id_b"), F.col("embedding").alias("vec_b")
-    )
-    return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .select(
-            "id_a",
-            "id_b",
-            F.round(SIM.cosine(F.col("vec_a"), F.col("vec_b")), 6).alias(
-                "cos_sim"
-            ),
-        )
-        .filter(F.col("cos_sim") >= NEARDUP_THRESHOLD)
+    return SIM.embedding_neardup_pairs(
+        emb,
+        threshold=NEARDUP_THRESHOLD,
+        n_bands=NEARDUP_BANDS,
+        bits_per_band=NEARDUP_BITS,
     )
 
 
@@ -193,15 +184,42 @@ register(
     "dedup_embedding_neardup",
     dedup_embedding_neardup,
     f"""
-    SELECT
-        a.vec_id AS id_a,
-        b.vec_id AS id_b,
-        ROUND({SIM.sql_cosine('a.embedding', 'b.embedding', DIMS)}, 6)
-            AS cos_sim
-    FROM embeddings a
-    JOIN embeddings b ON a.vec_id < b.vec_id
-    WHERE ROUND({SIM.sql_cosine('a.embedding', 'b.embedding', DIMS)}, 6)
-          >= {NEARDUP_THRESHOLD}
+    WITH sigs AS (
+        SELECT
+            vec_id,
+            embedding,
+            {SIM.sql_l2_norm('embedding', DIMS)} AS nrm,
+            {sql_lsh_signature('embedding', NEARDUP_BANDS * NEARDUP_BITS)}
+                AS sig
+        FROM embeddings
+    ),
+    banded AS (
+        SELECT
+            vec_id,
+            embedding,
+            nrm,
+            unnest(list_transform(generate_series(0, {NEARDUP_BANDS - 1}),
+                b -> b::VARCHAR || ':'
+                     || substr(sig, b * {NEARDUP_BITS} + 1, {NEARDUP_BITS})))
+                AS bk
+        FROM sigs
+    ),
+    cand AS (
+        SELECT DISTINCT
+            a.vec_id AS id_a, b.vec_id AS id_b,
+            a.embedding AS vec_a, b.embedding AS vec_b,
+            a.nrm AS norm_a, b.nrm AS norm_b
+        FROM banded a
+        JOIN banded b ON a.bk = b.bk AND a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b, cos_sim
+    FROM (
+        SELECT id_a, id_b,
+            ROUND({SIM.sql_dot('vec_a', 'vec_b', DIMS)}
+                  / (norm_a * norm_b), 6) AS cos_sim
+        FROM cand
+    )
+    WHERE cos_sim >= {NEARDUP_THRESHOLD}
     """,
 )
 
