@@ -235,6 +235,40 @@ register(
 )
 
 
+# --- Array aggregation / array function surface -------------------------------
+
+def events_user_type_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-aggregation surface: distinct event types per user collected
+    into a SORTED array (collect_set order is nondeterministic; array_sort
+    fixes it), rendered as CSV for engine-portable hashing, plus membership
+    and cardinality probes."""
+    ev = t(spark, sf_dir, "events")
+    types = F.array_sort(F.collect_set("event_type"))
+    return ev.groupBy("user_id").agg(
+        F.concat_ws(",", types).alias("types_csv"),
+        F.size(types).alias("n_types"),
+        F.array_contains(types, "purchase").alias("has_purchase"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+register(
+    "events_user_type_arrays",
+    events_user_type_arrays,
+    """
+    SELECT
+        user_id,
+        array_to_string(list_sort(list(DISTINCT event_type)), ',')
+            AS types_csv,
+        CAST(len(list(DISTINCT event_type)) AS INT) AS n_types,
+        list_contains(list(DISTINCT event_type), 'purchase') AS has_purchase,
+        COUNT(*) AS n_events
+    FROM events
+    GROUP BY user_id
+    """,
+)
+
+
 # --- Statistical aggregates ---------------------------------------------------
 
 def events_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -257,3 +257,72 @@ register(
     FROM trips
     """,
 )
+
+
+# --- Start/end interval join (ride durations) --------------------------------
+
+def taxi_ride_durations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pair each ride's START and END events and aggregate trip duration per
+    start cell — the start/end interval join SURVEY §2.10 notes the
+    reference's two-event-per-ride design invites but never performs.
+
+    Scale: equi-join on the pair key (one shuffle, uniform keys), then a
+    small per-cell aggregate. Event pairing key: synthetic rides use
+    consecutive event ids (even=START, odd=END), so pair_id = floor(id/2).
+    """
+    rides = synthetic_taxi_rides(spark, sf_dir)
+    starts = rides.filter(F.col("is_start")).select(
+        F.floor(F.col("ride_id") / 2).cast("bigint").alias("pair_id"),
+        F.col("ts").alias("start_ts"),
+        geo.grid_cell(F.col("lon"), F.col("lat")).alias("start_cell"),
+    )
+    ends = rides.filter(~F.col("is_start")).select(
+        F.floor(F.col("ride_id") / 2).cast("bigint").alias("pair_id"),
+        F.col("ts").alias("end_ts"),
+    )
+    paired = starts.join(ends, "pair_id").select(
+        "start_cell",
+        (
+            F.col("end_ts").cast("long") - F.col("start_ts").cast("long")
+        ).alias("duration_secs"),
+    )
+    return paired.groupBy("start_cell").agg(
+        F.count(F.lit(1)).alias("n_rides"),
+        F.round(F.avg("duration_secs"), 4).alias("avg_duration_secs"),
+        F.max("duration_secs").alias("max_duration_secs"),
+    )
+
+
+register(
+    "taxi_ride_durations",
+    taxi_ride_durations,
+    f"""
+    WITH rides AS ({_RIDES_SQL}),
+    starts AS (
+        SELECT
+            CAST(FLOOR(ride_id / 2) AS BIGINT) AS pair_id,
+            ts AS start_ts,
+            {geo.sql_grid_cell('lon', 'lat')} AS start_cell
+        FROM rides WHERE is_start
+    ),
+    ends AS (
+        SELECT
+            CAST(FLOOR(ride_id / 2) AS BIGINT) AS pair_id,
+            ts AS end_ts
+        FROM rides WHERE NOT is_start
+    )
+    SELECT
+        start_cell,
+        COUNT(*) AS n_rides,
+        -- Spark's cast(ts as long) floors each timestamp to whole seconds
+        -- BEFORE subtracting; mirror that (epoch() alone keeps fractions).
+        ROUND(AVG(CAST(FLOOR(epoch(end_ts)) AS BIGINT)
+                  - CAST(FLOOR(epoch(start_ts)) AS BIGINT)), 4)
+            AS avg_duration_secs,
+        MAX(CAST(FLOOR(epoch(end_ts)) AS BIGINT)
+            - CAST(FLOOR(epoch(start_ts)) AS BIGINT))
+            AS max_duration_secs
+    FROM starts JOIN ends USING (pair_id)
+    GROUP BY start_cell
+    """,
+)

@@ -320,6 +320,36 @@ register(
 )
 
 
+def star_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (beyond rollup/cube): per (flag, status),
+    per flag alone, and the grand total — arbitrary set lists that neither
+    rollup nor cube express. Spark 4's DataFrame groupingSets API."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupingSets(
+        [["l_returnflag", "l_linestatus"], ["l_returnflag"], []],
+        "l_returnflag",
+        "l_linestatus",
+    ).agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
+
+
+register(
+    "star_grouping_sets",
+    star_grouping_sets,
+    """
+    SELECT
+        l_returnflag,
+        l_linestatus,
+        COUNT(*) AS n_items,
+        ROUND(SUM(l_quantity), 2) AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    """,
+)
+
+
 # --- Semi / anti joins -------------------------------------------------------
 
 def star_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
