@@ -29,6 +29,21 @@ from flink_streaming_demo_spark.functions import geo
 from flink_streaming_demo_spark.plans.taxi_apps import arrival_events
 
 
+def streaming_dedup(
+    events: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    watermark_delay: str = "60 seconds",
+) -> DataFrame:
+    """Streaming exact dedup: drop re-deliveries of the same key arriving
+    within the watermark horizon (`dropDuplicatesWithinWatermark`). The
+    streaming tier of the dedup ladder (operators/dedup.py is the batch
+    tier): state per key is bounded by the watermark — at 100 TB/day the
+    state store holds only one horizon's worth of keys, not history."""
+    return events.withWatermark(ts_col, watermark_delay) \
+        .dropDuplicatesWithinWatermark(key_cols)
+
+
 def streaming_total_arrival_count(rides: DataFrame) -> DataFrame:
     """App 1 streaming: unbounded keyed running aggregate (use with
     outputMode('update') + upsert sink keyed by cell)."""

@@ -216,3 +216,37 @@ def test_parquet_upsert_sink_merges_by_key(spark):
         assert got == {1: "a", 2: "b2", 3: "c"}  # last write per key wins
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_streaming_dedup_within_watermark(spark):
+    """Re-delivered events (same ride_id, duplicate in a later chunk within
+    the watermark horizon) are dropped; the deduped stream count equals the
+    batch distinct count."""
+    from flink_streaming_demo_spark.streaming.pipelines import streaming_dedup
+
+    base = datetime(2024, 1, 1, 12, 0, 0)
+    rows = []
+    for i in range(40):
+        ts = base + timedelta(seconds=10 * i)
+        rows.append((i, ts, False, -73.9, 40.7, 1))
+        if i % 4 == 0:  # duplicate delivery, 15s later in event time order
+            rows.append((i, ts, False, -73.9, 40.7, 1))
+    df = spark.createDataFrame(rows, RIDES_SCHEMA)
+    chunk_dir = replay.write_replay_chunks(df, n_chunks=4, order_col="ts")
+    try:
+        stream = replay.read_replay_stream(spark, chunk_dir, RIDES_SCHEMA)
+        deduped = streaming_dedup(stream, ["ride_id"], "ts", "60 seconds")
+        q = (
+            deduped.writeStream.format("memory")
+            .queryName("dedup_t")
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        got = spark.table("dedup_t").count()
+        assert got == 40  # 10 duplicates dropped
+    finally:
+        shutil.rmtree(chunk_dir, ignore_errors=True)
