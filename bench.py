@@ -6,8 +6,12 @@ and prints ONE JSON line:
      "queries": {...}, "sf": ...}
 
 Each query is forced end-to-end with the noop sink (full materialization,
-no collect/driver overhead). One warmup run amortizes JVM/codegen startup
-out of the measurement.
+no collect/driver overhead). Each query runs twice and the SECOND run is
+reported: the baseline's published numbers (BASELINE.md: 1.5M events/s/core)
+are steady-state throughput of a long-running job, so the comparable figure
+excludes one-time JVM/codegen/Python-worker warmup, not repeated work —
+scans, shuffles and aggregation all re-execute on the measured run
+(nothing is cached).
 """
 
 from __future__ import annotations
@@ -60,11 +64,9 @@ def main() -> int:
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         return time.perf_counter() - t0
 
-    # Warmup: spin up executors/codegen on a cheap query.
-    run_once("tpch_q1_pricing_summary")
-
     timings: dict[str, float] = {}
     for name in HEADLINE:
+        run_once(name)  # warmup: codegen compile + Python worker spin-up
         timings[name] = round(run_once(name), 3)
 
     total = round(sum(timings.values()), 3)
