@@ -235,6 +235,25 @@ register(
 )
 
 
+# --- Approximate distinct (HLL sketch) ----------------------------------------
+
+def events_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ approximate distinct users per event_type — the scale
+    path for distinct counts (exact countDistinct shuffles every distinct
+    key; the sketch shuffles a constant-size binary per group). Registered
+    WITHOUT an oracle twin: sketch estimates are engine-specific, so the
+    driver records the weaker rows-only check; the exact variant is
+    oracle-checked in star_distinct_part_supp."""
+    ev = t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+register("events_approx_distinct_users", events_approx_distinct_users, None)
+
+
 # --- Array aggregation / array function surface -------------------------------
 
 def events_user_type_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
