@@ -321,6 +321,88 @@ register(
 )
 
 
+# --- End-to-end corpus cleaning pipeline --------------------------------------
+
+PIPE_NEARDUP_EST = 0.7
+
+
+def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full training-data prep pipeline as ONE dataflow: quality filter
+    -> exact dedup (min-id survivor) -> MinHash-LSH near-dup removal (drop
+    the larger id of each candidate pair) -> per-doc token accounting.
+
+    This is the composition the individual operators exist for; everything
+    before the LSH band join is a single narrow scan stage, and the two
+    joins are left_anti against small survivor/drop sets.
+    """
+    corpus = _planted_corpus(spark, sf_dir)
+    n = TX.token_count(F.col("text"))
+    quality = corpus.filter(
+        (n >= 5) & (TX.avg_token_len(F.col("text")) >= 2.0)
+    )
+    survivors = dedup.exact_dedup(quality)
+    near_pairs = dedup.minhash_lsh_pairs(
+        survivors, threshold=PIPE_NEARDUP_EST
+    )
+    drop = near_pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    clean = survivors.join(drop, "doc_id", "left_anti")
+    return clean.select(
+        "doc_id",
+        TX.token_count(F.col("text")).alias("n_tokens"),
+        F.md5("text").alias("fingerprint"),
+    )
+
+
+register(
+    "pipeline_clean_corpus",
+    pipeline_clean_corpus,
+    f"""
+    WITH corpus AS ({_PLANTED_SQL}),
+    quality AS (
+        SELECT doc_id, text FROM corpus
+        WHERE {TX.sql_token_count('text')} >= 5
+          AND {TX.sql_avg_token_len('text')} >= 2.0
+    ),
+    survivors AS (
+        SELECT doc_id, text FROM quality
+        WHERE doc_id IN (
+            SELECT MIN(doc_id) FROM quality GROUP BY md5(text)
+        )
+    ),
+    sigs AS (
+        SELECT
+            doc_id,
+            {dedup.sql_minhash_signature(dedup.sql_shingles('text'))} AS sig
+        FROM survivors
+        WHERE len(string_split(text, ' ')) >= {dedup.SHINGLE_N}
+    ),
+    banded AS (
+        SELECT doc_id, sig, unnest({dedup.sql_lsh_band_keys('sig')}) AS band_key
+        FROM sigs
+    ),
+    cand AS (
+        SELECT DISTINCT
+            a.doc_id AS id_a, b.doc_id AS id_b, a.sig AS sig_a, b.sig AS sig_b
+        FROM banded a
+        JOIN banded b
+          ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+    ),
+    dropped AS (
+        SELECT DISTINCT id_b FROM cand
+        WHERE CAST(list_sum(list_transform(generate_series(1, {dedup.N_HASHES}),
+                j -> CASE WHEN sig_a[j] = sig_b[j] THEN 1 ELSE 0 END)) AS DOUBLE)
+                / {float(dedup.N_HASHES)} >= {PIPE_NEARDUP_EST}
+    )
+    SELECT
+        doc_id,
+        {TX.sql_token_count('text')} AS n_tokens,
+        md5(text) AS fingerprint
+    FROM survivors
+    WHERE doc_id NOT IN (SELECT id_b FROM dropped)
+    """,
+)
+
+
 # --- Multimodal features (mapInPandas plumbing) ------------------------------
 
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
