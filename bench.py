@@ -47,6 +47,7 @@ HEADLINE = [
     "text_quality_scores",
     "text_token_counts",
     "multimodal_features",
+    "pipeline_clean_corpus",
 ]
 
 

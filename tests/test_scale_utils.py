@@ -1,0 +1,65 @@
+"""Equivalence tests for the scale utilities: salting must never change
+results, partitioned writes must partition-prune on read."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+from pyspark.sql import functions as F
+
+from flink_streaming_demo_spark.operators import scale
+from flink_streaming_demo_spark.schemas import load_table
+
+
+def test_salted_join_equals_plain_join(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").withColumnRenamed(
+        "c_custkey", "o_custkey"
+    )
+    plain = (
+        orders.join(cust, "o_custkey")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    salted = (
+        scale.salted_join(orders, cust, "o_custkey", n_salts=4)
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(
+        map(tuple, salted.collect())
+    )
+
+
+def test_salted_count_equals_plain_count(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    plain = {
+        r.event_type: r.n
+        for r in ev.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    salted = {
+        r.event_type: r.cnt
+        for r in scale.salted_count(ev, "event_type", n_salts=4).collect()
+    }
+    assert plain == salted
+
+
+def test_write_partitioned_prunes(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.to_date("ts")
+    )
+    out = tempfile.mkdtemp(prefix="part_")
+    try:
+        scale.write_partitioned(ev, out, ["event_type"], sort_cols=["ts"])
+        one = spark.read.parquet(out).filter(F.col("event_type") == "click")
+        plan = one._jdf.queryExecution().executedPlan().toString()
+        # Partition filter prunes directories at planning time: the scan's
+        # PartitionFilters carries the predicate.
+        assert "PartitionFilters" in plan and "event_type" in plan
+        n_click = ev.filter(F.col("event_type") == "click").count()
+        assert one.count() == n_click
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
