@@ -44,6 +44,33 @@ def streaming_dedup(
         .dropDuplicatesWithinWatermark(key_cols)
 
 
+def streaming_session_counts(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    watermark_delay: str = "60 seconds",
+) -> DataFrame:
+    """Gap-based session windows in streaming: `session_window` merges
+    events within `gap` of each other into one growing window per key;
+    sessions finalize (append mode) once the watermark passes session end +
+    gap. The batch analogue is the lag/running-sum sessionization in
+    plans/event_queries.py — same sessions, different mechanism."""
+    agg = (
+        events.withWatermark(ts_col, watermark_delay)
+        .groupBy(
+            F.session_window(F.col(ts_col), gap), F.col(key_col)
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    return agg.select(
+        F.col(key_col),
+        F.col("session_window.start").alias("session_start"),
+        F.col("session_window.end").alias("session_end"),
+        F.col("n_events"),
+    )
+
+
 def streaming_total_arrival_count(rides: DataFrame) -> DataFrame:
     """App 1 streaming: unbounded keyed running aggregate (use with
     outputMode('update') + upsert sink keyed by cell)."""

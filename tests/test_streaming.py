@@ -250,3 +250,61 @@ def test_streaming_dedup_within_watermark(spark):
         assert got == 40  # 10 duplicates dropped
     finally:
         shutil.rmtree(chunk_dir, ignore_errors=True)
+
+
+def test_streaming_session_windows_equal_batch(spark):
+    """session_window streaming (append mode, finalized by watermark) must
+    equal the batch session_window over the same events."""
+    from flink_streaming_demo_spark.streaming.pipelines import (
+        streaming_session_counts,
+    )
+
+    schema = "event_id long, ts timestamp, user_id long"
+    base = datetime(2024, 3, 1, 9, 0, 0)
+    rows = []
+    eid = 0
+    for u in range(5):
+        # two sessions per user: a burst, a >30min gap, another burst
+        for k in range(4):
+            rows.append((eid, base + timedelta(minutes=u + k * 5), u)); eid += 1
+        for k in range(3):
+            rows.append(
+                (eid, base + timedelta(minutes=90 + u + k * 10), u)
+            ); eid += 1
+    # sentinel: far-future event advances the watermark past all sessions
+    rows.append((eid, base + timedelta(days=2), 999))
+    df = spark.createDataFrame(rows, schema)
+    chunk_dir = replay.write_replay_chunks(df, n_chunks=4, order_col="ts")
+    try:
+        stream = replay.read_replay_stream(spark, chunk_dir, schema)
+        q = (
+            streaming_session_counts(stream, "30 minutes")
+            .writeStream.format("memory")
+            .queryName("sess_t")
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        got = {
+            (r.user_id, r.session_start, r.session_end): r.n_events
+            for r in spark.table("sess_t").collect()
+            if r.user_id != 999
+        }
+        batch = (
+            df.filter(F.col("user_id") != 999)
+            .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+            .count()
+        )
+        want = {
+            (r.user_id, r["session_window"].start, r["session_window"].end): r[
+                "count"
+            ]
+            for r in batch.collect()
+        }
+        assert got == want
+        assert len(want) == 10  # 2 sessions x 5 users
+    finally:
+        shutil.rmtree(chunk_dir, ignore_errors=True)
