@@ -172,11 +172,7 @@ register(
 
 def doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id",
-        TX.simhash16(F.col("text")).alias("simhash"),
-        TX.token_count(F.col("text")).alias("n_tokens"),
-    )
+    return TX.simhash16_agg(docs)
 
 
 register(
