@@ -105,6 +105,46 @@ def shingle_hashes(shingle_arr: Column) -> Column:
     )
 
 
+def minhash_signatures_agg(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = SHINGLE_N,
+    n_hashes: int = N_HASHES,
+) -> DataFrame:
+    """(id, sig array<bigint>) per document via explode + codegen'd MIN
+    aggregates — identical values to minhash_signature (same hash family;
+    min over the shingle multiset equals min over the distinct set), but
+    the per-shingle work runs in whole-stage codegen instead of
+    interpreted array lambdas, and partial MIN aggregation happens
+    map-side before the id shuffle."""
+    sh = (
+        df.select(F.col(id_col), F.col(text_col))
+        .filter(F.size(tokens(F.col(text_col))) >= min_tokens)
+        .select(
+            F.col(id_col),
+            F.explode(shingles(F.col(text_col))).alias("_shingle"),
+        )
+    )
+    x = (
+        F.conv(F.substring(F.md5("_shingle"), 1, 8), 16, 10).cast("long")
+        % F.lit(MINHASH_P)
+    )
+    hashed = sh.select(F.col(id_col), x.alias("_x"))
+    mins = [
+        F.min(
+            (F.lit(MINHASH_AS[j]) * F.col("_x") + F.lit(MINHASH_BS[j]))
+            % F.lit(MINHASH_P)
+        ).alias(f"_m{j}")
+        for j in range(n_hashes)
+    ]
+    agg = hashed.groupBy(id_col).agg(*mins)
+    return agg.select(
+        F.col(id_col),
+        F.array(*[F.col(f"_m{j}") for j in range(n_hashes)]).alias("sig"),
+    )
+
+
 def minhash_signature(shingle_arr: Column, n_hashes: int = N_HASHES) -> Column:
     """MinHash signature as array<bigint>: component j is
     min over shingles of ((a_j * md5int(s) + b_j) mod P).
@@ -172,14 +212,7 @@ def minhash_lsh_pairs(
     target_parallelism = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target_parallelism:
         df = df.repartition(target_parallelism)
-    # Materialize the shingle array once; the 16 hash lambdas then reference
-    # the bound column instead of re-deriving shingles per hash.
-    sigs = (
-        df.select(F.col(id_col), F.col(text_col))
-        .filter(F.size(tokens(F.col(text_col))) >= min_tokens)
-        .select(F.col(id_col), shingles(F.col(text_col)).alias("sh"))
-        .select(F.col(id_col), minhash_signature(F.col("sh")).alias("sig"))
-    )
+    sigs = minhash_signatures_agg(df, text_col, id_col, min_tokens)
     banded = sigs.select(
         F.col(id_col),
         F.col("sig"),
