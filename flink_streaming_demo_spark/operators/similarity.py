@@ -101,44 +101,43 @@ def brute_force_topk(
     )
 
 
-def lsh_hyperplane_signature(vec: Column, n_bits: int = 8) -> Column:
-    """Deterministic random-hyperplane signature as a bit string.
+MAX_LSH_DIMS = 64
 
-    Plane p's component for dimension i is derived from md5(p:i): take the
-    first 8 hex chars as an integer, map to [-0.5, 0.5). Engine-reproducible
-    (md5 + integer arithmetic only), seedable by changing the tag. The sign
+
+def plane_component(p: int, i: int) -> float:
+    """Plane p's component for dimension i: md5(p:i) first 8 hex chars as an
+    int, mapped to [-0.5, 0.5). (h % 1e6) is an exact integer and /1e6 and
+    -0.5 round identically in every IEEE-double engine, so this Python
+    value is bit-identical to the same formula evaluated in SQL."""
+    import hashlib
+
+    h = int(hashlib.md5(f"{p}:{i}".encode()).hexdigest()[:8], 16)
+    return (h % 1000000) / 1000000.0 - 0.5
+
+
+def lsh_hyperplane_signature(vec: Column, n_bits: int = 8) -> Column:
+    """Deterministic random-hyperplane signature as a bit string: the sign
     of <v, plane_p> is bit p.
+
+    Plane components are row-independent CONSTANTS, so they are
+    precomputed (plane_component) and embedded as literal arrays — the
+    engine evaluates only the multiply-accumulate, not n_bits x dims md5
+    digests per row. The projection keeps the sequential index-order sum,
+    so values are reproducible anywhere IEEE doubles are.
     """
 
-    def plane_component(p: Column, i: Column) -> Column:
-        h = F.conv(
-            F.substring(F.md5(F.concat(p.cast("string"), F.lit(":"),
-                                       i.cast("string"))), 1, 8),
-            16,
-            10,
-        ).cast("long")
-        return (h % F.lit(1000000)).cast("double") / F.lit(1000000.0) - F.lit(0.5)
-
-    def bit(p: Column) -> Column:
+    def bit(p: int) -> Column:
+        plane = F.array(
+            *[F.lit(plane_component(p, i)) for i in range(MAX_LSH_DIMS)]
+        )
         proj = F.aggregate(
-            F.zip_with(
-                _to_double(vec),
-                F.transform(
-                    F.sequence(
-                        F.lit(0), F.size(vec) - F.lit(1)
-                    ),
-                    lambda i: plane_component(p, i),
-                ),
-                lambda x, w: x * w,
-            ),
+            F.zip_with(_to_double(vec), plane, lambda x, w: x * w),
             F.lit(0.0),
             lambda acc, v: acc + v,
         )
         return F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0"))
 
-    return F.concat_ws(
-        "", F.transform(F.sequence(F.lit(0), F.lit(n_bits - 1)), bit)
-    )
+    return F.concat(*[bit(p) for p in range(n_bits)])
 
 
 def lsh_bucketed_topk(

@@ -87,24 +87,20 @@ LSH_BITS = 4
 
 
 def sql_lsh_signature(vec: str, n_bits: int, dims: int = DIMS) -> str:
-    """DuckDB twin of operators.similarity.lsh_hyperplane_signature.
-
-    Same md5-derived plane family: component(p, i) =
-    (hex64(md5(p:':':i)[1:8]) % 1e6) / 1e6 - 0.5; bit p = sign of the
-    projection. DuckDB parses '0x...' strings as BIGINT, matching Spark's
-    conv(_, 16, 10).
-    """
-    comp = (
-        "((CAST(('0x' || substr(md5(CAST(p AS VARCHAR) || ':' || "
-        "CAST(i - 1 AS VARCHAR)), 1, 8)) AS BIGINT) % 1000000) "
-        "/ 1000000.0 - 0.5)"
-    )
-    return f"""
-        array_to_string(list_transform(generate_series(0, {n_bits - 1}), p ->
+    """DuckDB twin of operators.similarity.lsh_hyperplane_signature: the
+    same precomputed md5-derived plane components embedded as literal
+    lists (repr() of a double round-trips exactly), same sequential
+    projection sum, same sign rule."""
+    bits = []
+    for p in range(n_bits):
+        plane = "[" + ", ".join(
+            repr(SIM.plane_component(p, i)) for i in range(dims)
+        ) + "]"
+        bits.append(f"""
             CASE WHEN list_sum(list_transform(generate_series(1, {dims}),
-                i -> CAST({vec}[i] AS DOUBLE) * {comp})) >= 0
-            THEN '1' ELSE '0' END), '')
-    """
+                i -> CAST({vec}[i] AS DOUBLE) * ({plane})[i])) >= 0
+            THEN '1' ELSE '0' END""")
+    return "(" + " || ".join(bits) + ")"
 
 
 def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
