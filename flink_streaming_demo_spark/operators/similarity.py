@@ -126,12 +126,19 @@ def lsh_hyperplane_signature(vec: Column, n_bits: int = 8) -> Column:
     so values are reproducible anywhere IEEE doubles are.
     """
 
+    # Vectors may be shorter than MAX_LSH_DIMS; zip_with pads the short
+    # side with nulls (nulling the whole sum), so both arrays are sliced
+    # to the common length first. Dims beyond MAX_LSH_DIMS are ignored.
+    vecd = F.slice(_to_double(vec), 1, MAX_LSH_DIMS)
+
     def bit(p: int) -> Column:
         plane = F.array(
             *[F.lit(plane_component(p, i)) for i in range(MAX_LSH_DIMS)]
         )
         proj = F.aggregate(
-            F.zip_with(_to_double(vec), plane, lambda x, w: x * w),
+            F.zip_with(
+                vecd, F.slice(plane, 1, F.size(vecd)), lambda x, w: x * w
+            ),
             F.lit(0.0),
             lambda acc, v: acc + v,
         )
