@@ -39,6 +39,7 @@ def _load_all() -> None:
         text_queries,
         tpch_more,
         tpch_queries,
+        tpch_rest,
         vector_queries,
     )
 
