@@ -115,9 +115,37 @@ def plane_component(p: int, i: int) -> float:
     return (h % 1000000) / 1000000.0 - 0.5
 
 
-def lsh_hyperplane_signature(vec: Column, n_bits: int = 8) -> Column:
+def spark_lsh_signature_sql(vec_sql: str, n_bits: int = 8) -> str:
+    """Spark-SQL text of the hyperplane signature over the vector
+    expression ``vec_sql``. Doubles are serialized with repr() + 'D'
+    (shortest round-trip form; Double.parseDouble restores the exact
+    bits), so the embedded plane constants are identical to
+    plane_component's Python values."""
+    # Vectors may be shorter than MAX_LSH_DIMS; zip_with pads the short
+    # side with nulls (nulling the whole sum), so both arrays are sliced
+    # to the common length first. Dims beyond MAX_LSH_DIMS are ignored.
+    vecd = (
+        f"slice(transform({vec_sql}, v -> CAST(v AS DOUBLE)),"
+        f" 1, {MAX_LSH_DIMS})"
+    )
+    bits = []
+    for p in range(n_bits):
+        plane = "array(" + ", ".join(
+            f"{plane_component(p, i)!r}D" for i in range(MAX_LSH_DIMS)
+        ) + ")"
+        bits.append(
+            f"IF(aggregate(zip_with({vecd}, slice({plane}, 1,"
+            f" size({vecd})), (x, w) -> x * w), 0.0D,"
+            " (acc, v) -> acc + v) >= 0, '1', '0')"
+        )
+    return "concat(" + ", ".join(bits) + ")"
+
+
+def lsh_hyperplane_signature(vec_col: str, n_bits: int = 8) -> Column:
     """Deterministic random-hyperplane signature as a bit string: the sign
-    of <v, plane_p> is bit p.
+    of <v, plane_p> is bit p. ``vec_col`` is the COLUMN NAME (the whole
+    expression is one F.expr — building it Column-op-by-Column-op cost
+    ~300 py4j round-trips per bit).
 
     Plane components are row-independent CONSTANTS, so they are
     precomputed (plane_component) and embedded as literal arrays — the
@@ -125,26 +153,7 @@ def lsh_hyperplane_signature(vec: Column, n_bits: int = 8) -> Column:
     digests per row. The projection keeps the sequential index-order sum,
     so values are reproducible anywhere IEEE doubles are.
     """
-
-    # Vectors may be shorter than MAX_LSH_DIMS; zip_with pads the short
-    # side with nulls (nulling the whole sum), so both arrays are sliced
-    # to the common length first. Dims beyond MAX_LSH_DIMS are ignored.
-    vecd = F.slice(_to_double(vec), 1, MAX_LSH_DIMS)
-
-    def bit(p: int) -> Column:
-        plane = F.array(
-            *[F.lit(plane_component(p, i)) for i in range(MAX_LSH_DIMS)]
-        )
-        proj = F.aggregate(
-            F.zip_with(
-                vecd, F.slice(plane, 1, F.size(vecd)), lambda x, w: x * w
-            ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        return F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0"))
-
-    return F.concat(*[bit(p) for p in range(n_bits)])
+    return F.expr(spark_lsh_signature_sql(vec_col, n_bits))
 
 
 def lsh_bucketed_topk(
@@ -162,13 +171,13 @@ def lsh_bucketed_topk(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
         l2_norm(F.col(vec_col)).alias("q_norm"),
-        lsh_hyperplane_signature(F.col(vec_col), n_bits).alias("bucket"),
+        lsh_hyperplane_signature(vec_col, n_bits).alias("bucket"),
     )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
         l2_norm(F.col(vec_col)).alias("c_norm"),
-        lsh_hyperplane_signature(F.col(vec_col), n_bits).alias("bucket"),
+        lsh_hyperplane_signature(vec_col, n_bits).alias("bucket"),
     )
     scored = (
         F.broadcast(q)
@@ -214,7 +223,7 @@ def embedding_neardup_pairs(
     sweep would multi-probe or add bands for the last few points.
     """
     total_bits = n_bands * bits_per_band
-    sig = lsh_hyperplane_signature(F.col(vec_col), total_bits)
+    sig = lsh_hyperplane_signature(vec_col, total_bits)
     band_keys = F.transform(
         F.sequence(F.lit(0), F.lit(n_bands - 1)),
         lambda b: F.concat_ws(

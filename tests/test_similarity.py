@@ -60,7 +60,7 @@ def test_lsh_bucket_recall_of_identical_direction(spark):
     df = _vectors(spark)
     sigs = df.select(
         "vec_id",
-        SIM.lsh_hyperplane_signature(F.col("embedding"), 8).alias("sig"),
+        SIM.lsh_hyperplane_signature("embedding", 8).alias("sig"),
     ).collect()
     by_id = {r.vec_id: r.sig for r in sigs}
     assert by_id[0] == by_id[4]  # same direction -> identical signature
