@@ -347,3 +347,64 @@ def sql_lsh_band_keys(sig: str, n_bands: int = N_BANDS,
         list_transform(generate_series(0, {n_bands - 1}), b ->
             md5(b::VARCHAR || '|' || {parts}))
     """
+
+
+# --- SimHash near-dup pairs --------------------------------------------------
+
+SIMHASH_BITS = 16
+SIMHASH_BANDS = 2  # 2 bands x 8 bits: hamming <= 1 pairs share a band
+
+
+def simhash_neardup_pairs(
+    df: DataFrame,
+    max_hamming: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-duplicate pairs by simhash Hamming distance, banded-blocked.
+
+    Pigeonhole guarantee: with 2 disjoint 8-bit bands, any pair within
+    Hamming distance 1 has at least one band identical — the band-key
+    equi-join is EXACT for max_hamming <= SIMHASH_BANDS - 1, never a cross
+    join. The demo signature is 16 bits so the DuckDB oracle stays cheap;
+    production scale (per the 100 TB design note in the module docstring)
+    widens to simhash64 with 4x16-bit bands — same plan shape, bigger key
+    space, smaller buckets.
+    """
+    from flink_streaming_demo_spark.functions.text import simhash16_agg
+
+    band_w = SIMHASH_BITS // SIMHASH_BANDS
+    sigs = simhash16_agg(df, text_col, id_col).select(id_col, "simhash")
+    band_keys = ", ".join(
+        f"concat('{b}:', substring(simhash, {b * band_w + 1}, {band_w}))"
+        for b in range(SIMHASH_BANDS)
+    )
+    banded = sigs.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.explode(F.expr(f"array({band_keys})")).alias("band_key"),
+    )
+    a = banded.alias("a").hint("shuffle_hash")
+    b = banded.alias("b").hint("shuffle_hash")
+    hamming = F.expr(
+        "+".join(
+            f"IF(substring(sig_a, {i}, 1) = substring(sig_b, {i}, 1), 0, 1)"
+            for i in range(1, SIMHASH_BITS + 1)
+        )
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.simhash").alias("sig_a"),
+            F.col("b.simhash").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .select("id_a", "id_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -336,7 +336,12 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality = corpus.filter(
         (n >= 5) & (TX.avg_token_len(F.col("text")) >= 2.0)
     )
-    survivors = dedup.exact_dedup(quality)
+    # survivors feeds TWO consumers (the LSH pair-finder and the final
+    # anti-join): pinning it behind one hash exchange lets ReusedExchange
+    # compute the dedup subtree once instead of once per consumer.
+    survivors = dedup.exact_dedup(quality).repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
     near_pairs = dedup.minhash_lsh_pairs(
         survivors, threshold=PIPE_NEARDUP_EST
     )
@@ -423,5 +428,53 @@ register(
         CAST(octet_length(encode(text)) % 640 AS BIGINT) AS fake_width,
         CAST(octet_length(encode(text)) % 480 AS BIGINT) AS fake_height
     FROM documents
+    """,
+)
+
+
+# --- SimHash near-dup pairs ---------------------------------------------------
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by simhash Hamming distance over the planted corpus
+    (2x8-bit banded blocking — exact for hamming <= 1, pigeonhole)."""
+    return dedup.simhash_neardup_pairs(
+        _planted_corpus(spark, sf_dir), max_hamming=1
+    )
+
+
+_SIMHASH_BAND_W = dedup.SIMHASH_BITS // dedup.SIMHASH_BANDS
+_SIMHASH_HAMMING = " + ".join(
+    f"CASE WHEN substr(sig_a, {i}, 1) = substr(sig_b, {i}, 1)"
+    " THEN 0 ELSE 1 END"
+    for i in range(1, dedup.SIMHASH_BITS + 1)
+)
+_SIMHASH_BAND_LIST = ", ".join(
+    f"'{b}:' || substr(simhash, {b * _SIMHASH_BAND_W + 1}, {_SIMHASH_BAND_W})"
+    for b in range(dedup.SIMHASH_BANDS)
+)
+
+register(
+    "dedup_simhash",
+    dedup_simhash,
+    f"""
+    WITH corpus AS ({_PLANTED_SQL}),
+    sigs AS (
+        SELECT doc_id, {TX.sql_simhash16('text')} AS simhash
+        FROM corpus
+    ),
+    banded AS (
+        SELECT doc_id, simhash,
+               unnest([{_SIMHASH_BAND_LIST}]) AS band_key
+        FROM sigs
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+               a.simhash AS sig_a, b.simhash AS sig_b
+        FROM banded a
+        JOIN banded b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, {_SIMHASH_HAMMING} AS hamming
+    FROM cand
+    WHERE {_SIMHASH_HAMMING} <= 1
     """,
 )

@@ -56,3 +56,13 @@ def test_ngram_jaccard_exact_values(spark):
 def test_short_docs_excluded(spark):
     pairs = dedup.minhash_lsh_pairs(_corpus(spark), threshold=0.0).collect()
     assert not any(5 in (r.id_a, r.id_b) for r in pairs)
+
+
+def test_simhash_neardup_identical_pair(spark):
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in dedup.simhash_neardup_pairs(_corpus(spark)).collect()
+    }
+    assert pairs[(1, 2)] == 0  # identical text -> identical simhash
+    assert not any({a, b} == {1, 4} for a, b in pairs)  # unrelated docs
+    assert all(h <= 1 for h in pairs.values())
