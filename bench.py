@@ -33,14 +33,17 @@ HEADLINE = [
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",
     "tpch_q5_local_supplier_volume",
+    "tpch_q9_product_profit",
     "tpch_q10_returned_items",
     "tpch_q13_customer_distribution",
     "tpch_q18_large_volume_customer",
+    "tpch_q21_waiting_orders",
     "events_sessionization",
     "events_asof_latest_order",
     "events_value_stats",
     "dedup_exact_groups",
     "dedup_minhash_lsh",
+    "dedup_simhash",
     "dedup_embedding_neardup",
     "sim_topk_cosine",
     "sim_ann_lsh",

@@ -69,11 +69,17 @@ def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     nat = t(spark, sf_dir, "nation")
     reg = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
 
-    # Region-scoped part-supplier offers.
+    # Region-scoped part-supplier offers. The subtree feeds TWO consumers
+    # (the per-part min and the final equi-join); pinning it behind one
+    # hash exchange on ps_partkey lets ReusedExchange compute the
+    # lineitem-derived relation once instead of once per consumer.
     offers = (
         ps.join(F.broadcast(supp), ps.ps_suppkey == supp.s_suppkey)
         .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey"))
+        .repartition(
+            spark.sparkContext.defaultParallelism, F.col("ps_partkey")
+        )
     )
     min_cost = offers.groupBy(F.col("ps_partkey").alias("mc_partkey")).agg(
         F.min("ps_supplycost").alias("min_cost")
