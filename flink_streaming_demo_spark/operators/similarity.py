@@ -290,3 +290,108 @@ def sql_cosine(a: str, b: str, dims: int = 64) -> str:
         f"({sql_dot(a, b, dims)} / ({sql_l2_norm(a, dims)} * "
         f"{sql_l2_norm(b, dims)}))"
     )
+
+
+# --- IVF (inverted-file) ANN -------------------------------------------------
+
+def assign_to_centroids(
+    df: DataFrame,
+    centroids: DataFrame,
+    n_assign: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign each vector to its ``n_assign`` nearest centroids by cosine
+    (rounded to 6 places; ties break on centroid_id). Centroids are
+    broadcast (K is small by construction); the only shuffle is the
+    per-vector rank window, one exchange on the vector id."""
+    cent = centroids.select(
+        F.col("centroid_id"),
+        F.col(vec_col).alias("c_vec"),
+        l2_norm(F.col(vec_col)).alias("c_nrm"),
+    )
+    scored = (
+        df.select(
+            F.col(id_col),
+            F.col(vec_col),
+            l2_norm(F.col(vec_col)).alias("nrm"),
+        )
+        .crossJoin(F.broadcast(cent))
+        .select(
+            id_col,
+            vec_col,
+            "nrm",
+            "centroid_id",
+            F.round(
+                dot(F.col(vec_col), F.col("c_vec"))
+                / (F.col("nrm") * F.col("c_nrm")),
+                6,
+            ).alias("c_score"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("c_score"), F.asc("centroid_id")
+    )
+    return (
+        scored.withColumn("c_rank", F.row_number().over(w))
+        .filter(F.col("c_rank") <= n_assign)
+        .drop("c_score", "c_rank")
+    )
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    centroids: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style approximate top-k: corpus vectors live in exactly one
+    centroid cell; each query probes its ``nprobe`` nearest cells and
+    reranks those cells' members with the exact cosine.
+
+    The scale path complement to LSH bucketing: candidate count ~
+    nprobe/K of the corpus per query instead of a full scan, and the
+    cell join is an equi-join on centroid_id. A corpus vector has ONE
+    cell, so a (query, neighbor) pair is generated at most once — no
+    pair-dedup needed. Recall is tuned by nprobe (and at 100 TB the
+    centroid set comes from a sampled k-means pass; here centroids are
+    deterministic seed vectors so the DuckDB oracle reproduces the
+    partition bit-for-bit).
+    """
+    corp = assign_to_centroids(corpus, centroids, 1, id_col, vec_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        F.col("nrm").alias("c_norm"),
+        "centroid_id",
+    )
+    qry = assign_to_centroids(queries, centroids, nprobe, id_col, vec_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.col("nrm").alias("q_norm"),
+        "centroid_id",
+    )
+    scored = (
+        F.broadcast(qry)
+        .join(corp, "centroid_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                dot(F.col("q_vec"), F.col("c_vec"))
+                / (F.col("q_norm") * F.col("c_norm")),
+                6,
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "score")
+    )

@@ -292,3 +292,73 @@ register(
     JOIN cent_arr c ON e.label = c.label
     """,
 )
+
+
+# --- IVF ANN (centroid-partitioned scale path) --------------------------------
+
+N_CENTROIDS = 8
+IVF_NPROBE = 2
+
+
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k: corpus partitioned into N_CENTROIDS cells
+    (centroids = deterministic seed vectors: vec_id < N_CENTROIDS), each
+    query probes its 2 nearest cells, exact cosine rerank inside them."""
+    emb = t(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding")
+    )
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    return SIM.ivf_topk(
+        queries, emb, centroids, k=TOP_K, nprobe=IVF_NPROBE
+    )
+
+
+register(
+    "sim_ivf_topk",
+    sim_ivf_topk,
+    f"""
+    WITH cent AS (
+        SELECT vec_id AS centroid_id, embedding AS c_vec
+        FROM embeddings WHERE vec_id < {N_CENTROIDS}
+    ),
+    corp_scored AS (
+        SELECT e.vec_id, e.embedding, centroid_id,
+               ROUND({SIM.sql_cosine('e.embedding', 'c_vec', DIMS)}, 6)
+                   AS c_score
+        FROM embeddings e CROSS JOIN cent
+    ),
+    corp_cell AS (
+        SELECT vec_id AS neighbor_id, embedding AS n_vec, centroid_id
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY vec_id ORDER BY c_score DESC, centroid_id ASC
+            ) AS c_rank
+            FROM corp_scored
+        ) WHERE c_rank = 1
+    ),
+    qry_cell AS (
+        SELECT vec_id AS query_id, embedding AS q_vec, centroid_id
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY vec_id ORDER BY c_score DESC, centroid_id ASC
+            ) AS c_rank
+            FROM corp_scored WHERE vec_id < {N_QUERIES}
+        ) WHERE c_rank <= {IVF_NPROBE}
+    ),
+    scored AS (
+        SELECT query_id, neighbor_id,
+               ROUND({SIM.sql_cosine('q_vec', 'n_vec', DIMS)}, 6) AS score
+        FROM qry_cell JOIN corp_cell USING (centroid_id)
+        WHERE query_id <> neighbor_id
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC
+        ) AS rank
+        FROM scored
+    )
+    SELECT query_id, rank, neighbor_id, score
+    FROM ranked WHERE rank <= {TOP_K}
+    """,
+)
