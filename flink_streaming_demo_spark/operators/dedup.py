@@ -10,13 +10,15 @@ brief. Design per operator:
   expressions only* (nested transform/array_min lambdas): zero shuffles,
   zero Python, fully vectorizable. The only shuffle is the LSH band-bucket
   self-join on the (small) banded projection — the classic
-  shingle→minhash→band→bucket-join plan. Signature width 16, 4 bands x 4
-  rows: pairs with Jaccard >= ~0.5 collide in some band with high
-  probability.
+  shingle→minhash→band→bucket-join plan. Signature width 16, 8 bands x 2
+  rows (see the s-curve note at N_BANDS below): pairs with Jaccard >= ~0.5
+  collide in some band with high probability.
 * **ngram_jaccard** — exact verification: candidate pairs from a shared
   distinct-shingle equi-join (never a cross join), then
-  ``|A∩B| / (|A|+|B|-|A∩B|)``. At scale this runs AFTER LSH pruning;
-  standalone it is quadratic in the worst case and says so.
+  ``|A∩B| / (|A|+|B|-|A∩B|)``. Shingles above a document-frequency cap
+  ("stop shingles") are excluded from both candidate generation and the
+  similarity measure, bounding the self-join fan-out per shingle. At scale
+  this runs AFTER LSH pruning.
 * **simhash** — see functions/text.simhash16; near-dup = small Hamming
   distance between 16-bit strings.
 
@@ -64,11 +66,20 @@ def exact_dedup(df: DataFrame, text_col: str = "text",
 
 
 def shingles(text: Column, n: int = SHINGLE_N) -> Column:
-    """Distinct n-gram word shingles as an array column (pure expression)."""
+    """Distinct n-gram word shingles as an array column (pure expression).
+
+    Texts with fewer than n tokens yield an empty array. The guard matters:
+    ``sequence(1, size-n+1)`` with size < n produces a DESCENDING sequence
+    (e.g. [1, 0]) in Spark, and ``slice(toks, 0, n)`` then throws at
+    runtime — while the DuckDB twin's generate_series(1, 0) is empty.
+    """
     toks = tokens(text)
     starts = F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1))
-    return F.array_distinct(
+    grams = F.array_distinct(
         F.transform(starts, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    )
+    return F.when(F.size(toks) >= n, grams).otherwise(
+        F.array().cast("array<string>")
     )
 
 
@@ -268,27 +279,54 @@ def minhash_lsh_pairs(
     )
 
 
+#: Default document-frequency cap for "stop shingles": a shingle occurring
+#: in more than this many documents is excluded from candidate generation
+#: AND from the similarity measure (both engines agree). Caps the self-join
+#: fan-out at max_shingle_df^2 pairs per shingle — without it one viral
+#: shingle produces a quadratic candidate blowup and a straggler reducer.
+MAX_SHINGLE_DF = 64
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     threshold: float = 0.5,
     min_tokens: int = SHINGLE_N,
+    max_shingle_df: int = MAX_SHINGLE_DF,
 ) -> DataFrame:
-    """Exact n-gram Jaccard similarity for pairs sharing >= 1 shingle.
+    """Exact n-gram Jaccard similarity for pairs sharing >= 1 non-stop
+    shingle.
 
-    Plan: explode distinct shingles -> self-equi-join on shingle (candidate
-    generation) -> count shared per pair -> join per-doc shingle counts ->
-    Jaccard. At 100 TB, run on LSH survivors only; hot shingles should be
-    frequency-capped first (a stop-shingle filter) to avoid join skew.
+    Plan: explode distinct shingles -> drop shingles with document
+    frequency > max_shingle_df (stop-shingle filter; bounds the join
+    fan-out per shingle, so no hot-shingle skew at scale) -> self-equi-join
+    on shingle (candidate generation) -> count shared per pair -> join
+    per-doc shingle counts -> Jaccard. The Jaccard denominator uses the
+    capped shingle sets too, so similarity is well-defined over the
+    non-stop vocabulary and identical in the DuckDB twin. At 100 TB, run
+    on LSH survivors only.
     """
-    sh = (
+    sh_all = (
         df.select(F.col(id_col), F.col(text_col))
         .filter(F.size(tokens(F.col(text_col))) >= min_tokens)
         .select(
             F.col(id_col),
             F.explode(shingles(F.col(text_col))).alias("shingle"),
         )
+    )
+    # Stop-shingle filter: document frequency per shingle (shingles are
+    # distinct per doc, so count == df), keep df <= cap. One extra
+    # aggregation on the same shuffle key as the self-join; the window
+    # form (count over partitionBy shingle) reuses that exchange.
+    from pyspark.sql import Window
+
+    sh = (
+        sh_all.withColumn(
+            "_df", F.count(F.lit(1)).over(Window.partitionBy("shingle"))
+        )
+        .filter(F.col("_df") <= max_shingle_df)
+        .drop("_df")
     )
     counts = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")

@@ -13,28 +13,58 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def row_salt(
+    df: DataFrame,
+    key: str,
+    n_salts: int,
+    salt_from: str | Column | None = None,
+) -> Column:
+    """Deterministic per-row salt in [0, n_salts) for the skewed side.
+
+    Derive the salt from row-unique content, NOT from
+    ``spark_partition_id``: if the skewed side arrives already partitioned
+    by ``key`` (the exact situation salting exists for), a hot key sits in
+    one partition, so hash(key, partition_id) is one constant per hot key —
+    no splitting. ``monotonically_increasing_id`` is nondeterministic
+    across task retries. So: hash a caller-supplied row-unique column
+    (``salt_from``, e.g. a primary key) when given, else the full row
+    (every column) — retry-deterministic, and distinct rows of a hot key
+    spread uniformly. (Exact duplicate rows share a salt; that skew is
+    bounded by the duplication factor, not the key's row count.)
+    """
+    if salt_from is not None:
+        src = [F.col(salt_from) if isinstance(salt_from, str) else salt_from]
+    else:
+        src = [F.col(c) for c in df.columns]
+    return F.pmod(F.hash(*src), F.lit(n_salts))
+
+
 def salted_join(
     skewed: DataFrame,
     dim: DataFrame,
     key: str,
     n_salts: int = 8,
     how: str = "inner",
+    salt_from: str | Column | None = None,
 ) -> DataFrame:
     """Equi-join robust to hot keys: the skewed side gets a deterministic
-    per-row salt in [0, n_salts); the other side is replicated n_salts
-    times (explode of a literal range). The shuffle key becomes
-    (key, salt), splitting each hot key's rows across n_salts reducers.
+    per-row salt in [0, n_salts) (see row_salt — derived from row content,
+    never partition id); the other side is replicated n_salts times
+    (explode of a literal range). The shuffle key becomes (key, salt),
+    splitting each hot key's rows across n_salts reducers.
 
-    The salt derives from a hash of the whole skewed row's key + a
-    monotonic id surrogate — ``pmod(hash(key, monotonically_increasing_id()),
-    n)`` would be nondeterministic across retries, so we hash the key with
-    ``spark_partition_id`` instead: stable within a run, uniform enough to
-    split hot keys. Replicating the dim side costs n_salts x its size —
-    use only when dim is small-ish but above the broadcast threshold.
+    Only inner/left/left_semi are valid: the dim side is replicated
+    n_salts times, so right/full outer would emit n_salts duplicates for
+    each unmatched dim key. Replicating the dim side costs n_salts x its
+    size — use only when dim is small-ish but above the broadcast
+    threshold.
     """
-    salt: Column = F.pmod(
-        F.hash(F.col(key), F.spark_partition_id()), F.lit(n_salts)
-    )
+    if how not in ("inner", "left", "left_outer", "left_semi"):
+        raise ValueError(
+            f"salted_join supports inner/left/left_semi, not {how!r}: "
+            "the replicated dim side would duplicate unmatched right rows"
+        )
+    salt = row_salt(skewed, key, n_salts, salt_from)
     left = skewed.withColumn("_salt", salt)
     right = dim.withColumn(
         "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
@@ -52,7 +82,7 @@ def salted_count(
     when input partitions aren't pre-clustered by key — the explicit form
     matters after an upstream repartition(key) or for exact-distinct work.)
     """
-    salt = F.pmod(F.hash(F.col(key), F.spark_partition_id()), F.lit(n_salts))
+    salt = row_salt(df, key, n_salts)
     partial = (
         df.withColumn("_salt", salt)
         .groupBy(key, "_salt")

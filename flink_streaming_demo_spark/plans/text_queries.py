@@ -140,10 +140,15 @@ register(
     dedup_ngram_jaccard,
     f"""
     WITH corpus AS ({_PLANTED_SQL}),
-    sh AS (
+    sh_all AS (
         SELECT doc_id, unnest({dedup.sql_shingles('text')}) AS shingle
         FROM corpus
         WHERE len(string_split(text, ' ')) >= {dedup.SHINGLE_N}
+    ),
+    sh AS (
+        SELECT doc_id, shingle FROM sh_all
+        QUALIFY COUNT(*) OVER (PARTITION BY shingle)
+                <= {dedup.MAX_SHINGLE_DF}
     ),
     counts AS (
         SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id

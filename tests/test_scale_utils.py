@@ -32,6 +32,36 @@ def test_salted_join_equals_plain_join(spark, sf_dir):
     )
 
 
+def test_salt_splits_hot_key_when_prepartitioned(spark, sf_dir):
+    """The regression the salt design exists for: the skewed side arrives
+    ALREADY partitioned by the join key, so a partition-id-derived salt
+    would be one constant per hot key (no splitting). The row-content salt
+    must still spread a hot key across all n_salts values."""
+    orders = load_table(spark, sf_dir, "orders")
+    hot = orders.limit(500).withColumn("o_custkey", F.lit(42))
+    pre = hot.repartition(4, "o_custkey")  # hot key confined to 1 partition
+    n_salts = 4
+    salts = (
+        pre.select(
+            scale.row_salt(pre, "o_custkey", n_salts).alias("_salt")
+        )
+        .distinct()
+        .count()
+    )
+    assert salts == n_salts
+
+
+def test_salted_join_rejects_outer_how(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").withColumnRenamed(
+        "c_custkey", "o_custkey"
+    )
+    import pytest
+
+    with pytest.raises(ValueError, match="salted_join supports"):
+        scale.salted_join(orders, cust, "o_custkey", how="right")
+
+
 def test_salted_count_equals_plain_count(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
     plain = {
