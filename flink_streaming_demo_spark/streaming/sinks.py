@@ -11,15 +11,27 @@ Spark-first realization: ``writeStream.foreachBatch`` + key-based merge.
 Two implementations:
 
 * ``InMemoryUpsertSink`` — driver-side dict; tests and demos.
-* ``ParquetUpsertSink`` — read-modify-write merge into a parquet key-value
-  table (anti-join old keys + union + overwrite). At production scale the
-  same ``foreachBatch`` body targets a real MERGE-capable store (Delta/
-  Iceberg `MERGE INTO`, or an OpenSearch bulk-upsert client) — the sink
-  interface is the contract, the store is pluggable. Unlike the reference's
-  one-synchronous-RPC-per-record flush (bulk.flush.max.actions=1, blocking
-  get() — reference: sinks/ElasticsearchUpsertSink.scala:57,80), batches are
-  merged set-wise per micro-batch: idempotent under micro-batch replay,
-  which is exactly Spark's at-least-once foreachBatch contract.
+* ``ParquetUpsertSink`` — keyed merge into a hash-bucket-partitioned
+  parquet table. Each micro-batch rewrites ONLY the bucket partitions that
+  contain batch keys (dynamic partition overwrite), so merge cost is
+  O(touched buckets), not O(table) — the jar-free shape of a Delta/Iceberg
+  ``MERGE INTO``; at production scale the same ``foreachBatch`` body
+  targets a real MERGE-capable store (or an OpenSearch bulk-upsert
+  client) — the sink interface is the contract, the store is pluggable.
+  Unlike the reference's one-synchronous-RPC-per-record flush
+  (bulk.flush.max.actions=1, blocking get() — reference:
+  sinks/ElasticsearchUpsertSink.scala:57,80), batches are merged set-wise
+  per micro-batch: idempotent under micro-batch replay, which is exactly
+  Spark's at-least-once foreachBatch contract.
+
+Ordering within a micro-batch: a single micro-batch can legitimately hold
+SEVERAL rows for one key — e.g. the early-fire append stream emits multiple
+fires for one (cell, window_end) with increasing ``fire_seq`` (reference:
+examples/EarlyArrivalCount.scala:185-188 — each fire is a fresh upsert and
+the LAST one must win). When ``order_col`` is given, the row with the
+maximum ``order_col`` per key wins (``max_by``); without it the sinks fall
+back to an arbitrary row per key, which is only safe when batch rows per
+key are identical (plain update-mode aggregates).
 
 Key policies from the reference:
 * K3 (running total): key = cell (reference: examples/TotalArrivalCount.scala:123-126)
@@ -32,19 +44,27 @@ from __future__ import annotations
 import os
 import threading
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, functions as F
+
+#: partition column for the bucketed parquet store (never exposed to readers)
+BUCKET_COL = "__kb"
 
 
 class InMemoryUpsertSink:
     """Driver-side keyed upsert store for tests/demos."""
 
-    def __init__(self, key_cols: list[str]):
+    def __init__(self, key_cols: list[str], order_col: str | None = None):
         self.key_cols = list(key_cols)
+        self.order_col = order_col
         self.rows: dict[tuple, dict] = {}
         self._lock = threading.Lock()
 
     def foreach_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
         collected = batch_df.collect()
+        if self.order_col is not None:
+            # Deterministic within-batch order: ascending order_col, so the
+            # dict write below ends on the latest row per key.
+            collected = sorted(collected, key=lambda r: r[self.order_col])
         with self._lock:
             for row in collected:
                 d = row.asDict()
@@ -57,21 +77,69 @@ class InMemoryUpsertSink:
 
 
 class ParquetUpsertSink:
-    """Keyed upsert into a parquet-backed table via read/anti-join/union/
-    overwrite — the jar-free stand-in for ``MERGE INTO``."""
+    """Keyed upsert into a bucket-partitioned parquet table.
 
-    def __init__(self, path: str, key_cols: list[str]):
+    Layout: ``path/__kb=<bucket>/part-*.parquet`` with
+    ``bucket = pmod(hash(key_cols), n_buckets)``. A micro-batch merge:
+
+    1. reduce the batch to one (latest) row per key,
+    2. read ONLY the bucket partitions the batch touches (partition-pruned
+       scan — untouched buckets are never read),
+    3. anti-join out superseded old rows, union the fresh rows,
+    4. dynamic-partition-overwrite: only the touched ``__kb=`` directories
+       are replaced; every other partition's files are left byte-identical.
+
+    ``n_buckets`` bounds per-partition size at scale (pick ~table_size /
+    target_partition_size); the default 64 suits tests. A store created
+    with one ``n_buckets`` must be reused with the same value.
+    """
+
+    def __init__(
+        self,
+        path: str,
+        key_cols: list[str],
+        order_col: str | None = None,
+        n_buckets: int = 64,
+    ):
         self.path = path
         self.key_cols = list(key_cols)
+        self.order_col = order_col
+        self.n_buckets = int(n_buckets)
+
+    def _latest_per_key(self, batch_df: DataFrame) -> DataFrame:
+        if self.order_col is None:
+            # only safe when batch rows per key are identical
+            return batch_df.dropDuplicates(self.key_cols)
+        val_cols = [c for c in batch_df.columns if c not in self.key_cols]
+        picked = batch_df.groupBy(*self.key_cols).agg(
+            F.max_by(
+                F.struct(*[F.col(c) for c in val_cols]), F.col(self.order_col)
+            ).alias("__latest")
+        )
+        return picked.select(
+            *self.key_cols,
+            *[F.col(f"__latest.{c}").alias(c) for c in val_cols],
+        )
+
+    def _bucketed(self, df: DataFrame) -> DataFrame:
+        return df.withColumn(
+            BUCKET_COL,
+            F.pmod(F.hash(*[F.col(k) for k in self.key_cols]),
+                   F.lit(self.n_buckets)),
+        )
 
     def foreach_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
-        # Within a micro-batch, keep one row per key (the one with the
-        # "latest" values — batch rows for the same key are identical in
-        # update mode, so dropDuplicates is sufficient).
-        fresh = batch_df.dropDuplicates(self.key_cols)
+        fresh = self._bucketed(self._latest_per_key(batch_df))
         if os.path.exists(self.path):
-            old = spark.read.parquet(self.path)
+            touched = [
+                r[0] for r in fresh.select(BUCKET_COL).distinct().collect()
+            ]
+            if not touched:
+                return
+            old = spark.read.parquet(self.path).filter(
+                F.col(BUCKET_COL).isin(touched)
+            )
             keep = old.join(
                 fresh.select(*self.key_cols).distinct(),
                 on=self.key_cols,
@@ -80,13 +148,22 @@ class ParquetUpsertSink:
             merged = keep.unionByName(fresh)
         else:
             merged = fresh
+        # Stage the merged (touched-buckets-only) rows first: Spark refuses
+        # to overwrite a path it is concurrently reading, and staging also
+        # bounds the window where a crash could lose rows. Staging volume is
+        # O(touched buckets), not O(table).
         staging = self.path + "._staging"
-        merged.write.mode("overwrite").parquet(staging)
-        final = spark.read.parquet(staging)
-        final.write.mode("overwrite").parquet(self.path)
+        merged.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(staging)
+        (
+            spark.read.parquet(staging)
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(BUCKET_COL)
+            .parquet(self.path)
+        )
 
     def read(self, spark) -> DataFrame:
-        return spark.read.parquet(self.path)
+        return spark.read.parquet(self.path).drop(BUCKET_COL)
 
 
 def write_update_stream(result: DataFrame, sink, query_name: str,
