@@ -41,6 +41,7 @@ Key policies from the reference:
 
 from __future__ import annotations
 
+import json
 import os
 import threading
 
@@ -62,9 +63,13 @@ class InMemoryUpsertSink:
     def foreach_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
         collected = batch_df.collect()
         if self.order_col is not None:
-            # Deterministic within-batch order: ascending order_col, so the
-            # dict write below ends on the latest row per key.
-            collected = sorted(collected, key=lambda r: r[self.order_col])
+            # Deterministic within-batch order: ascending order_col with
+            # nulls FIRST (nulls lose, matching ParquetUpsertSink's max_by),
+            # so the dict write below ends on the latest row per key.
+            c = self.order_col
+            collected = sorted(
+                collected, key=lambda r: (r[c] is not None, r[c])
+            )
         with self._lock:
             for row in collected:
                 d = row.asDict()
@@ -128,15 +133,60 @@ class ParquetUpsertSink:
                    F.lit(self.n_buckets)),
         )
 
+    # metadata file name; leading underscore keeps it out of parquet scans
+    META_FILE = "_upsert_meta.json"
+
+    def _check_layout(self) -> None:
+        """Fail fast when reusing a store with an incompatible layout.
+
+        A table written by a different sink (no ``__kb=`` dirs) would make
+        the pruned read fail confusingly; a different ``n_buckets`` would
+        SILENTLY duplicate keys (the old row lives in a bucket that is
+        never anti-joined). Both are unrecoverable layout errors.
+        """
+        meta_path = os.path.join(self.path, self.META_FILE)
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                meta = json.load(f)
+            if (meta.get("n_buckets") != self.n_buckets
+                    or meta.get("key_cols") != self.key_cols):
+                raise ValueError(
+                    f"upsert store at {self.path} was created with "
+                    f"n_buckets={meta.get('n_buckets')}, "
+                    f"key_cols={meta.get('key_cols')}; this sink uses "
+                    f"n_buckets={self.n_buckets}, key_cols={self.key_cols}. "
+                    "Reuse the original parameters or start a new path."
+                )
+        elif not any(
+            e.startswith(BUCKET_COL + "=") for e in os.listdir(self.path)
+        ):
+            raise ValueError(
+                f"existing table at {self.path} has no {BUCKET_COL}= bucket "
+                "partitions — it was not written by ParquetUpsertSink; "
+                "refusing to merge into an unbucketed store."
+            )
+
+    def _write_meta(self) -> None:
+        with open(os.path.join(self.path, self.META_FILE), "w") as f:
+            json.dump(
+                {"n_buckets": self.n_buckets, "key_cols": self.key_cols}, f
+            )
+
     def foreach_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
         fresh = self._bucketed(self._latest_per_key(batch_df))
-        if os.path.exists(self.path):
-            touched = [
-                r[0] for r in fresh.select(BUCKET_COL).distinct().collect()
-            ]
-            if not touched:
-                return
+        # One small driver fetch (≤ n_buckets rows) in EVERY branch: an
+        # empty batch must short-circuit even on the first micro-batch — a
+        # partitioned write of an empty frame emits no part files, and the
+        # staging re-read would fail on schema inference.
+        touched = [
+            r[0] for r in fresh.select(BUCKET_COL).distinct().collect()
+        ]
+        if not touched:
+            return
+        exists = os.path.exists(self.path)
+        if exists:
+            self._check_layout()
             old = spark.read.parquet(self.path).filter(
                 F.col(BUCKET_COL).isin(touched)
             )
@@ -161,6 +211,8 @@ class ParquetUpsertSink:
             .partitionBy(BUCKET_COL)
             .parquet(self.path)
         )
+        if not os.path.exists(os.path.join(self.path, self.META_FILE)):
+            self._write_meta()
 
     def read(self, spark) -> DataFrame:
         return spark.read.parquet(self.path).drop(BUCKET_COL)

@@ -218,6 +218,171 @@ def test_parquet_upsert_sink_merges_by_key(spark):
         shutil.rmtree(d, ignore_errors=True)
 
 
+def test_upsert_sinks_last_fire_per_key_wins_within_batch(spark):
+    """Reference contract (ElasticsearchUpsertSink.scala:42-83 +
+    EarlyArrivalCount.scala:185-188): a single micro-batch can hold SEVERAL
+    fires for one (cell, window_end) with increasing fire_seq — the LAST
+    fire must win in the store. Rows arrive out of fire order to prove the
+    sinks order by ``order_col``, not by arrival."""
+    from flink_streaming_demo_spark.streaming.sinks import ParquetUpsertSink
+
+    ts = datetime(2024, 3, 1, 10, 15, 0)
+    rows = [  # deliberately NOT in fire_seq order
+        (7, ts, 2, 25),
+        (7, ts, 3, 40),
+        (7, ts, 1, 10),
+        (8, ts, 1, 5),
+    ]
+    schema = "cell int, window_end timestamp, fire_seq int, cnt int"
+    batch1 = spark.createDataFrame(rows, schema)
+    # a later micro-batch supersedes the within-batch winner
+    batch2 = spark.createDataFrame([(7, ts, 4, 55)], schema)
+
+    mem = InMemoryUpsertSink(["cell", "window_end"], order_col="fire_seq")
+    mem.foreach_batch(batch1, 0)
+    got = {(d["cell"], d["window_end"]): d["cnt"] for d in mem.snapshot()}
+    assert got == {(7, ts): 40, (8, ts): 5}
+    mem.foreach_batch(batch2, 1)
+    got = {(d["cell"], d["window_end"]): d["cnt"] for d in mem.snapshot()}
+    assert got == {(7, ts): 55, (8, ts): 5}
+
+    d = tempfile.mkdtemp(prefix="upsert_")
+    try:
+        pq = ParquetUpsertSink(
+            d + "/kv", ["cell", "window_end"], order_col="fire_seq"
+        )
+        pq.foreach_batch(batch1, 0)
+        got = {(r.cell, r.window_end): r.cnt for r in pq.read(spark).collect()}
+        assert got == {(7, ts): 40, (8, ts): 5}
+        pq.foreach_batch(batch2, 1)
+        got = {(r.cell, r.window_end): r.cnt for r in pq.read(spark).collect()}
+        assert got == {(7, ts): 55, (8, ts): 5}
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_inmemory_upsert_sink_null_order_col_loses(spark):
+    """NULL order_col must not crash the driver-side sort and must LOSE
+    against any non-null fire (matching max_by's nulls-lose semantics)."""
+    ts = datetime(2024, 3, 1, 10, 15, 0)
+    schema = "cell int, window_end timestamp, fire_seq int, cnt int"
+    batch = spark.createDataFrame(
+        [(7, ts, None, 99), (7, ts, 1, 10), (9, ts, None, 3)], schema
+    )
+    mem = InMemoryUpsertSink(["cell", "window_end"], order_col="fire_seq")
+    mem.foreach_batch(batch, 0)
+    got = {(d["cell"], d["window_end"]): d["cnt"] for d in mem.snapshot()}
+    assert got == {(7, ts): 10, (9, ts): 3}
+
+
+def test_parquet_upsert_sink_prunes_untouched_buckets(spark):
+    """The dynamic-overwrite merge must leave every untouched ``__kb=``
+    bucket directory byte-identical (same files, same contents, same
+    mtimes) — merge cost is O(touched buckets), not O(table)."""
+    import os
+
+    from flink_streaming_demo_spark.streaming.sinks import (
+        BUCKET_COL,
+        ParquetUpsertSink,
+    )
+
+    d = tempfile.mkdtemp(prefix="upsert_")
+    path = d + "/kv"
+    try:
+        sink = ParquetUpsertSink(path, ["k"], n_buckets=8)
+        b1 = spark.createDataFrame(
+            [(i, f"v{i}") for i in range(32)], "k int, v string"
+        )
+        sink.foreach_batch(b1, 0)
+
+        def fingerprint():
+            out = {}
+            for bucket in os.listdir(path):
+                if not bucket.startswith(BUCKET_COL + "="):
+                    continue
+                files = {}
+                bdir = os.path.join(path, bucket)
+                for fn in sorted(os.listdir(bdir)):
+                    if fn.startswith(("_", ".")):
+                        continue
+                    fp = os.path.join(bdir, fn)
+                    with open(fp, "rb") as f:
+                        files[fn] = (os.path.getmtime(fp), f.read())
+                out[bucket] = files
+            return out
+
+        before = fingerprint()
+        assert len(before) > 1, "need several buckets for a pruning test"
+        # one-key batch -> exactly one touched bucket
+        touched_bucket = spark.createDataFrame([(5,)], "k int").selectExpr(
+            f"pmod(hash(k), 8) AS b"
+        ).first()[0]
+        sink.foreach_batch(
+            spark.createDataFrame([(5, "v5-new")], "k int, v string"), 1
+        )
+        after = fingerprint()
+        touched_dir = f"{BUCKET_COL}={touched_bucket}"
+        for bucket, files in before.items():
+            if bucket == touched_dir:
+                continue
+            assert after[bucket] == files, f"untouched {bucket} was rewritten"
+        got = {r.k: r.v for r in sink.read(spark).collect()}
+        assert got[5] == "v5-new" and len(got) == 32
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_parquet_upsert_sink_empty_first_batch_is_noop(spark):
+    """An empty FIRST micro-batch must not crash (a partitioned write of an
+    empty frame emits no part files -> the staging re-read would fail) and
+    must not create the table; the next real batch initializes normally."""
+    import os
+
+    from flink_streaming_demo_spark.streaming.sinks import ParquetUpsertSink
+
+    d = tempfile.mkdtemp(prefix="upsert_")
+    path = d + "/kv"
+    schema = "k int, v string"
+    try:
+        sink = ParquetUpsertSink(path, ["k"])
+        sink.foreach_batch(spark.createDataFrame([], schema), 0)
+        assert not os.path.exists(path)
+        sink.foreach_batch(spark.createDataFrame([(1, "a")], schema), 1)
+        sink.foreach_batch(spark.createDataFrame([], schema), 2)  # later empty
+        assert {r.k: r.v for r in sink.read(spark).collect()} == {1: "a"}
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_parquet_upsert_sink_rejects_incompatible_layout(spark):
+    """Reusing a store with a different n_buckets would SILENTLY duplicate
+    keys; an unbucketed table would fail confusingly mid-merge. Both must
+    fail fast with a clear error instead."""
+    from flink_streaming_demo_spark.streaming.sinks import ParquetUpsertSink
+
+    d = tempfile.mkdtemp(prefix="upsert_")
+    schema = "k int, v string"
+    try:
+        # n_buckets mismatch
+        p1 = d + "/kv"
+        ParquetUpsertSink(p1, ["k"], n_buckets=8).foreach_batch(
+            spark.createDataFrame([(1, "a")], schema), 0
+        )
+        with pytest.raises(ValueError, match="n_buckets=8"):
+            ParquetUpsertSink(p1, ["k"], n_buckets=16).foreach_batch(
+                spark.createDataFrame([(2, "b")], schema), 0
+            )
+        # pre-existing unbucketed table
+        p2 = d + "/plain"
+        spark.createDataFrame([(1, "a")], schema).write.parquet(p2)
+        with pytest.raises(ValueError, match="no __kb="):
+            ParquetUpsertSink(p2, ["k"]).foreach_batch(
+                spark.createDataFrame([(2, "b")], schema), 0
+            )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def test_streaming_dedup_within_watermark(spark):
     """Re-delivered events (same ride_id, duplicate in a later chunk within
     the watermark horizon) are dropped; the deduped stream count equals the
