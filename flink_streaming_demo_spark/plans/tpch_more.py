@@ -480,17 +480,24 @@ register(
 def tpch_q22_global_sales_opportunity(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    """Well-funded customers who never ordered, grouped by segment.
+    """Well-funded customers with no high-priority order, by segment.
 
     Adaptation: no c_phone, so grouping is by c_mktsegment instead of
-    country code. The average balance is rounded to 2dp before the
-    comparison so the threshold double is identical on both engines
-    regardless of summation order. Scale: scalar avg broadcast; anti join
-    on custkey (orders' custkey projection dedups small enough to
+    country code; and the NOT EXISTS runs against high-priority orders
+    (1-URGENT / 2-HIGH) rather than all orders — the generator gives every
+    customer at least one order, so the classic Q22 anti-join is vacuously
+    empty on this data; this keeps the scalar-subquery + NOT-EXISTS shape
+    with real rows (9 customers at sf0.01). The average balance is rounded
+    to 2dp before the comparison so the threshold double is identical on
+    both engines regardless of summation order. Scale: scalar avg
+    broadcast; priority filter pushes to the orders scan; anti join on
+    custkey (the filtered custkey projection dedups small enough to
     broadcast under AQE).
     """
     cust = t(spark, sf_dir, "customer")
-    orders = t(spark, sf_dir, "orders")
+    hi_orders = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    )
     avg_bal = cust.filter(F.col("c_acctbal") > 0.0).agg(
         F.round(F.avg("c_acctbal"), 2).alias("avg_bal")
     )
@@ -498,7 +505,7 @@ def tpch_q22_global_sales_opportunity(
         F.broadcast(avg_bal), cust.c_acctbal > F.col("avg_bal")
     )
     return (
-        rich.join(orders, rich.c_custkey == orders.o_custkey, "left_anti")
+        rich.join(hi_orders, rich.c_custkey == hi_orders.o_custkey, "left_anti")
         .groupBy("c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("numcust"),
@@ -522,7 +529,9 @@ register(
             WHERE c_acctbal > 0.0
           )
       AND NOT EXISTS (
-            SELECT 1 FROM orders WHERE o_custkey = c_custkey
+            SELECT 1 FROM orders
+            WHERE o_custkey = c_custkey
+              AND o_orderpriority IN ('1-URGENT', '2-HIGH')
           )
     GROUP BY c_mktsegment
     """,

@@ -353,12 +353,22 @@ register(
 # --- Semi / anti joins -------------------------------------------------------
 
 def star_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Left-anti join (NOT EXISTS). Scale: anti join on custkey shuffles both
-    sides unless orders' custkey projection is broadcastable after dedup."""
+    """Left-anti join (NOT EXISTS): customers with no URGENT order.
+
+    The anti-join runs against a FILTERED orders subset (priority =
+    1-URGENT) rather than all orders — the generator gives every customer
+    at least one order, so the unfiltered variant is vacuously empty; this
+    keeps the NOT-EXISTS shape and returns real rows (203 customers at
+    sf0.01). Scale: the filter pushes to the orders scan; the anti join on
+    custkey shuffles both sides unless the filtered custkey projection is
+    broadcastable after dedup (AQE decides).
+    """
     cust = t(spark, sf_dir, "customer")
-    orders = t(spark, sf_dir, "orders")
+    urgent = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
     return (
-        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        cust.join(urgent, cust.c_custkey == urgent.o_custkey, "left_anti")
         .groupBy("c_mktsegment")
         .agg(F.count(F.lit(1)).alias("n_customers"))
     )
@@ -371,7 +381,8 @@ register(
     SELECT c_mktsegment, COUNT(*) AS n_customers
     FROM customer
     WHERE NOT EXISTS (
-        SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        SELECT 1 FROM orders
+        WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT'
     )
     GROUP BY c_mktsegment
     """,
