@@ -127,12 +127,22 @@ def events_asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     training-data pipeline): for each purchase event, the user's most recent
     order strictly before a fixed cutoff-mapped event time.
 
-    Implementation: equi-join on user key + argmax via max(struct(ts, key))
-    — one shuffle, no per-row subquery. The struct max tie-breaks on
-    (o_orderdate, o_orderkey), mirrored in the oracle's row_number order.
-    At scale, a broadcast of the (small) dimension or `pd.merge_asof` inside
-    applyInPandas per key are the alternatives; the struct-max form keeps
-    everything in built-in aggregates."""
+    Scale-safe shape: every cutoff is a month START drawn from a fixed
+    84-month grid (1995-2001 x 12), so ``o_orderdate < cutoff`` is exactly
+    ``month_bucket(order) < month_bucket(cutoff)``. That turns the naive
+    purchases-x-prior-orders inequality join (output quadratic-ish in a
+    heavy user's history) into three bounded steps:
+
+    1. orders -> one max(struct) row per (custkey, month): one shuffle at
+       order scale, <= 84 rows per user out;
+    2. bucket rows x broadcast 84-row cutoff grid (inequality, but against
+       a constant-size broadcast side) -> argmax per (custkey, cutoff):
+       the as-of dimension, O(users x 84) rows total;
+    3. purchases EQUI-join the dimension on (user, cutoff): join output is
+       exactly O(purchases) — no pair expansion at fact scale.
+
+    The struct max tie-breaks on (o_orderdate, o_orderkey), mirrored in
+    the oracle's row_number order."""
     ev = t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
     orders = t(spark, sf_dir, "orders")
     # Map 2024 event times onto the 1995-2001 order-date axis deterministically:
@@ -148,20 +158,36 @@ def events_asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0),
         ),
     )
+    # (1) per-(user, month) latest order — the only order-scale shuffle
+    bidx = F.year("o_orderdate") * 12 + F.month("o_orderdate")
+    ord_b = orders.groupBy(
+        F.col("o_custkey"), bidx.alias("bidx")
+    ).agg(
+        F.max(F.struct(F.col("o_orderdate"), F.col("o_orderkey"))).alias("mx")
+    )
+    # (2) the full cutoff grid (superset of reachable cutoffs) — 84 rows
+    grid = spark.sql(
+        """
+        SELECT explode(sequence(
+            timestamp'1995-01-01', timestamp'2001-12-01',
+            interval 1 month)) AS cutoff
+        """
+    ).withColumn("cidx", F.year("cutoff") * 12 + F.month("cutoff"))
+    asof_dim = (
+        ord_b.join(F.broadcast(grid), ord_b.bidx < grid.cidx)
+        .groupBy("o_custkey", "cutoff")
+        .agg(F.max("mx").alias("latest"))
+    )
+    # (3) fact-scale EQUI join: one row out per purchase with a prior order
     joined = ev.join(
-        orders,
-        (ev.user_id == orders.o_custkey) & (orders.o_orderdate < ev.cutoff),
+        asof_dim,
+        (ev.user_id == asof_dim.o_custkey) & (ev.cutoff == asof_dim.cutoff),
         "inner",
     )
-    agg = joined.groupBy("event_id", "user_id", "cutoff").agg(
-        F.max(
-            F.struct(F.col("o_orderdate"), F.col("o_orderkey"))
-        ).alias("latest")
-    )
-    return agg.select(
+    return joined.select(
         "event_id",
         "user_id",
-        "cutoff",
+        ev.cutoff.alias("cutoff"),
         F.col("latest.o_orderdate").alias("o_orderdate"),
         F.col("latest.o_orderkey").alias("o_orderkey"),
     )
