@@ -316,18 +316,20 @@ def ngram_jaccard_pairs(
         )
     )
     # Stop-shingle filter: document frequency per shingle (shingles are
-    # distinct per doc, so count == df), keep df <= cap. One extra
-    # aggregation on the same shuffle key as the self-join; the window
-    # form (count over partitionBy shingle) reuses that exchange.
-    from pyspark.sql import Window
-
-    sh = (
-        sh_all.withColumn(
-            "_df", F.count(F.lit(1)).over(Window.partitionBy("shingle"))
-        )
-        .filter(F.col("_df") <= max_shingle_df)
-        .drop("_df")
+    # distinct per doc, so count == df), keep df <= cap. Computed as
+    # groupBy + count — map-side partial aggregation means a viral shingle
+    # contributes ONE partial row per map task, never a hot reducer
+    # partition (the earlier window-count form funneled every row of a
+    # viral shingle into one partition before filtering it out). The stop
+    # list (df > cap) is tiny by construction, so it broadcast-anti-joins
+    # into the candidate path with no extra shuffle on the big side.
+    stop = (
+        sh_all.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") > max_shingle_df)
+        .select("shingle")
     )
+    sh = sh_all.join(F.broadcast(stop), "shingle", "left_anti")
     counts = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
