@@ -165,6 +165,63 @@ def simhash16_agg(df, text_col: str = "text", id_col: str = "doc_id"):
     )
 
 
+def simhash64_agg(df, text_col: str = "text", id_col: str = "doc_id"):
+    """64-bit simhash over tokens, same explode + codegen'd conditional-sum
+    shape as simhash16_agg but using EVERY bit of the first 16 hex digits
+    of md5(token) (vs one high bit per digit).
+
+    Output: (id_col, simhash 64-char bit string, bands array<int> — the 4
+    16-bit band values used for pigeonhole blocking, n_tokens int). Band k
+    (0-based) is bits 16k+1..16k+16 as an integer, so
+    ``bit_count(bands_a[k] ^ bands_b[k])`` sums to the full Hamming
+    distance — hamming stays in codegen'd integer ops, never a
+    char-by-char string walk.
+    """
+    from pyspark.sql import functions as F  # local: df-level helper
+
+    ex = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok")
+    )
+    # First/second 8 hex chars of md5(tok) as 32-bit ints: h1 = bits 1-32,
+    # h2 = bits 33-64 (bit 1 = MSB of hex digit 1).
+    ex = ex.select(
+        F.col(id_col),
+        F.expr(
+            "CAST(conv(substring(md5(tok), 1, 8), 16, 10) AS BIGINT)"
+        ).alias("h1"),
+        F.expr(
+            "CAST(conv(substring(md5(tok), 9, 8), 16, 10) AS BIGINT)"
+        ).alias("h2"),
+    )
+    sums = [
+        F.expr(
+            "sum(shiftrightunsigned("
+            + ("h1" if j <= 32 else "h2")
+            + f", {32 - j if j <= 32 else 64 - j}) % 2) AS b{j}"
+        )
+        for j in range(1, 65)
+    ]
+    agg = ex.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_tokens"), *sums)
+    # bit j = 1 iff votes_j = 2*set_count_j - n_tokens >= 0
+    bit = lambda j: f"IF(2 * b{j} >= n_tokens, 1, 0)"  # noqa: E731
+    sig = "concat(" + ", ".join(
+        f"CAST({bit(j)} AS STRING)" for j in range(1, 65)
+    ) + ")"
+    bands = "array(" + ", ".join(
+        " + ".join(
+            f"{bit(j)} * {1 << (16 * (k + 1) - j)}"
+            for j in range(16 * k + 1, 16 * k + 17)
+        )
+        for k in range(4)
+    ) + ")"
+    return agg.select(
+        F.col(id_col),
+        F.expr(sig).alias("simhash"),
+        F.expr(bands).cast("array<int>").alias("bands"),
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+    )
+
+
 # --- ANSI-SQL twins ----------------------------------------------------------
 
 SQL_STOPWORDS_EN = "[" + ", ".join(f"'{s}'" for s in STOPWORDS_EN) + "]"
@@ -209,6 +266,23 @@ def sql_bpe_token_count(text: str) -> str:
 
 def sql_normalized_fingerprint(text: str) -> str:
     return f"md5(regexp_replace(LOWER(TRIM({text})), '\\s+', ' ', 'g'))"
+
+
+def sql_simhash64(text: str) -> str:
+    """DuckDB twin of simhash64_agg's bit string: bit j (1..64) is bit
+    (3 - (j-1)%4) of hex digit ceil(j/4) of md5(token), vote-summed."""
+    n = f"len(string_split({text}, ' '))"
+    bits = []
+    for j in range(1, 65):
+        d = (j - 1) // 4 + 1
+        s = 3 - ((j - 1) % 4)
+        bits.append(
+            "CASE WHEN 2 * list_sum(list_transform("
+            f"string_split({text}, ' '), t -> "
+            f"((strpos('0123456789abcdef', substr(md5(t), {d}, 1)) - 1)"
+            f" >> {s}) & 1)) >= {n} THEN '1' ELSE '0' END"
+        )
+    return " || ".join(bits)
 
 
 def sql_simhash16(text: str) -> str:

@@ -483,3 +483,38 @@ register(
     WHERE {_SIMHASH_HAMMING} <= 1
     """,
 )
+
+
+def dedup_simhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs with Hamming <= 3 on a 64-bit simhash (4x16-bit
+    banded pigeonhole blocking; equi-join candidates, bit_count hamming)."""
+    return dedup.simhash64_neardup_pairs(
+        _planted_corpus(spark, sf_dir), max_hamming=3
+    )
+
+
+# The oracle is deliberately BRUTE FORCE (all pairs, no banding): matching
+# it proves the banded equi-join loses no qualifying pair (pigeonhole
+# recall), not just that both engines ran the same blocking.
+_SIMHASH64_HAMMING = (
+    "CAST(list_sum(list_transform(generate_series(1, 64), i -> "
+    "CASE WHEN substr(a.sig, i, 1) = substr(b.sig, i, 1)"
+    " THEN 0 ELSE 1 END)) AS INT)"
+)
+
+register(
+    "dedup_simhash64",
+    dedup_simhash64,
+    f"""
+    WITH corpus AS ({_PLANTED_SQL}),
+    sigs AS (
+        SELECT doc_id, {TX.sql_simhash64('text')} AS sig
+        FROM corpus
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           {_SIMHASH64_HAMMING} AS hamming
+    FROM sigs a
+    JOIN sigs b ON a.doc_id < b.doc_id
+    WHERE {_SIMHASH64_HAMMING} <= 3
+    """,
+)

@@ -66,3 +66,45 @@ def test_simhash_neardup_identical_pair(spark):
     assert pairs[(1, 2)] == 0  # identical text -> identical simhash
     assert not any({a, b} == {1, 4} for a, b in pairs)  # unrelated docs
     assert all(h <= 1 for h in pairs.values())
+
+
+def test_simhash64_banded_recall_equals_brute_force(spark):
+    """The 4x16-band equi-join must find EXACTLY the pairs a brute-force
+    all-pairs hamming <= 3 scan finds (pigeonhole recall), on a corpus
+    with identical, near, and unrelated docs."""
+    from itertools import combinations
+
+    from flink_streaming_demo_spark.functions.text import simhash64_agg
+
+    df = _corpus(spark)
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in dedup.simhash64_neardup_pairs(df, max_hamming=3).collect()
+    }
+    sigs = {r.doc_id: r.simhash for r in simhash64_agg(df).collect()}
+    want = {}
+    for a, b in combinations(sorted(sigs), 2):
+        h = sum(x != y for x, y in zip(sigs[a], sigs[b]))
+        if h <= 3:
+            want[(a, b)] = h
+    assert got == want
+    assert got[(1, 2)] == 0  # identical text -> hamming 0
+    assert not any({a, b} == {1, 4} for a, b in got)  # unrelated docs
+
+
+def test_simhash64_bands_encode_signature(spark):
+    """bands[k] must be exactly bits 16k+1..16k+16 of the signature string
+    (the hamming computation depends on it)."""
+    from flink_streaming_demo_spark.functions.text import simhash64_agg
+
+    for r in simhash64_agg(_corpus(spark)).collect():
+        assert len(r.simhash) == 64
+        for k in range(4):
+            assert r.bands[k] == int(r.simhash[16 * k:16 * (k + 1)], 2)
+
+
+def test_simhash64_radius_guard(spark):
+    import pytest
+
+    with pytest.raises(NotImplementedError):
+        dedup.simhash64_neardup_pairs(_corpus(spark), max_hamming=4)
