@@ -15,27 +15,40 @@ from pyspark.sql import functions as F
 
 def row_salt(
     df: DataFrame,
-    key: str,
     n_salts: int,
     salt_from: str | Column | None = None,
 ) -> Column:
-    """Deterministic per-row salt in [0, n_salts) for the skewed side.
+    """Deterministic per-row salt in [0, n_salts).
 
     Derive the salt from row-unique content, NOT from
     ``spark_partition_id``: if the skewed side arrives already partitioned
-    by ``key`` (the exact situation salting exists for), a hot key sits in
-    one partition, so hash(key, partition_id) is one constant per hot key —
-    no splitting. ``monotonically_increasing_id`` is nondeterministic
-    across task retries. So: hash a caller-supplied row-unique column
-    (``salt_from``, e.g. a primary key) when given, else the full row
-    (every column) — retry-deterministic, and distinct rows of a hot key
-    spread uniformly. (Exact duplicate rows share a salt; that skew is
-    bounded by the duplication factor, not the key's row count.)
+    by the join key (the exact situation salting exists for), a hot key
+    sits in one partition, so hash(key, partition_id) is one constant per
+    hot key — no splitting. ``monotonically_increasing_id`` is
+    nondeterministic across task retries. So: hash a caller-supplied
+    row-unique column (``salt_from``, e.g. a primary key) when given, else
+    every HASHABLE column of the row (map columns can't be hashed by
+    ``F.hash`` and are skipped) — retry-deterministic, and distinct rows
+    of a hot key spread uniformly. (Exact duplicate rows share a salt;
+    that skew is bounded by the duplication factor, not the key's row
+    count — pass a unique ``salt_from`` if the input has heavy duplicate
+    rows.)
     """
     if salt_from is not None:
         src = [F.col(salt_from) if isinstance(salt_from, str) else salt_from]
     else:
-        src = [F.col(c) for c in df.columns]
+        from pyspark.sql.types import MapType
+
+        src = [
+            F.col(f.name)
+            for f in df.schema.fields
+            if not isinstance(f.dataType, MapType)
+        ]
+        if not src:
+            raise ValueError(
+                "row_salt: every column is an unhashable map type; pass "
+                "salt_from to name a hashable salt source"
+            )
     return F.pmod(F.hash(*src), F.lit(n_salts))
 
 
@@ -53,18 +66,21 @@ def salted_join(
     (explode of a literal range). The shuffle key becomes (key, salt),
     splitting each hot key's rows across n_salts reducers.
 
-    Only inner/left/left_semi are valid: the dim side is replicated
-    n_salts times, so right/full outer would emit n_salts duplicates for
-    each unmatched dim key. Replicating the dim side costs n_salts x its
-    size — use only when dim is small-ish but above the broadcast
-    threshold.
+    Left-side joins only (inner/left/left_semi/left_anti): the dim side is
+    replicated n_salts times, so right/full outer would emit n_salts
+    duplicates for each unmatched dim key. left_anti is safe — a dim key
+    matches EVERY salt, so a skewed row survives iff its key is absent
+    from dim, same as the unsalted anti join. Replicating the dim side
+    costs n_salts x its size — use only when dim is small-ish but above
+    the broadcast threshold.
     """
-    if how not in ("inner", "left", "left_outer", "left_semi"):
+    allowed = ("inner", "left", "left_outer", "left_semi", "left_anti")
+    if how not in allowed:
         raise ValueError(
-            f"salted_join supports inner/left/left_semi, not {how!r}: "
+            f"salted_join supports {'/'.join(allowed)}, not {how!r}: "
             "the replicated dim side would duplicate unmatched right rows"
         )
-    salt = row_salt(skewed, key, n_salts, salt_from)
+    salt = row_salt(skewed, n_salts, salt_from)
     left = skewed.withColumn("_salt", salt)
     right = dim.withColumn(
         "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
@@ -82,7 +98,7 @@ def salted_count(
     when input partitions aren't pre-clustered by key — the explicit form
     matters after an upstream repartition(key) or for exact-distinct work.)
     """
-    salt = row_salt(df, key, n_salts)
+    salt = row_salt(df, n_salts)
     partial = (
         df.withColumn("_salt", salt)
         .groupBy(key, "_salt")

@@ -42,9 +42,7 @@ def test_salt_splits_hot_key_when_prepartitioned(spark, sf_dir):
     pre = hot.repartition(4, "o_custkey")  # hot key confined to 1 partition
     n_salts = 4
     salts = (
-        pre.select(
-            scale.row_salt(pre, "o_custkey", n_salts).alias("_salt")
-        )
+        pre.select(scale.row_salt(pre, n_salts).alias("_salt"))
         .distinct()
         .count()
     )
@@ -60,6 +58,36 @@ def test_salted_join_rejects_outer_how(spark, sf_dir):
 
     with pytest.raises(ValueError, match="salted_join supports"):
         scale.salted_join(orders, cust, "o_custkey", how="right")
+
+
+def test_salted_join_left_anti_equals_plain(spark, sf_dir):
+    """left_anti is safe under dim replication: a dim key matches every
+    salt, so survivors == the unsalted anti join's survivors."""
+    orders = load_table(spark, sf_dir, "orders")
+    urgent = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey"))
+        .distinct()
+    )
+    plain = orders.join(urgent, "o_custkey", "left_anti").count()
+    salted = scale.salted_join(
+        orders, urgent, "o_custkey", n_salts=4, how="left_anti"
+    ).count()
+    assert plain == salted and plain > 0
+
+
+def test_row_salt_skips_unhashable_map_columns(spark):
+    df = spark.createDataFrame(
+        [(1, {"a": 1}), (2, {"b": 2})], "id int, m map<string,int>"
+    )
+    # map column skipped, id still salts the rows
+    assert df.select(scale.row_salt(df, 4)).distinct().count() >= 1
+    only_map = df.select("m")
+    import pytest
+
+    with pytest.raises(ValueError, match="salt_from"):
+        only_map.select(scale.row_salt(only_map, 4))
 
 
 def test_salted_count_equals_plain_count(spark, sf_dir):
