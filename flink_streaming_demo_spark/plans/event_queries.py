@@ -129,17 +129,20 @@ def events_asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale-safe shape: every cutoff is a month START drawn from a fixed
     84-month grid (1995-2001 x 12), so ``o_orderdate < cutoff`` is exactly
-    ``month_bucket(order) < month_bucket(cutoff)``. That turns the naive
-    purchases-x-prior-orders inequality join (output quadratic-ish in a
-    heavy user's history) into three bounded steps:
+    ``month_bucket(order) < month_bucket(cutoff)``. That admits the
+    canonical UNION merge-as-of — zero row expansion (the naive
+    inequality join materializes every (purchase, prior-order) pair;
+    a grid fan-out costs ~84x the bucket rows; this costs nothing):
 
     1. orders -> one max(struct) row per (custkey, month): one shuffle at
        order scale, <= 84 rows per user out;
-    2. bucket rows x broadcast 84-row cutoff grid (inequality, but against
-       a constant-size broadcast side) -> argmax per (custkey, cutoff):
-       the as-of dimension, O(users x 84) rows total;
-    3. purchases EQUI-join the dimension on (user, cutoff): join output is
-       exactly O(purchases) — no pair expansion at fact scale.
+    2. UNION those bucket rows with the distinct (user, cutoff) probe
+       keys; ONE window running-max per user ordered by month index
+       (probes sort before same-month orders, enforcing the strict '<')
+       reads off the as-of value at every probe — O(orders + probes)
+       rows through one shuffle, per-user partitions <= 168 rows;
+    3. purchases EQUI-join the probe results on (user, cutoff): join
+       output is exactly O(purchases) — no pair expansion at fact scale.
 
     The struct max tie-breaks on (o_orderdate, o_orderkey), mirrored in
     the oracle's row_number order."""
@@ -165,23 +168,40 @@ def events_asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(
         F.max(F.struct(F.col("o_orderdate"), F.col("o_orderkey"))).alias("mx")
     )
-    # (2) the full cutoff grid (superset of reachable cutoffs) — 84 rows
-    grid = spark.sql(
-        """
-        SELECT explode(sequence(
-            timestamp'1995-01-01', timestamp'2001-12-01',
-            interval 1 month)) AS cutoff
-        """
-    ).withColumn("cidx", F.year("cutoff") * 12 + F.month("cutoff"))
+    # (2) union bucket rows with probe keys; one per-user running max.
+    # flag=-1 sorts a probe BEFORE orders of its own month, so the window
+    # sees exactly the strictly-earlier buckets (o_orderdate < cutoff).
+    mx_type = "struct<o_orderdate:timestamp,o_orderkey:bigint>"
+    probes = ev.select("user_id", "cutoff").distinct()
+    order_rows = ord_b.select(
+        F.col("o_custkey").alias("user_id"),
+        F.col("bidx").alias("t"),
+        F.lit(0).alias("flag"),
+        F.col("mx"),
+        F.lit(None).cast("timestamp").alias("cutoff"),
+    )
+    probe_rows = probes.select(
+        "user_id",
+        (F.year("cutoff") * 12 + F.month("cutoff")).alias("t"),
+        F.lit(-1).alias("flag"),
+        F.lit(None).cast(mx_type).alias("mx"),
+        F.col("cutoff"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "flag")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     asof_dim = (
-        ord_b.join(F.broadcast(grid), ord_b.bidx < grid.cidx)
-        .groupBy("o_custkey", "cutoff")
-        .agg(F.max("mx").alias("latest"))
+        order_rows.unionByName(probe_rows)
+        .withColumn("latest", F.max("mx").over(w))
+        .filter((F.col("flag") == -1) & F.col("latest").isNotNull())
+        .select("user_id", "cutoff", "latest")
     )
     # (3) fact-scale EQUI join: one row out per purchase with a prior order
     joined = ev.join(
-        asof_dim,
-        (ev.user_id == asof_dim.o_custkey) & (ev.cutoff == asof_dim.cutoff),
+        asof_dim.withColumnRenamed("user_id", "p_user_id"),
+        (ev.user_id == F.col("p_user_id")) & (ev.cutoff == asof_dim.cutoff),
         "inner",
     )
     return joined.select(

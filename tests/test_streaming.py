@@ -383,6 +383,48 @@ def test_parquet_upsert_sink_rejects_incompatible_layout(spark):
         shutil.rmtree(d, ignore_errors=True)
 
 
+def test_paced_replay_tracks_event_time_spacing(spark):
+    """U5 exact: with speedup=60, events 60s apart in event time must
+    arrive ~1s apart in wall time, in serving order (reference
+    TaxiRideSource.scala:265-268 toServingTime contract)."""
+    import time
+
+    base = datetime(2024, 3, 1, 0, 0, 0)
+    # 4 events, 60s apart -> serving offsets 0,1,2,3s at speedup 60
+    rows = [
+        (i, base + timedelta(seconds=60 * i), False, -73.9, 40.75, 1)
+        for i in range(4)
+    ]
+    df = spark.createDataFrame(rows, RIDES_SCHEMA)
+    stream = replay.paced_replay_stream(
+        spark, df, speedup=60.0, ticks_per_second=4
+    )
+    arrivals: list[tuple[int, float]] = []
+
+    def record(batch_df, epoch_id):
+        t = time.monotonic()
+        arrivals.extend((r.ride_id, t) for r in batch_df.collect())
+
+    q = (
+        stream.writeStream.outputMode("append")
+        .foreachBatch(record)
+        .start()
+    )
+    try:
+        deadline = time.monotonic() + 60
+        while len(arrivals) < 4 and time.monotonic() < deadline:
+            time.sleep(0.2)
+    finally:
+        q.stop()
+    assert len(arrivals) == 4, f"expected 4 paced events, got {arrivals}"
+    ids = [i for i, _ in sorted(arrivals, key=lambda p: p[1])]
+    assert ids == [0, 1, 2, 3]  # serving order == event-time order
+    span = max(t for _, t in arrivals) - min(t for _, t in arrivals)
+    # event-time span 180s / speedup 60 = 3s of wall time; allow generous
+    # scheduling slack either side but require real pacing (not all-at-once)
+    assert 1.5 <= span <= 20.0, f"wall span {span:.2f}s not ~3s"
+
+
 def test_streaming_dedup_within_watermark(spark):
     """Re-delivered events (same ride_id, duplicate in a later chunk within
     the watermark horizon) are dropped; the deduped stream count equals the
