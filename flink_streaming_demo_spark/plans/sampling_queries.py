@@ -1,0 +1,203 @@
+"""Registered queries for the sampling / splitting / packing surface over
+``documents`` — the data-mixing half of a training-data pipeline (the
+cleaning half lives in text_queries): deterministic train/val/test
+splits, per-source caps, sequence packing, mixture statistics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_streaming_demo_spark.functions import text as TX
+from flink_streaming_demo_spark.operators import sampling
+from flink_streaming_demo_spark.plans.registry import register
+from flink_streaming_demo_spark.schemas import load_table as t
+
+# DuckDB twin of sampling.hash_bucket (Spark conv(md5[:8], 16, 10)).
+_SQL_BUCKET = (
+    "(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)"
+    f" % {sampling.HASH_MOD})"
+)
+_TRAIN_HI = int(0.8 * sampling.HASH_MOD)
+_VAL_HI = int(0.9 * sampling.HASH_MOD)
+
+
+# --- Deterministic train/val/test split --------------------------------------
+
+def sample_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per (split, source): document count and token volume, under the
+    deterministic md5 split (80/10/10). Scale: the split label is a pure
+    Column expression on the scan — no shuffle beyond the final small
+    aggregation; adding new data never relabels old rows."""
+    docs = t(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("split", sampling.hash_split(F.col("doc_id")))
+        .groupBy("split", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(TX.token_count(F.col("text")))
+            .cast("bigint")
+            .alias("total_tokens"),
+        )
+    )
+
+
+register(
+    "sample_hash_split",
+    sample_hash_split,
+    f"""
+    SELECT
+        CASE WHEN {_SQL_BUCKET} < {_TRAIN_HI} THEN 'train'
+             WHEN {_SQL_BUCKET} < {_VAL_HI} THEN 'val'
+             ELSE 'test' END AS split,
+        source,
+        COUNT(*) AS n_docs,
+        CAST(SUM({TX.sql_token_count('text')}) AS BIGINT) AS total_tokens
+    FROM documents
+    GROUP BY 1, 2
+    """,
+)
+
+
+# --- Per-source cap (data mixing) ---------------------------------------------
+
+_CAP_N = 40
+
+
+def sample_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """At most N docs per source, preferring longer documents
+    (n_chars DESC, doc_id tiebreak) — the 'at most N per domain' mixing
+    primitive. Returns the survivors with their in-source rank."""
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    capped = sampling.cap_per_group(
+        docs,
+        "source",
+        [F.col("n_chars").desc(), F.col("doc_id").asc()],
+        _CAP_N,
+    )
+    return capped.select(
+        "doc_id", "source", "n_chars", F.col("rank").cast("int").alias("rank")
+    )
+
+
+register(
+    "sample_source_cap",
+    sample_source_cap,
+    f"""
+    SELECT doc_id, source, n_chars, CAST(rank AS INT) AS rank
+    FROM (
+        SELECT doc_id, source, n_chars,
+               ROW_NUMBER() OVER (
+                   PARTITION BY source
+                   ORDER BY n_chars DESC, doc_id ASC
+               ) AS rank
+        FROM documents
+    )
+    WHERE rank <= {_CAP_N}
+    """,
+)
+
+
+# --- Sequence packing ---------------------------------------------------------
+
+_PACK_CAPACITY = 2048
+
+
+def sample_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack documents into ~2048-token context bins per source (offset
+    binning over the doc_id-ordered token stream; see
+    operators/sampling.pack_greedy). Returns per-bin document count,
+    token total, and fill ratio — the packing-efficiency report a
+    training-data run emits."""
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        TX.token_count(F.col("text")).alias("n_tokens"),
+    )
+    packed = sampling.pack_greedy(
+        docs, "n_tokens", _PACK_CAPACITY, part_col="source"
+    )
+    return packed.groupBy("source", "bin_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("bin_tokens"),
+        F.round(
+            F.sum("n_tokens").cast("double") / F.lit(float(_PACK_CAPACITY)), 6
+        ).alias("fill_ratio"),
+    )
+
+
+register(
+    "sample_pack_bins",
+    sample_pack_bins,
+    f"""
+    WITH toks AS (
+        SELECT doc_id, source,
+               {TX.sql_token_count('text')} AS n_tokens
+        FROM documents
+    ),
+    packed AS (
+        SELECT source, n_tokens,
+               CAST(FLOOR(
+                   (SUM(n_tokens) OVER (
+                        PARTITION BY source ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                    ) - n_tokens) / {_PACK_CAPACITY}.0
+               ) AS BIGINT) AS bin_id
+        FROM toks
+    )
+    SELECT source, bin_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens,
+           ROUND(CAST(SUM(n_tokens) AS DOUBLE) / {_PACK_CAPACITY}.0, 6)
+               AS fill_ratio
+    FROM packed
+    GROUP BY source, bin_id
+    """,
+)
+
+
+# --- Corpus mixture stats -----------------------------------------------------
+
+def sample_mixture_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token share per (source, lang) — the mixture-weight table a data
+    recipe is tuned against. The corpus total comes from a window over the
+    grouped result (5x5 rows), not a second scan."""
+    docs = t(spark, sf_dir, "documents")
+    per = docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(TX.token_count(F.col("text"))).cast("bigint").alias("tokens"),
+    )
+    from pyspark.sql import Window
+
+    total = F.sum("tokens").over(Window.partitionBy())
+    return per.select(
+        "source",
+        "lang",
+        "n_docs",
+        "tokens",
+        F.round(F.col("tokens").cast("double") / total, 6).alias(
+            "token_share"
+        ),
+    )
+
+
+register(
+    "sample_mixture_stats",
+    sample_mixture_stats,
+    f"""
+    WITH per AS (
+        SELECT source, lang,
+               COUNT(*) AS n_docs,
+               CAST(SUM({TX.sql_token_count('text')}) AS BIGINT) AS tokens
+        FROM documents
+        GROUP BY source, lang
+    )
+    SELECT source, lang, n_docs, tokens,
+           ROUND(CAST(tokens AS DOUBLE) / SUM(tokens) OVER (), 6)
+               AS token_share
+    FROM per
+    """,
+)

@@ -1,0 +1,66 @@
+"""Behavioral tests for sampling/splitting/packing operators: split
+determinism and stability under data growth, cap semantics, packing
+bounds."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from flink_streaming_demo_spark.operators import sampling
+
+
+def test_hash_split_deterministic_and_stable(spark):
+    """The split of a given key never changes — including when more data
+    arrives (the property rand()-based splits lack)."""
+    a = spark.range(0, 500).select(
+        F.col("id"), sampling.hash_split(F.col("id")).alias("split")
+    )
+    b = spark.range(0, 1000).select(
+        F.col("id"), sampling.hash_split(F.col("id")).alias("split")
+    )
+    small = {r.id: r.split for r in a.collect()}
+    big = {r.id: r.split for r in b.collect()}
+    assert all(big[k] == v for k, v in small.items())
+    # all three splits materialize with roughly the requested proportions
+    from collections import Counter
+
+    c = Counter(big.values())
+    assert set(c) == {"train", "val", "test"}
+    assert 0.7 < c["train"] / 1000 < 0.9
+
+
+def test_cap_per_group_keeps_top_n(spark):
+    df = spark.createDataFrame(
+        [(i, "s" + str(i % 2), i * 10) for i in range(10)],
+        "doc_id long, source string, score long",
+    )
+    out = sampling.cap_per_group(
+        df, "source", [F.col("score").desc(), F.col("doc_id")], 2
+    ).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r.source, []).append(r.doc_id)
+    # top-2 scores per source: s0 -> 8,6; s1 -> 9,7
+    assert sorted(by_src["s0"]) == [6, 8]
+    assert sorted(by_src["s1"]) == [7, 9]
+    assert all(r.rank <= 2 for r in out)
+
+
+def test_pack_greedy_bounds(spark):
+    """Offset binning invariants: bins are contiguous in order_col, no doc
+    is split, and each bin's total exceeds capacity by less than the
+    straddling row's tokens (i.e. total - capacity < max token count in
+    the bin; sub-capacity bins always pass)."""
+    rows = [(i, 300 + (i * 97) % 500) for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    cap = 1000
+    packed = sampling.pack_greedy(df, "n_tokens", cap).collect()
+    bins = {}
+    for r in sorted(packed, key=lambda r: r.doc_id):
+        bins.setdefault(r.bin_id, []).append(r.n_tokens)
+    # bin ids are dense and assigned in doc order
+    assert sorted(bins) == list(range(len(bins)))
+    for toks in bins.values():
+        assert sum(toks) - cap < max(toks)
+    # every doc appears exactly once
+    assert sum(len(v) for v in bins.values()) == 50
