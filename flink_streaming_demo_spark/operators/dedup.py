@@ -472,6 +472,46 @@ def simhash_neardup_pairs(
     )
 
 
+def contamination_overlap(
+    train_df: DataFrame,
+    eval_df: DataFrame,
+    threshold: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = SHINGLE_N,
+) -> DataFrame:
+    """Benchmark decontamination: training documents sharing >= threshold
+    distinct n-gram shingles with ANY document of an eval/benchmark set.
+    Returns (id, n_shared) for flagged training docs.
+
+    Distinct from symmetric near-dedup: the relation is asymmetric
+    (train x eval), the eval side is SMALL by nature (benchmarks are
+    thousands of docs, not billions), and the decision is contaminated/
+    clean, not a similarity score. Scale shape: the eval side reduces to
+    a distinct-shingle set and BROADCASTS; the train side streams through
+    one explode + broadcast semi-join + partial-aggregated count — no
+    shuffle of train rows, output <= one row per contaminated doc.
+    """
+    def _sh(df: DataFrame) -> DataFrame:
+        return (
+            df.select(F.col(id_col), F.col(text_col))
+            .filter(F.size(tokens(F.col(text_col))) >= min_tokens)
+            .select(
+                F.col(id_col),
+                F.explode(shingles(F.col(text_col))).alias("shingle"),
+            )
+        )
+
+    eval_shingles = _sh(eval_df).select("shingle").distinct()
+    return (
+        _sh(train_df)
+        .join(F.broadcast(eval_shingles), "shingle")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= threshold)
+    )
+
+
 # --- SimHash64: wider-radius near-dup via banded pigeonhole -------------------
 
 SIMHASH64_BITS = 64

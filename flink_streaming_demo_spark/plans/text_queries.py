@@ -518,3 +518,42 @@ register(
     WHERE {_SIMHASH64_HAMMING} <= 3
     """,
 )
+
+
+# --- Benchmark decontamination ------------------------------------------------
+
+_DECON_THRESHOLD = 4
+
+
+def decon_eval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training docs sharing >= 4 distinct 3-gram shingles with the held
+    eval slice (doc_id % 50 == 0) — the decontamination stage of a
+    training-data pipeline (asymmetric train x eval, broadcast eval set)."""
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    train = docs.filter(F.col("doc_id") % 50 != 0)
+    holdout = docs.filter(F.col("doc_id") % 50 == 0)
+    return dedup.contamination_overlap(
+        train, holdout, threshold=_DECON_THRESHOLD
+    )
+
+
+register(
+    "decon_eval_overlap",
+    decon_eval_overlap,
+    f"""
+    WITH ev AS (
+        SELECT DISTINCT unnest({dedup.sql_shingles('text')}) AS shingle
+        FROM documents
+        WHERE doc_id % 50 = 0 AND len(string_split(text, ' ')) >= 3
+    ),
+    tr AS (
+        SELECT doc_id, unnest({dedup.sql_shingles('text')}) AS shingle
+        FROM documents
+        WHERE doc_id % 50 != 0 AND len(string_split(text, ' ')) >= 3
+    )
+    SELECT tr.doc_id, COUNT(*) AS n_shared
+    FROM tr JOIN ev USING (shingle)
+    GROUP BY tr.doc_id
+    HAVING COUNT(*) >= {_DECON_THRESHOLD}
+    """,
+)
