@@ -46,6 +46,52 @@ def test_cap_per_group_keeps_top_n(spark):
     assert all(r.rank <= 2 for r in out)
 
 
+def test_hash_split_streaming_equals_batch(spark):
+    """The split is a pure expression of the key, so streaming ingest
+    labels rows exactly as a batch pass would — per-split counts from a
+    chunked replay equal the batch groupBy."""
+    import shutil
+
+    from flink_streaming_demo_spark.streaming import replay
+
+    df = spark.range(0, 2000).select(
+        F.col("id"), (F.col("id") % 100).alias("v")
+    )
+    chunk_dir = replay.write_replay_chunks(df, n_chunks=4, order_col="id")
+    try:
+        stream = replay.read_replay_stream(
+            spark, chunk_dir, "id long, v long"
+        )
+        counts = (
+            stream.withColumn("split", sampling.hash_split(F.col("id")))
+            .groupBy("split")
+            .count()
+        )
+        q = (
+            counts.writeStream.format("memory")
+            .queryName("split_t")
+            .outputMode("complete")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        got = {r.split: r["count"] for r in spark.table("split_t").collect()}
+        want = {
+            r.split: r["count"]
+            for r in df.withColumn(
+                "split", sampling.hash_split(F.col("id"))
+            )
+            .groupBy("split")
+            .count()
+            .collect()
+        }
+        assert got == want and set(got) == {"train", "val", "test"}
+    finally:
+        shutil.rmtree(chunk_dir, ignore_errors=True)
+
+
 def test_pack_greedy_bounds(spark):
     """Offset binning invariants: bins are contiguous in order_col, no doc
     is split, and each bin's total exceeds capacity by less than the
