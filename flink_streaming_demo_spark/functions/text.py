@@ -165,6 +165,30 @@ def simhash16_agg(df, text_col: str = "text", id_col: str = "doc_id"):
     )
 
 
+# PII-ish patterns, kept to the Java-regex/RE2 common subset (no
+# lookaround, no backrefs) so Spark and DuckDB match identically.
+EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_PATTERN = r"[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+
+def redact_pii(text: Column) -> Column:
+    """Replace email addresses and phone numbers with typed placeholders
+    (all occurrences; Spark regexp_replace is global by default)."""
+    return F.regexp_replace(
+        F.regexp_replace(text, EMAIL_PATTERN, "<EMAIL>"),
+        PHONE_PATTERN,
+        "<PHONE>",
+    )
+
+
+def pii_counts(text: Column) -> tuple[Column, Column]:
+    """(n_emails, n_phones) match counts."""
+    return (
+        F.size(F.regexp_extract_all(text, F.lit(EMAIL_PATTERN), F.lit(0))),
+        F.size(F.regexp_extract_all(text, F.lit(PHONE_PATTERN), F.lit(0))),
+    )
+
+
 def simhash64_agg(df, text_col: str = "text", id_col: str = "doc_id"):
     """64-bit simhash over tokens, same explode + codegen'd conditional-sum
     shape as simhash16_agg but using EVERY bit of the first 16 hex digits

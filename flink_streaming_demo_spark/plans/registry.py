@@ -57,11 +57,11 @@ def _load_all() -> None:
 #     dedup_simhash (unchecked in r3),
 #   * the three predicate/oracle fixes (q12, q22,
 #     star_customers_without_orders),
-#   * the five NEW sampling/packing/decontamination queries,
+#   * the six NEW sampling/packing/decon/redaction queries,
 #   * then unchanged-but-recent suites (text, tpch_rest, vector, TPC-H
-#     classics) as window filler; the list is 55 long, so the last 5
+#     classics) as window filler; the list is 56 long, so the last 6
 #     filler entries (TPC-H classics) fall past the 50-query window.
-# Rotated out: 10 star_* queries + 8 tpch_more queries + 5 TPC-H
+# Rotated out: 10 star_* queries + 8 tpch_more queries + 6 TPC-H
 # classics — all unchanged and green in BOTH CORRECTNESS_r02 and
 # CORRECTNESS_r03. `python tools/coverage.py` prints the
 # union-of-rounds evidence.
@@ -81,9 +81,9 @@ _ROUND4_WINDOW = [
     # this round's predicate/oracle fixes (3)
     "tpch_q12_ship_speed", "tpch_q22_global_sales_opportunity",
     "star_customers_without_orders",
-    # new this round: sampling / packing / decontamination surface (5)
+    # new this round: sampling / packing / decon / redaction surface (6)
     "sample_hash_split", "sample_source_cap", "sample_pack_bins",
-    "sample_mixture_stats", "decon_eval_overlap",
+    "sample_mixture_stats", "decon_eval_overlap", "text_redact_pii",
     # window filler: unchanged, green in r3 (26)
     "dedup_exact_groups", "dedup_exact_survivors", "doc_simhash",
     "text_quality_scores", "text_token_counts", "lang_id_scores",

@@ -520,6 +520,72 @@ register(
 )
 
 
+# --- PII redaction ------------------------------------------------------------
+
+#: deterministic PII tail planted on doc_id % 20 == 0 (the corpus itself
+#: contains no PII; both engines derive the identical planted text)
+_PII_TAIL = " reach me at user<ID>@example.com or 555-123-4567"
+
+
+def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redact emails/phones from a corpus with planted PII tails; report
+    per-doc match counts and the md5 of the redacted text for every doc
+    that was touched. Pure Column regex work — zero Python, pushes the
+    doc_id filter to the scan; at 100 TB this is a map-only pass."""
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 20 == 0,
+            F.concat(
+                F.col("text"),
+                F.replace(
+                    F.lit(_PII_TAIL),
+                    F.lit("<ID>"),
+                    F.col("doc_id").cast("string"),
+                ),
+            ),
+        ).otherwise(F.col("text")),
+    )
+    n_emails, n_phones = TX.pii_counts(F.col("text"))
+    return (
+        planted.select(
+            "doc_id",
+            n_emails.alias("n_emails"),
+            n_phones.alias("n_phones"),
+            F.md5(TX.redact_pii(F.col("text"))).alias("redacted_hash"),
+        )
+        .filter((F.col("n_emails") > 0) | (F.col("n_phones") > 0))
+    )
+
+
+register(
+    "text_redact_pii",
+    text_redact_pii,
+    f"""
+    WITH planted AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 20 = 0
+                    THEN text || replace('{_PII_TAIL}', '<ID>',
+                                         CAST(doc_id AS VARCHAR))
+                    ELSE text END AS text
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text,
+               '{TX.EMAIL_PATTERN}')) AS INT) AS n_emails,
+           CAST(len(regexp_extract_all(text,
+               '{TX.PHONE_PATTERN}')) AS INT) AS n_phones,
+           md5(regexp_replace(regexp_replace(text,
+               '{TX.EMAIL_PATTERN}', '<EMAIL>', 'g'),
+               '{TX.PHONE_PATTERN}', '<PHONE>', 'g')) AS redacted_hash
+    FROM planted
+    WHERE len(regexp_extract_all(text, '{TX.EMAIL_PATTERN}')) > 0
+       OR len(regexp_extract_all(text, '{TX.PHONE_PATTERN}')) > 0
+    """,
+)
+
+
 # --- Benchmark decontamination ------------------------------------------------
 
 _DECON_THRESHOLD = 4
