@@ -471,6 +471,162 @@ def simhash_neardup_pairs(
     )
 
 
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iterations: int = 50,
+) -> DataFrame:
+    """Resolve an edge list into connected components: returns
+    (node, component) for every node appearing in an edge, where
+    ``component`` is the minimum node id of its component.
+
+    Alternating large-star / small-star label propagation (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", 2014) in pure
+    DataFrame ops. Each round is two groupBy+join passes over the current
+    edge set; the edge set only shrinks toward the star form
+    (node -> component min), and the round count is O(log n) even on path
+    graphs — the property naive min-propagation (O(diameter) rounds)
+    lacks. This is the operator that turns near-dup PAIRS
+    (minhash_lsh_pairs / simhash64_neardup_pairs) into per-cluster
+    survivor decisions: A~B and B~C must keep ONE of {A, B, C}, which
+    per-pair dropping cannot express.
+
+    Scale: every pass is an equi-join/groupBy on node id (uniform after
+    the first round — high-degree nodes collapse onto their min
+    immediately); the working set is the pair list, which near-dup
+    blocking already bounded far below corpus size. Each round is
+    localCheckpoint()ed: iterative loops otherwise stack lineage and
+    re-run every prior round per action.
+    """
+    e = (
+        edges.select(
+            F.col(src).cast("long").alias("a"),
+            F.col(dst).cast("long").alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .select(
+            F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v")
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def _checksum(df: DataFrame) -> tuple:
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(
+                F.sum(F.hash("u", "v").cast("long")), F.lit(0)
+            ).alias("h"),
+        ).first()
+        return (row["n"], row["h"])
+
+    def _large_star(cur: DataFrame) -> DataFrame:
+        # neighborhoods need both directions
+        nbrs = cur.union(
+            cur.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        m = (
+            nbrs.groupBy("u")
+            .agg(F.min("v").alias("mn"))
+            .select("u", F.least("mn", "u").alias("m"))
+        )
+        # connect every strictly-larger neighbor to the neighborhood min
+        return (
+            nbrs.join(m, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    def _small_star(cur: DataFrame) -> DataFrame:
+        # cur is canonical (u > v): v ranges over u's smaller neighbors
+        m = cur.groupBy("u").agg(F.min("v").alias("m"))
+        return (
+            cur.join(m, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(m.select("u", F.col("m").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    prev = _checksum(e)
+    if prev[0] == 0:
+        return e.select(
+            F.col("u").alias("node"), F.col("v").alias("component")
+        )
+    for _ in range(max_iterations):
+        e = _small_star(_large_star(e)).localCheckpoint()
+        cur = _checksum(e)
+        if cur == prev:
+            break
+        prev = cur
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} "
+            "rounds"
+        )
+    # fixpoint is a union of stars: every edge points at the component
+    # min (the groupBy-min is belt and braces against duplicate edges);
+    # roots appear only as edge targets, so they label themselves
+    stars = e.groupBy("u").agg(F.min("v").alias("component"))
+    roots = stars.select("component").distinct()
+    return stars.select(F.col("u").alias("node"), "component").union(
+        roots.select(F.col("component").alias("node"), "component")
+    )
+
+
+def dedup_clusters(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Per-document cluster membership from near-dup pairs:
+    (id, cluster_id, is_survivor) for EVERY row of ``df``. cluster_id is
+    the min id over the transitive closure of ``pairs`` (docs in no pair
+    form their own cluster); the survivor is the cluster min — one doc
+    kept per transitive cluster, the decision a per-pair anti-join gets
+    wrong on chains (A~B, B~C with no A~C pair would keep both A and C
+    after dropping only pair-partners of a smaller id)."""
+    labels = connected_components(pairs, src, dst).select(
+        F.col("node").alias(id_col), F.col("component").alias("cluster_id")
+    )
+    return (
+        df.select(F.col(id_col).cast("long"))
+        .join(labels, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("cluster_id", F.col(id_col)).alias("cluster_id"),
+        )
+        .withColumn("is_survivor", F.col("cluster_id") == F.col(id_col))
+    )
+
+
+#: Recursive-CTE body for the DuckDB twin of connected_components: min
+#: reachable id per node over a symmetric edge list. The caller embeds
+#: ``{pairs}`` as a CTE named  `cc_pairs`  (columns id_a, id_b) inside a
+#: WITH RECURSIVE and selects from `cc_labels` (id, cluster_id).
+SQL_CONNECTED_COMPONENTS = """
+    cc_edges AS (
+        SELECT id_a AS u, id_b AS v FROM cc_pairs
+        UNION
+        SELECT id_b AS u, id_a AS v FROM cc_pairs
+    ),
+    cc_walk AS (
+        SELECT u AS id, u AS reach FROM (SELECT DISTINCT u FROM cc_edges)
+        UNION
+        SELECT w.id, e.v AS reach
+        FROM cc_walk w JOIN cc_edges e ON e.u = w.reach
+    ),
+    cc_labels AS (
+        SELECT id, MIN(reach) AS cluster_id FROM cc_walk GROUP BY id
+    )
+"""
+
+
 def contamination_overlap(
     train_df: DataFrame,
     eval_df: DataFrame,

@@ -322,6 +322,59 @@ register(
 )
 
 
+# --- Duplicate-cluster resolution (connected components) ----------------------
+
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster membership for every planted-corpus doc: near-dup PAIRS
+    (MinHash-LSH, est >= 0.5) resolved into transitive clusters by
+    alternating large-star/small-star label propagation; survivor = min
+    doc_id per cluster. The oracle computes the same closure with a
+    recursive CTE over the identical pair set, so the green proves the
+    DataFrame CC iteration reaches the exact transitive fixpoint."""
+    corpus = _planted_corpus(spark, sf_dir)
+    pairs = dedup.minhash_lsh_pairs(corpus, threshold=0.5)
+    return dedup.dedup_clusters(corpus, pairs)
+
+
+register(
+    "dedup_clusters",
+    dedup_clusters,
+    f"""
+    WITH RECURSIVE corpus AS ({_PLANTED_SQL}),
+    sigs AS (
+        SELECT
+            doc_id,
+            {dedup.sql_minhash_signature(dedup.sql_shingles('text'))} AS sig
+        FROM corpus
+        WHERE len(string_split(text, ' ')) >= {dedup.SHINGLE_N}
+    ),
+    banded AS (
+        SELECT doc_id, sig, unnest({dedup.sql_lsh_band_keys('sig')}) AS band_key
+        FROM sigs
+    ),
+    cand AS (
+        SELECT DISTINCT
+            a.doc_id AS id_a, b.doc_id AS id_b, a.sig AS sig_a, b.sig AS sig_b
+        FROM banded a
+        JOIN banded b
+          ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+    ),
+    cc_pairs AS (
+        SELECT id_a, id_b FROM cand
+        WHERE CAST(list_sum(list_transform(generate_series(1, {dedup.N_HASHES}),
+                j -> CASE WHEN sig_a[j] = sig_b[j] THEN 1 ELSE 0 END)) AS DOUBLE)
+                / {float(dedup.N_HASHES)} >= 0.5
+    ),
+    {dedup.SQL_CONNECTED_COMPONENTS}
+    SELECT
+        c.doc_id,
+        COALESCE(l.cluster_id, c.doc_id) AS cluster_id,
+        (COALESCE(l.cluster_id, c.doc_id) = c.doc_id) AS is_survivor
+    FROM corpus c LEFT JOIN cc_labels l ON l.id = c.doc_id
+    """,
+)
+
+
 # --- End-to-end corpus cleaning pipeline --------------------------------------
 
 PIPE_NEARDUP_EST = 0.7
@@ -329,12 +382,14 @@ PIPE_NEARDUP_EST = 0.7
 
 def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full training-data prep pipeline as ONE dataflow: quality filter
-    -> exact dedup (min-id survivor) -> MinHash-LSH near-dup removal (drop
-    the larger id of each candidate pair) -> per-doc token accounting.
+    -> exact dedup (min-id survivor) -> MinHash-LSH near-dup pairs ->
+    connected-components cluster resolution (keep ONE doc per transitive
+    cluster, the min id) -> per-doc token accounting.
 
     This is the composition the individual operators exist for; everything
-    before the LSH band join is a single narrow scan stage, and the two
-    joins are left_anti against small survivor/drop sets.
+    before the LSH band join is a single narrow scan stage, the CC rounds
+    run over the tiny pair list only, and the final join is a left_anti
+    against the small non-survivor set.
     """
     corpus = _planted_corpus(spark, sf_dir)
     n = TX.token_count(F.col("text"))
@@ -350,7 +405,13 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     near_pairs = dedup.minhash_lsh_pairs(
         survivors, threshold=PIPE_NEARDUP_EST
     )
-    drop = near_pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    # per-CLUSTER drop, not per-pair: A~B, B~C keeps exactly one of
+    # {A, B, C} (connected_components checkpoints the pair list before
+    # iterating, so the LSH subtree runs once, not once per CC round)
+    labels = dedup.connected_components(near_pairs)
+    drop = labels.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias("doc_id")
+    )
     clean = survivors.join(drop, "doc_id", "left_anti")
     return clean.select(
         "doc_id",
@@ -363,7 +424,7 @@ register(
     "pipeline_clean_corpus",
     pipeline_clean_corpus,
     f"""
-    WITH corpus AS ({_PLANTED_SQL}),
+    WITH RECURSIVE corpus AS ({_PLANTED_SQL}),
     quality AS (
         SELECT doc_id, text FROM corpus
         WHERE {TX.sql_token_count('text')} >= 5
@@ -393,18 +454,19 @@ register(
         JOIN banded b
           ON a.band_key = b.band_key AND a.doc_id < b.doc_id
     ),
-    dropped AS (
-        SELECT DISTINCT id_b FROM cand
+    cc_pairs AS (
+        SELECT id_a, id_b FROM cand
         WHERE CAST(list_sum(list_transform(generate_series(1, {dedup.N_HASHES}),
                 j -> CASE WHEN sig_a[j] = sig_b[j] THEN 1 ELSE 0 END)) AS DOUBLE)
                 / {float(dedup.N_HASHES)} >= {PIPE_NEARDUP_EST}
-    )
+    ),
+    {dedup.SQL_CONNECTED_COMPONENTS}
     SELECT
         doc_id,
         {TX.sql_token_count('text')} AS n_tokens,
         md5(text) AS fingerprint
     FROM survivors
-    WHERE doc_id NOT IN (SELECT id_b FROM dropped)
+    WHERE doc_id NOT IN (SELECT id FROM cc_labels WHERE id != cluster_id)
     """,
 )
 

@@ -68,10 +68,14 @@ STAR_TABLES = (
 )
 
 
-# Testdata parquet stores timestamps as INT64 TIMESTAMP(NANOS), which Spark's
-# vectorized reader rejects; with spark.sql.legacy.parquet.nanosAsLong they
-# arrive as LongType nanos and are truncated to microsecond timestamps here
-# (matching DuckDB's TIMESTAMP_NS -> TIMESTAMP truncation; SURVEY §7.4).
+# Testdata parquet stores timestamps as INT64 TIMESTAMP(NANOS). Depending on
+# the Spark build this arrives as LongType nanos (legacy
+# spark.sql.legacy.parquet.nanosAsLong honored) or as TIMESTAMP_NTZ truncated
+# to microseconds (current behavior); both are normalized here to plain
+# TimestampType (session-TZ, UTC) at microsecond precision — matching
+# DuckDB's TIMESTAMP_NS -> TIMESTAMP truncation (SURVEY §7.4) and the
+# cast(ts AS BIGINT) / unix_micros(ts) expressions used across the query
+# surface, which reject TIMESTAMP_NTZ.
 NANO_TS_COLS = {
     "events": ("ts",),
     "orders": ("o_orderdate",),
@@ -91,4 +95,8 @@ def load_table(spark, sf_dir: str, name: str):
     for c in NANO_TS_COLS.get(name, ()):
         if dtypes.get(c) == "bigint":
             df = df.withColumn(c, F.expr(f"timestamp_micros({c} DIV 1000)"))
+        elif dtypes.get(c) == "timestamp_ntz":
+            # NTZ -> LTZ reinterprets the naive value in the session TZ
+            # (pinned UTC above): same wall-clock instant, micro precision
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df

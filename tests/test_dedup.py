@@ -108,3 +108,56 @@ def test_simhash64_radius_guard(spark):
 
     with pytest.raises(NotImplementedError):
         dedup.simhash64_neardup_pairs(_corpus(spark), max_hamming=4)
+
+
+def _pairs_df(spark, pairs):
+    return spark.createDataFrame(pairs, "id_a long, id_b long")
+
+
+def test_connected_components_chain(spark):
+    """A path graph exercises the O(log n) rounds: 1-2-3-4-5-6-7-8 is one
+    component with min 1, even though no pair connects 1 to 8 directly."""
+    edges = _pairs_df(spark, [(i, i + 1) for i in range(1, 8)] + [(10, 11)])
+    got = {
+        r.node: r.component
+        for r in dedup.connected_components(edges).collect()
+    }
+    assert got == {**{i: 1 for i in range(1, 9)}, 10: 10, 11: 10}
+
+
+def test_connected_components_direction_and_dups(spark):
+    """Pair direction and duplicate/reflexive edges must not matter."""
+    edges = _pairs_df(
+        spark, [(5, 3), (3, 5), (3, 1), (5, 5), (7, 9), (9, 7)]
+    )
+    got = {
+        r.node: r.component
+        for r in dedup.connected_components(edges).collect()
+    }
+    assert got == {1: 1, 3: 1, 5: 1, 7: 7, 9: 7}
+
+
+def test_connected_components_empty(spark):
+    edges = _pairs_df(spark, []).filter("id_a > 0")
+    assert dedup.connected_components(edges).count() == 0
+
+
+def test_dedup_clusters_one_survivor_per_chain(spark):
+    """A~B, B~C (no A~C pair) must keep exactly ONE of {A, B, C} — the
+    per-pair anti-join would keep two."""
+    docs = spark.createDataFrame(
+        [(i,) for i in (1, 2, 3, 4)], "doc_id long"
+    )
+    pairs = _pairs_df(spark, [(1, 2), (2, 3)])
+    rows = {
+        r.doc_id: (r.cluster_id, r.is_survivor)
+        for r in dedup.dedup_clusters(docs, pairs).collect()
+    }
+    assert rows == {
+        1: (1, True),
+        2: (1, False),
+        3: (1, False),
+        4: (4, True),
+    }
+    n_survivors = sum(1 for _, s in rows.values() if s)
+    assert n_survivors == 2  # one per cluster: {1,2,3} and {4}
