@@ -92,6 +92,72 @@ def test_hash_split_streaming_equals_batch(spark):
         shutil.rmtree(chunk_dir, ignore_errors=True)
 
 
+def test_cap_per_group_matches_naive_single_window(spark):
+    """The two-level (salted partial top-N, then final rank) plan must
+    return exactly the naive whole-group window's rows AND rank values,
+    for several n/n_salts combinations including n_salts=1."""
+    from pyspark.sql import Window
+
+    rows = [(i, "s" + str(i % 3), (i * 37) % 100) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, score long")
+    order = [F.col("score").desc(), F.col("doc_id").asc()]
+    for n in (1, 7, 100):
+        for n_salts in (1, 4, 16):
+            got = sorted(
+                (r.doc_id, r.rank)
+                for r in sampling.cap_per_group(
+                    df, "source", order, n, n_salts=n_salts
+                ).collect()
+            )
+            w = Window.partitionBy("source").orderBy(*order)
+            want = sorted(
+                (r.doc_id, r.rank)
+                for r in df.withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") <= n)
+                .collect()
+            )
+            assert got == want, (n, n_salts)
+
+
+def test_pack_greedy_matches_naive_single_window(spark):
+    """Hierarchical offset binning (chunked cumsum + broadcast prefix)
+    must produce bit-identical bin ids to the naive whole-partition
+    window, with and without a partition column, for several chunk
+    counts (including more chunks than rows)."""
+    from pyspark.sql import Window
+
+    rows = [
+        (i, "s" + str(i % 2), 300 + (i * 97) % 500) for i in range(100)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, source string, n_tokens long"
+    )
+    cap = 1000
+    for part in (None, "source"):
+        parts = [part] if part else []
+        w = (
+            Window.partitionBy(*parts)
+            .orderBy("doc_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        naive = F.floor(
+            (F.sum("n_tokens").over(w) - F.col("n_tokens")) / F.lit(cap)
+        ).cast("long")
+        want = {
+            r.doc_id: r.bin_id
+            for r in df.withColumn("bin_id", naive).collect()
+        }
+        for n_chunks in (1, 3, 16, 500):
+            got = {
+                r.doc_id: r.bin_id
+                for r in sampling.pack_greedy(
+                    df, "n_tokens", cap, part_col=part,
+                    n_chunks=n_chunks,
+                ).collect()
+            }
+            assert got == want, (part, n_chunks)
+
+
 def test_pack_greedy_bounds(spark):
     """Offset binning invariants: bins are contiguous in order_col, no doc
     is split, and each bin's total exceeds capacity by less than the
