@@ -339,6 +339,115 @@ def assign_to_centroids(
     )
 
 
+def kmeans_centroids(
+    corpus: DataFrame,
+    seed_centroids: DataFrame,
+    n_iterations: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd k-means over an embedding column, in pure DataFrame ops:
+    per iteration, (1) assign every vector to its nearest centroid by
+    rounded cosine (centroid_id tiebreak — the existing
+    assign_to_centroids cell assignment), (2) update each centroid to
+    the per-dimension mean of its members, rounded to 6 decimals so any
+    IEEE-double engine replays the trajectory bit-for-bit. A cell that
+    loses all members keeps its previous centroid (coalesce), so k never
+    shrinks and the iteration stays deterministic.
+
+    Scale: assignment is a broadcast(k centroids) x corpus scan + one
+    rank window per vector; the update is an explode to (cell, dim, val)
+    + partial-aggregated avg — both linear in corpus size with no
+    all-pairs stage. Each iteration localCheckpoints the k-row centroid
+    table, truncating the lineage the loop would otherwise stack.
+    ``seed_centroids``: (centroid_id, vec_col) — deterministic picks
+    here (the oracle replays them); a production run would seed from a
+    sample. Returns (centroid_id, vec_col as array<double>).
+    """
+    cent = seed_centroids.select(
+        "centroid_id", _to_double(F.col(vec_col)).alias(vec_col)
+    ).localCheckpoint()
+    for _ in range(n_iterations):
+        assigned = assign_to_centroids(
+            corpus, cent, 1, id_col, vec_col
+        ).select(
+            "centroid_id", F.posexplode(_to_double(F.col(vec_col)))
+        ).select(
+            "centroid_id", F.col("pos").alias("dim"), F.col("col").alias("val")
+        )
+        means = (
+            assigned.groupBy("centroid_id", "dim")
+            .agg(F.round(F.avg("val"), 6).alias("cval"))
+            .groupBy("centroid_id")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("dim", "cval"))
+                ).alias("pairs")
+            )
+            .select(
+                "centroid_id",
+                F.transform(F.col("pairs"), lambda p: p.cval).alias("_mean"),
+            )
+        )
+        cent = (
+            cent.join(means, "centroid_id", "left")
+            .select(
+                "centroid_id",
+                F.coalesce("_mean", F.col(vec_col)).alias(vec_col),
+            )
+            .localCheckpoint()
+        )
+    return cent
+
+
+def sql_kmeans_cents(
+    k: int,
+    n_iterations: int = 3,
+    dims: int = 64,
+    corpus: str = "embeddings",
+) -> str:
+    """DuckDB twin of kmeans_centroids seeded with ``vec_id < k``: CTE
+    chain ``cent0 .. cent{n}`` unrolling the assign/update iterations
+    (same rounded-cosine assignment, same round-6 means, same
+    empty-cell coalesce). Embed inside WITH and select from
+    ``cent{n_iterations}``."""
+    parts = [
+        f"""cent0 AS (
+        SELECT vec_id AS centroid_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec
+        FROM {corpus} WHERE vec_id < {k}
+    )"""
+    ]
+    for i in range(1, n_iterations + 1):
+        p = i - 1
+        cos = sql_cosine("e.embedding", "c.cvec", dims)
+        parts.append(f"""assign{i} AS (
+        SELECT vec_id, embedding, centroid_id FROM (
+            SELECT e.vec_id, e.embedding, c.centroid_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY ROUND({cos}, 6) DESC, c.centroid_id ASC
+                   ) AS rk
+            FROM {corpus} e CROSS JOIN cent{p} c
+        ) WHERE rk = 1
+    )""")
+        parts.append(f"""means{i} AS (
+        SELECT centroid_id, di,
+               ROUND(AVG(CAST(embedding[di] AS DOUBLE)), 6) AS cval
+        FROM assign{i}, generate_series(1, {dims}) AS u(di)
+        GROUP BY centroid_id, di
+    )""")
+        parts.append(f"""cent{i} AS (
+        SELECT p.centroid_id, COALESCE(m.cvec, p.cvec) AS cvec
+        FROM cent{p} p
+        LEFT JOIN (
+            SELECT centroid_id, list(cval ORDER BY di) AS cvec
+            FROM means{i} GROUP BY centroid_id
+        ) m USING (centroid_id)
+    )""")
+    return ",\n    ".join(parts)
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,

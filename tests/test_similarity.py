@@ -65,3 +65,54 @@ def test_lsh_bucket_recall_of_identical_direction(spark):
     by_id = {r.vec_id: r.sig for r in sigs}
     assert by_id[0] == by_id[4]  # same direction -> identical signature
     assert by_id[0] != by_id[3]  # opposite direction -> different signature
+
+
+def test_kmeans_centroids_converges_to_cluster_means(spark):
+    """Two tight direction-clusters, seeds one vector from each: Lloyd
+    must assign each cluster to its seed and move centroids to the
+    per-dim means (rounded to 6)."""
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0, 0.0]),
+        (2, [0.8, 0.2, 0.0, 0.0]),
+        (10, [0.0, 0.0, 1.0, 0.0]),
+        (11, [0.0, 0.0, 0.9, 0.1]),
+        (12, [0.0, 0.0, 0.8, 0.2]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    seeds = df.filter(F.col("vec_id").isin(0, 10)).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    cent = {
+        r.centroid_id: r.embedding
+        for r in SIM.kmeans_centroids(df, seeds, n_iterations=2).collect()
+    }
+    import numpy as np
+
+    want0 = np.round(np.mean([rows[i][1] for i in range(3)], axis=0), 6)
+    want10 = np.round(np.mean([rows[i][1] for i in range(3, 6)], axis=0), 6)
+    assert np.allclose(cent[0], want0, atol=2e-6)
+    assert np.allclose(cent[10], want10, atol=2e-6)
+
+
+def test_kmeans_empty_cell_keeps_previous_centroid(spark):
+    """A seed centroid that attracts no vectors must survive unchanged
+    (k never shrinks)."""
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [0.99, 0.01]),
+        (2, [0.98, 0.02]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    # seed 99 points away from every vector; seed 0 wins all assignments
+    seeds = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (99, [-1.0, 0.0])],
+        "centroid_id long, embedding array<float>",
+    )
+    cent = {
+        r.centroid_id: r.embedding
+        for r in SIM.kmeans_centroids(df, seeds, n_iterations=2).collect()
+    }
+    assert len(cent) == 2
+    assert cent[99] == [-1.0, 0.0]  # untouched
+    assert abs(cent[0][0] - 0.99) < 2e-6  # mean of the three x's
