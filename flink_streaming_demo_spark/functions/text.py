@@ -165,6 +165,39 @@ def simhash16_agg(df, text_col: str = "text", id_col: str = "doc_id"):
     )
 
 
+def repetition_agg(df, text_col: str = "text", id_col: str = "doc_id"):
+    """Gopher-style repetition signals per document:
+    (id, n_2grams, n_distinct_2grams, top_2gram_count) over the adjacent
+    token-2-gram MULTISET. Downstream: duplicate-2-gram fraction
+    = 1 - distinct/total and top-2-gram share = top/total — the two
+    repetition filters a pre-training cleaning pass applies before any
+    near-dup work (looping generations and boilerplate both light up).
+
+    Plan shape: explode 2-grams -> groupBy (id, gram) count (map-side
+    partial: a looping doc's repeated gram combines within each task) ->
+    groupBy id. Linear in corpus size, no joins; docs with < 2 tokens
+    produce no rows (callers left-join + coalesce)."""
+    grams = df.select(
+        F.col(id_col),
+        F.explode(
+            F.expr(
+                "zip_with("
+                f"slice(split({text_col}, ' '), 1,"
+                f" size(split({text_col}, ' ')) - 1), "
+                f"slice(split({text_col}, ' '), 2,"
+                f" size(split({text_col}, ' ')) - 1), "
+                "(x, y) -> concat(x, ' ', y))"
+            )
+        ).alias("gram"),
+    )
+    per = grams.groupBy(id_col, "gram").agg(F.count(F.lit(1)).alias("c"))
+    return per.groupBy(id_col).agg(
+        F.sum("c").cast("int").alias("n_2grams"),
+        F.count(F.lit(1)).cast("int").alias("n_distinct_2grams"),
+        F.max("c").cast("int").alias("top_2gram_count"),
+    )
+
+
 # PII-ish patterns, kept to the Java-regex/RE2 common subset (no
 # lookaround, no backrefs) so Spark and DuckDB match identically.
 EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
@@ -290,6 +323,33 @@ def sql_bpe_token_count(text: str) -> str:
 
 def sql_normalized_fingerprint(text: str) -> str:
     return f"md5(regexp_replace(LOWER(TRIM({text})), '\\s+', ' ', 'g'))"
+
+
+def sql_repetition_ctes(table: str = "documents", text: str = "text",
+                        id_col: str = "doc_id") -> str:
+    """DuckDB twin of repetition_agg as CTE bodies: embed inside WITH and
+    join ``rep_stats`` (id, n_2grams, n_distinct_2grams,
+    top_2gram_count)."""
+    sp = f"string_split({text}, ' ')"
+    return f"""
+    rep_grams AS (
+        SELECT {id_col}, unnest(list_transform(
+            generate_series(1, len({sp}) - 1),
+            i -> {sp}[i] || ' ' || {sp}[i + 1])) AS gram
+        FROM {table}
+    ),
+    rep_per AS (
+        SELECT {id_col}, gram, COUNT(*) AS c
+        FROM rep_grams GROUP BY {id_col}, gram
+    ),
+    rep_stats AS (
+        SELECT {id_col},
+               CAST(SUM(c) AS INT) AS n_2grams,
+               CAST(COUNT(*) AS INT) AS n_distinct_2grams,
+               CAST(MAX(c) AS INT) AS top_2gram_count
+        FROM rep_per GROUP BY {id_col}
+    )
+    """
 
 
 def sql_simhash64(text: str) -> str:

@@ -197,11 +197,18 @@ register(
 
 def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document quality metrics: length, token stats, stopword ratio,
-    uniqueness ratio — the standard pre-training corpus filters."""
+    uniqueness ratio, plus Gopher-style repetition signals (duplicate
+    2-gram fraction, top 2-gram share) — the standard pre-training
+    corpus filters, applied BEFORE any near-dup pass. The repetition
+    stats come from one explode + partial-aggregated groupBy
+    (functions/text.repetition_agg); everything else stays a pure
+    column projection on the scan."""
     docs = t(spark, sf_dir, "documents")
     n = TX.token_count(F.col("text"))
     uniq = TX.distinct_token_count(F.col("text"))
-    return docs.select(
+    rep = TX.repetition_agg(docs)
+    ng = F.col("n_2grams").cast("double")
+    return docs.join(rep, "doc_id", "left").select(
         "doc_id",
         F.length("text").alias("n_chars"),
         n.alias("n_tokens"),
@@ -209,6 +216,13 @@ def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(uniq.cast("double") / n.cast("double"), 6).alias("uniq_ratio"),
         TX.avg_token_len(F.col("text")).alias("avg_token_len"),
         TX.stopword_ratio(F.col("text")).alias("stopword_ratio"),
+        F.coalesce("n_2grams", F.lit(0)).alias("n_2grams"),
+        F.coalesce(
+            F.round((ng - F.col("n_distinct_2grams")) / ng, 6), F.lit(0.0)
+        ).alias("dup_2gram_frac"),
+        F.coalesce(
+            F.round(F.col("top_2gram_count") / ng, 6), F.lit(0.0)
+        ).alias("top_2gram_share"),
         (
             (n >= 5) & (TX.avg_token_len(F.col("text")) >= 2.0)
         ).alias("passes_quality"),
@@ -219,6 +233,7 @@ register(
     "text_quality_scores",
     text_quality_scores,
     f"""
+    WITH {TX.sql_repetition_ctes('documents')}
     SELECT
         doc_id,
         CAST(LENGTH(text) AS INT) AS n_chars,
@@ -228,9 +243,16 @@ register(
               / CAST({TX.sql_token_count('text')} AS DOUBLE), 6) AS uniq_ratio,
         {TX.sql_avg_token_len('text')} AS avg_token_len,
         {TX.sql_stopword_ratio('text')} AS stopword_ratio,
+        COALESCE(r.n_2grams, 0) AS n_2grams,
+        COALESCE(ROUND(
+            CAST(r.n_2grams - r.n_distinct_2grams AS DOUBLE)
+            / CAST(r.n_2grams AS DOUBLE), 6), 0.0) AS dup_2gram_frac,
+        COALESCE(ROUND(
+            CAST(r.top_2gram_count AS DOUBLE)
+            / CAST(r.n_2grams AS DOUBLE), 6), 0.0) AS top_2gram_share,
         ({TX.sql_token_count('text')} >= 5
          AND {TX.sql_avg_token_len('text')} >= 2.0) AS passes_quality
-    FROM documents
+    FROM documents LEFT JOIN rep_stats r USING (doc_id)
     """,
 )
 
