@@ -126,11 +126,15 @@ def paced_replay_stream(
     above. Compose with ``with_delivery_jitter`` first (pass
     ``ts_col='delivery_ts'``) for paced out-of-order arrival.
     """
-    t0 = df.agg(F.min(ts_col)).first()[0]  # bounded input; one tiny job
+    # epoch micros computed IN Spark (one tiny job): collecting a datetime
+    # and calling .timestamp() would round-trip through the OS-local
+    # timezone — any session/OS TZ divergence shifts every tick, and
+    # negative ticks never match the rate source (value >= 0)
+    t0_us = df.agg(F.min(F.unix_micros(F.col(ts_col)))).first()[0]
     prepared = df.withColumn(
         "_tick",
         F.floor(
-            (F.unix_micros(F.col(ts_col)) - F.lit(int(t0.timestamp() * 1e6)))
+            (F.unix_micros(F.col(ts_col)) - F.lit(t0_us))
             / F.lit(1e6 * speedup / ticks_per_second)
         ).cast("long"),
     )

@@ -60,21 +60,49 @@ class InMemoryUpsertSink:
         self.rows: dict[tuple, dict] = {}
         self._lock = threading.Lock()
 
+    @staticmethod
+    def _tuple_lt(a: tuple, b: tuple) -> bool:
+        """Lexicographic < with None smallest — Python analogue of Spark's
+        struct ordering (NULLS FIRST), so the all-null-order fallback
+        picks the same row as ParquetUpsertSink's max(struct)."""
+        for x, y in zip(a, b):
+            if x == y:
+                continue
+            if x is None:
+                return True
+            if y is None:
+                return False
+            return x < y
+        return False
+
+    def _beats(self, new: dict, cur: dict) -> bool:
+        """Within-batch winner rule, aligned with ParquetUpsertSink:
+        non-null order beats null; higher order wins; all-null (or tied)
+        orders fall back to the greatest value tuple."""
+        c = self.order_col
+        no, co = new[c], cur[c]
+        if (no is None) != (co is None):
+            return co is None
+        if no is not None and no != co:
+            return co < no
+        vals = [k for k in new if k not in self.key_cols]
+        return self._tuple_lt(
+            tuple(cur[k] for k in vals), tuple(new[k] for k in vals)
+        )
+
     def foreach_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
-        collected = batch_df.collect()
-        if self.order_col is not None:
-            # Deterministic within-batch order: ascending order_col with
-            # nulls FIRST (nulls lose, matching ParquetUpsertSink's max_by),
-            # so the dict write below ends on the latest row per key.
-            c = self.order_col
-            collected = sorted(
-                collected, key=lambda r: (r[c] is not None, r[c])
-            )
+        collected = [r.asDict() for r in batch_df.collect()]
+        best: dict[tuple, dict] = {}
+        for d in collected:
+            key = tuple(d[k] for k in self.key_cols)
+            if key not in best or self.order_col is None or self._beats(
+                d, best[key]
+            ):
+                best[key] = d
         with self._lock:
-            for row in collected:
-                d = row.asDict()
-                key = tuple(d[k] for k in self.key_cols)
-                self.rows[key] = d  # last write per key wins
+            # cross-batch: the later micro-batch always wins (same as the
+            # parquet sink's anti-join), order_col arbitrates within batch
+            self.rows.update(best)
 
     def snapshot(self) -> list[dict]:
         with self._lock:
@@ -116,14 +144,23 @@ class ParquetUpsertSink:
             # only safe when batch rows per key are identical
             return batch_df.dropDuplicates(self.key_cols)
         val_cols = [c for c in batch_df.columns if c not in self.key_cols]
+        # max_by skips rows whose ordering value is null — a key whose
+        # EVERY row has a null order would yield a null struct (null value
+        # columns). Fall back to the lexicographically greatest value
+        # tuple (Spark struct ordering, nulls smallest) — deterministic,
+        # and mirrored by InMemoryUpsertSink.
         picked = batch_df.groupBy(*self.key_cols).agg(
             F.max_by(
                 F.struct(*[F.col(c) for c in val_cols]), F.col(self.order_col)
-            ).alias("__latest")
+            ).alias("__latest"),
+            F.max(
+                F.struct(*[F.col(c) for c in val_cols])
+            ).alias("__fallback"),
         )
+        latest = F.coalesce(F.col("__latest"), F.col("__fallback"))
         return picked.select(
             *self.key_cols,
-            *[F.col(f"__latest.{c}").alias(c) for c in val_cols],
+            *[latest.getField(c).alias(c) for c in val_cols],
         )
 
     def _bucketed(self, df: DataFrame) -> DataFrame:
@@ -157,13 +194,42 @@ class ParquetUpsertSink:
                     f"n_buckets={self.n_buckets}, key_cols={self.key_cols}. "
                     "Reuse the original parameters or start a new path."
                 )
-        elif not any(
-            e.startswith(BUCKET_COL + "=") for e in os.listdir(self.path)
-        ):
-            raise ValueError(
-                f"existing table at {self.path} has no {BUCKET_COL}= bucket "
-                "partitions — it was not written by ParquetUpsertSink; "
-                "refusing to merge into an unbucketed store."
+        else:
+            bucket_dirs = [
+                e for e in os.listdir(self.path)
+                if e.startswith(BUCKET_COL + "=")
+            ]
+            if not bucket_dirs:
+                raise ValueError(
+                    f"existing table at {self.path} has no {BUCKET_COL}= "
+                    "bucket partitions — it was not written by "
+                    "ParquetUpsertSink; refusing to merge into an "
+                    "unbucketed store."
+                )
+            # Pre-meta store: the directory names still bound the original
+            # n_buckets from below — a bucket index >= ours proves the
+            # store was written with MORE buckets, the exact silent-key-
+            # duplication case meta exists to catch.
+            max_idx = max(
+                int(e.split("=", 1)[1]) for e in bucket_dirs
+            )
+            if max_idx >= self.n_buckets:
+                raise ValueError(
+                    f"upsert store at {self.path} has bucket dir index "
+                    f"{max_idx} but this sink uses n_buckets="
+                    f"{self.n_buckets}; it was created with a larger "
+                    "bucket count. Reuse the original parameters or "
+                    "start a new path."
+                )
+            import warnings
+
+            warnings.warn(
+                f"upsert store at {self.path} predates {self.META_FILE}; "
+                f"bucket dirs are consistent with n_buckets="
+                f"{self.n_buckets} (max index {max_idx}) but a SMALLER "
+                "original bucket count cannot be ruled out — stamping "
+                "current parameters into meta.",
+                stacklevel=2,
             )
 
     def _write_meta(self) -> None:

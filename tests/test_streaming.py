@@ -275,6 +275,80 @@ def test_inmemory_upsert_sink_null_order_col_loses(spark):
     assert got == {(7, ts): 10, (9, ts): 3}
 
 
+def test_upsert_sinks_agree_when_all_orders_null(spark):
+    """A key whose EVERY fire has a null order_col must keep a real row
+    (greatest value tuple) in BOTH sinks — max_by alone would yield a
+    null struct in the parquet sink while the in-memory sink kept
+    values."""
+    from flink_streaming_demo_spark.streaming.sinks import ParquetUpsertSink
+
+    ts = datetime(2024, 3, 1, 10, 15, 0)
+    schema = "cell int, window_end timestamp, fire_seq int, cnt int"
+    batch = spark.createDataFrame(
+        [(9, ts, None, 3), (9, ts, None, 7), (7, ts, 1, 10)], schema
+    )
+    mem = InMemoryUpsertSink(["cell", "window_end"], order_col="fire_seq")
+    mem.foreach_batch(batch, 0)
+    got_mem = {
+        (d["cell"], d["window_end"]): d["cnt"] for d in mem.snapshot()
+    }
+
+    d = tempfile.mkdtemp(prefix="upsert_")
+    try:
+        pq = ParquetUpsertSink(
+            d + "/kv", ["cell", "window_end"], order_col="fire_seq"
+        )
+        pq.foreach_batch(batch, 0)
+        got_pq = {
+            (r.cell, r.window_end): r.cnt for r in pq.read(spark).collect()
+        }
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    # fallback = greatest value struct: (fire_seq=None, cnt=7) beats
+    # (fire_seq=None, cnt=3) with null-smallest field ordering
+    assert got_mem == got_pq == {(7, ts): 10, (9, ts): 7}
+
+
+def test_parquet_upsert_sink_premeta_layout_inference(spark):
+    """Reopening a store whose meta file is missing must still reject an
+    n_buckets smaller than what the bucket dir names prove, and warn
+    (instead of silently stamping wrong parameters) when consistent."""
+    import os
+    import warnings
+
+    import pytest
+
+    from flink_streaming_demo_spark.streaming.sinks import ParquetUpsertSink
+
+    d = tempfile.mkdtemp(prefix="upsert_")
+    path = d + "/kv"
+    try:
+        sink = ParquetUpsertSink(path, ["k"], n_buckets=64)
+        batch = spark.createDataFrame(
+            [(i, f"v{i}") for i in range(200)], "k int, v string"
+        )
+        sink.foreach_batch(batch, 0)
+        os.remove(os.path.join(path, ParquetUpsertSink.META_FILE))
+        # some bucket index >= 8 certainly exists with 200 keys / 64 buckets
+        with pytest.raises(ValueError, match="bucket dir index"):
+            ParquetUpsertSink(path, ["k"], n_buckets=8).foreach_batch(
+                spark.createDataFrame([(1, "x")], "k int, v string"), 1
+            )
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            ParquetUpsertSink(path, ["k"], n_buckets=64).foreach_batch(
+                spark.createDataFrame([(1, "x")], "k int, v string"), 1
+            )
+        assert any("predates" in str(x.message) for x in w)
+        # meta re-stamped; store still consistent
+        got = {r.k: r.v for r in ParquetUpsertSink(path, ["k"]).read(
+            spark
+        ).collect()}
+        assert got[1] == "x" and len(got) == 200
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def test_parquet_upsert_sink_prunes_untouched_buckets(spark):
     """The dynamic-overwrite merge must leave every untouched ``__kb=``
     bucket directory byte-identical (same files, same contents, same

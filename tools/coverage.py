@@ -5,8 +5,12 @@ The external driver checks the first 50 registered queries per round
 plans/registry.py), so per-query proof accumulates across rounds. This
 tool unions every CORRECTNESS_r*.json (latest round wins per query) and
 reports, per registered query: the last round it was checked, its status
-then, and whether its implementation has changed since (git log of the
-registering module) — the evidence the rotation policy rests on.
+then, and whether its implementation has CHANGED SINCE that check — the
+evidence the rotation policy rests on. Changed-since = any file in the
+registering module's import closure WITHIN the package (so shared
+operators/ and functions/ helpers count, not just the plans module)
+differs from the commit that recorded that round's CORRECTNESS file,
+per ``git diff`` against the working tree.
 
 Usage: python tools/coverage.py
 """
@@ -17,9 +21,74 @@ import glob
 import json
 import os
 import re
+import subprocess
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+PKG = "flink_streaming_demo_spark"
+
+
+def _module_file(repo: str, mod: str) -> str | None:
+    """Repo-relative .py path for a package module name, if it exists."""
+    rel = mod.replace(".", "/")
+    for cand in (f"{rel}.py", f"{rel}/__init__.py"):
+        if os.path.exists(os.path.join(repo, cand)):
+            return cand
+    return None
+
+
+_IMPORT_RE = re.compile(
+    rf"^\s*(?:from\s+({PKG}[\w.]*)\s+import\s+([\w ,*]+)"
+    rf"|import\s+({PKG}[\w.]*))",
+    re.M,
+)
+
+
+def import_closure(repo: str, mod: str, memo: dict[str, set[str]]) -> set[str]:
+    """Transitive set of repo-relative package files ``mod`` depends on,
+    by static parse of the package-internal import statements."""
+    if mod in memo:
+        return memo[mod]
+    memo[mod] = set()  # cycle guard
+    f = _module_file(repo, mod)
+    if f is None:
+        return memo[mod]
+    files = {f}
+    with open(os.path.join(repo, f)) as fh:
+        src = fh.read()
+    deps: set[str] = set()
+    for m in _IMPORT_RE.finditer(src):
+        if m.group(1):
+            deps.add(m.group(1))
+            # `from pkg.x import y` where y is a submodule
+            for sym in m.group(2).split(","):
+                deps.add(f"{m.group(1)}.{sym.strip().split(' ')[0]}")
+        elif m.group(3):
+            deps.add(m.group(3))
+    for d in deps:
+        files |= import_closure(repo, d, memo)
+    memo[mod] = files
+    return files
+
+
+def changed_files_since(repo: str, commit: str) -> set[str]:
+    out = subprocess.run(
+        ["git", "diff", "--name-only", commit],
+        cwd=repo, capture_output=True, text=True, check=True,
+    ).stdout
+    return {line.strip() for line in out.splitlines() if line.strip()}
+
+
+def round_commit(repo: str, rnd: int) -> str | None:
+    """Last commit touching that round's CORRECTNESS file — the round
+    snapshot boundary."""
+    out = subprocess.run(
+        ["git", "log", "-1", "--format=%H", "--",
+         f"CORRECTNESS_r{rnd:02d}.json"],
+        cwd=repo, capture_output=True, text=True,
+    ).stdout.strip()
+    return out or None
 
 
 def main() -> int:
@@ -33,6 +102,25 @@ def main() -> int:
             for name, row in json.load(f).items():
                 if name not in latest or rnd >= latest[name][0]:
                     latest[name] = (rnd, row)
+
+    # changed-files set per checked round (one git call per round)
+    changed_by_round: dict[int, set[str] | None] = {}
+    for rnd in {r for r, _ in latest.values()}:
+        commit = round_commit(repo, rnd)
+        changed_by_round[rnd] = (
+            changed_files_since(repo, commit) if commit else None
+        )
+
+    memo: dict[str, set[str]] = {}
+
+    def stale_files(name: str, rnd: int) -> set[str] | None:
+        """Package files of the query's import closure changed since its
+        round; None when the round commit is unknown (treat as stale)."""
+        changed = changed_by_round.get(rnd)
+        if changed is None:
+            return None
+        closure = import_closure(repo, QUERIES[name].__module__, memo)
+        return closure & changed
 
     never, red, weak, green = [], [], [], []
     for name in QUERIES:
@@ -53,6 +141,14 @@ def main() -> int:
         else:
             green.append((name, rnd))
 
+    stale = []
+    for name, rnd in green + weak:
+        s = stale_files(name, rnd)
+        if s is None:
+            stale.append((name, rnd, "(round commit unknown)"))
+        elif s:
+            stale.append((name, rnd, ", ".join(sorted(s))))
+
     print(f"registered: {len(QUERIES)}  with-oracle: {len(ORACLE_SQL)}")
     print(f"green (hash-proven, latest check): {len(green)}")
     print(f"rows-only by design (no oracle): {len(weak)}")
@@ -61,6 +157,11 @@ def main() -> int:
     print(f"red at latest check: {len(red)}")
     for name, rnd, why in red:
         print(f"  x {name} (r{rnd}): {why}")
+    print(
+        f"stale (implementation changed since last check): {len(stale)}"
+    )
+    for name, rnd, why in stale:
+        print(f"  ! {name} (r{rnd}): {why}")
     print(f"never driver-checked: {len(never)}")
     for name in never:
         print(f"  ? {name}")
