@@ -201,6 +201,70 @@ def test_streaming_early_fire_converges_and_fires_early(spark):
         shutil.rmtree(chunk_dir, ignore_errors=True)
 
 
+def test_tws_early_fire_matches_applyinpandas_form(spark):
+    """The transformWithStateInPandas processor (value state + event-time
+    timer, separate expiry callback) must reproduce the SAME fire
+    sequence — every (cell, window_end, fire_seq, cnt, is_final) row —
+    as the applyInPandasWithState operator and the batch-exact replay.
+
+    transformWithState's driver worker imports google.protobuf for its
+    state protocol; absent from this container (environment-blocked) ->
+    skip, runs wherever protobuf is installed."""
+    pytest.importorskip("google.protobuf")
+    from flink_streaming_demo_spark.streaming.early_trigger import (
+        tws_early_fire_counts,
+    )
+
+    base = datetime(2024, 3, 1, 0, 0, 0)
+    rows = []
+    for i in range(12):  # one cell, 12 END events, 10 passengers each
+        rows.append(
+            (i, base + timedelta(seconds=10 * i), False, -73.9, 40.75, 10)
+        )
+    rows.append((999, base + timedelta(hours=2), False, -73.71, 40.51, 0))
+    rides = spark.createDataFrame(rows, RIDES_SCHEMA)
+    chunk_dir = replay.write_replay_chunks(rides, n_chunks=4, order_col="ts")
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    rocksdb = (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    )
+    old = spark.conf.get(provider_key, None)
+    sink = InMemoryUpsertSink(["cell", "window_end", "fire_seq"])
+    try:
+        spark.conf.set(provider_key, rocksdb)
+        _run_stream(
+            spark,
+            chunk_dir,
+            lambda s: tws_early_fire_counts(
+                arrival_events(s.withWatermark("ts", "60 seconds")),
+                threshold=50,
+            ),
+            sink,
+            "append",
+        )
+    finally:
+        if old is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, old)
+        shutil.rmtree(chunk_dir, ignore_errors=True)
+    got = {
+        (d["cell"], d["window_end"], d["fire_seq"]):
+            (d["cnt"], d["is_final"])
+        for d in sink.snapshot()
+        if d["cell"] != SENT_CELL
+    }
+    assert any(not f for _, f in got.values()), "expected partial fires"
+    expected = {
+        (r.cell, r.window_end, r.fire_seq): (r.cnt, r.is_final)
+        for r in early_fire_counts(arrival_events(rides), threshold=50)
+        .filter(F.col("cell") != SENT_CELL)
+        .collect()
+    }
+    assert got == expected
+
+
 def test_parquet_upsert_sink_merges_by_key(spark):
     from flink_streaming_demo_spark.streaming.sinks import ParquetUpsertSink
 
