@@ -63,17 +63,21 @@ def _load_all() -> None:
 #   * ALL 24 queries last checked in r3 (two rounds stale: star_*,
 #     tpch_more, the TPC-H classics, sim_ivf_topk),
 #   * then every other query whose module (not just schemas.py) changed
-#     this round (text/dedup/sampling/vector modules), minus four simple
-#     projections whose changed-module coverage their in-window siblings
-#     already exercise (lang_id_scores, doc_fingerprints,
-#     text_token_counts, embedding_stats).
-# Rotated out (26): taxi (7 of 8) + events (7 of 8) + 9 tpch_rest + the 4
-# dropped projections + star_customers_without_orders — every one green
-# in CORRECTNESS_r04 with no closure change beyond schemas.py, which the
-# in-window taxi/events/tpch entries re-prove against the driver.
+#     this round (text/dedup/sampling/vector modules), minus the entries
+#     whose changed-module coverage their in-window siblings already
+#     exercise (lang_id_scores, doc_fingerprints, text_token_counts,
+#     embedding_stats, doc_simhash, multimodal_features,
+#     label_centroid_distance — the last three displaced by the three
+#     late-round NEW queries, which outrank a green refresh).
+# Rotated out (29): taxi (7 of 8) + events (7 of 8) + 9 tpch_rest + the
+# displaced projections + star_customers_without_orders — every one
+# green in CORRECTNESS_r04 with no closure change beyond schemas.py /
+# an untouched sibling path, re-proven by local parity
+# (tools/parity.py) this round.
 _ROUND5_WINDOW = [
-    # new this round (2)
-    "dedup_clusters", "sim_ivf_kmeans",
+    # new this round (5)
+    "dedup_clusters", "sim_ivf_kmeans", "tfidf_top_terms",
+    "sample_stratified", "source_length_quantiles",
     # materially changed plans (4)
     "pipeline_clean_corpus", "text_quality_scores",
     "sample_source_cap", "sample_pack_bins",
@@ -93,16 +97,14 @@ _ROUND5_WINDOW = [
     "star_topk_orders_per_segment", "star_lineitem_window_functions",
     "star_distinct_part_supp", "star_set_operations",
     "star_scalar_functions", "star_date_functions", "sim_ivf_topk",
-    # changed-module coverage: text/dedup (10)
+    # changed-module coverage: text/dedup (8)
     "dedup_exact_groups", "dedup_exact_survivors", "dedup_minhash_lsh",
-    "dedup_ngram_jaccard", "doc_simhash", "dedup_simhash",
+    "dedup_ngram_jaccard", "dedup_simhash",
     "dedup_simhash64", "text_redact_pii", "decon_eval_overlap",
-    "multimodal_features",
     # changed-module coverage: sampling (2)
     "sample_hash_split", "sample_mixture_stats",
-    # changed-module coverage: vector (4)
+    # changed-module coverage: vector (3)
     "sim_topk_cosine", "sim_ann_lsh", "dedup_embedding_neardup",
-    "label_centroid_distance",
 ]
 
 

@@ -159,6 +159,107 @@ register(
 )
 
 
+# --- Deterministic stratified sampling ----------------------------------------
+
+_STRAT_FRACTION = 0.2
+
+
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """~20% deterministic sample WITHIN each source (hash threshold on
+    doc_id — same md5 bucket space as the split, different use: a
+    per-stratum keep/drop decision that is stable under data growth and
+    retries, unlike rand()-based sampleBy). Reports per-source retained
+    counts/tokens and the realized fraction; the sample predicate itself
+    is a pure scan expression — at 100 TB the filter is map-only."""
+    docs = t(spark, sf_dir, "documents")
+    keep = sampling.hash_bucket(F.col("doc_id")) < int(
+        _STRAT_FRACTION * sampling.HASH_MOD
+    )
+    per_source = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(keep.cast("int")).cast("bigint").alias("n_kept"),
+        F.sum(
+            F.when(keep, TX.token_count(F.col("text"))).otherwise(0)
+        ).cast("bigint").alias("kept_tokens"),
+    )
+    return per_source.select(
+        "source",
+        "n_total",
+        "n_kept",
+        "kept_tokens",
+        F.round(
+            F.col("n_kept").cast("double") / F.col("n_total").cast("double"), 6
+        ).alias("realized_fraction"),
+    )
+
+
+register(
+    "sample_stratified",
+    sample_stratified,
+    f"""
+    SELECT source,
+           COUNT(*) AS n_total,
+           CAST(SUM(CASE WHEN {_SQL_BUCKET} <
+                    {int(_STRAT_FRACTION * sampling.HASH_MOD)}
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN {_SQL_BUCKET} <
+                    {int(_STRAT_FRACTION * sampling.HASH_MOD)}
+                    THEN {TX.sql_token_count('text')} ELSE 0 END)
+                AS BIGINT) AS kept_tokens,
+           ROUND(CAST(SUM(CASE WHEN {_SQL_BUCKET} <
+                    {int(_STRAT_FRACTION * sampling.HASH_MOD)}
+                    THEN 1 ELSE 0 END) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS realized_fraction
+    FROM documents
+    GROUP BY source
+    """,
+)
+
+
+# --- Per-source length quantiles ----------------------------------------------
+
+_QUANTILES = (0.25, 0.5, 0.75, 0.9)
+
+
+def source_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact doc-length quantiles per source (linear interpolation — the
+    length-distribution report a data recipe is tuned against). Uses the
+    EXACT percentile aggregate, not approx_percentile: cross-engine
+    hash-comparable after round-6, and per-group row counts (corpus/5)
+    sort comfortably within a task; switch to approx_percentile at true
+    100 TB group sizes and drop the oracle to tolerance-checked."""
+    docs = t(spark, sf_dir, "documents")
+    pct = F.percentile(
+        F.col("n_chars").cast("double"), F.lit(list(_QUANTILES))
+    )
+    cols = [
+        F.round(F.element_at(pct, i + 1), 6).alias(
+            f"p{int(q * 100)}_chars"
+        )
+        for i, q in enumerate(_QUANTILES)
+    ]
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"), *cols
+    )
+
+
+register(
+    "source_length_quantiles",
+    source_length_quantiles,
+    f"""
+    SELECT source,
+           COUNT(*) AS n_docs,
+           {", ".join(
+        f"ROUND(quantile_cont(CAST(n_chars AS DOUBLE), {q}), 6)"
+        f" AS p{int(q * 100)}_chars"
+        for q in _QUANTILES
+    )}
+    FROM documents
+    GROUP BY source
+    """,
+)
+
+
 # --- Corpus mixture stats -----------------------------------------------------
 
 def sample_mixture_stats(spark: SparkSession, sf_dir: str) -> DataFrame:

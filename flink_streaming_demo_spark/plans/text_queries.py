@@ -604,6 +604,92 @@ register(
 )
 
 
+# --- TF-IDF top terms ---------------------------------------------------------
+
+TFIDF_TOP_K = 3
+
+
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document: tf from the token multiset,
+    idf = ln(N/df) with df = number of documents containing the term.
+
+    Plan shape: one explode -> groupBy (doc, token) tf (map-side partial
+    combine absorbs repeated tokens) -> groupBy token df; the corpus size
+    N is a 1-row broadcast. The df table is vocab-sized, joined back on
+    token (uniform equi-join — token hash distributes; a stop-word-like
+    hot token is ONE row on the df side, the fan-out is the tf side's
+    own rows). Scores are rounded to 6 before ranking, token tiebreak,
+    so ranking is engine-stable."""
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    tf = (
+        docs.select(
+            "doc_id", F.explode(TX.tokens(F.col("text"))).alias("token")
+        )
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_tbl = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n"))
+    scored = (
+        tf.join(df_tbl, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "token",
+            F.round(
+                F.col("tf").cast("double")
+                * F.log(F.col("n").cast("double") / F.col("df").cast("double")),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tfidf"), F.asc("token")
+    )
+    return (
+        scored.withColumn("term_rank", F.row_number().over(w))
+        .filter(F.col("term_rank") <= TFIDF_TOP_K)
+        .select("doc_id", "term_rank", "token", "tfidf")
+    )
+
+
+register(
+    "tfidf_top_terms",
+    tfidf_top_terms,
+    f"""
+    WITH tf AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        FROM documents
+    ),
+    tfc AS (
+        SELECT doc_id, token, COUNT(*) AS tf
+        FROM tf GROUP BY doc_id, token
+    ),
+    dfc AS (
+        SELECT token, COUNT(*) AS df FROM tfc GROUP BY token
+    ),
+    n AS (SELECT COUNT(*) AS n FROM documents),
+    scored AS (
+        SELECT doc_id, token,
+               ROUND(CAST(tf AS DOUBLE)
+                     * ln(CAST(n.n AS DOUBLE) / CAST(df AS DOUBLE)), 6)
+                   AS tfidf
+        FROM tfc JOIN dfc USING (token) CROSS JOIN n
+    )
+    SELECT doc_id, term_rank, token, tfidf
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY doc_id ORDER BY tfidf DESC, token ASC
+        ) AS term_rank
+        FROM scored
+    )
+    WHERE term_rank <= {TFIDF_TOP_K}
+    """,
+)
+
+
 # --- PII redaction ------------------------------------------------------------
 
 #: deterministic PII tail planted on doc_id % 20 == 0 (the corpus itself
