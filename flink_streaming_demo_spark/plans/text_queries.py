@@ -615,11 +615,14 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan shape: one explode -> groupBy (doc, token) tf (map-side partial
     combine absorbs repeated tokens) -> groupBy token df; the corpus size
-    N is a 1-row broadcast. The df table is vocab-sized, joined back on
-    token (uniform equi-join — token hash distributes; a stop-word-like
-    hot token is ONE row on the df side, the fan-out is the tf side's
-    own rows). Scores are rounded to 6 before ranking, token tiebreak,
-    so ranking is engine-stable."""
+    N is a 1-row broadcast. The df table broadcasts at test scale
+    (verified: BroadcastHashJoin BuildRight); when vocab outgrows the
+    threshold the join falls back to sort-merge on token, where a
+    stop-word-like hot token concentrates its tf rows — the session's
+    AQE skew-join (session.py) splits those partitions at runtime (the
+    df side is one row per token, so replication is cheap). Scores are
+    rounded to 6 before ranking, token tiebreak, so ranking is
+    engine-stable."""
     docs = t(spark, sf_dir, "documents").select("doc_id", "text")
     tf = (
         docs.select(
@@ -752,6 +755,73 @@ register(
     FROM planted
     WHERE len(regexp_extract_all(text, '{TX.EMAIL_PATTERN}')) > 0
        OR len(regexp_extract_all(text, '{TX.PHONE_PATTERN}')) > 0
+    """,
+)
+
+
+# --- Document chunking --------------------------------------------------------
+
+CHUNK_TOKENS = 64
+CHUNK_OVERLAP = 8
+_CHUNK_STRIDE = CHUNK_TOKENS - CHUNK_OVERLAP
+
+
+def text_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split each document into ~64-token chunks with 8-token overlap —
+    the context-window chunker an embedding/pre-training pipeline runs
+    before encoding. Pure array expressions (sequence of chunk starts ->
+    slice -> posexplode): no shuffle at all until a consumer aggregates;
+    emits (doc_id, chunk_idx, n_chunk_tokens, chunk_hash) — the hash
+    stands in for chunk text to keep result rows small and
+    hash-comparable."""
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    prepared = docs.select(
+        "doc_id", F.split("text", " ").alias("toks")
+    ).select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, greatest(size(toks) - "
+                f"{CHUNK_OVERLAP}, 1), {_CHUNK_STRIDE}), "
+                f"s -> slice(toks, s, {CHUNK_TOKENS}))"
+            )
+        ).alias("chunk_idx", "chunk_toks"),
+    )
+    return prepared.select(
+        "doc_id",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.size("chunk_toks").alias("n_chunk_tokens"),
+        F.md5(F.concat_ws(" ", F.col("chunk_toks"))).alias("chunk_hash"),
+    )
+
+
+register(
+    "text_chunk_documents",
+    text_chunk_documents,
+    f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS sp FROM documents
+    ),
+    starts AS (
+        SELECT doc_id, sp,
+               unnest(generate_series(1,
+                   greatest(len(sp) - {CHUNK_OVERLAP}, 1),
+                   {_CHUNK_STRIDE})) AS start_pos
+        FROM toks
+    ),
+    chunks AS (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY doc_id ORDER BY start_pos
+               ) - 1 AS chunk_idx,
+               sp[start_pos : start_pos + {CHUNK_TOKENS - 1}] AS chunk
+        FROM starts
+    )
+    SELECT doc_id,
+           CAST(chunk_idx AS INT) AS chunk_idx,
+           CAST(len(chunk) AS INT) AS n_chunk_tokens,
+           md5(array_to_string(chunk, ' ')) AS chunk_hash
+    FROM chunks
     """,
 )
 
