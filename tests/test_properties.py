@@ -1,0 +1,135 @@
+"""Property-based tests (hypothesis): the distributed operators must
+match independent, obviously-correct Python models on randomized inputs —
+a different proof shape than the fixture tests (which pin known cases)
+and the DuckDB oracles (which replicate the algorithm in SQL).
+
+Example counts are kept small: every example runs real Spark jobs.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from flink_streaming_demo_spark.operators import dedup, sampling
+
+_SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def _union_find_components(edges: list[tuple[int, int]]) -> dict[int, int]:
+    """Reference model: min-id component label per node, plain union-find."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        if a == b:
+            continue
+        for n in (a, b):
+            parent.setdefault(n, n)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    members: dict[int, list[int]] = {}
+    for n in parent:
+        members.setdefault(find(n), []).append(n)
+    return {n: min(ms) for ms in members.values() for n in ms}
+
+
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=25),
+            st.integers(min_value=0, max_value=25),
+        ),
+        max_size=40,
+    )
+)
+@settings(**_SETTINGS)
+def test_connected_components_matches_union_find(spark, edges):
+    df = spark.createDataFrame(
+        [(a, b) for a, b in edges] or [(0, 0)], "id_a long, id_b long"
+    )
+    if not edges:
+        df = df.filter("id_a <> id_a")
+    got = {
+        r.node: r.component
+        for r in dedup.connected_components(df).collect()
+    }
+    want = _union_find_components(edges)
+    assert got == want
+
+
+@given(
+    tokens=st.lists(st.integers(min_value=1, max_value=500), max_size=30),
+    capacity=st.sampled_from([100, 1000]),
+    n_chunks=st.sampled_from([1, 4, 16]),
+)
+@settings(**_SETTINGS)
+def test_pack_greedy_matches_python_model(spark, tokens, capacity, n_chunks):
+    rows = [(i, t) for i, t in enumerate(tokens)]
+    df = spark.createDataFrame(rows or [(0, 1)], "doc_id long, n_tokens long")
+    if not rows:
+        df = df.filter("doc_id < 0")
+    got = {
+        r.doc_id: r.bin_id
+        for r in sampling.pack_greedy(
+            df, "n_tokens", capacity, n_chunks=n_chunks
+        ).collect()
+    }
+    cum = 0
+    want = {}
+    for i, t in enumerate(tokens):
+        want[i] = cum // capacity
+        cum += t
+    assert got == want
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b", "c"]),
+            st.integers(min_value=0, max_value=50),
+        ),
+        max_size=40,
+    ),
+    n=st.sampled_from([1, 3, 10]),
+    n_salts=st.sampled_from([1, 5]),
+)
+@settings(**_SETTINGS)
+def test_cap_per_group_matches_python_model(spark, rows, n, n_salts):
+    data = [(i, g, s) for i, (g, s) in enumerate(rows)]
+    df = spark.createDataFrame(
+        data or [(0, "a", 0)], "doc_id long, grp string, score long"
+    )
+    if not data:
+        df = df.filter("doc_id < 0")
+    got = {
+        r.doc_id: r.rank
+        for r in sampling.cap_per_group(
+            df,
+            "grp",
+            [F.col("score").desc(), F.col("doc_id").asc()],
+            n,
+            n_salts=n_salts,
+        ).collect()
+    }
+    want = {}
+    by_group: dict[str, list[tuple[int, int]]] = {}
+    for i, g, s in data:
+        by_group.setdefault(g, []).append((i, s))
+    for members in by_group.values():
+        ordered = sorted(members, key=lambda t: (-t[1], t[0]))
+        for rank, (i, _) in enumerate(ordered[:n], start=1):
+            want[i] = rank
+    assert got == want
