@@ -75,10 +75,10 @@ def _load_all() -> None:
 # an untouched sibling path, re-proven by local parity
 # (tools/parity.py) this round.
 _ROUND5_WINDOW = [
-    # new this round (6)
+    # new this round (7)
     "dedup_clusters", "sim_ivf_kmeans", "tfidf_top_terms",
     "sample_stratified", "source_length_quantiles",
-    "text_chunk_documents",
+    "text_chunk_documents", "sample_mixture_rebalance",
     # materially changed plans (4)
     "pipeline_clean_corpus", "text_quality_scores",
     "sample_source_cap", "sample_pack_bins",
@@ -102,9 +102,9 @@ _ROUND5_WINDOW = [
     "dedup_exact_groups", "dedup_exact_survivors", "dedup_minhash_lsh",
     "dedup_ngram_jaccard", "dedup_simhash",
     "dedup_simhash64", "text_redact_pii", "decon_eval_overlap",
-    # changed-module coverage: sampling (1 — hash_split's path is
-    # untouched by this round's cap/pack work; displaced by the chunker)
-    "sample_mixture_stats",
+    # (sampling module coverage now comes from the four in-window
+    # sampling queries above; hash_split/mixture_stats paths are
+    # untouched this round and their green r4 checks stand)
     # changed-module coverage: vector (3)
     "sim_topk_cosine", "sim_ann_lsh", "dedup_embedding_neardup",
 ]

@@ -260,6 +260,126 @@ register(
 )
 
 
+# --- Mixture rebalancing (apply a data recipe) ---------------------------------
+
+_REBAL_BUDGET = 0.6  # target corpus = 60% of available tokens
+
+
+def sample_mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply a target mixture: even-index sources get twice the token
+    share of odd ones, scaled to a 60%-of-corpus token budget; each
+    source keeps ``min(1, target_share * budget / available)`` of its
+    docs via the deterministic md5 threshold. This is the recipe-applier
+    that turns mixture_stats into an actual resampled corpus — the last
+    step of the data-mixing half of the pipeline.
+
+    Scale: two aggregate passes (per-source sums, then the 20-row frac
+    table) + ONE broadcast join of that frac table back onto the scan,
+    with a map-only keep predicate — no shuffle of the corpus itself.
+    The keep decision uses the unrounded fraction: double arithmetic
+    with an identical expression tree on both engines, so the same docs
+    survive everywhere."""
+    docs = t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    with_tok = docs.withColumn("n_tok", TX.token_count(F.col("text")))
+    per = with_tok.groupBy("source").agg(
+        F.sum("n_tok").cast("double").alias("avail")
+    )
+    w = F.when(
+        F.expr("CAST(substring(source, 4) AS INT)") % 2 == 0, F.lit(2.0)
+    ).otherwise(F.lit(1.0))
+    weighted = per.withColumn("w", w)
+    from pyspark.sql import Window
+
+    all_w = Window.partitionBy()
+    fracs = weighted.select(
+        "source",
+        "avail",
+        (F.col("w") / F.sum("w").over(all_w)).alias("target_share"),
+        F.least(
+            F.lit(1.0),
+            (F.col("w") / F.sum("w").over(all_w))
+            * F.lit(_REBAL_BUDGET)
+            * F.sum("avail").over(all_w)
+            / F.col("avail"),
+        ).alias("keep_frac"),
+    )
+    kept = (
+        with_tok.join(F.broadcast(fracs), "source")
+        .filter(
+            sampling.hash_bucket(F.col("doc_id"))
+            < (F.col("keep_frac") * F.lit(sampling.HASH_MOD)).cast("bigint")
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("n_tok").cast("bigint").alias("kept_tokens"),
+        )
+    )
+    out = fracs.join(kept, "source", "left").select(
+        "source",
+        F.round("target_share", 6).alias("target_share"),
+        F.round("keep_frac", 6).alias("keep_frac"),
+        F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        F.coalesce("kept_tokens", F.lit(0)).cast("bigint").alias(
+            "kept_tokens"
+        ),
+    )
+    return out.withColumn(
+        "realized_share",
+        F.round(
+            F.col("kept_tokens").cast("double")
+            / F.sum("kept_tokens").over(all_w),
+            6,
+        ),
+    )
+
+
+register(
+    "sample_mixture_rebalance",
+    sample_mixture_rebalance,
+    f"""
+    WITH per AS (
+        SELECT source,
+               CAST(SUM({TX.sql_token_count('text')}) AS DOUBLE) AS avail
+        FROM documents GROUP BY source
+    ),
+    weighted AS (
+        SELECT source, avail,
+               CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 0
+                    THEN 2.0 ELSE 1.0 END AS w
+        FROM per
+    ),
+    fracs AS (
+        SELECT source, avail,
+               w / SUM(w) OVER () AS target_share,
+               LEAST(1.0,
+                   (w / SUM(w) OVER ()) * {_REBAL_BUDGET}
+                   * SUM(avail) OVER () / avail) AS keep_frac
+        FROM weighted
+    ),
+    kept AS (
+        SELECT d.source,
+               COUNT(*) AS n_kept,
+               CAST(SUM({TX.sql_token_count('d.text')}) AS BIGINT)
+                   AS kept_tokens
+        FROM documents d JOIN fracs f USING (source)
+        WHERE {_SQL_BUCKET.replace('doc_id', 'd.doc_id')}
+              < CAST(f.keep_frac * {sampling.HASH_MOD} AS BIGINT)
+        GROUP BY d.source
+    )
+    SELECT f.source,
+           ROUND(f.target_share, 6) AS target_share,
+           ROUND(f.keep_frac, 6) AS keep_frac,
+           COALESCE(k.n_kept, 0) AS n_kept,
+           COALESCE(k.kept_tokens, 0) AS kept_tokens,
+           ROUND(CAST(COALESCE(k.kept_tokens, 0) AS DOUBLE)
+                 / SUM(COALESCE(k.kept_tokens, 0)) OVER (), 6)
+               AS realized_share
+    FROM fracs f LEFT JOIN kept k USING (source)
+    """,
+)
+
+
 # --- Corpus mixture stats -----------------------------------------------------
 
 def sample_mixture_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
