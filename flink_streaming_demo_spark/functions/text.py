@@ -325,6 +325,102 @@ def sql_normalized_fingerprint(text: str) -> str:
     return f"md5(regexp_replace(LOWER(TRIM({text})), '\\s+', ' ', 'g'))"
 
 
+WINNOW_K = 3  # k-gram width (word grams)
+WINNOW_W = 4  # winnowing window over consecutive k-gram hashes
+_WINNOW_P = (1 << 31) - 1
+
+
+def winnow_fingerprints(df, text_col: str = "text", id_col: str = "doc_id"):
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken 2003,
+    the MOSS algorithm): positional k-gram hashes, then from every
+    window of w consecutive hashes select the minimum (rightmost on
+    ties) — any match of length >= w + k - 1 tokens between two
+    documents is guaranteed to share a selected fingerprint, at ~2/(w+1)
+    the density of full k-gram sets. The local-similarity complement to
+    minhash (whole-doc resemblance) and simhash (whole-doc distance).
+
+    Pure array expressions, zero shuffle: per doc emits (n_grams,
+    n_fingerprints, winnow_digest) where the digest is md5 over the
+    position-ordered selected hashes — hash-comparable without shipping
+    fingerprint sets. Select the fingerprint ARRAY instead (same exprs)
+    to feed an explode + equi-join matcher at scale.
+    """
+    from pyspark.sql import functions as F  # local: df-level helper
+
+    k, w, p = WINNOW_K, WINNOW_W, _WINNOW_P
+    hs = (
+        f"CASE WHEN size(split({text_col}, ' ')) >= {k} THEN "
+        f"transform(sequence(1, size(split({text_col}, ' ')) - {k - 1}), "
+        f"i -> CAST(conv(substring(md5(concat_ws(' ', "
+        f"slice(split({text_col}, ' '), i, {k}))), 1, 8), 16, 10) AS BIGINT)"
+        f" % {p}) "
+        "ELSE array() END"
+    )
+    step1 = df.select(F.col(id_col), F.expr(hs).alias("hs"))
+    # rightmost-minimum per window: position in the reversed slice is
+    # 1-based from the right, so p = i + slice_len - that position
+    sel = (
+        f"transform(sequence(1, greatest(size(hs) - {w - 1}, 1)), "
+        f"i -> i + least({w}, size(hs) - i + 1)"
+        f" - array_position(reverse(slice(hs, i, {w})),"
+        f" array_min(slice(hs, i, {w}))))"
+    )
+    positions = (
+        f"array_sort(array_distinct(filter({sel}, p -> p IS NOT NULL)))"
+    )
+    fps = (
+        f"transform({positions}, p -> element_at(hs, CAST(p AS INT)))"
+    )
+    return step1.select(
+        F.col(id_col),
+        F.expr("size(hs)").alias("n_grams"),
+        F.expr(f"size({positions})").cast("int").alias("n_fingerprints"),
+        F.expr(
+            f"md5(concat_ws(',', transform({fps},"
+            " x -> CAST(x AS STRING))))"
+        ).alias("winnow_digest"),
+    )
+
+
+def sql_winnow_ctes(table: str = "documents", text: str = "text",
+                    id_col: str = "doc_id") -> str:
+    """DuckDB twin of winnow_fingerprints as CTEs: embed inside WITH and
+    select from ``winnowed`` (id, n_grams, n_fingerprints,
+    winnow_digest)."""
+    k, w, p = WINNOW_K, WINNOW_W, _WINNOW_P
+    sp = f"string_split({text}, ' ')"
+    hs = (
+        f"CASE WHEN len({sp}) >= {k} THEN "
+        f"list_transform(generate_series(1, len({sp}) - {k - 1}), "
+        f"i -> CAST(('0x' || substr(md5(array_to_string("
+        f"{sp}[i : i + {k - 1}], ' ')), 1, 8)) AS BIGINT) % {p}) "
+        "ELSE [] END"
+    )
+    sel = (
+        f"list_transform(generate_series(1, greatest(len(hs) - {w - 1}, 1)),"
+        f" i -> i + least({w}, len(hs) - i + 1)"
+        f" - list_position(list_reverse(hs[i : i + {w - 1}]),"
+        f" list_min(hs[i : i + {w - 1}])))"
+    )
+    positions = (
+        f"list_sort(list_distinct(list_filter({sel}, p -> p IS NOT NULL)))"
+    )
+    fps = f"list_transform({positions}, p -> hs[CAST(p AS INT)])"
+    return f"""
+    winnow_hashes AS (
+        SELECT {id_col}, {hs} AS hs FROM {table}
+    ),
+    winnowed AS (
+        SELECT {id_col},
+               CAST(len(hs) AS INT) AS n_grams,
+               CAST(len({positions}) AS INT) AS n_fingerprints,
+               md5(array_to_string(list_transform({fps},
+                   x -> CAST(x AS VARCHAR)), ',')) AS winnow_digest
+        FROM winnow_hashes
+    )
+    """
+
+
 def sql_repetition_ctes(table: str = "documents", text: str = "text",
                         id_col: str = "doc_id") -> str:
     """DuckDB twin of repetition_agg as CTE bodies: embed inside WITH and

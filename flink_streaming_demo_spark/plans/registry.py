@@ -75,10 +75,11 @@ def _load_all() -> None:
 # an untouched sibling path, re-proven by local parity
 # (tools/parity.py) this round.
 _ROUND5_WINDOW = [
-    # new this round (7)
+    # new this round (8)
     "dedup_clusters", "sim_ivf_kmeans", "tfidf_top_terms",
     "sample_stratified", "source_length_quantiles",
     "text_chunk_documents", "sample_mixture_rebalance",
+    "doc_winnow_fingerprints",
     # materially changed plans (4)
     "pipeline_clean_corpus", "text_quality_scores",
     "sample_source_cap", "sample_pack_bins",
@@ -98,8 +99,9 @@ _ROUND5_WINDOW = [
     "star_topk_orders_per_segment", "star_lineitem_window_functions",
     "star_distinct_part_supp", "star_set_operations",
     "star_scalar_functions", "star_date_functions", "sim_ivf_topk",
-    # changed-module coverage: text/dedup (8)
-    "dedup_exact_groups", "dedup_exact_survivors", "dedup_minhash_lsh",
+    # changed-module coverage: text/dedup (7 — exact_survivors' path is
+    # covered by exact_groups + pipeline_clean_corpus in-window)
+    "dedup_exact_groups", "dedup_minhash_lsh",
     "dedup_ngram_jaccard", "dedup_simhash",
     "dedup_simhash64", "text_redact_pii", "decon_eval_overlap",
     # (sampling module coverage now comes from the four in-window

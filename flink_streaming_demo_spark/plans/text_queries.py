@@ -604,6 +604,27 @@ register(
 )
 
 
+# --- Winnowing fingerprints ---------------------------------------------------
+
+def doc_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (MOSS) fingerprints per document over the planted
+    corpus — exact copies share the full digest; near copies (appended
+    tail) share most selected fingerprints but digest-differ, which the
+    counts make visible. See functions/text.winnow_fingerprints."""
+    return TX.winnow_fingerprints(_planted_corpus(spark, sf_dir))
+
+
+register(
+    "doc_winnow_fingerprints",
+    doc_winnow_fingerprints,
+    f"""
+    WITH corpus AS ({_PLANTED_SQL}),
+    {TX.sql_winnow_ctes('corpus')}
+    SELECT doc_id, n_grams, n_fingerprints, winnow_digest FROM winnowed
+    """,
+)
+
+
 # --- TF-IDF top terms ---------------------------------------------------------
 
 TFIDF_TOP_K = 3

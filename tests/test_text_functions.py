@@ -19,3 +19,59 @@ def test_repetition_agg_counts(spark):
     }
     assert got == {1: (5, 2, 3), 2: (3, 3, 1)}
     assert 3 not in got  # single-token doc: callers coalesce to zero
+
+
+def test_winnow_fingerprints_match_python_model(spark):
+    """The expression-tree winnowing must match a straightforward Python
+    model (rightmost-minimum per window) — including repeated-gram ties,
+    fewer grams than the window, and sub-k docs."""
+    import hashlib
+
+    from flink_streaming_demo_spark.functions.text import (
+        WINNOW_K,
+        WINNOW_W,
+        _WINNOW_P,
+    )
+
+    texts = {
+        1: "the quick brown fox jumps over the lazy dog",
+        2: "a a a a a a a a",                      # all-tie grams
+        3: "one two three",                        # exactly k tokens, 1 gram
+        4: "short doc",                            # < k tokens -> no grams
+        5: "the quick brown fox jumps over the lazy dog",  # dup of 1
+    }
+    df = spark.createDataFrame(
+        list(texts.items()), "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.n_grams, r.n_fingerprints, r.winnow_digest)
+        for r in TX.winnow_fingerprints(df).collect()
+    }
+
+    def model(text):
+        toks = text.split(" ")
+        hs = [
+            int(hashlib.md5(
+                " ".join(toks[i:i + WINNOW_K]).encode()
+            ).hexdigest()[:8], 16) % _WINNOW_P
+            for i in range(len(toks) - WINNOW_K + 1)
+        ] if len(toks) >= WINNOW_K else []
+        m = len(hs)
+        positions = set()
+        for i in range(max(m - WINNOW_W + 1, 1)):
+            win = hs[i:i + WINNOW_W]
+            if not win:
+                continue
+            mn = min(win)
+            # rightmost occurrence of the minimum
+            j = len(win) - 1 - win[::-1].index(mn)
+            positions.add(i + j)
+        sel = sorted(positions)
+        digest = hashlib.md5(
+            ",".join(str(hs[p]) for p in sel).encode()
+        ).hexdigest()
+        return (m, len(sel), digest)
+
+    for doc_id, text in texts.items():
+        assert got[doc_id] == model(text), doc_id
+    assert got[1] == got[5]  # identical text -> identical fingerprints
