@@ -330,23 +330,11 @@ WINNOW_W = 4  # winnowing window over consecutive k-gram hashes
 _WINNOW_P = (1 << 31) - 1
 
 
-def winnow_fingerprints(df, text_col: str = "text", id_col: str = "doc_id"):
-    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken 2003,
-    the MOSS algorithm): positional k-gram hashes, then from every
-    window of w consecutive hashes select the minimum (rightmost on
-    ties) — any match of length >= w + k - 1 tokens between two
-    documents is guaranteed to share a selected fingerprint, at ~2/(w+1)
-    the density of full k-gram sets. The local-similarity complement to
-    minhash (whole-doc resemblance) and simhash (whole-doc distance).
-
-    Pure array expressions, zero shuffle: per doc emits (n_grams,
-    n_fingerprints, winnow_digest) where the digest is md5 over the
-    position-ordered selected hashes — hash-comparable without shipping
-    fingerprint sets. Select the fingerprint ARRAY instead (same exprs)
-    to feed an explode + equi-join matcher at scale.
-    """
-    from pyspark.sql import functions as F  # local: df-level helper
-
+def _winnow_spark_exprs(text_col: str) -> tuple[str, str, str]:
+    """SQL-expression strings (hs, positions, fps) for winnowing: ``hs``
+    is built from ``text_col``; ``positions``/``fps`` reference a column
+    literally named ``hs``. Shared by the digest and the set forms so the
+    two can never drift."""
     k, w, p = WINNOW_K, WINNOW_W, _WINNOW_P
     hs = (
         f"CASE WHEN size(split({text_col}, ' ')) >= {k} THEN "
@@ -356,7 +344,6 @@ def winnow_fingerprints(df, text_col: str = "text", id_col: str = "doc_id"):
         f" % {p}) "
         "ELSE array() END"
     )
-    step1 = df.select(F.col(id_col), F.expr(hs).alias("hs"))
     # rightmost-minimum per window: position in the reversed slice is
     # 1-based from the right, so p = i + slice_len - that position
     sel = (
@@ -371,6 +358,28 @@ def winnow_fingerprints(df, text_col: str = "text", id_col: str = "doc_id"):
     fps = (
         f"transform({positions}, p -> element_at(hs, CAST(p AS INT)))"
     )
+    return hs, positions, fps
+
+
+def winnow_fingerprints(df, text_col: str = "text", id_col: str = "doc_id"):
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken 2003,
+    the MOSS algorithm): positional k-gram hashes, then from every
+    window of w consecutive hashes select the minimum (rightmost on
+    ties) — any match of length >= w + k - 1 tokens between two
+    documents is guaranteed to share a selected fingerprint, at ~2/(w+1)
+    the density of full k-gram sets. The local-similarity complement to
+    minhash (whole-doc resemblance) and simhash (whole-doc distance).
+
+    Pure array expressions, zero shuffle: per doc emits (n_grams,
+    n_fingerprints, winnow_digest) where the digest is md5 over the
+    position-ordered selected hashes — hash-comparable without shipping
+    fingerprint sets. ``winnow_fp_sets`` exposes the fingerprint VALUES
+    for the explode + equi-join matcher (operators/dedup.winnow_pairs).
+    """
+    from pyspark.sql import functions as F  # local: df-level helper
+
+    hs, positions, fps = _winnow_spark_exprs(text_col)
+    step1 = df.select(F.col(id_col), F.expr(hs).alias("hs"))
     return step1.select(
         F.col(id_col),
         F.expr("size(hs)").alias("n_grams"),
@@ -382,11 +391,23 @@ def winnow_fingerprints(df, text_col: str = "text", id_col: str = "doc_id"):
     )
 
 
-def sql_winnow_ctes(table: str = "documents", text: str = "text",
-                    id_col: str = "doc_id") -> str:
-    """DuckDB twin of winnow_fingerprints as CTEs: embed inside WITH and
-    select from ``winnowed`` (id, n_grams, n_fingerprints,
-    winnow_digest)."""
+def winnow_fp_sets(df, text_col: str = "text", id_col: str = "doc_id"):
+    """(id, fps array<bigint>): the DISTINCT winnowed fingerprint hash
+    values per document — the set form that feeds the explode +
+    equi-join candidate matcher. Same selection expressions as
+    winnow_fingerprints (shared builder), still zero shuffle."""
+    from pyspark.sql import functions as F  # local: df-level helper
+
+    hs, _positions, fps = _winnow_spark_exprs(text_col)
+    step1 = df.select(F.col(id_col), F.expr(hs).alias("hs"))
+    return step1.select(
+        F.col(id_col),
+        F.expr(f"array_distinct({fps})").alias("fps"),
+    )
+
+
+def _winnow_duckdb_exprs(table: str, text: str) -> tuple[str, str, str]:
+    """DuckDB twins of _winnow_spark_exprs (same contract)."""
     k, w, p = WINNOW_K, WINNOW_W, _WINNOW_P
     sp = f"string_split({text}, ' ')"
     hs = (
@@ -406,6 +427,15 @@ def sql_winnow_ctes(table: str = "documents", text: str = "text",
         f"list_sort(list_distinct(list_filter({sel}, p -> p IS NOT NULL)))"
     )
     fps = f"list_transform({positions}, p -> hs[CAST(p AS INT)])"
+    return hs, positions, fps
+
+
+def sql_winnow_ctes(table: str = "documents", text: str = "text",
+                    id_col: str = "doc_id") -> str:
+    """DuckDB twin of winnow_fingerprints as CTEs: embed inside WITH and
+    select from ``winnowed`` (id, n_grams, n_fingerprints,
+    winnow_digest)."""
+    hs, positions, fps = _winnow_duckdb_exprs(table, text)
     return f"""
     winnow_hashes AS (
         SELECT {id_col}, {hs} AS hs FROM {table}
@@ -416,6 +446,22 @@ def sql_winnow_ctes(table: str = "documents", text: str = "text",
                CAST(len({positions}) AS INT) AS n_fingerprints,
                md5(array_to_string(list_transform({fps},
                    x -> CAST(x AS VARCHAR)), ',')) AS winnow_digest
+        FROM winnow_hashes
+    )
+    """
+
+
+def sql_winnow_fp_ctes(table: str = "documents", text: str = "text",
+                       id_col: str = "doc_id") -> str:
+    """DuckDB twin of winnow_fp_sets as CTEs: embed inside WITH and
+    select from ``winnow_fps`` (id, fps list<bigint> distinct)."""
+    hs, _positions, fps = _winnow_duckdb_exprs(table, text)
+    return f"""
+    winnow_hashes AS (
+        SELECT {id_col}, {hs} AS hs FROM {table}
+    ),
+    winnow_fps AS (
+        SELECT {id_col}, list_distinct({fps}) AS fps
         FROM winnow_hashes
     )
     """

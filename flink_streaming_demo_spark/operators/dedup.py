@@ -557,9 +557,17 @@ def connected_components(
             F.col("u").alias("node"), F.col("v").alias("component")
         )
     for _ in range(max_iterations):
+        e_prev = e
         e = _small_star(_large_star(e)).localCheckpoint()
         cur = _checksum(e)
-        if cur == prev:
+        # Checksum equality is only a cheap prefilter: F.hash is
+        # deterministic, so a sum-of-hash collision between two distinct
+        # edge sets would be PERSISTENT for that input, not a transient
+        # fluke. Confirm the fixpoint exactly — both sides are .distinct()
+        # and the checksum already proved equal cardinality, so one-sided
+        # set difference suffices; the edge list is near-dup-pair sized,
+        # so the extra pass is cheap.
+        if cur == prev and e.exceptAll(e_prev).isEmpty():
             break
         prev = cur
     else:
@@ -734,4 +742,71 @@ def simhash64_neardup_pairs(
     return (
         cand.select("id_a", "id_b", hamming.alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+# --- Winnowing (MOSS) near-dup pairs -----------------------------------------
+
+#: Document-frequency cap for winnowed fingerprints, same role as
+#: MAX_SHINGLE_DF: a fingerprint selected by more than this many documents
+#: (boilerplate headers, license blocks) is dropped from candidate
+#: generation, bounding the equi-join fan-out per fingerprint.
+MAX_FINGERPRINT_DF = 64
+
+#: Minimum shared (non-stop) winnowed fingerprints for a candidate pair.
+WINNOW_MIN_SHARED = 3
+
+
+def winnow_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_shared: int = WINNOW_MIN_SHARED,
+    max_fp_df: int = MAX_FINGERPRINT_DF,
+) -> DataFrame:
+    """Candidate near-dup pairs from shared winnowed fingerprints — the
+    MOSS matching step the fingerprints exist for (Schleimer et al. 2003
+    §4: index the selected hashes, documents sharing many are candidate
+    local matches). Returns (id_a, id_b, n_shared) with id_a < id_b and
+    n_shared >= min_shared distinct shared fingerprints.
+
+    A third independent near-dup family beside minhash-LSH (whole-doc
+    resemblance) and simhash (whole-doc distance): winnowing guarantees
+    any shared run of >= w + k - 1 tokens yields a shared fingerprint, so
+    it catches LOCAL overlap (a copied paragraph inside an otherwise
+    different doc) that whole-doc signatures dilute away.
+
+    Scale shape: fingerprint selection is pure array expressions on the
+    scan (~2/(w+1) the density of full k-gram sets); the only shuffles
+    are the tiny stop-list groupBy (map-side partial agg, broadcast
+    anti-join back — a viral boilerplate fingerprint never reaches one
+    hot reducer) and the fingerprint equi-join, whose per-key fan-out is
+    capped at max_fp_df^2. Never all-pairs.
+    """
+    from flink_streaming_demo_spark.functions.text import winnow_fp_sets
+
+    fp = winnow_fp_sets(df, text_col, id_col).select(
+        F.col(id_col), F.explode("fps").alias("fp")
+    )
+    stop = (
+        fp.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") > max_fp_df)
+        .select("fp")
+    )
+    fp = fp.join(F.broadcast(stop), "fp", "left_anti")
+    a = fp.alias("a").hint("shuffle_hash")
+    b = fp.alias("b").hint("shuffle_hash")
+    return (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
     )

@@ -364,7 +364,7 @@ register(
                    AS kept_tokens
         FROM documents d JOIN fracs f USING (source)
         WHERE {_SQL_BUCKET.replace('doc_id', 'd.doc_id')}
-              < CAST(f.keep_frac * {sampling.HASH_MOD} AS BIGINT)
+              < CAST(FLOOR(f.keep_frac * {sampling.HASH_MOD}) AS BIGINT)
         GROUP BY d.source
     )
     SELECT f.source,

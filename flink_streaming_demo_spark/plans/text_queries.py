@@ -625,6 +625,36 @@ register(
 )
 
 
+def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS candidate pairs: docs sharing >= 3 distinct (non-stop)
+    winnowed fingerprints over the planted corpus. The local-overlap
+    near-dup family — see operators/dedup.winnow_pairs."""
+    return dedup.winnow_pairs(_planted_corpus(spark, sf_dir))
+
+
+register(
+    "dedup_winnow_pairs",
+    dedup_winnow_pairs,
+    f"""
+    WITH corpus AS ({_PLANTED_SQL}),
+    {TX.sql_winnow_fp_ctes('corpus')},
+    fp_all AS (
+        SELECT doc_id, unnest(fps) AS fp FROM winnow_fps
+    ),
+    fp AS (
+        SELECT doc_id, fp FROM fp_all
+        QUALIFY COUNT(*) OVER (PARTITION BY fp)
+                <= {dedup.MAX_FINGERPRINT_DF}
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
+    FROM fp a
+    JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    HAVING COUNT(*) >= {dedup.WINNOW_MIN_SHARED}
+    """,
+)
+
+
 # --- TF-IDF top terms ---------------------------------------------------------
 
 TFIDF_TOP_K = 3

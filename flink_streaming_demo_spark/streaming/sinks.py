@@ -144,20 +144,23 @@ class ParquetUpsertSink:
             # only safe when batch rows per key are identical
             return batch_df.dropDuplicates(self.key_cols)
         val_cols = [c for c in batch_df.columns if c not in self.key_cols]
-        # max_by skips rows whose ordering value is null — a key whose
-        # EVERY row has a null order would yield a null struct (null value
-        # columns). Fall back to the lexicographically greatest value
-        # tuple (Spark struct ordering, nulls smallest) — deterministic,
-        # and mirrored by InMemoryUpsertSink.
+        # Order by struct(order_col, value tuple): struct ordering is
+        # field-by-field with nulls smallest, so a non-null order beats a
+        # null one, a higher order wins, and TIED (or all-null) orders
+        # fall back to the lexicographically greatest value tuple — the
+        # exact winner rule InMemoryUpsertSink._beats implements. The
+        # ordering struct itself is never null, so max_by's null-skip
+        # behavior never engages.
         picked = batch_df.groupBy(*self.key_cols).agg(
             F.max_by(
-                F.struct(*[F.col(c) for c in val_cols]), F.col(self.order_col)
+                F.struct(*[F.col(c) for c in val_cols]),
+                F.struct(
+                    F.col(self.order_col).alias("__o"),
+                    *[F.col(c) for c in val_cols],
+                ),
             ).alias("__latest"),
-            F.max(
-                F.struct(*[F.col(c) for c in val_cols])
-            ).alias("__fallback"),
         )
-        latest = F.coalesce(F.col("__latest"), F.col("__fallback"))
+        latest = F.col("__latest")
         return picked.select(
             *self.key_cols,
             *[latest.getField(c).alias(c) for c in val_cols],

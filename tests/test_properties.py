@@ -133,3 +133,81 @@ def test_cap_per_group_matches_python_model(spark, rows, n, n_salts):
         for rank, (i, _) in enumerate(ordered[:n], start=1):
             want[i] = rank
     assert got == want
+
+
+def _winnow_fp_set(text: str) -> set[int]:
+    """Reference model of functions/text.winnow_fp_sets: rightmost-minimum
+    per window over md5 k-gram hashes, distinct selected values."""
+    import hashlib
+
+    from flink_streaming_demo_spark.functions.text import (
+        WINNOW_K,
+        WINNOW_W,
+        _WINNOW_P,
+    )
+
+    toks = text.split(" ")
+    if len(toks) < WINNOW_K:
+        return set()
+    hs = [
+        int(hashlib.md5(
+            " ".join(toks[i:i + WINNOW_K]).encode()
+        ).hexdigest()[:8], 16) % _WINNOW_P
+        for i in range(len(toks) - WINNOW_K + 1)
+    ]
+    positions = set()
+    for i in range(max(len(hs) - WINNOW_W + 1, 1)):
+        win = hs[i:i + WINNOW_W]
+        if not win:
+            continue
+        mn = min(win)
+        positions.add(i + len(win) - 1 - win[::-1].index(mn))
+    return {hs[p] for p in positions}
+
+
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["aa", "bb", "cc", "dd", "ee", "ff"]),
+            min_size=0,
+            max_size=12,
+        ),
+        max_size=12,
+    ),
+    min_shared=st.sampled_from([1, 2, 3]),
+    max_fp_df=st.sampled_from([3, 64]),
+)
+@settings(**_SETTINGS)
+def test_winnow_pairs_matches_brute_force(spark, docs, min_shared, max_fp_df):
+    """winnow_pairs (explode + DF cap + equi-join) must equal the
+    brute-force all-pairs count of shared (non-stop) fingerprint values —
+    the tiny vocabulary forces organic overlaps and viral fingerprints
+    that exercise the stop-list cap."""
+    texts = [" ".join(toks) for toks in docs]
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows or [(0, "x")], "doc_id long, text string")
+    if not rows:
+        df = df.filter("doc_id < 0")
+    got = {
+        (r.id_a, r.id_b): r.n_shared
+        for r in dedup.winnow_pairs(
+            df, min_shared=min_shared, max_fp_df=max_fp_df
+        ).collect()
+    }
+    sets = {i: _winnow_fp_set(t) for i, t in enumerate(texts)}
+    doc_freq: dict[int, int] = {}
+    for fps in sets.values():
+        for fp in fps:
+            doc_freq[fp] = doc_freq.get(fp, 0) + 1
+    kept = {
+        i: {fp for fp in fps if doc_freq[fp] <= max_fp_df}
+        for i, fps in sets.items()
+    }
+    want = {}
+    for a in kept:
+        for b in kept:
+            if a < b:
+                shared = len(kept[a] & kept[b])
+                if shared >= min_shared:
+                    want[(a, b)] = shared
+    assert got == want

@@ -17,6 +17,7 @@ Usage: python tools/coverage.py
 
 from __future__ import annotations
 
+import ast
 import glob
 import json
 import os
@@ -38,11 +39,44 @@ def _module_file(repo: str, mod: str) -> str | None:
     return None
 
 
-_IMPORT_RE = re.compile(
-    rf"^\s*(?:from\s+({PKG}[\w.]*)\s+import\s+([\w ,*]+)"
-    rf"|import\s+({PKG}[\w.]*))",
-    re.M,
-)
+def _module_imports(repo: str, mod: str, src: str) -> set[str]:
+    """Package-internal module names ``mod``'s source imports, via
+    ``ast.parse`` (a regex misses parenthesized multi-line import lists —
+    exactly the form long `from pkg import (a, b, ...)` blocks use, which
+    silently under-reported closure staleness)."""
+    deps: set[str] = set()
+
+    def _walk_module_level(body):
+        """Yield stmts reachable at import time: recurse into if/try
+        blocks but NOT function/class bodies — deferred function-local
+        imports (e.g. registry._load_all) are wiring, not semantics."""
+        for node in body:
+            yield node
+            if isinstance(node, (ast.If, ast.Try)):
+                for attr in ("body", "orelse", "finalbody"):
+                    yield from _walk_module_level(getattr(node, attr, []))
+                for h in getattr(node, "handlers", []):
+                    yield from _walk_module_level(h.body)
+
+    tree = ast.parse(src)
+    for node in _walk_module_level(tree.body):
+        if isinstance(node, ast.Import):
+            for a in node.names:
+                if a.name == PKG or a.name.startswith(PKG + "."):
+                    deps.add(a.name)
+        elif isinstance(node, ast.ImportFrom):
+            if node.level:
+                # relative import: resolve against mod's package
+                base = mod.split(".")[: -node.level]
+                module = ".".join(base + ([node.module] if node.module else []))
+            else:
+                module = node.module or ""
+            if module == PKG or module.startswith(PKG + "."):
+                deps.add(module)
+                # `from pkg.x import y` where y is a submodule
+                for a in node.names:
+                    deps.add(f"{module}.{a.name}")
+    return deps
 
 
 def import_closure(repo: str, mod: str, memo: dict[str, set[str]]) -> set[str]:
@@ -57,16 +91,7 @@ def import_closure(repo: str, mod: str, memo: dict[str, set[str]]) -> set[str]:
     files = {f}
     with open(os.path.join(repo, f)) as fh:
         src = fh.read()
-    deps: set[str] = set()
-    for m in _IMPORT_RE.finditer(src):
-        if m.group(1):
-            deps.add(m.group(1))
-            # `from pkg.x import y` where y is a submodule
-            for sym in m.group(2).split(","):
-                deps.add(f"{m.group(1)}.{sym.strip().split(' ')[0]}")
-        elif m.group(3):
-            deps.add(m.group(3))
-    for d in deps:
+    for d in _module_imports(repo, mod, src):
         files |= import_closure(repo, d, memo)
     memo[mod] = files
     return files
@@ -120,6 +145,11 @@ def main() -> int:
         if changed is None:
             return None
         closure = import_closure(repo, QUERIES[name].__module__, memo)
+        # registry.py is pure wiring (register() stores fn+sql; the
+        # per-round window list reorders registration) — its edits never
+        # change query semantics, and it changes every round by design,
+        # so counting it would mark the whole surface permanently stale.
+        closure = closure - {f"{PKG}/plans/registry.py"}
         return closure & changed
 
     never, red, weak, green = [], [], [], []
