@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from flink_streaming_demo_spark.functions import geo
+from flink_streaming_demo_spark.functions import geo, text as TX
 from flink_streaming_demo_spark.plans.taxi_apps import arrival_events
 
 
@@ -68,6 +68,43 @@ def streaming_session_counts(
         F.col("session_window.start").alias("session_start"),
         F.col("session_window.end").alias("session_end"),
         F.col("n_events"),
+    )
+
+
+def streaming_clean_corpus_front(
+    docs: DataFrame,
+    ts_col: str = "ingest_ts",
+    watermark_delay: str = "60 seconds",
+) -> DataFrame:
+    """Streaming front half of plans/text_queries.pipeline_clean_corpus:
+    the quality gate (SAME predicate as the batch pipeline — a stateless
+    filter on the stream) followed by exact content dedup via
+    ``dropDuplicatesWithinWatermark`` on the md5 text hash. Emits one
+    (text_hash, doc_id, n_tokens) row per new content hash; attach a
+    parquet upsert sink keyed by text_hash so a re-emission of a hash
+    whose first arrival fell OUTSIDE the watermark horizon merges
+    idempotently — the sink, not the engine, closes the
+    beyond-horizon-duplicate gap (the same division of labor as the
+    reference's upsert sinks, SURVEY §3.3).
+
+    Scale: state per key lives only one watermark horizon
+    (vs unbounded ``dropDuplicates``); quality filter and hashing are
+    map-only on the micro-batch. The back half (LSH near-dup + connected
+    components) needs global pairwise structure and stays a periodic
+    batch pass over the sink's table — the standard lambda split for
+    dedup at ingest.
+    """
+    n = TX.token_count(F.col("text"))
+    quality = docs.filter((n >= 5) & (TX.avg_token_len(F.col("text")) >= 2.0))
+    hashed = quality.withColumn("text_hash", F.md5("text"))
+    deduped = streaming_dedup(
+        hashed, ["text_hash"], ts_col=ts_col, watermark_delay=watermark_delay
+    )
+    return deduped.select(
+        "text_hash",
+        "doc_id",
+        F.col(ts_col),
+        TX.token_count(F.col("text")).alias("n_tokens"),
     )
 
 

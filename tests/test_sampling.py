@@ -176,3 +176,40 @@ def test_pack_greedy_bounds(spark):
         assert sum(toks) - cap < max(toks)
     # every doc appears exactly once
     assert sum(len(v) for v in bins.values()) == 50
+
+
+def test_length_quantiles_approx_within_rank_tolerance(spark, sf_dir):
+    """The approx_percentile scale path of source_length_quantiles must
+    land within its documented rank tolerance of the data: for each
+    (source, q) the returned value's rank interval must intersect
+    q*n +/- (n/accuracy + 1). The exact path stays the oracle-checked
+    default; this pins the swap-in path's contract."""
+    from flink_streaming_demo_spark.plans.sampling_queries import (
+        _APPROX_PCT_ACCURACY,
+        _QUANTILES,
+        source_length_quantiles,
+    )
+    from flink_streaming_demo_spark.schemas import load_table
+
+    approx = {
+        r["source"]: r.asDict()
+        for r in source_length_quantiles(spark, sf_dir, exact=False).collect()
+    }
+    lengths: dict[str, list[int]] = {}
+    for r in load_table(spark, sf_dir, "documents").select(
+        "source", "n_chars"
+    ).collect():
+        lengths.setdefault(r.source, []).append(r.n_chars)
+    assert set(approx) == set(lengths)
+    for source, vals in lengths.items():
+        vals.sort()
+        n = len(vals)
+        err = n / _APPROX_PCT_ACCURACY + 1
+        for q in _QUANTILES:
+            v = approx[source][f"p{int(q * 100)}_chars"]
+            count_lt = sum(1 for x in vals if x < v)
+            count_le = sum(1 for x in vals if x <= v)
+            # the value must actually occur in the group's data
+            assert count_le > count_lt, (source, q, v)
+            assert count_lt <= q * n + err, (source, q, v)
+            assert count_le >= q * n - err, (source, q, v)

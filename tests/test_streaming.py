@@ -653,3 +653,79 @@ def test_streaming_session_windows_equal_batch(spark):
         assert len(want) == 10  # 2 sessions x 5 users
     finally:
         shutil.rmtree(chunk_dir, ignore_errors=True)
+
+
+def test_streaming_clean_corpus_front_equals_batch(spark, sf_dir):
+    """The streaming front half of the clean-corpus pipeline (quality
+    gate + content-hash dedup within watermark + keyed parquet upsert)
+    must converge to the batch quality+exact-dedup result over jittered
+    out-of-order replay: one surviving row per distinct quality-passing
+    content hash, with matching token counts, and a doc_id that really
+    carries that content. (Which copy's doc_id survives is arrival-order
+    dependent by design — batch picks min id, streaming picks first
+    arrival — so the invariant is over content, not ids.)"""
+    import os
+
+    from flink_streaming_demo_spark.functions import text as TX
+    from flink_streaming_demo_spark.plans.text_queries import _planted_corpus
+    from flink_streaming_demo_spark.streaming.pipelines import (
+        streaming_clean_corpus_front,
+    )
+    from flink_streaming_demo_spark.streaming.sinks import ParquetUpsertSink
+
+    corpus = _planted_corpus(spark, sf_dir)
+    base_us = 1_700_000_000 * 1_000_000
+    docs = corpus.withColumn(
+        "ingest_ts",
+        F.timestamp_micros(
+            F.lit(base_us) + (F.col("doc_id") % 240) * F.lit(1_000_000)
+        ),
+    )
+    jittered = replay.with_delivery_jitter(
+        docs, ts_col="ingest_ts", max_delay_secs=60
+    )
+    chunk_dir = replay.write_replay_chunks(
+        jittered, n_chunks=6, order_col="delivery_ts"
+    )
+    store = tempfile.mkdtemp(prefix="clean_front_") + "/store"
+    sink = ParquetUpsertSink(store, ["text_hash"])
+    try:
+        stream = replay.read_replay_stream(
+            spark,
+            chunk_dir,
+            "doc_id long, text string, ingest_ts timestamp",
+            max_files_per_trigger=1,
+        )
+        q = write_update_stream(
+            streaming_clean_corpus_front(stream), sink, "clean_front",
+            "append",
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        got_rows = sink.read(spark).collect()
+        got = {r.text_hash: r.n_tokens for r in got_rows}
+        n = TX.token_count(F.col("text"))
+        quality = corpus.filter(
+            (n >= 5) & (TX.avg_token_len(F.col("text")) >= 2.0)
+        )
+        expected = {
+            r.text_hash: r.n_tokens
+            for r in quality.select(
+                F.md5("text").alias("text_hash"),
+                TX.token_count(F.col("text")).alias("n_tokens"),
+            ).distinct().collect()
+        }
+        assert len(got_rows) == len(got)  # one sink row per hash
+        assert got == expected
+        valid_pairs = {
+            (r.text_hash, r.doc_id)
+            for r in quality.select(
+                F.md5("text").alias("text_hash"), "doc_id"
+            ).collect()
+        }
+        assert all((r.text_hash, r.doc_id) in valid_pairs for r in got_rows)
+    finally:
+        shutil.rmtree(chunk_dir, ignore_errors=True)
+        shutil.rmtree(os.path.dirname(store), ignore_errors=True)
