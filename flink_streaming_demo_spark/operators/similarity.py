@@ -207,9 +207,10 @@ def embedding_neardup_pairs(
     df: DataFrame,
     threshold: float = 0.4,
     n_bands: int = 2,
-    bits_per_band: int = 3,
+    bits_per_band: int | None = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs via banded hyperplane-LSH blocking.
 
@@ -221,7 +222,27 @@ def embedding_neardup_pairs(
     N^2 for the naive cross join. Recall is tunable via (bands, bits) —
     e.g. cos 0.9 pairs collide with p ~ 0.87 at 2x3 bits; a production
     sweep would multi-probe or add bands for the last few points.
+
+    Scale controls (round-6 probe findings, BENCH_NOTES.md):
+
+    * The band join is id+key ONLY — embeddings re-attach to the deduped
+      candidate list via two id equi-joins afterwards. Carrying the
+      vectors through the band join multiplied shuffle bytes by the
+      band fan-out (measured 14.4 GB -> ~0.4 GB at 20k vectors).
+    * ``bits_per_band=None`` sizes the signature to the data:
+      ceil(log2(N / 64)) bits per band (>= 3), keeping expected bucket
+      size ~64 rows so candidates grow O(N), not O(N^2) — the knob a
+      fixed-width config lacks. Costs one driver-side count().
+    * ``max_bucket`` drops band-buckets larger than the cap before the
+      join (broadcast anti-join), the stop-shingle move: a bucket that
+      big means that band key does not discriminate — true near-dup
+      pairs still collide in the OTHER bands with high probability.
     """
+    if bits_per_band is None:
+        import math
+
+        n = df.count()
+        bits_per_band = max(3, math.ceil(math.log2(max(n, 2) / 64.0)))
     total_bits = n_bands * bits_per_band
     sig = lsh_hyperplane_signature(vec_col, total_bits)
     band_keys = F.transform(
@@ -234,15 +255,19 @@ def embedding_neardup_pairs(
             ),
         ),
     )
-    sides = df.select(
-        F.col(id_col),
-        F.col(vec_col),
-        l2_norm(F.col(vec_col)).alias("nrm"),
-        F.explode(band_keys).alias("bk"),
-    )
+    # Narrow band rows: id + band key only (vectors re-attach post-dedup).
+    sides = df.select(F.col(id_col), F.explode(band_keys).alias("bk"))
+    if max_bucket is not None:
+        viral = (
+            sides.groupBy("bk")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") > max_bucket)
+            .select("bk")
+        )
+        sides = sides.join(F.broadcast(viral), "bk", "left_anti")
     a = sides.alias("a").hint("shuffle_hash")
     b = sides.alias("b").hint("shuffle_hash")
-    cand = (
+    cand_ids = (
         a.join(
             b,
             (F.col("a.bk") == F.col("b.bk"))
@@ -251,12 +276,28 @@ def embedding_neardup_pairs(
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.col(f"a.{vec_col}").alias("vec_a"),
-            F.col(f"b.{vec_col}").alias("vec_b"),
-            F.col("a.nrm").alias("norm_a"),
-            F.col("b.nrm").alias("norm_b"),
         )
         .dropDuplicates(["id_a", "id_b"])
+    )
+    vecs = df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        l2_norm(F.col(vec_col)).alias("nrm"),
+    )
+    cand = cand_ids.join(
+        vecs.select(
+            F.col(id_col).alias("id_a"),
+            F.col(vec_col).alias("vec_a"),
+            F.col("nrm").alias("norm_a"),
+        ),
+        "id_a",
+    ).join(
+        vecs.select(
+            F.col(id_col).alias("id_b"),
+            F.col(vec_col).alias("vec_b"),
+            F.col("nrm").alias("norm_b"),
+        ),
+        "id_b",
     )
     return cand.select(
         "id_a",

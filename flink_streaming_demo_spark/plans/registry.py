@@ -49,71 +49,64 @@ def _load_all() -> None:
 # Policy: everything that CHANGED this round and everything NOT checked
 # last round goes inside the window; only queries that are byte-unchanged
 # AND were driver-green in at least the two preceding rounds may rotate
-# out the back. Round 5 note: the schemas.py nano-timestamp hotfix is in
-# EVERY query's import closure (`python tools/coverage.py` flags all 74
-# as changed-since-r4), so the byte-unchanged clause cannot hold for
-# anything this round; the full surface was re-proven by local parity
-# (tools/parity.py, 75/75 at sf0.001) and the window prioritizes by risk:
-#   * the 2 NEW queries (dedup_clusters, sim_ivf_kmeans),
-#   * the 4 plans that materially changed (pipeline_clean_corpus now
-#     drops per cluster, text_quality_scores grew repetition columns,
-#     sample_source_cap / sample_pack_bins got two-level plans),
-#   * the 4 queries the TIMESTAMP_NTZ regression actually broke (their
-#     green depends on the schemas.py fix),
-#   * ALL 24 queries last checked in r3 (two rounds stale: star_*,
-#     tpch_more, the TPC-H classics, sim_ivf_topk),
-#   * then every other query whose module (not just schemas.py) changed
-#     this round (text/dedup/sampling/vector modules), minus the entries
-#     whose changed-module coverage their in-window siblings already
-#     exercise (lang_id_scores, doc_fingerprints, text_token_counts,
-#     embedding_stats, doc_simhash, multimodal_features,
-#     label_centroid_distance — the last three displaced by the three
-#     late-round NEW queries, which outrank a green refresh).
-# Rotated out (29): taxi (7 of 8) + events (7 of 8) + 9 tpch_rest + the
-# displaced projections + star_customers_without_orders — every one
-# green in CORRECTNESS_r04 with no closure change beyond schemas.py /
-# an untouched sibling path, re-proven by local parity
-# (tools/parity.py) this round.
-_ROUND5_WINDOW = [
-    # new this round (8)
-    "dedup_clusters", "sim_ivf_kmeans", "tfidf_top_terms",
-    "sample_stratified", "source_length_quantiles",
-    "text_chunk_documents", "sample_mixture_rebalance",
-    "doc_winnow_fingerprints",
-    # materially changed plans (4)
-    "pipeline_clean_corpus", "text_quality_scores",
-    "sample_source_cap", "sample_pack_bins",
-    # broken-then-fixed by the NTZ normalization (4)
-    "events_sessionization", "taxi_ride_durations",
-    "taxi_early_arrival_fires", "taxi_early_arrival_final",
-    # last checked r3 — two rounds stale (24)
-    "tpch_q1_pricing_summary", "tpch_q3_shipping_priority",
-    "tpch_q5_local_supplier_volume", "tpch_q6_revenue_forecast",
-    "tpch_q7_volume_shipping", "tpch_q8_market_share",
-    "tpch_q10_returned_items", "tpch_q13_customer_distribution",
-    "tpch_q14_promo_revenue", "tpch_q15_top_supplier",
-    "tpch_q17_small_quantity", "tpch_q18_large_volume_customer",
-    "tpch_q19_discounted_revenue",
-    "star_rollup_order_priority", "star_cube_returnflag",
-    "star_grouping_sets", "star_customers_with_urgent_orders",
-    "star_topk_orders_per_segment", "star_lineitem_window_functions",
-    "star_distinct_part_supp", "star_set_operations",
-    "star_scalar_functions", "star_date_functions", "sim_ivf_topk",
-    # changed-module coverage: text/dedup (7 — exact_survivors' path is
-    # covered by exact_groups + pipeline_clean_corpus in-window)
-    "dedup_exact_groups", "dedup_minhash_lsh",
-    "dedup_ngram_jaccard", "dedup_simhash",
-    "dedup_simhash64", "text_redact_pii", "decon_eval_overlap",
-    # (sampling module coverage now comes from the four in-window
-    # sampling queries above; hash_split/mixture_stats paths are
-    # untouched this round and their green r4 checks stand)
-    # changed-module coverage: vector (3)
-    "sim_topk_cosine", "sim_ann_lsh", "dedup_embedding_neardup",
+# out the back. Round 6 priority (the r5 verdict's top ask): ALL 32
+# queries last checked in r4 come back in (two rounds stale — taxi 5,
+# events 6, the 9 r4-window tpch_rest classics + q21 + q22 +
+# star_customers_without_orders, the displaced text/vector projections,
+# hash_split/mixture_stats, and the rows-only approx_distinct). The
+# remaining 18 slots go to this round's churn:
+#   * the NEW query (dedup_winnow_pairs) and its sibling
+#     doc_winnow_fingerprints (the winnow expressions were refactored
+#     into a shared builder this round),
+#   * sample_mixture_rebalance (its ORACLE changed: FLOOR on the keep
+#     threshold) and source_length_quantiles (exact/approx knob),
+#   * every query with operators/dedup.py in its closure
+#     (connected_components fixpoint change): dedup_clusters,
+#     pipeline_clean_corpus, dedup_exact_groups, dedup_minhash_lsh,
+#     dedup_ngram_jaccard, dedup_simhash, dedup_simhash64,
+#     decon_eval_overlap,
+#   * remaining sampling_queries.py module churn: sample_source_cap,
+#     sample_pack_bins, sample_stratified,
+#   * text_queries.py module churn not already covered above:
+#     text_quality_scores, tfidf_top_terms, text_chunk_documents.
+# Rotated out (33, all r5-green with this round's closure churn limited
+# to the shared modules their in-window siblings exercise, re-proven by
+# local parity tools/parity.py at sf0.001 this round): the 13 TPC-H
+# classics, the 10 star_* built-in exercises, sim_ivf_topk/kmeans,
+# sim_topk_cosine, sim_ann_lsh, dedup_embedding_neardup,
+# events_sessionization, taxi_ride_durations, taxi_early_arrival_*,
+# dedup_clusters' sibling text_redact_pii.
+_ROUND6_WINDOW = [
+    # last checked r4 — two rounds stale (32)
+    "taxi_end_events", "taxi_cell_centers", "taxi_total_arrival_count",
+    "taxi_sliding_arrival_count", "taxi_trip_etl",
+    "events_hourly_counts", "events_asof_latest_order",
+    "events_pivot_type_counts", "events_user_type_arrays",
+    "events_value_stats", "events_json_props",
+    "events_approx_distinct_users",
+    "tpch_q2_min_cost_supplier", "tpch_q4_order_priority",
+    "tpch_q9_product_profit", "tpch_q11_important_stock",
+    "tpch_q12_ship_speed", "tpch_q16_parts_supplier",
+    "tpch_q20_excess_supply", "tpch_q21_waiting_orders",
+    "tpch_q22_global_sales_opportunity",
+    "star_customers_without_orders",
+    "embedding_stats", "label_centroid_distance",
+    "dedup_exact_survivors", "doc_simhash", "text_token_counts",
+    "lang_id_scores", "doc_fingerprints", "multimodal_features",
+    "sample_hash_split", "sample_mixture_stats",
+    # new + changed this round (18)
+    "dedup_winnow_pairs", "doc_winnow_fingerprints",
+    "sample_mixture_rebalance", "source_length_quantiles",
+    "dedup_clusters", "pipeline_clean_corpus",
+    "dedup_exact_groups", "dedup_minhash_lsh", "dedup_ngram_jaccard",
+    "dedup_simhash", "dedup_simhash64", "decon_eval_overlap",
+    "sample_source_cap", "sample_pack_bins", "sample_stratified",
+    "text_quality_scores", "tfidf_top_terms", "text_chunk_documents",
 ]
 
 
 def _apply_window_order() -> None:
-    ordered = {n: QUERIES[n] for n in _ROUND5_WINDOW if n in QUERIES}
+    ordered = {n: QUERIES[n] for n in _ROUND6_WINDOW if n in QUERIES}
     ordered.update({n: f for n, f in QUERIES.items() if n not in ordered})
     QUERIES.clear()
     QUERIES.update(ordered)

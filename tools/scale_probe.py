@@ -1,0 +1,247 @@
+"""One-off scale probe (NOT part of bench.py's HEADLINE): measure how the
+most expensive dedup/pipeline queries scale from sf0.1 to ~10x the data.
+
+The testdata ships sf0.1 as its largest scale, so the probe DERIVES a 10x
+dataset from sf0.1 deterministically (perf-only data — correctness stays
+pinned to the driver's tables + DuckDB oracles):
+
+* ``documents`` — 10 copies; copy k>0 shifts doc_id by k*10M and rewrites
+  every token to ``<token><k>``. Token/char counts are preserved (quality
+  filters see the same distribution) while the copies are SHINGLE-DISJOINT,
+  so near-dup structure per copy matches sf0.1 exactly and a
+  scale-invariant blocking scheme must produce ~10x the candidate pairs —
+  any super-linear growth is the operator's own collision behavior, not an
+  artifact of duplicated data.
+* ``embeddings`` — 10 copies; copy k>0 shifts vec_id, cyclically rotates
+  the components by k, and sign-flips a hash(i, k)-selected half: norms
+  (and thus per-copy geometry) are preserved, cross-copy cosines
+  decorrelate. Sign flips ALONE are not enough: same-cluster vectors
+  have positive component products (v_i*w_i ≈ v_i^2), so random-sign
+  sums keep a fat tail above the near-dup threshold — measured as ~41k
+  spurious cross-copy pairs before the rotation was added; the rotation
+  misaligns the products and kills the tail.
+* ``orders``/``lineitem`` — 10 copies with orderkey shifted by k*100M;
+  dimension tables (supplier, nation) stay fixed, so per-supplier fact
+  fan-in grows 10x — the realistic shape of a fact-table scale-up.
+
+Per query it reports wall seconds (2nd run, same convention as bench.py),
+result rows (for pair queries: the candidate-pair count the LSH bound is
+about), and shuffle read/write bytes from the executor totals.
+
+Usage: python tools/scale_probe.py [--base /root/testdata/sf0.1]
+                                   [--out /tmp/spark_graft_scale/sf1.0x]
+                                   [--mult 10]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+PROBE_QUERIES = [
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_simhash64",
+    "dedup_embedding_neardup",
+    "embedding_neardup_sized",
+    "tpch_q21_waiting_orders",
+    "pipeline_clean_corpus",
+]
+
+_DOC_SHIFT = 10_000_000
+_ORDER_SHIFT = 100_000_000
+
+
+def generate(spark, base: str, out: str, mult: int) -> None:
+    from pyspark.sql import functions as F
+
+    from flink_streaming_demo_spark.schemas import load_table
+
+    os.makedirs(out, exist_ok=True)
+
+    def done(name: str) -> bool:
+        return os.path.exists(os.path.join(out, f"{name}.parquet"))
+
+    def write(df, name: str, n_files: int) -> None:
+        df.repartition(n_files).write.mode("overwrite").parquet(
+            os.path.join(out, f"{name}.parquet")
+        )
+
+    if not done("documents"):
+        docs = load_table(spark, base, "documents")
+        copies = [docs]
+        for k in range(1, mult):
+            copies.append(
+                docs.withColumn(
+                    "doc_id", F.col("doc_id") + F.lit(k * _DOC_SHIFT)
+                ).withColumn(
+                    # every token gets a per-copy suffix: same token/char
+                    # stats, disjoint shingle space across copies
+                    "text",
+                    F.regexp_replace(F.col("text"), r"(\S+)", rf"$1{k}"),
+                )
+            )
+        from functools import reduce
+
+        write(reduce(lambda a, b: a.unionByName(b), copies), "documents", 8)
+
+    if not done("embeddings"):
+        emb = load_table(spark, base, "embeddings")
+        copies = [emb]
+        for k in range(1, mult):
+            copies.append(
+                emb.withColumn(
+                    "vec_id", F.col("vec_id") + F.lit(k * _DOC_SHIFT)
+                ).withColumn(
+                    "embedding",
+                    F.expr(
+                        # rotate by k, then hash-sign-flip (see docstring)
+                        f"transform(concat(slice(embedding, {k + 1}, "
+                        f"size(embedding) - {k}), "
+                        f"slice(embedding, 1, {k})), "
+                        "(x, i) -> CASE WHEN "
+                        f"pmod(hash(i, {k}), 2) = 0 THEN -x ELSE x END)"
+                    ),
+                )
+            )
+        from functools import reduce
+
+        write(reduce(lambda a, b: a.unionByName(b), copies), "embeddings", 8)
+
+    for name, key, n_files in (
+        ("orders", "o_orderkey", 16),
+        ("lineitem", "l_orderkey", 32),
+    ):
+        if done(name):
+            continue
+        t = load_table(spark, base, name)
+        copies = [t]
+        for k in range(1, mult):
+            copies.append(
+                t.withColumn(key, F.col(key) + F.lit(k * _ORDER_SHIFT))
+            )
+        from functools import reduce
+
+        write(reduce(lambda a, b: a.unionByName(b), copies), name, n_files)
+
+    # fixed dimensions + tables the probe queries don't touch: plain copy
+    for name in ("region", "nation", "customer", "supplier", "part",
+                 "events"):
+        dst = os.path.join(out, f"{name}.parquet")
+        if not os.path.exists(dst):
+            shutil.copyfile(os.path.join(base, f"{name}.parquet"), dst)
+
+
+def shuffle_totals(spark) -> tuple[int, int]:
+    store = spark.sparkContext._jsc.sc().statusStore()
+    ex = store.executorList(False)
+    r = w = 0
+    for i in range(ex.size()):
+        s = ex.apply(i)
+        r += s.totalShuffleRead()
+        w += s.totalShuffleWrite()
+    return r, w
+
+
+def _probe_callables() -> dict:
+    import __spark_entry__ as entry_mod
+
+    qs = dict(entry_mod.queries())
+
+    def neardup_sized(spark, sf_dir):
+        """The documented scale configuration of embedding near-dup:
+        data-sized bits (expected bucket ~64 rows, so candidates grow
+        O(N)) + 4 bands to hold recall + viral-bucket cap."""
+        from flink_streaming_demo_spark.operators import similarity as SIM
+        from flink_streaming_demo_spark.schemas import load_table
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        return SIM.embedding_neardup_pairs(
+            emb, threshold=0.4, n_bands=4, bits_per_band=None,
+            max_bucket=1024,
+        )
+
+    qs["embedding_neardup_sized"] = neardup_sized
+    return qs
+
+
+def probe(spark, sf_dir: str) -> dict[str, dict]:
+    qs = _probe_callables()
+    out: dict[str, dict] = {}
+    for name in PROBE_QUERIES:
+        qs[name](spark, sf_dir).count()  # warmup (codegen, worker spin-up)
+        r0, w0 = shuffle_totals(spark)
+        t0 = time.perf_counter()
+        rows = qs[name](spark, sf_dir).count()
+        wall = time.perf_counter() - t0
+        r1, w1 = shuffle_totals(spark)
+        out[name] = {
+            "wall_sec": round(wall, 3),
+            "rows": rows,
+            "shuffle_read_mb": round((r1 - r0) / 1e6, 2),
+            "shuffle_write_mb": round((w1 - w0) / 1e6, 2),
+        }
+        print(f"  {name}: {out[name]}", file=sys.stderr)
+    return out
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--base", default="/root/testdata/sf0.1")
+    ap.add_argument("--out", default="/tmp/spark_graft_scale/sf1.0x")
+    ap.add_argument("--mult", type=int, default=10)
+    args = ap.parse_args()
+
+    from flink_streaming_demo_spark.session import get_spark
+
+    # 12g driver heap: the default local-mode 1g fits the sf0.1 bench but
+    # not the 10x probe's biggest shuffles (simhash collision pair lists).
+    # On a real cluster this is ordinary executor sizing, not a plan fix.
+    spark = get_spark(
+        "scale-probe",
+        extra_conf={
+            "spark.driver.memory": "12g",
+            "spark.ui.showConsoleProgress": "false",
+        },
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    print("generating derived scale data ...", file=sys.stderr)
+    generate(spark, args.base, args.out, args.mult)
+
+    print(f"probing {args.base} ...", file=sys.stderr)
+    small = probe(spark, args.base)
+    print(f"probing {args.out} (x{args.mult}) ...", file=sys.stderr)
+    big = probe(spark, args.out)
+
+    report = {
+        "base": args.base,
+        "scaled": args.out,
+        "mult": args.mult,
+        "queries": {
+            name: {
+                "base": small[name],
+                "scaled": big[name],
+                "wall_ratio": round(
+                    big[name]["wall_sec"] / max(small[name]["wall_sec"], 1e-9),
+                    2,
+                ),
+                "rows_ratio": round(
+                    big[name]["rows"] / max(small[name]["rows"], 1), 2
+                ),
+            }
+            for name in PROBE_QUERIES
+        },
+    }
+    print(json.dumps(report))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
