@@ -745,6 +745,36 @@ def simhash64_neardup_pairs(
     )
 
 
+def drop_neardup_clusters(
+    df: DataFrame,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Remove near-duplicate documents transitively: MinHash-LSH candidate
+    pairs -> connected components -> keep ONE doc (the min id) per
+    cluster. The back half of the clean-corpus pipeline, factored out so
+    the batch pipeline (plans/text_queries.pipeline_clean_corpus) and the
+    periodic compaction pass over a streaming ingest store
+    (streaming/pipelines.streaming_clean_corpus_front's sink) share one
+    implementation.
+
+    Scale: the pair list is LSH-bounded, CC runs over pairs only
+    (O(log n) star rounds, localCheckpointed), and the final removal is a
+    left_anti against the small non-survivor set. Idempotent: survivors
+    contain no qualifying pair (any such pair would have joined its docs
+    into one cluster), so a second pass is a no-op.
+    """
+    near = minhash_lsh_pairs(
+        df, text_col=text_col, id_col=id_col, threshold=threshold
+    )
+    labels = connected_components(near)
+    drop = labels.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias(id_col)
+    )
+    return df.join(drop, id_col, "left_anti")
+
+
 # --- Winnowing (MOSS) near-dup pairs -----------------------------------------
 
 #: Document-frequency cap for winnowed fingerprints, same role as

@@ -424,17 +424,12 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     survivors = dedup.exact_dedup(quality).repartition(
         spark.sparkContext.defaultParallelism, "doc_id"
     )
-    near_pairs = dedup.minhash_lsh_pairs(
-        survivors, threshold=PIPE_NEARDUP_EST
-    )
     # per-CLUSTER drop, not per-pair: A~B, B~C keeps exactly one of
     # {A, B, C} (connected_components checkpoints the pair list before
     # iterating, so the LSH subtree runs once, not once per CC round)
-    labels = dedup.connected_components(near_pairs)
-    drop = labels.filter(F.col("node") != F.col("component")).select(
-        F.col("node").alias("doc_id")
+    clean = dedup.drop_neardup_clusters(
+        survivors, threshold=PIPE_NEARDUP_EST
     )
-    clean = survivors.join(drop, "doc_id", "left_anti")
     return clean.select(
         "doc_id",
         TX.token_count(F.col("text")).alias("n_tokens"),

@@ -105,7 +105,29 @@ def streaming_clean_corpus_front(
         "doc_id",
         F.col(ts_col),
         TX.token_count(F.col("text")).alias("n_tokens"),
+        # text rides along so the periodic batch back half
+        # (clean_corpus_compact) can compute near-dup signatures over
+        # the store without a second pass at the raw source
+        "text",
     )
+
+
+def clean_corpus_compact(store_docs: DataFrame,
+                         threshold: float = 0.5) -> DataFrame:
+    """The periodic batch back half over the streaming ingest store:
+    transitive near-dup removal (MinHash-LSH -> connected components ->
+    one survivor per cluster) via the SAME operator the batch pipeline
+    uses (operators/dedup.drop_neardup_clusters). Quality filtering and
+    exact dedup already happened at ingest (streaming_clean_corpus_front),
+    so compaction touches only content-distinct survivors — the standard
+    lambda split: per-record decisions stream, global pairwise structure
+    batches. Idempotent, so it can run on any cadence over the live
+    store."""
+    from flink_streaming_demo_spark.operators.dedup import (
+        drop_neardup_clusters,
+    )
+
+    return drop_neardup_clusters(store_docs, threshold=threshold)
 
 
 def streaming_total_arrival_count(rides: DataFrame) -> DataFrame:

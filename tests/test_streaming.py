@@ -373,6 +373,40 @@ def test_upsert_sinks_agree_when_all_orders_null(spark):
     assert got_mem == got_pq == {(7, ts): 10, (9, ts): 7}
 
 
+def test_upsert_sinks_agree_on_tied_nonnull_orders(spark):
+    """TIED non-null ordering values must resolve identically (greatest
+    value tuple) in BOTH sinks — the parquet sink orders max_by on
+    struct(order_col, values), the in-memory sink's _beats falls through
+    to the value-tuple compare; a bare max_by(values, order_col) would
+    pick an arbitrary row on ties."""
+    from flink_streaming_demo_spark.streaming.sinks import ParquetUpsertSink
+
+    ts = datetime(2024, 3, 1, 10, 15, 0)
+    schema = "cell int, window_end timestamp, fire_seq int, cnt int"
+    batch = spark.createDataFrame(
+        [(7, ts, 2, 10), (7, ts, 2, 40), (7, ts, 2, 25), (8, ts, 1, 5)],
+        schema,
+    )
+    mem = InMemoryUpsertSink(["cell", "window_end"], order_col="fire_seq")
+    mem.foreach_batch(batch, 0)
+    got_mem = {
+        (d["cell"], d["window_end"]): d["cnt"] for d in mem.snapshot()
+    }
+
+    d = tempfile.mkdtemp(prefix="upsert_")
+    try:
+        pq = ParquetUpsertSink(
+            d + "/kv", ["cell", "window_end"], order_col="fire_seq"
+        )
+        pq.foreach_batch(batch, 0)
+        got_pq = {
+            (r.cell, r.window_end): r.cnt for r in pq.read(spark).collect()
+        }
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    assert got_mem == got_pq == {(7, ts): 40, (8, ts): 5}
+
+
 def test_parquet_upsert_sink_premeta_layout_inference(spark):
     """Reopening a store whose meta file is missing must still reject an
     n_buckets smaller than what the bucket dir names prove, and warn
@@ -726,6 +760,34 @@ def test_streaming_clean_corpus_front_equals_batch(spark, sf_dir):
             ).collect()
         }
         assert all((r.text_hash, r.doc_id) in valid_pairs for r in got_rows)
+
+        # Back half: periodic compaction over the live store must leave
+        # exactly as many survivors as the batch pipeline on the same
+        # corpus (the cluster partition is a function of the TEXT set,
+        # which streaming and batch dedup agree on — which copy's doc_id
+        # represents a cluster is arrival-order dependent), and no
+        # qualifying near-dup pair may remain among survivors.
+        from flink_streaming_demo_spark.operators.dedup import (
+            minhash_lsh_pairs,
+        )
+        from flink_streaming_demo_spark.plans.text_queries import (
+            PIPE_NEARDUP_EST,
+            pipeline_clean_corpus,
+        )
+        from flink_streaming_demo_spark.streaming.pipelines import (
+            clean_corpus_compact,
+        )
+
+        compacted = clean_corpus_compact(
+            sink.read(spark), threshold=PIPE_NEARDUP_EST
+        ).cache()
+        assert compacted.count() == pipeline_clean_corpus(
+            spark, sf_dir
+        ).count()
+        assert (
+            minhash_lsh_pairs(compacted, threshold=PIPE_NEARDUP_EST).count()
+            == 0
+        )
     finally:
         shutil.rmtree(chunk_dir, ignore_errors=True)
         shutil.rmtree(os.path.dirname(store), ignore_errors=True)
