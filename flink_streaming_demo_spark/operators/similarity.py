@@ -545,3 +545,83 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "score")
     )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_cluster: int | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication: cluster-then-dedup.
+
+    Not in the reference (no embedding surface there); north-star brief
+    tier "embedding-cosine near-dup", cluster-scoped variant following
+    the SemDeDup recipe (Abbas et al. 2023, arXiv:2303.09540): assign
+    every vector to its nearest centroid, compare pairs ONLY within a
+    cluster, and drop every vector that has a lower-id cluster-mate with
+    cosine >= threshold (the lowest id in each semantic group survives).
+
+    Returns the DROPPED rows: (id_col, centroid_id, dup_of, cos_sim)
+    where dup_of is the smallest cluster-mate id above threshold and
+    cos_sim its rounded cosine (ties on id order are impossible: dup_of
+    is unique per dropped id).
+
+    100 TB shape: the quadratic term is bounded by the cluster size, not
+    the corpus — candidates ~ N * E[cluster] with k centroids chosen
+    ~ N / target_cluster_size, so cost stays linear in N at a fixed
+    target cluster size. Centroids broadcast (k rows); the pair stage is
+    a self equi-join on centroid_id (one shuffle, AQE skew-split
+    applies); ``max_cluster`` drops clusters larger than the cap before
+    the join (the stop-shingle/viral-bucket move — a cluster that big
+    means the centroid does not discriminate; tighten k instead).
+    """
+    assigned = assign_to_centroids(corpus, centroids, 1, id_col, vec_col)
+    if max_cluster is not None:
+        viral = (
+            assigned.groupBy("centroid_id")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") > max_cluster)
+            .select("centroid_id")
+        )
+        assigned = assigned.join(F.broadcast(viral), "centroid_id", "left_anti")
+    a = assigned.select(
+        F.col("centroid_id"),
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("vec_a"),
+        F.col("nrm").alias("norm_a"),
+    )
+    b = assigned.select(
+        F.col("centroid_id"),
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vec_b"),
+        F.col("nrm").alias("norm_b"),
+    )
+    pairs = (
+        a.join(b, "centroid_id")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "centroid_id",
+            "id_a",
+            "id_b",
+            F.round(
+                dot(F.col("vec_a"), F.col("vec_b"))
+                / (F.col("norm_a") * F.col("norm_b")),
+                6,
+            ).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+    w = Window.partitionBy("id_b").orderBy(F.asc("id_a"))
+    return (
+        pairs.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            F.col("id_b").alias(id_col),
+            "centroid_id",
+            F.col("id_a").alias("dup_of"),
+            "cos_sim",
+        )
+    )

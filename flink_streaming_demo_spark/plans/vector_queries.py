@@ -440,3 +440,72 @@ register(
     FROM ranked WHERE rank <= {TOP_K}
     """,
 )
+
+
+# --- SemDeDup: cluster-then-dedup semantic deduplication ---------------------
+
+SEMDEDUP_THRESHOLD = 0.4
+
+
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (cluster-scoped embedding near-dup, Abbas et al. 2023):
+    train centroids with the engine's Lloyd k-means (3 iterations, the
+    sim_ivf_kmeans trajectory), assign each vector to its nearest
+    centroid, and drop every vector with a lower-id cluster-mate at
+    cosine >= threshold. Composes the two proven pieces — the k-means
+    trajectory oracle and the rounded-cosine pair stage — into the
+    pipeline the paper actually runs; the oracle replays both, so the
+    cluster boundary effects (near-dups split across clusters are NOT
+    candidates) are hash-checked too, not idealized away."""
+    emb = t(spark, sf_dir, "embeddings")
+    seeds = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding")
+    )
+    cent = SIM.kmeans_centroids(emb, seeds, n_iterations=KMEANS_ITERS)
+    return SIM.semantic_dedup(emb, cent, threshold=SEMDEDUP_THRESHOLD)
+
+
+register(
+    "dedup_semantic",
+    dedup_semantic,
+    f"""
+    WITH {SIM.sql_kmeans_cents(N_CENTROIDS, KMEANS_ITERS, DIMS)},
+    cent AS (
+        SELECT centroid_id, cvec AS c_vec FROM cent{KMEANS_ITERS}
+    ),
+    assigned AS (
+        SELECT vec_id, embedding, nrm, centroid_id
+        FROM (
+            SELECT e.vec_id, e.embedding,
+                   {SIM.sql_l2_norm('e.embedding', DIMS)} AS nrm,
+                   centroid_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY ROUND({SIM.sql_cosine('e.embedding', 'c_vec',
+                                                      DIMS)}, 6) DESC,
+                                centroid_id ASC
+                   ) AS c_rank
+            FROM embeddings e CROSS JOIN cent
+        ) WHERE c_rank = 1
+    ),
+    pairs AS (
+        SELECT a.centroid_id,
+               a.vec_id AS id_a, b.vec_id AS id_b,
+               ROUND({SIM.sql_dot('a.embedding', 'b.embedding', DIMS)}
+                     / (a.nrm * b.nrm), 6) AS cos_sim
+        FROM assigned a
+        JOIN assigned b
+          ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+    ),
+    hits AS (
+        SELECT * FROM pairs WHERE cos_sim >= {SEMDEDUP_THRESHOLD}
+    )
+    SELECT id_b AS vec_id, centroid_id, id_a AS dup_of, cos_sim
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY id_b ORDER BY id_a ASC
+        ) AS _rn
+        FROM hits
+    ) WHERE _rn = 1
+    """,
+)

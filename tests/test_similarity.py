@@ -116,3 +116,71 @@ def test_kmeans_empty_cell_keeps_previous_centroid(spark):
     assert len(cent) == 2
     assert cent[99] == [-1.0, 0.0]  # untouched
     assert abs(cent[0][0] - 0.99) < 2e-6  # mean of the three x's
+
+
+def _semdedup_fixture(spark):
+    """Two well-separated directions with planted duplicates: cluster X
+    = {0, 10, 11, 12} near (1,0,0), cluster Y = {1, 20, 21, 30} near
+    (0,1,0); 30 is a Y-cluster member below the dup threshold, planted
+    to verify non-dup cluster-mates survive."""
+    rows = [
+        (0, [1.0, 0.0, 0.0]),    # centroid seed for X-direction
+        (1, [0.0, 1.0, 0.0]),    # centroid seed for Y-direction
+        (10, [1.0, 0.01, 0.0]),
+        (11, [0.99, 0.0, 0.01]),   # semantic dup of 10
+        (12, [1.0, 0.02, 0.01]),   # semantic dup of 10 (and 11)
+        (20, [0.0, 1.0, 0.02]),
+        (21, [0.01, 0.99, 0.0]),   # semantic dup of 20
+        (30, [0.0, 0.55, 0.84]),   # Y cluster, but cos < threshold
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_semantic_dedup_drops_within_cluster_dups(spark):
+    df = _semdedup_fixture(spark)
+    cents = df.filter("vec_id < 2").select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    out = SIM.semantic_dedup(df, cents, threshold=0.95)
+    got = {r.vec_id: r for r in out.collect()}
+    # Lowest id per semantic group survives; later members point at it.
+    # Seeds 0 and 1 are corpus members AND each group's minimum.
+    assert set(got) == {10, 11, 12, 20, 21}
+    assert got[10].dup_of == 0
+    assert got[11].dup_of == 0
+    assert got[12].dup_of == 0
+    assert got[20].dup_of == 1
+    assert got[21].dup_of == 1
+    assert 30 not in got           # below threshold: survives
+    assert 0 not in got and 1 not in got   # group minima survive
+
+
+def test_semantic_dedup_cluster_boundary_blocks_pairs(spark):
+    # Two near-identical vectors forced into DIFFERENT clusters are not
+    # candidates — the documented SemDeDup approximation.
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [0.0, 1.0]),
+        (10, [0.72, 0.69]),   # nearest: centroid 0
+        (11, [0.69, 0.72]),   # nearest: centroid 1; cos(10,11) ~ 0.998
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = df.filter("vec_id < 2").select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    out = SIM.semantic_dedup(
+        df.filter("vec_id >= 10"), cents, threshold=0.9
+    )
+    assert out.count() == 0
+
+
+def test_semantic_dedup_max_cluster_cap(spark):
+    df = _semdedup_fixture(spark)
+    cents = df.filter("vec_id < 2").select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    # Both clusters hold 4 members; a cap of 3 skips them entirely,
+    # a cap of 4 changes nothing vs the uncapped run.
+    assert SIM.semantic_dedup(df, cents, 0.95, max_cluster=3).count() == 0
+    capped = SIM.semantic_dedup(df, cents, 0.95, max_cluster=4)
+    assert {r.vec_id for r in capped.collect()} == {10, 11, 12, 20, 21}
