@@ -909,3 +909,168 @@ register(
     HAVING COUNT(*) >= {_DECON_THRESHOLD}
     """,
 )
+
+
+# --- Unigram log-prob quality score (perplexity proxy) ------------------------
+
+def unigram_logprob(docs: DataFrame) -> DataFrame:
+    """Per-document average negative log-probability under the corpus's
+    own unigram LM — the cheap perplexity proxy of a quality-filter
+    stage (a KenLM stand-in that needs no model artifact): documents of
+    rare/erratic tokens score high, boilerplate scores low.
+
+    Plan shape: one explode -> (doc, token) tf with map-side partial
+    combine; the unigram table is a groupBy over that (token cardinality
+    = vocab, tiny vs corpus); corpus total is a 1-row broadcast. The
+    scoring join is tf x unigram on token — the unigram side broadcasts
+    until vocab outgrows the threshold, after which AQE's skew-split
+    handles hot stop-words. Linear in corpus size, no all-pairs stage.
+    """
+    tf = (
+        docs.select(
+            "doc_id", F.explode(TX.tokens(F.col("text"))).alias("token")
+        )
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    unigram = tf.groupBy("token").agg(F.sum("tf").alias("cnt"))
+    total = unigram.agg(F.sum("cnt").alias("total"))
+    return (
+        tf.join(unigram, "token")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            F.round(
+                F.sum(
+                    F.col("tf").cast("double")
+                    * -F.log(
+                        F.col("cnt").cast("double")
+                        / F.col("total").cast("double")
+                    )
+                )
+                / F.sum("tf").cast("double"),
+                6,
+            ).alias("avg_neg_logp"),
+        )
+    )
+
+
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return unigram_logprob(
+        t(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+
+
+register(
+    "text_unigram_logprob",
+    text_unigram_logprob,
+    """
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, token, COUNT(*) AS tf
+        FROM tok GROUP BY doc_id, token
+    ),
+    unigram AS (
+        SELECT token, SUM(tf) AS cnt FROM tf GROUP BY token
+    ),
+    tot AS (SELECT SUM(cnt) AS total FROM unigram)
+    SELECT doc_id,
+           SUM(tf) AS n_tokens,
+           ROUND(
+               SUM(CAST(tf AS DOUBLE)
+                   * -ln(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE)))
+               / CAST(SUM(tf) AS DOUBLE), 6) AS avg_neg_logp
+    FROM tf JOIN unigram USING (token) CROSS JOIN tot
+    GROUP BY doc_id
+    """,
+)
+
+
+# --- Repeated n-gram spans (exact substring-duplication signal) ---------------
+
+SPAN_N = 8
+
+
+def repeated_ngram_spans(corpus: DataFrame, n: int = SPAN_N) -> DataFrame:
+    """Token n-gram spans occurring in >= 2 distinct documents — the
+    repeated-substring signal of exact-substring dedup (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better", at
+    word-gram granularity): a span shared across documents is
+    memorization fuel; the count ranks boilerplate.
+
+    Per span: n_docs (distinct docs), n_occurrences (total, including
+    within-doc repeats), first_doc (lowest doc id). Spans are NOT
+    distinct-ed per doc, so within-doc repetition counts — that is what
+    distinguishes this from the shingle-set ops (minhash/jaccard).
+
+    100 TB shape: explode -> two partial-aggregated groupBys keyed by
+    the gram string — pure count aggregation, no pair join, so a viral
+    boilerplate gram costs one skewed reduce key (AQE-split) rather than
+    a quadratic blowup; output is bounded by the distinct-gram count.
+    """
+    toks = TX.tokens(F.col("text"))
+    starts = F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1))
+    grams = F.transform(
+        starts, lambda i: F.concat_ws(" ", F.slice(toks, i, n))
+    )
+    guarded = F.when(F.size(toks) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+    per_doc = (
+        corpus.select("doc_id", F.explode(guarded).alias("gram"))
+        .groupBy("gram", "doc_id")
+        .agg(F.count(F.lit(1)).alias("occ"))
+    )
+    return (
+        per_doc.groupBy("gram")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("occ").alias("n_occurrences"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .select(
+            F.md5(F.col("gram")).alias("gram_hash"),
+            "n_docs",
+            "n_occurrences",
+            "first_doc",
+        )
+    )
+
+
+def dedup_repeated_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return repeated_ngram_spans(_planted_corpus(spark, sf_dir))
+
+
+register(
+    "dedup_repeated_ngrams",
+    dedup_repeated_ngrams,
+    f"""
+    WITH corpus AS ({_PLANTED_SQL}),
+    grams AS (
+        SELECT doc_id,
+               unnest(list_transform(
+                   generate_series(1,
+                       len(string_split(text, ' ')) - {SPAN_N - 1}),
+                   i -> array_to_string(
+                       string_split(text, ' ')[i:i+{SPAN_N - 1}], ' ')))
+                   AS gram
+        FROM corpus
+    ),
+    per_doc AS (
+        SELECT gram, doc_id, COUNT(*) AS occ
+        FROM grams GROUP BY gram, doc_id
+    )
+    SELECT md5(gram) AS gram_hash,
+           COUNT(*) AS n_docs,
+           SUM(occ) AS n_occurrences,
+           MIN(doc_id) AS first_doc
+    FROM per_doc
+    GROUP BY gram
+    HAVING COUNT(*) >= 2
+    """,
+)

@@ -161,3 +161,35 @@ def test_dedup_clusters_one_survivor_per_chain(spark):
     }
     n_survivors = sum(1 for _, s in rows.values() if s)
     assert n_survivors == 2  # one per cluster: {1,2,3} and {4}
+
+
+def test_repeated_ngram_spans_counts(spark):
+    """Cross-doc 4-grams are reported with doc/occurrence counts;
+    single-doc and sub-length spans are not."""
+    from flink_streaming_demo_spark.plans.text_queries import (
+        repeated_ngram_spans,
+    )
+    import hashlib
+
+    shared = "a b c d"
+    docs = spark.createDataFrame(
+        [
+            (0, "a b c d x y z w"),       # shared once
+            (1, "q a b c d a b c d"),     # shared twice (within-doc repeat)
+            (2, "u v w x"),               # no overlap with others
+            (3, "a b c"),                 # too short for 4-grams
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.gram_hash: r for r in repeated_ngram_spans(docs, n=4).collect()
+    }
+    key = hashlib.md5(shared.encode()).hexdigest()
+    assert key in out
+    assert out[key].n_docs == 2
+    assert out[key].n_occurrences == 3
+    assert out[key].first_doc == 0
+    # "b c d a" etc. appear only inside doc 1 -> excluded (n_docs < 2)
+    only_cross_doc = all(r.n_docs >= 2 for r in out.values())
+    assert only_cross_doc
+    assert hashlib.md5(b"u v w x").hexdigest() not in out

@@ -75,3 +75,30 @@ def test_winnow_fingerprints_match_python_model(spark):
     for doc_id, text in texts.items():
         assert got[doc_id] == model(text), doc_id
     assert got[1] == got[5]  # identical text -> identical fingerprints
+
+
+def test_unigram_logprob_orders_rare_above_common(spark):
+    """A doc of corpus-rare tokens must out-score a doc of the corpus's
+    dominant token, and every score is a positive mean of -ln p."""
+    import math
+
+    from flink_streaming_demo_spark.plans.text_queries import (
+        unigram_logprob,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "the the the the"),        # dominant token only
+            (1, "the the qux zephyr"),     # half rare
+            (2, "qux zephyr vortex glyph"),  # all singletons
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in unigram_logprob(docs).collect()}
+    assert all(got[i].n_tokens == 4 for i in got)
+    assert got[0].avg_neg_logp < got[1].avg_neg_logp < got[2].avg_neg_logp
+    # Exact check: counts over the 12-token corpus are the=6,
+    # qux=zephyr=2, vortex=glyph=1.
+    assert abs(got[0].avg_neg_logp - (-math.log(0.5))) < 1e-6
+    expected2 = (2 * -math.log(2 / 12) + 2 * -math.log(1 / 12)) / 4
+    assert abs(got[2].avg_neg_logp - expected2) < 1e-6
