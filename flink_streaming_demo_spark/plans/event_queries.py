@@ -406,3 +406,82 @@ register(
     GROUP BY event_type
     """,
 )
+
+
+# --- Interval join (click -> error within horizon) ---------------------------
+
+INTERVAL_HORIZON = "5 minutes"
+
+
+def error_after_click(clicks: DataFrame, errors: DataFrame) -> DataFrame:
+    """Interval join: every (click, error) pair of the same user where
+    the error lands in (click_ts, click_ts + 5 minutes]. The join SURVEY
+    §2.10 says the reference's two-event design invites but never does —
+    expressed Spark-first: an equi-join on user_id plus an event-time
+    range predicate, which is also exactly the stream-stream-join form
+    Structured Streaming accepts (watermark both sides + time-range
+    condition bounds the join state; see streaming/pipelines.py).
+
+    100 TB shape: the user_id equi-key shuffles both sides once
+    (co-partitioned sort-merge); the range predicate prunes inside each
+    key group, so cost is sum over users of clicks_u x errors_u in the
+    horizon — never a cross join. micros_after is integer microseconds
+    (exact on both engines; no float time arithmetic)."""
+    c = clicks.select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    e = errors.select(
+        F.col("user_id").alias("e_user"),
+        F.col("event_id").alias("error_id"),
+        F.col("ts").alias("error_ts"),
+    )
+    return (
+        c.join(
+            e,
+            (F.col("user_id") == F.col("e_user"))
+            & (F.col("error_ts") > F.col("click_ts"))
+            & (
+                F.col("error_ts")
+                <= F.col("click_ts") + F.expr(f"INTERVAL {INTERVAL_HORIZON}")
+            ),
+        )
+        .select(
+            "user_id",
+            "click_id",
+            "error_id",
+            (
+                F.unix_micros("error_ts") - F.unix_micros("click_ts")
+            ).alias("micros_after"),
+        )
+    )
+
+
+def events_error_after_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    return error_after_click(
+        ev.filter(F.col("event_type") == "click"),
+        ev.filter(F.col("event_type") == "error"),
+    )
+
+
+register(
+    "events_error_after_click",
+    events_error_after_click,
+    """
+    SELECT
+        c.user_id,
+        c.event_id AS click_id,
+        e.event_id AS error_id,
+        epoch_us(CAST(e.ts AS TIMESTAMP))
+            - epoch_us(CAST(c.ts AS TIMESTAMP)) AS micros_after
+    FROM events c
+    JOIN events e
+      ON c.user_id = e.user_id
+     AND CAST(e.ts AS TIMESTAMP) > CAST(c.ts AS TIMESTAMP)
+     AND CAST(e.ts AS TIMESTAMP)
+         <= CAST(c.ts AS TIMESTAMP) + INTERVAL 5 MINUTE
+    WHERE c.event_type = 'click' AND e.event_type = 'error'
+    """,
+)

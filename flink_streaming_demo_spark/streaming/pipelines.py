@@ -173,3 +173,26 @@ def streaming_sliding_arrival_count(
         geo.cell_center_lat(F.col("cell")).alias("center_lat"),
         F.col("cnt"),
     )
+
+
+def streaming_error_after_click(
+    clicks: DataFrame,
+    errors: DataFrame,
+    watermark_delay: str = "60 seconds",
+) -> DataFrame:
+    """Stream-stream interval join: the batch error_after_click plan
+    (plans/event_queries.py) applied to two watermarked streams. The
+    time-range condition (error in (click, click + horizon]) is what
+    lets Structured Streaming bound both join-state buffers: a click
+    older than watermark - horizon can never match a future error and
+    is evicted; matches emit as they are found (inner join, append).
+    One state-store shuffle on user_id — the same exchange the batch
+    sort-merge join performs."""
+    from flink_streaming_demo_spark.plans.event_queries import (
+        error_after_click,
+    )
+
+    return error_after_click(
+        clicks.withWatermark("ts", watermark_delay),
+        errors.withWatermark("ts", watermark_delay),
+    )

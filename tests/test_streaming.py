@@ -791,3 +791,67 @@ def test_streaming_clean_corpus_front_equals_batch(spark, sf_dir):
     finally:
         shutil.rmtree(chunk_dir, ignore_errors=True)
         shutil.rmtree(os.path.dirname(store), ignore_errors=True)
+
+
+def test_streaming_interval_join_equals_batch(spark):
+    """Stream-stream interval join (click -> error within 5 min, same
+    user) must emit exactly the batch join's pairs over chunked replay."""
+    from flink_streaming_demo_spark.plans.event_queries import (
+        error_after_click,
+    )
+    from flink_streaming_demo_spark.streaming.pipelines import (
+        streaming_error_after_click,
+    )
+
+    schema = "event_id long, ts timestamp, user_id long, event_type string"
+    base = datetime(2024, 3, 1, 9, 0, 0)
+    rows = []
+    eid = 0
+    for u in range(4):
+        # click at t0; errors at +1 min (match), +4 min (match),
+        # +6 min (outside horizon), error at -1 min (before click)
+        t0 = base + timedelta(minutes=10 * u)
+        rows += [
+            (eid, t0, u, "click"),
+            (eid + 1, t0 + timedelta(minutes=1), u, "error"),
+            (eid + 2, t0 + timedelta(minutes=4), u, "error"),
+            (eid + 3, t0 + timedelta(minutes=6), u, "error"),
+            (eid + 4, t0 - timedelta(minutes=1), u, "error"),
+        ]
+        eid += 5
+    # cross-user: user 0's click must not match user 1's error
+    df = spark.createDataFrame(rows, schema)
+    chunk_dir = replay.write_replay_chunks(df, n_chunks=3, order_col="ts")
+    try:
+        clicks = replay.read_replay_stream(spark, chunk_dir, schema).filter(
+            F.col("event_type") == "click"
+        )
+        errors = replay.read_replay_stream(spark, chunk_dir, schema).filter(
+            F.col("event_type") == "error"
+        )
+        q = (
+            streaming_error_after_click(clicks, errors)
+            .writeStream.format("memory")
+            .queryName("ij_t")
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        got = {
+            (r.user_id, r.click_id, r.error_id, r.micros_after)
+            for r in spark.table("ij_t").collect()
+        }
+        want = {
+            (r.user_id, r.click_id, r.error_id, r.micros_after)
+            for r in error_after_click(
+                df.filter(F.col("event_type") == "click"),
+                df.filter(F.col("event_type") == "error"),
+            ).collect()
+        }
+        assert got == want
+        assert len(want) == 8  # 2 in-horizon errors x 4 users
+    finally:
+        shutil.rmtree(chunk_dir, ignore_errors=True)
