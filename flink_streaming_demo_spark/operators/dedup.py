@@ -840,3 +840,82 @@ def winnow_pairs(
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
+
+
+def source_overlap_matrix(
+    df: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+    min_tokens: int = SHINGLE_N,
+    max_shingle_sources: int | None = None,
+) -> DataFrame:
+    """Pairwise cross-source shingle-overlap matrix: for every source
+    pair (a < b), how many distinct n-gram shingles they share and the
+    overlap coefficient |A∩B| / min(|A|,|B|) — the mixture-audit view of
+    decontamination (which corpora leak into each other), feeding the
+    dedup/mixture stages with WHERE to look.
+
+    100 TB shape: documents reduce to distinct (source, shingle) rows
+    first (partial-agg absorbs within-source repeats), so join input is
+    vocabulary-sized, not corpus-sized; the self equi-join on shingle
+    fans out as sum over shingles of k_s^2 with k_s = sources containing
+    the shingle — bounded by ``max_shingle_sources`` (drop shingles in
+    more than that many sources BEFORE the join: boilerplate present
+    everywhere ranks every pair equally and says nothing). Output is
+    |sources|^2/2 rows — tiny at any corpus scale.
+    """
+    sh = (
+        df.select(F.col(source_col).alias("src"), F.col(text_col))
+        .filter(F.size(tokens(F.col(text_col))) >= min_tokens)
+        .select(
+            "src", F.explode(shingles(F.col(text_col))).alias("shingle")
+        )
+        .distinct()
+    )
+    if max_shingle_sources is not None:
+        viral = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") > max_shingle_sources)
+            .select("shingle")
+        )
+        sh = sh.join(F.broadcast(viral), "shingle", "left_anti")
+    sizes = sh.groupBy("src").agg(F.count(F.lit(1)).alias("n_shingles"))
+    a = sh.select(F.col("src").alias("source_a"), "shingle")
+    b = sh.select(F.col("src").alias("source_b"), "shingle")
+    shared = (
+        a.join(b, "shingle")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return (
+        shared.join(
+            F.broadcast(
+                sizes.select(
+                    F.col("src").alias("source_a"),
+                    F.col("n_shingles").alias("n_a"),
+                )
+            ),
+            "source_a",
+        )
+        .join(
+            F.broadcast(
+                sizes.select(
+                    F.col("src").alias("source_b"),
+                    F.col("n_shingles").alias("n_b"),
+                )
+            ),
+            "source_b",
+        )
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared",
+            F.round(
+                F.col("n_shared").cast("double")
+                / F.least("n_a", "n_b").cast("double"),
+                6,
+            ).alias("overlap_coef"),
+        )
+    )

@@ -1074,3 +1074,56 @@ register(
     HAVING COUNT(*) >= 2
     """,
 )
+
+
+# --- Cross-source overlap matrix ---------------------------------------------
+
+_OVERLAP_MAX_SOURCES = 6
+
+
+def decon_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise source shingle-overlap matrix with the stop-shingle cap:
+    shingles present in more than 6 of the 20 sources are boilerplate
+    and excluded before the pair join (operators/dedup.py
+    source_overlap_matrix for the scale analysis)."""
+    docs = t(spark, sf_dir, "documents").select("source", "text")
+    return dedup.source_overlap_matrix(
+        docs, max_shingle_sources=_OVERLAP_MAX_SOURCES
+    )
+
+
+register(
+    "decon_source_overlap",
+    decon_source_overlap,
+    f"""
+    WITH sh AS (
+        SELECT DISTINCT source AS src,
+               unnest({dedup.sql_shingles('text')}) AS shingle
+        FROM documents
+        WHERE len(string_split(text, ' ')) >= {dedup.SHINGLE_N}
+    ),
+    kept AS (
+        SELECT src, shingle FROM sh
+        WHERE shingle IN (
+            SELECT shingle FROM sh GROUP BY shingle
+            HAVING COUNT(*) <= {_OVERLAP_MAX_SOURCES}
+        )
+    ),
+    sizes AS (
+        SELECT src, COUNT(*) AS n_shingles FROM kept GROUP BY src
+    ),
+    shared AS (
+        SELECT a.src AS source_a, b.src AS source_b, COUNT(*) AS n_shared
+        FROM kept a JOIN kept b
+          ON a.shingle = b.shingle AND a.src < b.src
+        GROUP BY a.src, b.src
+    )
+    SELECT source_a, source_b, n_shared,
+           ROUND(CAST(n_shared AS DOUBLE)
+                 / CAST(LEAST(sa.n_shingles, sb.n_shingles) AS DOUBLE), 6)
+               AS overlap_coef
+    FROM shared
+    JOIN sizes sa ON sa.src = source_a
+    JOIN sizes sb ON sb.src = source_b
+    """,
+)

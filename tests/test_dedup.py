@@ -193,3 +193,36 @@ def test_repeated_ngram_spans_counts(spark):
     only_cross_doc = all(r.n_docs >= 2 for r in out.values())
     assert only_cross_doc
     assert hashlib.md5(b"u v w x").hexdigest() not in out
+
+
+def test_source_overlap_matrix_counts_and_cap(spark):
+    from flink_streaming_demo_spark.operators.dedup import (
+        source_overlap_matrix,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            ("A", "w x y z"),        # shingles: "w x y", "x y z"
+            ("B", "w x y q"),        # shares "w x y" with A
+            ("C", "p q r s"),        # no overlap with A/B
+            ("D", "w x y z"),        # identical to A
+        ],
+        "source string, text string",
+    )
+    out = {
+        (r.source_a, r.source_b): r
+        for r in source_overlap_matrix(docs).collect()
+    }
+    assert out[("A", "B")].n_shared == 1
+    assert out[("A", "D")].n_shared == 2
+    assert out[("A", "D")].overlap_coef == 1.0
+    assert ("A", "C") not in out and ("B", "C") not in out
+    # "w x y" lives in 3 sources; cap 2 removes it -> only A-D overlap
+    # survives (via "x y z").
+    capped = {
+        (r.source_a, r.source_b): r.n_shared
+        for r in source_overlap_matrix(
+            docs, max_shingle_sources=2
+        ).collect()
+    }
+    assert capped == {("A", "D"): 1}
