@@ -1127,3 +1127,124 @@ register(
     JOIN sizes sb ON sb.src = source_b
     """,
 )
+
+
+# --- Chunk-level near-dup (partial-document duplication) ----------------------
+
+_CHUNK_UID_BASE = 100
+
+
+def dedup_chunk_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs at CHUNK granularity: split the
+    planted corpus into the 64/8 chunks (text_chunk_documents) and run
+    the minhash banding over chunks instead of whole documents — the
+    partial-duplication detector whole-doc minhash structurally misses
+    (a page that embeds one plagiarized section dilutes its doc-level
+    Jaccard below any sane threshold; the chunk pair still scores ~1).
+
+    Output (doc_a, chunk_a, doc_b, chunk_b, est_jaccard), cross-doc
+    pairs only (within-doc chunk overlap is by construction — the 8
+    shared tokens — and is excluded). 100 TB shape: identical to
+    doc-level minhash (explode -> codegen MIN sigs -> banded equi-join)
+    with ~corpus_tokens/56 units; the chunk fan-out multiplies rows, not
+    the join complexity — banding still bounds candidates.
+    """
+    corpus = _planted_corpus(spark, sf_dir)
+    chunks = (
+        corpus.select("doc_id", F.split("text", " ").alias("toks"))
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(1, greatest(size(toks) - "
+                    f"{CHUNK_OVERLAP}, 1), {_CHUNK_STRIDE}), "
+                    f"s -> slice(toks, s, {CHUNK_TOKENS}))"
+                )
+            ).alias("chunk_idx", "chunk_toks"),
+        )
+        .select(
+            (F.col("doc_id") * _CHUNK_UID_BASE + F.col("chunk_idx")).alias(
+                "chunk_uid"
+            ),
+            F.concat_ws(" ", "chunk_toks").alias("text"),
+        )
+    )
+    pairs = dedup.minhash_lsh_pairs(chunks, id_col="chunk_uid")
+    base = F.lit(_CHUNK_UID_BASE)
+    return (
+        pairs.withColumn("doc_a", (F.col("id_a") / base).cast("bigint"))
+        .withColumn("doc_b", (F.col("id_b") / base).cast("bigint"))
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .select(
+            "doc_a",
+            (F.col("id_a") % base).cast("int").alias("chunk_a"),
+            "doc_b",
+            (F.col("id_b") % base).cast("int").alias("chunk_b"),
+            "est_jaccard",
+        )
+    )
+
+
+register(
+    "dedup_chunk_minhash",
+    dedup_chunk_minhash,
+    f"""
+    WITH corpus AS ({_PLANTED_SQL}),
+    toks AS (
+        SELECT doc_id, string_split(text, ' ') AS sp FROM corpus
+    ),
+    starts AS (
+        SELECT doc_id, sp,
+               unnest(generate_series(1,
+                   greatest(len(sp) - {CHUNK_OVERLAP}, 1),
+                   {_CHUNK_STRIDE})) AS start_pos
+        FROM toks
+    ),
+    chunks AS (
+        SELECT doc_id * {_CHUNK_UID_BASE}
+                   + (ROW_NUMBER() OVER (
+                          PARTITION BY doc_id ORDER BY start_pos
+                      ) - 1) AS chunk_uid,
+               array_to_string(
+                   sp[start_pos : start_pos + {CHUNK_TOKENS - 1}], ' ')
+                   AS text
+        FROM starts
+    ),
+    sigs AS (
+        SELECT
+            chunk_uid,
+            {dedup.sql_minhash_signature(dedup.sql_shingles('text'))} AS sig
+        FROM chunks
+        WHERE len(string_split(text, ' ')) >= {dedup.SHINGLE_N}
+    ),
+    banded AS (
+        SELECT chunk_uid, sig,
+               unnest({dedup.sql_lsh_band_keys('sig')}) AS band_key
+        FROM sigs
+    ),
+    cand AS (
+        SELECT DISTINCT
+            a.chunk_uid AS id_a, b.chunk_uid AS id_b,
+            a.sig AS sig_a, b.sig AS sig_b
+        FROM banded a
+        JOIN banded b
+          ON a.band_key = b.band_key AND a.chunk_uid < b.chunk_uid
+    ),
+    scored AS (
+        SELECT id_a, id_b,
+            ROUND(CAST(list_sum(list_transform(
+                generate_series(1, {dedup.N_HASHES}),
+                j -> CASE WHEN sig_a[j] = sig_b[j] THEN 1 ELSE 0 END))
+                AS DOUBLE) / {float(dedup.N_HASHES)}, 6) AS est_jaccard
+        FROM cand
+    )
+    SELECT id_a // {_CHUNK_UID_BASE} AS doc_a,
+           CAST(id_a % {_CHUNK_UID_BASE} AS INT) AS chunk_a,
+           id_b // {_CHUNK_UID_BASE} AS doc_b,
+           CAST(id_b % {_CHUNK_UID_BASE} AS INT) AS chunk_b,
+           est_jaccard
+    FROM scored
+    WHERE est_jaccard >= 0.5
+      AND id_a // {_CHUNK_UID_BASE} <> id_b // {_CHUNK_UID_BASE}
+    """,
+)

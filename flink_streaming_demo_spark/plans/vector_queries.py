@@ -509,3 +509,88 @@ register(
     ) WHERE _rn = 1
     """,
 )
+
+
+# --- Scalar int8 quantization (storage/ANN compression) ----------------------
+
+def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 scalar quantization audit: scale =
+    max|x|/127, q_i = floor(x_i/scale + 0.5) (explicit floor form so
+    every IEEE engine rounds identically — no reliance on the engine's
+    round-half mode), then report the reconstruction quality per vector
+    (max abs error and cosine between original and dequantized). This is
+    the compression step a 100 TB ANN index runs before storage: 4x
+    smaller vectors, candidate scan on int8, exact rerank on the
+    original floats — the audit columns are what you monitor to pick the
+    quantization config. Pure array expressions; map-only, no shuffle.
+    """
+    emb = t(spark, sf_dir, "embeddings")
+    with_q = (
+        emb.select(
+            "vec_id",
+            F.transform(
+                F.col("embedding"), lambda v: v.cast("double")
+            ).alias("x"),
+        )
+        .withColumn(
+            "scale",
+            F.array_max(F.transform(F.col("x"), F.abs)) / F.lit(127.0),
+        )
+        .withColumn(
+            "deq",
+            F.transform(
+                F.col("x"),
+                lambda v: F.floor(v / F.col("scale") + F.lit(0.5)).cast(
+                    "double"
+                )
+                * F.col("scale"),
+            ),
+        )
+    )
+    return with_q.select(
+        "vec_id",
+        F.round("scale", 6).alias("scale"),
+        F.round(
+            F.array_max(
+                F.zip_with("x", "deq", lambda a, b: F.abs(a - b))
+            ),
+            6,
+        ).alias("max_abs_err"),
+        F.round(
+            SIM.dot(F.col("x"), F.col("deq"))
+            / (SIM.l2_norm(F.col("x")) * SIM.l2_norm(F.col("deq"))),
+            6,
+        ).alias("cos_recon"),
+    )
+
+
+register(
+    "embedding_quantize",
+    embedding_quantize,
+    f"""
+    WITH base AS (
+        SELECT vec_id,
+               list_transform(embedding, v -> CAST(v AS DOUBLE)) AS x
+        FROM embeddings
+    ),
+    scaled AS (
+        SELECT vec_id, x,
+               list_max(list_transform(x, v -> abs(v))) / 127.0 AS scale
+        FROM base
+    ),
+    quant AS (
+        SELECT vec_id, x, scale,
+               list_transform(x, v -> floor(v / scale + 0.5) * scale)
+                   AS deq
+        FROM scaled
+    )
+    SELECT vec_id,
+           ROUND(scale, 6) AS scale,
+           ROUND(list_max(list_transform(generate_series(1, {DIMS}),
+                 i -> abs(x[i] - deq[i]))), 6) AS max_abs_err,
+           ROUND({SIM.sql_dot('x', 'deq', DIMS)}
+                 / ({SIM.sql_l2_norm('x', DIMS)}
+                    * {SIM.sql_l2_norm('deq', DIMS)}), 6) AS cos_recon
+    FROM quant
+    """,
+)

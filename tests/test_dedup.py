@@ -226,3 +226,54 @@ def test_source_overlap_matrix_counts_and_cap(spark):
         ).collect()
     }
     assert capped == {("A", "D"): 1}
+
+
+def test_chunk_minhash_catches_partial_dup_doc_level_misses(spark):
+    """A doc embedding one copied 64-token section of another scores
+    below the doc-level Jaccard threshold, but the chunk pair hits
+    est_jaccard 1.0 — run both ops over the same two docs."""
+    from pyspark.sql import functions as F
+
+    from flink_streaming_demo_spark.operators.dedup import (
+        minhash_lsh_pairs,
+    )
+    from flink_streaming_demo_spark.plans.text_queries import (
+        CHUNK_OVERLAP,
+        CHUNK_TOKENS,
+        _CHUNK_STRIDE,
+    )
+
+    section = " ".join(f"s{i}" for i in range(CHUNK_TOKENS))
+    filler = " ".join(f"u{i}" for i in range(3 * _CHUNK_STRIDE))
+    docs = spark.createDataFrame(
+        [(1, section), (2, filler + " " + section)],
+        "doc_id long, text string",
+    )
+    assert minhash_lsh_pairs(docs).count() == 0  # doc level: no pair
+
+    chunks = (
+        docs.select("doc_id", F.split("text", " ").alias("toks"))
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(1, greatest(size(toks) - "
+                    f"{CHUNK_OVERLAP}, 1), {_CHUNK_STRIDE}), "
+                    f"s -> slice(toks, s, {CHUNK_TOKENS}))"
+                )
+            ).alias("chunk_idx", "chunk_toks"),
+        )
+        .select(
+            (F.col("doc_id") * 100 + F.col("chunk_idx")).alias("chunk_uid"),
+            F.concat_ws(" ", "chunk_toks").alias("text"),
+        )
+    )
+    hits = minhash_lsh_pairs(chunks, id_col="chunk_uid").filter(
+        (F.col("id_a") / 100).cast("bigint")
+        != (F.col("id_b") / 100).cast("bigint")
+    )
+    got = hits.collect()
+    assert any(
+        r.id_a == 100 and r.id_b == 203 and r.est_jaccard == 1.0
+        for r in got
+    ), got

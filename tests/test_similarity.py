@@ -184,3 +184,18 @@ def test_semantic_dedup_max_cluster_cap(spark):
     assert SIM.semantic_dedup(df, cents, 0.95, max_cluster=3).count() == 0
     capped = SIM.semantic_dedup(df, cents, 0.95, max_cluster=4)
     assert {r.vec_id for r in capped.collect()} == {10, 11, 12, 20, 21}
+
+
+def test_embedding_quantize_bounds(spark, sf_dir):
+    """int8 reconstruction invariants: per-vector quantization error is
+    bounded by scale/2 per dimension and cosine stays ~1."""
+    from flink_streaming_demo_spark.plans.vector_queries import (
+        embedding_quantize,
+    )
+
+    rows = embedding_quantize(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        # both columns are round-6 values: allow rounding slack
+        assert r.max_abs_err <= r.scale / 2 + 1e-6, r
+        assert r.cos_recon >= 0.999, r
