@@ -485,3 +485,92 @@ register(
     WHERE c.event_type = 'click' AND e.event_type = 'error'
     """,
 )
+
+
+# --- Robust outlier detection (median/MAD) -----------------------------------
+
+_MAD_K = 1.4826       # normal-consistency constant
+_MAD_SIGMA = 3.0
+
+
+def events_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type robust outlier stats on the value column: median, MAD
+    (median absolute deviation), and how many events sit beyond
+    3 * 1.4826 * MAD — the data-quality gate that survives skewed/
+    heavy-tailed metrics where mean/stddev z-scores break.
+
+    Exact ``percentile`` per group (5 types here); like
+    source_length_quantiles, the documented true-100 TB swap is
+    approx_percentile with a tolerance — median/MAD tolerate sketch
+    error by design. Three passes over events (median -> MAD ->
+    classify), each a partial-aggregated groupBy on a 5-row key with the
+    tiny stats frames broadcast back — no wide shuffle of the fact rows.
+    """
+    ev = t(spark, sf_dir, "events").select(
+        "event_type", F.col("value").cast("double").alias("v")
+    )
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(v, 0.5)").alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("v") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(adev, 0.5)").alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.first("med"), 6).alias("med"),
+            F.round(F.first("mad"), 6).alias("mad"),
+            F.sum(
+                (
+                    F.col("adev")
+                    > F.lit(_MAD_SIGMA * _MAD_K) * F.col("mad")
+                ).cast("bigint")
+            ).alias("n_outliers"),
+        )
+        .withColumn(
+            "outlier_frac",
+            F.round(
+                F.col("n_outliers").cast("double")
+                / F.col("n_events").cast("double"),
+                6,
+            ),
+        )
+    )
+
+
+register(
+    "events_value_outliers",
+    events_value_outliers,
+    f"""
+    WITH med AS (
+        SELECT event_type,
+               percentile_cont(0.5) WITHIN GROUP (ORDER BY value) AS med
+        FROM events GROUP BY event_type
+    ),
+    dev AS (
+        SELECT e.event_type, ABS(e.value - m.med) AS adev, m.med
+        FROM events e JOIN med m USING (event_type)
+    ),
+    mad AS (
+        SELECT event_type,
+               percentile_cont(0.5) WITHIN GROUP (ORDER BY adev) AS mad
+        FROM dev GROUP BY event_type
+    )
+    SELECT d.event_type,
+           COUNT(*) AS n_events,
+           ROUND(ANY_VALUE(d.med), 6) AS med,
+           ROUND(ANY_VALUE(m.mad), 6) AS mad,
+           SUM(CASE WHEN d.adev > {_MAD_SIGMA * _MAD_K} * m.mad
+                    THEN 1 ELSE 0 END) AS n_outliers,
+           ROUND(CAST(SUM(CASE WHEN d.adev > {_MAD_SIGMA * _MAD_K} * m.mad
+                               THEN 1 ELSE 0 END) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS outlier_frac
+    FROM dev d JOIN mad m USING (event_type)
+    GROUP BY d.event_type
+    """,
+)

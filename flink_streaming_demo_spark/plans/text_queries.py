@@ -1248,3 +1248,71 @@ register(
       AND id_a // {_CHUNK_UID_BASE} <> id_b // {_CHUNK_UID_BASE}
     """,
 )
+
+
+# --- Corpus heavy hitters -----------------------------------------------------
+
+_HH_MIN_SHARE = 0.005
+
+
+def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level heavy-hitter tokens: every token holding >= 0.5% of
+    all token occurrences, with count, share, and rank — the vocabulary/
+    stop-word discovery pass that parameterizes the stop-shingle caps
+    and quality filters. The exact groupBy IS the 100 TB plan: partial
+    aggregation reduces each partition to its local vocabulary before
+    the shuffle, so network cost is bounded by vocab size, not corpus
+    size (the reason sketch-based heavy-hitter algorithms are a
+    single-pass-stream concern, not a Spark-batch one)."""
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    counts = (
+        docs.select(F.explode(TX.tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    total = counts.agg(F.sum("cnt").alias("total"))
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("cnt"), F.asc("token"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .withColumn(
+            "share",
+            F.round(
+                F.col("cnt").cast("double") / F.col("total").cast("double"),
+                6,
+            ),
+        )
+        .filter(
+            F.col("cnt").cast("double") / F.col("total").cast("double")
+            >= _HH_MIN_SHARE
+        )
+        .select(
+            "token",
+            "cnt",
+            "share",
+            F.row_number().over(w).alias("rank"),
+        )
+    )
+
+
+register(
+    "text_heavy_hitters",
+    text_heavy_hitters,
+    f"""
+    WITH counts AS (
+        SELECT unnest(string_split(text, ' ')) AS token
+        FROM documents
+    ),
+    agg AS (
+        SELECT token, COUNT(*) AS cnt FROM counts GROUP BY token
+    ),
+    tot AS (SELECT SUM(cnt) AS total FROM agg)
+    SELECT token, cnt,
+           ROUND(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE), 6) AS share,
+           CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, token ASC) AS INT)
+               AS rank
+    FROM agg CROSS JOIN tot
+    WHERE CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE) >= {_HH_MIN_SHARE}
+    """,
+)
