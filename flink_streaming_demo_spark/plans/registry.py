@@ -104,6 +104,17 @@ _ROUND6_WINDOW = [
     "text_quality_scores", "tfidf_top_terms", "text_chunk_documents",
 ]
 
+# Queries ADDED LATE in round 6, after the 50-slot window above was
+# committed to the 32 two-round-stale re-greens + the round's earlier
+# churn; they register after the window, so the driver will first check
+# them in the round-7 window (where they are the top priority, being
+# never-driver-checked). Until then their evidence is tools/parity.py
+# (hash-green at sf0.001 AND sf0.01 on the day each landed) plus their
+# behavioral tests: dedup_semantic, text_unigram_logprob,
+# dedup_repeated_ngrams, events_error_after_click, decon_source_overlap,
+# embedding_quantize, dedup_chunk_minhash, events_value_outliers,
+# text_heavy_hitters.
+
 
 def _apply_window_order() -> None:
     ordered = {n: QUERIES[n] for n in _ROUND6_WINDOW if n in QUERIES}

@@ -594,3 +594,75 @@ register(
     FROM quant
     """,
 )
+
+
+# --- End-to-end embedding dedup pipeline -------------------------------------
+
+def pipeline_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The vector-side end-to-end dedup pipeline (the embeddings
+    analogue of pipeline_clean_corpus): train centroids with Lloyd
+    k-means, assign every vector to its cell, drop SemDeDup losers
+    (lower-id cluster-mate at cosine >= threshold), and emit the
+    surviving corpus with its cluster assignment — the exact frame an
+    ANN index or a training-mixture sampler consumes downstream.
+
+    100 TB shape is the sum of its proven parts: k-means = linear
+    assign/update iterations with broadcast centroids; SemDeDup bounds
+    the quadratic term by cluster size; the final survivors step is a
+    left_anti join against the (small) dropped list. One lineage, no
+    collect anywhere."""
+    emb = t(spark, sf_dir, "embeddings")
+    seeds = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding")
+    )
+    cent = SIM.kmeans_centroids(emb, seeds, n_iterations=KMEANS_ITERS)
+    assigned = SIM.assign_to_centroids(emb, cent, 1).select(
+        "vec_id", "centroid_id"
+    )
+    dropped = SIM.semantic_dedup(
+        emb, cent, threshold=SEMDEDUP_THRESHOLD
+    ).select("vec_id")
+    return (
+        emb.join(dropped, "vec_id", "left_anti")
+        .join(assigned, "vec_id")
+        .select("vec_id", "label", "centroid_id")
+    )
+
+
+register(
+    "pipeline_embedding_dedup",
+    pipeline_embedding_dedup,
+    f"""
+    WITH {SIM.sql_kmeans_cents(N_CENTROIDS, KMEANS_ITERS, DIMS)},
+    cent AS (
+        SELECT centroid_id, cvec AS c_vec FROM cent{KMEANS_ITERS}
+    ),
+    assigned AS (
+        SELECT vec_id, embedding, nrm, centroid_id
+        FROM (
+            SELECT e.vec_id, e.embedding,
+                   {SIM.sql_l2_norm('e.embedding', DIMS)} AS nrm,
+                   centroid_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY ROUND({SIM.sql_cosine('e.embedding', 'c_vec',
+                                                      DIMS)}, 6) DESC,
+                                centroid_id ASC
+                   ) AS c_rank
+            FROM embeddings e CROSS JOIN cent
+        ) WHERE c_rank = 1
+    ),
+    dropped AS (
+        SELECT DISTINCT b.vec_id
+        FROM assigned a
+        JOIN assigned b
+          ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+        WHERE ROUND({SIM.sql_dot('a.embedding', 'b.embedding', DIMS)}
+                    / (a.nrm * b.nrm), 6) >= {SEMDEDUP_THRESHOLD}
+    )
+    SELECT e.vec_id, e.label, s.centroid_id
+    FROM embeddings e
+    JOIN assigned s ON s.vec_id = e.vec_id
+    WHERE e.vec_id NOT IN (SELECT vec_id FROM dropped)
+    """,
+)

@@ -199,3 +199,25 @@ def test_embedding_quantize_bounds(spark, sf_dir):
         # both columns are round-6 values: allow rounding slack
         assert r.max_abs_err <= r.scale / 2 + 1e-6, r
         assert r.cos_recon >= 0.999, r
+
+
+def test_pipeline_embedding_dedup_partitions_corpus(spark, sf_dir):
+    """Survivors + SemDeDup-dropped must exactly partition the corpus,
+    and every survivor carries a valid cluster assignment."""
+    from flink_streaming_demo_spark.plans.vector_queries import (
+        N_CENTROIDS,
+        dedup_semantic,
+        pipeline_embedding_dedup,
+    )
+    from flink_streaming_demo_spark.schemas import load_table
+
+    total = load_table(spark, sf_dir, "embeddings").count()
+    survivors = pipeline_embedding_dedup(spark, sf_dir)
+    dropped = dedup_semantic(spark, sf_dir)
+    s_ids = {r.vec_id for r in survivors.collect()}
+    d_ids = {r.vec_id for r in dropped.collect()}
+    assert len(s_ids) + len(d_ids) == total
+    assert not (s_ids & d_ids)
+    assert all(
+        0 <= r.centroid_id < N_CENTROIDS for r in survivors.collect()
+    )
