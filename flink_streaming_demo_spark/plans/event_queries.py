@@ -574,3 +574,146 @@ register(
     GROUP BY d.event_type
     """,
 )
+
+
+# --- Ordered funnel (view -> click -> purchase) ------------------------------
+
+def events_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strictly-ordered conversion funnel per user: first view, first
+    click AFTER that view, first purchase AFTER that click; stage =
+    how deep the user got (1..3). The sequential-pattern query (a
+    MATCH_RECOGNIZE lite) expressed as three chained min-aggregations —
+    each step is a groupBy(user) agg joined back on user, so the whole
+    funnel is co-partitioned on user_id: one shuffle establishes the
+    partitioning and every later join reuses it. No window-function
+    whole-history sort, no explode — linear in events at any depth.
+
+    Users with no view event are not in the funnel (stage 0 = absent).
+    """
+    ev = t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    return (
+        v.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(
+            "user_id",
+            "t_view",
+            "t_click",
+            "t_purchase",
+            (
+                F.lit(1)
+                + F.col("t_click").isNotNull().cast("int")
+                + F.col("t_purchase").isNotNull().cast("int")
+            ).alias("stage"),
+        )
+    )
+
+
+register(
+    "events_funnel_stages",
+    events_funnel_stages,
+    """
+    WITH v AS (
+        SELECT user_id, MIN(CAST(ts AS TIMESTAMP)) AS t_view
+        FROM events WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+        SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS t_click
+        FROM events e JOIN v USING (user_id)
+        WHERE e.event_type = 'click' AND CAST(e.ts AS TIMESTAMP) > v.t_view
+        GROUP BY e.user_id
+    ),
+    p AS (
+        SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS t_purchase
+        FROM events e JOIN c USING (user_id)
+        WHERE e.event_type = 'purchase'
+          AND CAST(e.ts AS TIMESTAMP) > c.t_click
+        GROUP BY e.user_id
+    )
+    SELECT v.user_id, v.t_view, c.t_click, p.t_purchase,
+           1 + CASE WHEN c.t_click IS NULL THEN 0 ELSE 1 END
+             + CASE WHEN p.t_purchase IS NULL THEN 0 ELSE 1 END AS stage
+    FROM v
+    LEFT JOIN c USING (user_id)
+    LEFT JOIN p USING (user_id)
+    """,
+)
+
+
+# --- Weekly cohort retention --------------------------------------------------
+
+_COHORT_EPOCH = "2024-01-01"
+
+
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: cohort = the week (since 2024-01-01) of
+    a user's first event; for each (cohort_week, week_offset), how many
+    of that cohort's users were active offset weeks later. Entirely
+    integer week arithmetic on a fixed epoch (identical on any engine).
+
+    Plan: events reduce to distinct (user, week) first — partial agg
+    collapses each user's in-week events before the shuffle — then one
+    min-per-user (cohort) joined back and a count-distinct per
+    (cohort, offset). All keyed on user_id / small grid; output is
+    weeks x weeks rows."""
+    ev = t(spark, sf_dir, "events").select(
+        "user_id",
+        (
+            F.datediff(F.to_date("ts"), F.lit(_COHORT_EPOCH).cast("date"))
+            / 7
+        )
+        .cast("int")
+        .alias("week"),
+    )
+    user_weeks = ev.distinct()
+    cohort = user_weeks.groupBy("user_id").agg(
+        F.min("week").alias("cohort_week")
+    )
+    return (
+        user_weeks.join(cohort, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.col("week") - F.col("cohort_week")).alias("week_offset"),
+        )
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )
+
+
+register(
+    "events_cohort_retention",
+    events_cohort_retention,
+    f"""
+    WITH uw AS (
+        SELECT DISTINCT user_id,
+               CAST(date_diff('day', DATE '{_COHORT_EPOCH}',
+                              CAST(ts AS DATE)) // 7 AS INT) AS week
+        FROM events
+    ),
+    cohort AS (
+        SELECT user_id, MIN(week) AS cohort_week FROM uw GROUP BY user_id
+    )
+    SELECT c.cohort_week,
+           uw.week - c.cohort_week AS week_offset,
+           COUNT(DISTINCT uw.user_id) AS n_users
+    FROM uw JOIN cohort c USING (user_id)
+    GROUP BY c.cohort_week, uw.week - c.cohort_week
+    """,
+)

@@ -1,0 +1,62 @@
+"""Behavioral tests for the event-analytics queries (funnel, cohort)."""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+from flink_streaming_demo_spark.plans import event_queries as EQ
+
+
+def test_funnel_requires_strict_order(spark, monkeypatch):
+    """A click BEFORE the first view must not advance the funnel; an
+    in-order chain must; purchase before click stops at stage 2; users
+    with no view are absent."""
+    b = datetime(2024, 1, 1)
+    rows = [
+        (1, "click", b),                              # out of order
+        (1, "view", b + timedelta(minutes=1)),
+        (2, "view", b),                               # full chain
+        (2, "click", b + timedelta(minutes=1)),
+        (2, "purchase", b + timedelta(minutes=2)),
+        (3, "view", b),                               # purchase too early
+        (3, "purchase", b + timedelta(minutes=1)),
+        (3, "click", b + timedelta(minutes=2)),
+        (4, "click", b),                              # never views
+    ]
+
+    def fake_t(spark_, sf_dir_, name_):
+        assert name_ == "events"
+        return spark.createDataFrame(
+            rows, "user_id long, event_type string, ts timestamp"
+        )
+
+    monkeypatch.setattr(EQ, "t", fake_t)
+    got = {
+        r.user_id: r.stage
+        for r in EQ.events_funnel_stages(spark, "ignored").collect()
+    }
+    assert got == {1: 1, 2: 3, 3: 2}
+
+
+def test_cohort_retention_counts(spark, monkeypatch):
+    """Two users first seen in week 0 (one returns in week 2), one user
+    first seen in week 1."""
+    b = datetime(2024, 1, 1)
+    rows = [
+        (1, "view", b),
+        (1, "view", b + timedelta(days=15)),    # week 2
+        (2, "view", b + timedelta(days=2)),     # week 0 only
+        (3, "view", b + timedelta(days=8)),     # week 1 cohort
+    ]
+
+    def fake_t(spark_, sf_dir_, name_):
+        return spark.createDataFrame(
+            rows, "user_id long, event_type string, ts timestamp"
+        )
+
+    monkeypatch.setattr(EQ, "t", fake_t)
+    got = {
+        (r.cohort_week, r.week_offset): r.n_users
+        for r in EQ.events_cohort_retention(spark, "ignored").collect()
+    }
+    assert got == {(0, 0): 2, (0, 2): 1, (1, 0): 1}
