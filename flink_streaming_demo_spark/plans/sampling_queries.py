@@ -442,3 +442,68 @@ register(
     FROM per
     """,
 )
+
+
+# --- Temperature-scaled mixture weights --------------------------------------
+
+_MIX_TEMPERATURE = 0.5
+
+
+def sample_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mixture sampling weights (the multilingual /
+    multi-source pre-training recipe: q_i ∝ p_i^α with α=0.5): per
+    source, the natural token share, the flattened target share, and the
+    keep fraction that realizes the target at the SAME total token
+    budget (min(1, q_i/p_i) — upsampling beyond 1.0 is clamped, the
+    usual no-repeat policy; feeding these into
+    sample_mixture_rebalance's hash threshold applies the recipe
+    map-only). The whole computation is one groupBy(source) plus window
+    aggregates over the 20-row result — corpus-scale work is only the
+    token-count scan."""
+    docs = t(spark, sf_dir, "documents")
+    per = docs.groupBy("source").agg(
+        F.sum(TX.token_count(F.col("text"))).cast("bigint").alias("tokens")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy()
+    p = F.col("tokens").cast("double") / F.sum("tokens").over(w)
+    q = F.pow(p, F.lit(_MIX_TEMPERATURE)) / F.sum(
+        F.pow(p, F.lit(_MIX_TEMPERATURE))
+    ).over(w)
+    return per.select(
+        "source",
+        "tokens",
+        F.round(p, 6).alias("natural_share"),
+        F.round(q, 6).alias("temp_share"),
+        F.round(F.least(F.lit(1.0), q / p), 6).alias("keep_frac"),
+    )
+
+
+register(
+    "sample_temperature_weights",
+    sample_temperature_weights,
+    f"""
+    WITH per AS (
+        SELECT source,
+               CAST(SUM({TX.sql_token_count('text')}) AS BIGINT) AS tokens
+        FROM documents GROUP BY source
+    ),
+    probs AS (
+        SELECT source, tokens,
+               CAST(tokens AS DOUBLE) / SUM(tokens) OVER () AS p
+        FROM per
+    ),
+    shares AS (
+        SELECT source, tokens, p,
+               POW(p, {_MIX_TEMPERATURE})
+                   / SUM(POW(p, {_MIX_TEMPERATURE})) OVER () AS q
+        FROM probs
+    )
+    SELECT source, tokens,
+           ROUND(p, 6) AS natural_share,
+           ROUND(q, 6) AS temp_share,
+           ROUND(LEAST(1.0, q / p), 6) AS keep_frac
+    FROM shares
+    """,
+)

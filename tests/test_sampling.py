@@ -213,3 +213,24 @@ def test_length_quantiles_approx_within_rank_tolerance(spark, sf_dir):
             assert count_le > count_lt, (source, q, v)
             assert count_lt <= q * n + err, (source, q, v)
             assert count_le >= q * n - err, (source, q, v)
+
+
+def test_temperature_weights_flatten_mixture(spark, sf_dir):
+    """α=0.5 must pull every source's share toward uniform: sources
+    under the uniform share gain, sources over it lose; shares stay a
+    distribution and keep fractions are valid probabilities."""
+    from flink_streaming_demo_spark.plans.sampling_queries import (
+        sample_temperature_weights,
+    )
+
+    rows = sample_temperature_weights(spark, sf_dir).collect()
+    assert rows
+    uniform = 1.0 / len(rows)
+    assert abs(sum(r.natural_share for r in rows) - 1.0) < 1e-4
+    assert abs(sum(r.temp_share for r in rows) - 1.0) < 1e-4
+    for r in rows:
+        assert 0.0 < r.keep_frac <= 1.0
+        if r.natural_share < uniform - 1e-9:
+            assert r.temp_share > r.natural_share, r
+        elif r.natural_share > uniform + 1e-9:
+            assert r.temp_share < r.natural_share, r
