@@ -196,3 +196,35 @@ def streaming_error_after_click(
         clicks.withWatermark("ts", watermark_delay),
         errors.withWatermark("ts", watermark_delay),
     )
+
+
+def streaming_enrich_with_static(
+    events: DataFrame,
+    dim: DataFrame,
+    key: str = "event_type",
+    watermark_delay: str = "60 seconds",
+) -> DataFrame:
+    """Stream-static enrichment: a streaming fact joined to a static
+    (batch) dimension, then a watermarked tumbling aggregate of the
+    enriched value. The static side is planned per micro-batch as an
+    ordinary broadcast hash join — no state store is involved for the
+    join itself (only the downstream window aggregate keeps state),
+    which is why stream-static is the default enrichment shape at any
+    scale: dimension updates just show up in the next micro-batch."""
+    enriched = events.withWatermark("ts", watermark_delay).join(
+        F.broadcast(dim), key
+    )
+    agg = enriched.groupBy(
+        F.window("ts", "1 hour"), F.col(key)
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum(F.col("value") * F.col("weight")), 6).alias(
+            "weighted_value"
+        ),
+    )
+    return agg.select(
+        F.col("window.start").alias("window_start"),
+        key,
+        "n_events",
+        "weighted_value",
+    )

@@ -855,3 +855,62 @@ def test_streaming_interval_join_equals_batch(spark):
         assert len(want) == 8  # 2 in-horizon errors x 4 users
     finally:
         shutil.rmtree(chunk_dir, ignore_errors=True)
+
+
+def test_streaming_enrich_with_static_equals_batch(spark):
+    """Stream-static broadcast enrichment + windowed agg must equal the
+    batch join over the same events."""
+    from flink_streaming_demo_spark.streaming.pipelines import (
+        streaming_enrich_with_static,
+    )
+
+    schema = "event_id long, ts timestamp, event_type string, value double"
+    base = datetime(2024, 3, 1, 0, 0, 0)
+    rows = [
+        (i, base + timedelta(minutes=7 * i), ["click", "error"][i % 2],
+         float(i))
+        for i in range(40)
+    ]
+    rows.append((999, base + timedelta(days=1), "click", 0.0))  # sentinel
+    ev = spark.createDataFrame(rows, schema)
+    dim = spark.createDataFrame(
+        [("click", 1.0), ("error", 2.5)], "event_type string, weight double"
+    )
+    chunk_dir = replay.write_replay_chunks(ev, n_chunks=4, order_col="ts")
+    try:
+        stream = replay.read_replay_stream(spark, chunk_dir, schema)
+        q = (
+            streaming_enrich_with_static(stream, dim)
+            .writeStream.format("memory")
+            .queryName("enrich_t")
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        got = {
+            (r.window_start, r.event_type): (r.n_events, r.weighted_value)
+            for r in spark.table("enrich_t").collect()
+        }
+        batch = (
+            ev.join(F.broadcast(dim), "event_type")
+            .groupBy(F.window("ts", "1 hour"), "event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.round(F.sum(F.col("value") * F.col("weight")), 6).alias(
+                    "wv"
+                ),
+            )
+        )
+        want = {
+            (r["window"].start, r.event_type): (r.n, r.wv)
+            for r in batch.collect()
+            # the sentinel's own window never closes in append mode
+            if r["window"].start < base + timedelta(hours=23)
+        }
+        assert got == want
+        assert len(want) >= 8
+    finally:
+        shutil.rmtree(chunk_dir, ignore_errors=True)
