@@ -110,10 +110,11 @@ _ROUND6_WINDOW = [
 # them in the round-7 window (where they are the top priority, being
 # never-driver-checked). Until then their evidence is tools/parity.py
 # (hash-green at sf0.001 AND sf0.01 on the day each landed) plus their
-# behavioral tests: dedup_semantic, text_unigram_logprob,
-# dedup_repeated_ngrams, events_error_after_click, decon_source_overlap,
-# embedding_quantize, dedup_chunk_minhash, events_value_outliers,
-# text_heavy_hitters.
+# behavioral tests: dedup_semantic, pipeline_embedding_dedup,
+# text_unigram_logprob, dedup_repeated_ngrams, events_error_after_click,
+# decon_source_overlap, embedding_quantize, dedup_chunk_minhash,
+# events_value_outliers, text_heavy_hitters, events_funnel_stages,
+# events_cohort_retention, sample_temperature_weights.
 
 
 def _apply_window_order() -> None:

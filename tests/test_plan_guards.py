@@ -17,7 +17,11 @@ from flink_streaming_demo_spark.plans import registry
 # that are intentionally broadcast-nested-loop (documented small-side
 # cross joins in similarity scoring).
 _SKIP_CONSTRUCTION = {"dedup_clusters", "sim_ivf_kmeans",
-                      "pipeline_clean_corpus"}
+                      "pipeline_clean_corpus",
+                      # k-means training (checkpointed loop) runs at
+                      # construction; the trained-cell join shape is
+                      # guarded by test_semantic_dedup_pair_join_is_equi
+                      "dedup_semantic", "pipeline_embedding_dedup"}
 
 
 def _plan(spark, name, sf_dir) -> str:
@@ -71,3 +75,40 @@ def test_quality_scan_prunes_columns(spark, sf_dir):
     assert "text" in read_schema and "doc_id" in read_schema
     for unread in ("source", "lang", "n_chars"):
         assert unread not in read_schema, (unread, read_schema)
+
+
+def test_interval_join_is_equi_not_nested_loop(spark, sf_dir):
+    """The click->error interval join must plan as an equi join on
+    user_id (broadcast or sort-merge) with the time-range as a join
+    condition — never a nested-loop/cartesian over the fact rows."""
+    plan = _plan(spark, "events_error_after_click", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert ("SortMergeJoin" in plan) or ("BroadcastHashJoin" in plan) \
+        or ("ShuffledHashJoin" in plan)
+
+
+def test_semantic_dedup_pair_join_is_equi(spark, sf_dir):
+    """SemDeDup's within-cluster pair stage must be an equi join on
+    centroid_id; the only nested-loop joins allowed are the k-row
+    centroid broadcast cross joins of the assignment step."""
+    from pyspark.sql import functions as F
+
+    from flink_streaming_demo_spark.operators import similarity as SIM
+    from flink_streaming_demo_spark.schemas import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    df = SIM.semantic_dedup(emb, cents, threshold=0.4)
+    qe = df._jdf.queryExecution()
+    plan = qe.explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "CartesianProduct" not in plan
+    # pair stage: equi join keyed on centroid_id
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan \
+        or "BroadcastHashJoin" in plan

@@ -52,6 +52,12 @@ PROBE_QUERIES = [
     "embedding_neardup_sized",
     "tpch_q21_waiting_orders",
     "pipeline_clean_corpus",
+    # round-6 late additions (see BENCH_NOTES.md "Round 6 late additions")
+    "dedup_chunk_minhash",
+    "dedup_repeated_ngrams",
+    "decon_source_overlap",
+    "events_error_after_click",
+    "dedup_semantic_sized",
 ]
 
 _DOC_SHIFT = 10_000_000
@@ -130,9 +136,26 @@ def generate(spark, base: str, out: str, mult: int) -> None:
 
         write(reduce(lambda a, b: a.unionByName(b), copies), name, n_files)
 
+    if not done("events"):
+        ev = load_table(spark, base, "events")
+        copies = [ev]
+        for k in range(1, mult):
+            copies.append(
+                ev.withColumn(
+                    "event_id", F.col("event_id") + F.lit(k * _ORDER_SHIFT)
+                ).withColumn(
+                    # shift the user space: per-user event density (what
+                    # the interval join's cost is proportional to) stays
+                    # exactly sf0.1's; the corpus gains 10x users.
+                    "user_id", F.col("user_id") + F.lit(k * 1_000_000)
+                )
+            )
+        from functools import reduce
+
+        write(reduce(lambda a, b: a.unionByName(b), copies), "events", 8)
+
     # fixed dimensions + tables the probe queries don't touch: plain copy
-    for name in ("region", "nation", "customer", "supplier", "part",
-                 "events"):
+    for name in ("region", "nation", "customer", "supplier", "part"):
         dst = os.path.join(out, f"{name}.parquet")
         if not os.path.exists(dst):
             shutil.copyfile(os.path.join(base, f"{name}.parquet"), dst)
@@ -168,6 +191,29 @@ def _probe_callables() -> dict:
         )
 
     qs["embedding_neardup_sized"] = neardup_sized
+
+    def semantic_sized(spark, sf_dir):
+        """The documented scale configuration of SemDeDup: k grows with
+        N (target cluster ~250 rows, so the within-cluster quadratic
+        term stays constant per cluster and total candidates grow O(N));
+        seeds stay the deterministic vec_id < k picks. The REGISTERED
+        dedup_semantic keeps k=8 because its DuckDB oracle replays that
+        exact trajectory."""
+        from flink_streaming_demo_spark.operators import similarity as SIM
+        from flink_streaming_demo_spark.schemas import load_table
+        from pyspark.sql import functions as F
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        k = max(8, emb.count() // 250)
+        seeds = emb.filter(F.col("vec_id") < k).select(
+            F.col("vec_id").alias("centroid_id"), F.col("embedding")
+        )
+        cent = SIM.kmeans_centroids(emb, seeds, n_iterations=3)
+        return SIM.semantic_dedup(
+            emb, cent, threshold=0.4, max_cluster=4096
+        )
+
+    qs["dedup_semantic_sized"] = semantic_sized
     return qs
 
 
