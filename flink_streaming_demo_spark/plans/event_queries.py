@@ -717,3 +717,96 @@ register(
     GROUP BY c.cohort_week, uw.week - c.cohort_week
     """,
 )
+
+
+# --- RFM user segmentation ---------------------------------------------------
+
+_RFM_TILES = 4
+
+
+def events_user_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) segmentation: per user, the
+    seconds since their last event (anchored to the corpus max ts so the
+    result is replay-stable), their event count, and their total value;
+    each scored into quartiles by NTILE(4) with user_id as the
+    deterministic tiebreak, concatenated into the classic 'RFM' segment
+    code (recency quartile 1 = most recent).
+
+    100 TB shape: one partial-aggregated groupBy(user_id) over the event
+    scan, then three window NTILEs over the *per-user* table (rows =
+    distinct users, orders of magnitude smaller than events); the
+    corpus-max anchor is a window max over the same small table, not a
+    second scan of events.
+    """
+    ev = t(spark, sf_dir, "events")
+    per = ev.groupBy("user_id").agg(
+        F.max(F.col("ts").cast("long")).alias("last_ts"),
+        F.count(F.lit(1)).cast("bigint").alias("frequency"),
+        F.round(F.sum("value"), 2).alias("monetary"),
+    )
+    everyone = Window.partitionBy()
+    recency = (
+        F.max("last_ts").over(everyone) - F.col("last_ts")
+    ).alias("recency_secs")
+    scored = per.select(
+        "user_id", recency, "frequency", "monetary"
+    )
+    r_w = Window.orderBy("recency_secs", "user_id")
+    f_w = Window.orderBy(F.col("frequency").desc(), "user_id")
+    m_w = Window.orderBy(F.col("monetary").desc(), "user_id")
+    return scored.select(
+        "user_id",
+        "recency_secs",
+        "frequency",
+        "monetary",
+        F.ntile(_RFM_TILES).over(r_w).alias("r_score"),
+        F.ntile(_RFM_TILES).over(f_w).alias("f_score"),
+        F.ntile(_RFM_TILES).over(m_w).alias("m_score"),
+    ).withColumn(
+        "segment",
+        F.concat_ws(
+            "",
+            F.col("r_score").cast("string"),
+            F.col("f_score").cast("string"),
+            F.col("m_score").cast("string"),
+        ),
+    )
+
+
+register(
+    "events_user_rfm",
+    events_user_rfm,
+    f"""
+    WITH per AS (
+        SELECT
+            user_id,
+            CAST(MAX(FLOOR(epoch(CAST(ts AS TIMESTAMP)))) AS BIGINT) AS last_ts,
+            CAST(COUNT(*) AS BIGINT) AS frequency,
+            ROUND(SUM(value), 2) AS monetary
+        FROM events GROUP BY user_id
+    ),
+    scored AS (
+        SELECT
+            user_id,
+            MAX(last_ts) OVER () - last_ts AS recency_secs,
+            frequency,
+            monetary
+        FROM per
+    ),
+    tiled AS (
+        SELECT
+            user_id, recency_secs, frequency, monetary,
+            CAST(NTILE({_RFM_TILES}) OVER (
+                ORDER BY recency_secs, user_id) AS INT) AS r_score,
+            CAST(NTILE({_RFM_TILES}) OVER (
+                ORDER BY frequency DESC, user_id) AS INT) AS f_score,
+            CAST(NTILE({_RFM_TILES}) OVER (
+                ORDER BY monetary DESC, user_id) AS INT) AS m_score
+        FROM scored
+    )
+    SELECT *,
+           CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR)
+               || CAST(m_score AS VARCHAR) AS segment
+    FROM tiled
+    """,
+)

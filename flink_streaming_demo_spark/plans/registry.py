@@ -114,7 +114,9 @@ _ROUND6_WINDOW = [
 # text_unigram_logprob, dedup_repeated_ngrams, events_error_after_click,
 # decon_source_overlap, embedding_quantize, dedup_chunk_minhash,
 # events_value_outliers, text_heavy_hitters, events_funnel_stages,
-# events_cohort_retention, sample_temperature_weights.
+# events_cohort_retention, sample_temperature_weights,
+# sample_weighted_topk, text_token_entropy, embedding_dim_profile,
+# embedding_random_projection, events_user_rfm.
 
 
 def _apply_window_order() -> None:

@@ -507,3 +507,84 @@ register(
     FROM shares
     """,
 )
+
+
+# --- Deterministic weighted sampling (length-weighted top-k per source) -------
+
+_WTOPK_K = 5
+_WTOPK_SALTS = 16
+
+
+def sample_weighted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement: per source,
+    the ``_WTOPK_K`` documents with the smallest ``bucket(doc_id) /
+    n_chars`` key. Longer documents get proportionally smaller keys, so
+    selection probability rises with length — the classic
+    length-weighted draw of a pre-training mixture — while staying
+    engine- and retry-stable (md5 bucket, never ``rand()``; a single
+    IEEE double division is correctly rounded and therefore
+    bit-identical in Spark and DuckDB).
+
+    100 TB shape: two-level top-N (the sample_source_cap plan): a local
+    row_number within (source, bucket%16) keeps at most K rows per salt
+    — map-heavy, tiny shuffle — then the global per-source window ranks
+    only K*16 rows per source. No whole-source single-reducer sort.
+    """
+    from pyspark.sql import Window
+
+    docs = t(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "source",
+        "doc_id",
+        "n_chars",
+        sampling.hash_bucket(F.col("doc_id")).alias("bucket"),
+    ).withColumn(
+        "sample_key",
+        F.col("bucket").cast("double") / F.col("n_chars").cast("double"),
+    )
+    local = Window.partitionBy(
+        "source", F.pmod(F.col("bucket"), F.lit(_WTOPK_SALTS))
+    ).orderBy("sample_key", "doc_id")
+    survivors = (
+        keyed.withColumn("local_rank", F.row_number().over(local))
+        .filter(F.col("local_rank") <= _WTOPK_K)
+        .drop("local_rank", "bucket")
+    )
+    final = Window.partitionBy("source").orderBy("sample_key", "doc_id")
+    return (
+        survivors.withColumn("rank", F.row_number().over(final))
+        .filter(F.col("rank") <= _WTOPK_K)
+        .select(
+            "source",
+            "rank",
+            "doc_id",
+            "n_chars",
+            F.round("sample_key", 6).alias("sample_key"),
+        )
+    )
+
+
+register(
+    "sample_weighted_topk",
+    sample_weighted_topk,
+    f"""
+    WITH keyed AS (
+        SELECT
+            source,
+            doc_id,
+            n_chars,
+            CAST({_SQL_BUCKET} AS DOUBLE) / CAST(n_chars AS DOUBLE)
+                AS sample_key
+        FROM documents
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY source ORDER BY sample_key, doc_id
+        ) AS rank
+        FROM keyed
+    )
+    SELECT source, rank, doc_id, n_chars,
+           ROUND(sample_key, 6) AS sample_key
+    FROM ranked WHERE rank <= {_WTOPK_K}
+    """,
+)

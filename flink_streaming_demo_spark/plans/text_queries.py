@@ -1316,3 +1316,78 @@ register(
     WHERE CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE) >= {_HH_MIN_SHARE}
     """,
 )
+
+
+# --- Per-document lexical diversity (entropy + type-token ratio) -------------
+
+def token_entropy(docs: DataFrame) -> DataFrame:
+    """Per-document unigram Shannon entropy (nats) and type-token ratio —
+    the lexical-diversity quality signals a curation pipeline thresholds
+    on (low entropy == the repetitive boilerplate Gopher's repetition
+    rules also target, but as a single scalar). Entropy is computed as
+    ``ln(n) - sum(c*ln(c))/n`` over per-doc token counts ``c``, which
+    needs only the (doc, token) count table — no per-doc probability
+    materialization.
+
+    100 TB shape: explode -> partial-aggregated groupBy(doc_id, token)
+    (map-side combine collapses the multiset before the shuffle) ->
+    groupBy(doc_id). One shuffle keyed by (doc, token), one tiny one by
+    doc; everything stays in whole-stage codegen.
+    """
+    toks = docs.select(
+        "doc_id", F.explode(TX.tokens(F.col("text"))).alias("token")
+    )
+    cnt = toks.groupBy("doc_id", "token").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    c = F.col("c").cast("double")
+    per = cnt.groupBy("doc_id").agg(
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("n_types"),
+        F.sum(c * F.log(c)).alias("clnc"),
+    )
+    n = F.col("n_tokens").cast("double")
+    return per.select(
+        "doc_id",
+        "n_tokens",
+        "n_types",
+        F.round(F.col("n_types").cast("double") / n, 6).alias("ttr"),
+        F.round(F.log(n) - F.col("clnc") / n, 6).alias("entropy"),
+    )
+
+
+def text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return token_entropy(t(spark, sf_dir, "documents"))
+
+
+register(
+    "text_token_entropy",
+    text_token_entropy,
+    """
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        FROM documents
+    ),
+    cnt AS (
+        SELECT doc_id, token, COUNT(*) AS c
+        FROM toks GROUP BY doc_id, token
+    ),
+    per AS (
+        SELECT
+            doc_id,
+            CAST(SUM(c) AS BIGINT) AS n_tokens,
+            CAST(COUNT(*) AS BIGINT) AS n_types,
+            SUM(CAST(c AS DOUBLE) * LN(CAST(c AS DOUBLE))) AS clnc
+        FROM cnt GROUP BY doc_id
+    )
+    SELECT
+        doc_id,
+        n_tokens,
+        n_types,
+        ROUND(CAST(n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
+            AS ttr,
+        ROUND(LN(CAST(n_tokens AS DOUBLE))
+              - clnc / CAST(n_tokens AS DOUBLE), 6) AS entropy
+    FROM per
+    """,
+)

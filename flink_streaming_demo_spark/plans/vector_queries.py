@@ -666,3 +666,133 @@ register(
     WHERE e.vec_id NOT IN (SELECT vec_id FROM dropped)
     """,
 )
+
+
+# --- Per-dimension corpus profile --------------------------------------------
+
+def embedding_dim_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension mean/std/min/max over the whole embedding column —
+    the profiling pass that gates normalization/quantization decisions
+    (and catches dead or exploding dimensions) before any vector op.
+    Variance is computed explicitly as ``E[v^2] - E[v]^2`` from two
+    unordered sums so Spark and DuckDB evaluate the identical formula
+    (library stddev_pop implementations differ bitwise).
+
+    100 TB shape: posexplode -> one partial-aggregated groupBy(dim):
+    map-side combine collapses N*64 rows to 64 per task before the
+    shuffle; the reduce side handles 64 rows total.
+    """
+    emb = t(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "dim", "v"
+        )
+    )
+    n = F.count(F.lit(1)).cast("double")
+    mean = F.sum("v") / n
+    var = F.sum(F.col("v") * F.col("v")) / n - mean * mean
+    return (
+        ex.groupBy("dim")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.round(mean, 6).alias("mean"),
+            F.round(F.sqrt(var), 6).alias("std"),
+            F.round(F.min("v"), 6).alias("vmin"),
+            F.round(F.max("v"), 6).alias("vmax"),
+        )
+        .select(F.col("dim").cast("int").alias("dim"), "n", "mean", "std",
+                "vmin", "vmax")
+    )
+
+
+register(
+    "embedding_dim_profile",
+    embedding_dim_profile,
+    f"""
+    WITH ex AS (
+        SELECT CAST(s.i - 1 AS INT) AS dim,
+               CAST(e.embedding[s.i] AS DOUBLE) AS v
+        FROM embeddings e
+        CROSS JOIN generate_series(1, {DIMS}) AS s(i)
+    )
+    SELECT
+        dim,
+        CAST(COUNT(*) AS BIGINT) AS n,
+        ROUND(SUM(v) / COUNT(*), 6) AS mean,
+        ROUND(SQRT(SUM(v * v) / COUNT(*)
+                   - (SUM(v) / COUNT(*)) * (SUM(v) / COUNT(*))), 6)
+            AS std,
+        ROUND(MIN(v), 6) AS vmin,
+        ROUND(MAX(v), 6) AS vmax
+    FROM ex
+    GROUP BY dim
+    """,
+)
+
+
+# --- Random projection (Johnson-Lindenstrauss dimensionality reduction) ------
+
+RP_DIMS = 8
+RP_PLANE_BASE = 1000  # plane_component namespace disjoint from LSH planes
+RP_N = 50
+
+
+def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Project 64-dim embeddings onto ``RP_DIMS`` deterministic
+    md5-derived directions (the same plane_component generator the LSH
+    family uses, in a disjoint index namespace) — the JL-style reduction
+    that feeds cheaper downstream clustering/visualization. Returned
+    long-form (vec_id, dim, value) for the first ``RP_N`` vectors.
+
+    100 TB shape: the projection matrix is 8x64 literals compiled into
+    the plan — map-only, no broadcast, no shuffle, full codegen; output
+    is written partition-parallel. The vec_id filter is a pushed-down
+    scan predicate, not a driver-side collect.
+    """
+    emb = t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < RP_N)
+    vec = F.col("embedding").cast("array<double>")
+    cols = []
+    for p in range(RP_DIMS):
+        plane = F.array(
+            *[
+                F.lit(SIM.plane_component(RP_PLANE_BASE + p, i))
+                for i in range(DIMS)
+            ]
+        )
+        proj = F.aggregate(
+            F.zip_with(vec, plane, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        cols.append(F.round(proj, 6).alias(f"p{p}"))
+    wide = emb.select("vec_id", *cols)
+    stack = "stack({n}, {pairs}) AS (dim, value)".format(
+        n=RP_DIMS,
+        pairs=", ".join(f"{p}, p{p}" for p in range(RP_DIMS)),
+    )
+    return wide.select("vec_id", F.expr(stack)).select(
+        "vec_id", F.col("dim").cast("int").alias("dim"), "value"
+    )
+
+
+def _sql_random_projection() -> str:
+    parts = []
+    for p in range(RP_DIMS):
+        plane = "[" + ", ".join(
+            repr(SIM.plane_component(RP_PLANE_BASE + p, i))
+            for i in range(DIMS)
+        ) + "]"
+        parts.append(f"""
+        SELECT vec_id, CAST({p} AS INT) AS dim,
+               ROUND(list_sum(list_transform(generate_series(1, {DIMS}),
+                   i -> CAST(embedding[i] AS DOUBLE) * ({plane})[i])), 6)
+                   AS value
+        FROM embeddings WHERE vec_id < {RP_N}""")
+    return " UNION ALL ".join(parts)
+
+
+register(
+    "embedding_random_projection",
+    embedding_random_projection,
+    _sql_random_projection(),
+)

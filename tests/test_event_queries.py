@@ -60,3 +60,26 @@ def test_cohort_retention_counts(spark, monkeypatch):
         for r in EQ.events_cohort_retention(spark, "ignored").collect()
     }
     assert got == {(0, 0): 2, (0, 2): 1, (1, 0): 1}
+
+
+def test_user_rfm_invariants(spark, sf_dir):
+    """Quartiles are balanced (NTILE), the anchor user has recency 0,
+    frequency mass equals the event count, segments are 3-digit codes."""
+    from flink_streaming_demo_spark.plans.event_queries import (
+        events_user_rfm,
+    )
+
+    out = events_user_rfm(spark, sf_dir).toPandas()
+    n_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    assert out["frequency"].sum() == n_events
+    assert out["recency_secs"].min() == 0
+    for col in ("r_score", "f_score", "m_score"):
+        sizes = out.groupby(col).size()
+        assert sorted(sizes.index) == [1, 2, 3, 4]
+        assert sizes.max() - sizes.min() <= 1
+    assert (
+        out["segment"]
+        == out["r_score"].astype(str)
+        + out["f_score"].astype(str)
+        + out["m_score"].astype(str)
+    ).all()

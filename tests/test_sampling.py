@@ -234,3 +234,38 @@ def test_temperature_weights_flatten_mixture(spark, sf_dir):
             assert r.temp_share > r.natural_share, r
         elif r.natural_share > uniform + 1e-9:
             assert r.temp_share < r.natural_share, r
+
+
+def test_weighted_topk_matches_brute_force(spark, sf_dir):
+    """The two-level (salted local top-K -> global top-K) plan selects
+    exactly the brute-force smallest-key documents per source, with
+    length bias baked into the key."""
+    from flink_streaming_demo_spark.plans.sampling_queries import (
+        _WTOPK_K,
+        sample_weighted_topk,
+    )
+
+    out = sample_weighted_topk(spark, sf_dir).toPandas()
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select(
+            "source",
+            "doc_id",
+            "n_chars",
+            (
+                sampling.hash_bucket(F.col("doc_id")).cast("double")
+                / F.col("n_chars").cast("double")
+            ).alias("k"),
+        )
+        .toPandas()
+    )
+    for src, grp in docs.groupby("source"):
+        expect = list(
+            grp.sort_values(["k", "doc_id"]).head(_WTOPK_K)["doc_id"]
+        )
+        got = list(
+            out[out.source == src].sort_values("rank")["doc_id"]
+        )
+        assert got == expect, src
+    # ranks are 1..K per source
+    assert set(out["rank"]) <= set(range(1, _WTOPK_K + 1))

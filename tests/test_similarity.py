@@ -221,3 +221,59 @@ def test_pipeline_embedding_dedup_partitions_corpus(spark, sf_dir):
     assert all(
         0 <= r.centroid_id < N_CENTROIDS for r in survivors.collect()
     )
+
+
+def test_dim_profile_invariants_and_exact_dim0(spark, sf_dir):
+    """64 dims, each covering every vector; explicit-formula std agrees
+    with a pandas recomputation at the rounded precision."""
+    import numpy as np
+
+    from flink_streaming_demo_spark.plans.vector_queries import (
+        embedding_dim_profile,
+    )
+
+    out = embedding_dim_profile(spark, sf_dir).toPandas()
+    n_vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    assert sorted(out["dim"]) == list(range(64))
+    assert (out["n"] == n_vecs).all()
+    assert ((out["vmin"] <= out["mean"]) & (out["mean"] <= out["vmax"])).all()
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").toPandas()
+    v0 = np.array([e[0] for e in emb["embedding"]], dtype=np.float64)
+    row = out[out.dim == 0].iloc[0]
+    assert abs(row["mean"] - v0.mean()) < 1e-6
+    assert abs(row["std"] - v0.std()) < 1e-6
+
+
+def test_random_projection_matches_numpy(spark, sf_dir):
+    """The literal-plane fold equals a numpy matmul with the same
+    md5-derived plane components (to the rounded precision)."""
+    import numpy as np
+
+    from flink_streaming_demo_spark.operators import similarity as SIM
+    from flink_streaming_demo_spark.plans.vector_queries import (
+        DIMS,
+        RP_DIMS,
+        RP_PLANE_BASE,
+        embedding_random_projection,
+    )
+
+    out = embedding_random_projection(spark, sf_dir).toPandas()
+    planes = np.array(
+        [
+            [SIM.plane_component(RP_PLANE_BASE + p, i) for i in range(DIMS)]
+            for p in range(RP_DIMS)
+        ]
+    )
+    emb = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .filter("vec_id < 5")
+        .toPandas()
+    )
+    for _, r in emb.iterrows():
+        want = planes @ np.array(r["embedding"], dtype=np.float64)
+        got = (
+            out[out.vec_id == r["vec_id"]]
+            .sort_values("dim")["value"]
+            .to_numpy()
+        )
+        assert np.allclose(got, want, atol=2e-6)

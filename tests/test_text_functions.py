@@ -102,3 +102,21 @@ def test_unigram_logprob_orders_rare_above_common(spark):
     assert abs(got[0].avg_neg_logp - (-math.log(0.5))) < 1e-6
     expected2 = (2 * -math.log(2 / 12) + 2 * -math.log(1 / 12)) / 4
     assert abs(got[2].avg_neg_logp - expected2) < 1e-6
+
+
+def test_token_entropy_planted_values(spark):
+    """Exact entropy/TTR on planted docs: a constant doc has entropy 0,
+    a 4-distinct-token doc has entropy ln(4); TTR = types/tokens."""
+    import math
+
+    from flink_streaming_demo_spark.plans.text_queries import token_entropy
+
+    docs = spark.createDataFrame(
+        [(1, "a a a a"), (2, "a b c d"), (3, "a a b b c c")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in token_entropy(docs).collect()}
+    assert out[1].entropy == 0.0 and out[1].ttr == 0.25
+    assert out[2].entropy == round(math.log(4), 6) and out[2].ttr == 1.0
+    assert out[3].entropy == round(math.log(3), 6) and out[3].ttr == 0.5
+    assert out[3].n_tokens == 6 and out[3].n_types == 3
