@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from flink_streaming_demo_spark.functions import text as TX
-from flink_streaming_demo_spark.operators import dedup, multimodal
+from flink_streaming_demo_spark.operators import dedup, graph, multimodal
 from flink_streaming_demo_spark.plans.registry import register
 from flink_streaming_demo_spark.schemas import load_table as t
 
@@ -1389,5 +1389,70 @@ register(
         ROUND(LN(CAST(n_tokens AS DOUBLE))
               - clnc / CAST(n_tokens AS DOUBLE), 6) AS entropy
     FROM per
+    """,
+)
+
+
+# --- PageRank over the near-dup graph ----------------------------------------
+
+def _sql_minhash_pair_ctes(threshold: float) -> str:
+    """The corpus -> signatures -> bands -> verified-pairs CTE chain
+    shared by the dedup_minhash_lsh / dedup_clusters oracles, ending in
+    ``cc_pairs`` (id_a < id_b)."""
+    sim = f"""CAST(list_sum(list_transform(generate_series(1, {dedup.N_HASHES}),
+            j -> CASE WHEN sig_a[j] = sig_b[j] THEN 1 ELSE 0 END)) AS DOUBLE)
+            / {float(dedup.N_HASHES)}"""
+    return f"""corpus AS ({_PLANTED_SQL}),
+    sigs AS (
+        SELECT
+            doc_id,
+            {dedup.sql_minhash_signature(dedup.sql_shingles('text'))} AS sig
+        FROM corpus
+        WHERE len(string_split(text, ' ')) >= {dedup.SHINGLE_N}
+    ),
+    banded AS (
+        SELECT doc_id, sig, unnest({dedup.sql_lsh_band_keys('sig')}) AS band_key
+        FROM sigs
+    ),
+    cand AS (
+        SELECT DISTINCT
+            a.doc_id AS id_a, b.doc_id AS id_b, a.sig AS sig_a, b.sig AS sig_b
+        FROM banded a
+        JOIN banded b
+          ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+    ),
+    cc_pairs AS (
+        SELECT id_a, id_b FROM cand WHERE {sim} >= {threshold}
+    )"""
+
+
+def graph_pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the undirected MinHash-LSH near-dup graph (3 fixed
+    iterations, damping 0.85): ranks the planted corpus's duplicate
+    families so the central 'template' documents surface first. The
+    oracle replays the identical trajectory with unrolled CTEs, so the
+    green proves the iterative DataFrame loop end-to-end.
+
+    100 TB shape: see operators/graph.py — iteration input is the
+    LSH-bounded pair list, never the corpus."""
+    corpus = _planted_corpus(spark, sf_dir)
+    pairs = dedup.minhash_lsh_pairs(corpus, threshold=0.5).select(
+        "id_a", "id_b"
+    )
+    return graph.pagerank(pairs).select(
+        F.col("id").alias("doc_id"), "degree", "pr"
+    )
+
+
+register(
+    "graph_pagerank_neardup",
+    graph_pagerank_neardup,
+    f"""
+    WITH {_sql_minhash_pair_ctes(0.5)},
+    {graph.sql_pagerank_ctes('cc_pairs')}
+    SELECT r{graph.ITERATIONS}.id AS doc_id,
+           deg.degree AS degree,
+           ROUND(r{graph.ITERATIONS}.pr, 6) AS pr
+    FROM r{graph.ITERATIONS} JOIN deg ON deg.src = r{graph.ITERATIONS}.id
     """,
 )

@@ -277,3 +277,31 @@ def test_chunk_minhash_catches_partial_dup_doc_level_misses(spark):
         r.id_a == 100 and r.id_b == 203 and r.est_jaccard == 1.0
         for r in got
     ), got
+
+
+def test_pagerank_matches_numpy_power_iteration(spark):
+    """3-iteration PageRank on a planted graph (3-leaf star + separate
+    edge) equals an explicit numpy replay of the same recurrence."""
+    import numpy as np
+
+    from flink_streaming_demo_spark.operators import graph
+
+    edges = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3), (10, 11)], "id_a long, id_b long"
+    )
+    got = {r.id: r for r in graph.pagerank(edges).collect()}
+    nodes = [0, 1, 2, 3, 10, 11]
+    idx = {v: i for i, v in enumerate(nodes)}
+    adj = np.zeros((6, 6))
+    for a, b in [(0, 1), (0, 2), (0, 3), (10, 11)]:
+        adj[idx[a], idx[b]] = adj[idx[b], idx[a]] = 1
+    deg = adj.sum(axis=1)
+    r = np.full(6, 1 / 6)
+    for _ in range(graph.ITERATIONS):
+        r = (1 - graph.DAMPING) / 6 + graph.DAMPING * (adj.T @ (r / deg))
+    for v in nodes:
+        assert got[v].degree == int(deg[idx[v]])
+        assert abs(got[v].pr - r[idx[v]]) < 2e-6, v
+    # the star center out-ranks the pendant pair; mass sums to ~1
+    assert got[0].pr > got[10].pr
+    assert abs(sum(x.pr for x in got.values()) - 1.0) < 1e-5

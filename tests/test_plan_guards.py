@@ -21,7 +21,9 @@ _SKIP_CONSTRUCTION = {"dedup_clusters", "sim_ivf_kmeans",
                       # k-means training (checkpointed loop) runs at
                       # construction; the trained-cell join shape is
                       # guarded by test_semantic_dedup_pair_join_is_equi
-                      "dedup_semantic", "pipeline_embedding_dedup"}
+                      "dedup_semantic", "pipeline_embedding_dedup",
+                      # pagerank checkpoints each iteration at construction
+                      "graph_pagerank_neardup"}
 
 
 def _plan(spark, name, sf_dir) -> str:
@@ -112,3 +114,26 @@ def test_semantic_dedup_pair_join_is_equi(spark, sf_dir):
     # pair stage: equi join keyed on centroid_id
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan \
         or "BroadcastHashJoin" in plan
+
+
+def test_random_projection_is_map_only(spark, sf_dir):
+    """The 8x64 literal projection must compile to a shuffle-free scan:
+    no Exchange anywhere, and the vec_id predicate pushed to parquet."""
+    plan = _plan(spark, "embedding_random_projection", sf_dir)
+    assert "Exchange" not in plan
+    assert "LessThan(vec_id" in plan
+
+
+def test_weighted_topk_never_single_partition(spark, sf_dir):
+    """The two-level weighted top-K must keep every window partitioned
+    (source x salt, then source) — a SinglePartition exchange would be
+    the whole-corpus sort this plan exists to avoid."""
+    plan = _plan(spark, "sample_weighted_topk", sf_dir)
+    assert "SinglePartition" not in plan
+
+
+def test_token_entropy_shuffles_on_doc_token(spark, sf_dir):
+    """Entropy's heavy shuffle must be keyed by (doc_id, token) with
+    map-side partial aggregation ahead of it."""
+    plan = _plan(spark, "text_token_entropy", sf_dir)
+    assert "partial_count" in plan or "partial count" in plan.lower()
