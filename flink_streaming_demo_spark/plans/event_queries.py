@@ -810,3 +810,75 @@ register(
     FROM tiled
     """,
 )
+
+
+# --- Winsorized value stats --------------------------------------------------
+
+_WINSOR_LO = 0.05
+_WINSOR_HI = 0.95
+
+
+def events_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized per-type value statistics: clip each event's value to
+    the type's [P5, P95] band before averaging, so a handful of extreme
+    values can't swing the mean the dashboards alert on (the robust
+    companion to events_value_stats' raw mean and events_value_outliers'
+    MAD flags). Means are computed as explicit sum/count on both engines.
+
+    100 TB shape: the percentile pass produces one tiny row per
+    event_type; it is broadcast back onto the scan, so the clip +
+    re-aggregation is map-side work on the fact table (two scans, no
+    fact-side shuffle beyond the final per-type partial agg). At true
+    scale the exact percentile swaps to approx_percentile exactly as
+    documented in source_length_quantiles."""
+    ev = t(spark, sf_dir, "events")
+    bounds = ev.groupBy("event_type").agg(
+        F.percentile(F.col("value"), F.lit(_WINSOR_LO)).alias("p_lo"),
+        F.percentile(F.col("value"), F.lit(_WINSOR_HI)).alias("p_hi"),
+    )
+    clipped = ev.join(F.broadcast(bounds), "event_type").withColumn(
+        "v_clip",
+        F.least(F.greatest(F.col("value"), F.col("p_lo")), F.col("p_hi")),
+    )
+    n = F.count(F.lit(1))
+    return clipped.groupBy("event_type").agg(
+        n.cast("bigint").alias("n_events"),
+        F.round(F.min("p_lo"), 6).alias("p05"),
+        F.round(F.min("p_hi"), 6).alias("p95"),
+        F.round(F.sum("value") / n, 6).alias("raw_mean"),
+        F.round(F.sum("v_clip") / n, 6).alias("winsorized_mean"),
+        (F.sum((F.col("value") != F.col("v_clip")).cast("int")))
+        .cast("bigint")
+        .alias("n_clipped"),
+    )
+
+
+register(
+    "events_winsorized_stats",
+    events_winsorized_stats,
+    f"""
+    WITH bounds AS (
+        SELECT event_type,
+               quantile_cont(value, {_WINSOR_LO}) AS p_lo,
+               quantile_cont(value, {_WINSOR_HI}) AS p_hi
+        FROM events GROUP BY event_type
+    ),
+    clipped AS (
+        SELECT e.event_type, e.value,
+               LEAST(GREATEST(e.value, b.p_lo), b.p_hi) AS v_clip,
+               b.p_lo, b.p_hi
+        FROM events e JOIN bounds b USING (event_type)
+    )
+    SELECT
+        event_type,
+        CAST(COUNT(*) AS BIGINT) AS n_events,
+        ROUND(MIN(p_lo), 6) AS p05,
+        ROUND(MIN(p_hi), 6) AS p95,
+        ROUND(SUM(value) / COUNT(*), 6) AS raw_mean,
+        ROUND(SUM(v_clip) / COUNT(*), 6) AS winsorized_mean,
+        CAST(SUM(CASE WHEN value <> v_clip THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_clipped
+    FROM clipped
+    GROUP BY event_type
+    """,
+)

@@ -116,7 +116,8 @@ _ROUND6_WINDOW = [
 # events_value_outliers, text_heavy_hitters, events_funnel_stages,
 # events_cohort_retention, sample_temperature_weights,
 # sample_weighted_topk, text_token_entropy, embedding_dim_profile,
-# embedding_random_projection, events_user_rfm, graph_pagerank_neardup.
+# embedding_random_projection, events_user_rfm, graph_pagerank_neardup,
+# events_winsorized_stats, layout_zorder_cells.
 
 
 def _apply_window_order() -> None:

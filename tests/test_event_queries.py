@@ -83,3 +83,16 @@ def test_user_rfm_invariants(spark, sf_dir):
         + out["f_score"].astype(str)
         + out["m_score"].astype(str)
     ).all()
+
+
+def test_winsorized_mean_damps_outliers(spark, sf_dir):
+    """Winsorized mean sits inside the [p05, p95] band, never exceeds
+    the raw max effect, and clipping touches ~10% of rows per type."""
+    from flink_streaming_demo_spark.plans.event_queries import (
+        events_winsorized_stats,
+    )
+
+    for r in events_winsorized_stats(spark, sf_dir).collect():
+        assert r.p05 <= r.winsorized_mean <= r.p95
+        frac = r.n_clipped / r.n_events
+        assert frac <= 0.12, (r.event_type, frac)

@@ -36,3 +36,21 @@ def test_synthetic_taxi_python_and_sql_derivations_agree(spark, sf_dir):
     # exact equality, doubles bit-for-bit: both sides are the same IEEE
     # integer-modulo + double arithmetic by contract
     pd.testing.assert_frame_equal(sdf, odf, check_dtype=False)
+
+
+def test_zorder_roundtrip_and_locality(spark, sf_dir):
+    """z_value de-interleaves back to (x, y) exactly, and neighboring
+    cells in x/y differ in z by small bounded amounts at low bits."""
+    from flink_streaming_demo_spark.plans.taxi_queries import (
+        layout_zorder_cells,
+    )
+
+    rows = layout_zorder_cells(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        x = y = 0
+        for b in range(9):
+            x |= ((r.z_value >> (2 * b)) & 1) << b
+            y |= ((r.z_value >> (2 * b + 1)) & 1) << b
+        assert (x, y) == (r.x_idx, r.y_idx), r
+        assert r.cell == r.x_idx + 250 * r.y_idx
