@@ -882,3 +882,66 @@ register(
     GROUP BY event_type
     """,
 )
+
+
+# --- SCD2 history build (change data capture -> validity intervals) ----------
+
+def events_scd2_type_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension (type 2) build from the event stream:
+    treat each user's event_type as a mutable attribute, keep only the
+    CHANGE rows (value differs from the previous event), and assign each
+    change a validity interval [valid_from, valid_to) closed by the next
+    change, with version numbers and an is_current flag — the standard
+    CDC-to-warehouse-dimension transform.
+
+    100 TB shape: one shuffle on user_id; both the change filter
+    (lag != current) and the interval close (lead) are single-pass
+    window scans within the partition — no self-join, no second shuffle
+    (the two windows share partitioning and ordering, so Catalyst plans
+    one sort)."""
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = ev.withColumn(
+        "prev_type", F.lag("event_type").over(w)
+    ).filter(
+        F.col("prev_type").isNull()
+        | (F.col("event_type") != F.col("prev_type"))
+    )
+    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return changes.select(
+        "user_id",
+        "event_type",
+        F.row_number().over(w2).alias("version"),
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w2).alias("valid_to"),
+        F.lead("ts").over(w2).isNull().alias("is_current"),
+    )
+
+
+register(
+    "events_scd2_type_history",
+    events_scd2_type_history,
+    """
+    WITH ordered AS (
+        SELECT user_id, event_id, event_type,
+               CAST(ts AS TIMESTAMP) AS ts,
+               LAG(event_type) OVER w AS prev_type
+        FROM events
+        WINDOW w AS (PARTITION BY user_id
+                     ORDER BY CAST(ts AS TIMESTAMP), event_id)
+    ),
+    changes AS (
+        SELECT * FROM ordered
+        WHERE prev_type IS NULL OR event_type <> prev_type
+    )
+    SELECT
+        user_id,
+        event_type,
+        CAST(ROW_NUMBER() OVER w2 AS INT) AS version,
+        ts AS valid_from,
+        LEAD(ts) OVER w2 AS valid_to,
+        (LEAD(ts) OVER w2 IS NULL) AS is_current
+    FROM changes
+    WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)

@@ -117,7 +117,7 @@ _ROUND6_WINDOW = [
 # events_cohort_retention, sample_temperature_weights,
 # sample_weighted_topk, text_token_entropy, embedding_dim_profile,
 # embedding_random_projection, events_user_rfm, graph_pagerank_neardup,
-# events_winsorized_stats, layout_zorder_cells.
+# events_winsorized_stats, layout_zorder_cells, events_scd2_type_history.
 
 
 def _apply_window_order() -> None:

@@ -96,3 +96,24 @@ def test_winsorized_mean_damps_outliers(spark, sf_dir):
         assert r.p05 <= r.winsorized_mean <= r.p95
         frac = r.n_clipped / r.n_events
         assert frac <= 0.12, (r.event_type, frac)
+
+
+def test_scd2_intervals_tile_user_timeline(spark, sf_dir):
+    """Per user: versions are 1..k, intervals chain exactly
+    (valid_to == next valid_from), exactly one open current row, and
+    consecutive intervals never carry the same type (change-only)."""
+    from flink_streaming_demo_spark.plans.event_queries import (
+        events_scd2_type_history,
+    )
+
+    out = events_scd2_type_history(spark, sf_dir).toPandas()
+    for uid, grp in out.groupby("user_id"):
+        grp = grp.sort_values("version")
+        assert list(grp["version"]) == list(range(1, len(grp) + 1))
+        assert grp["is_current"].sum() == 1
+        assert grp.iloc[-1]["is_current"]
+        closes = grp["valid_to"].iloc[:-1].tolist()
+        opens = grp["valid_from"].iloc[1:].tolist()
+        assert closes == opens, uid
+        types = grp["event_type"].tolist()
+        assert all(a != b for a, b in zip(types, types[1:])), uid

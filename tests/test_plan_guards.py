@@ -137,3 +137,14 @@ def test_token_entropy_shuffles_on_doc_token(spark, sf_dir):
     map-side partial aggregation ahead of it."""
     plan = _plan(spark, "text_token_entropy", sf_dir)
     assert "partial_count" in plan or "partial count" in plan.lower()
+
+
+def test_scd2_single_user_shuffle(spark, sf_dir):
+    """Both SCD2 window passes (change detect, interval close) must share
+    one hashpartitioning(user_id) exchange — a second shuffle would mean
+    the windows lost their common partitioning."""
+    plan = _plan(spark, "events_scd2_type_history", sf_dir)
+    # formatted mode: node list shows "(n) Exchange", details show the
+    # hashpartitioning argument separately
+    assert plan.count(") Exchange") == 1, plan[:2000]
+    assert "hashpartitioning(user_id" in plan
