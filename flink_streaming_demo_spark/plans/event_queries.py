@@ -945,3 +945,64 @@ register(
     WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
     """,
 )
+
+
+# --- Shuffle-key skew diagnostic ---------------------------------------------
+
+def events_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew diagnostic for the user_id shuffle key: per-key counts
+    reduced to the distribution stats that decide a salting/AQE strategy
+    (hottest-key share, max/mean skew factor, exact P99 of per-key
+    counts). One row out — the report a pipeline checks before picking
+    join strategy at a new data scale.
+
+    100 TB shape: one partial-aggregated groupBy(user_id) (the same
+    shuffle the diagnosed join would do), then a single scalar agg over
+    the per-key table. At true scale the exact percentile swaps to
+    approx_percentile per the documented pattern."""
+    ev = t(spark, sf_dir, "events")
+    per = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    n_total = F.sum("cnt").cast("double")
+    mean_cnt = n_total / F.count(F.lit(1)).cast("double")
+    return per.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        F.sum("cnt").cast("bigint").alias("n_rows"),
+        F.max("cnt").alias("max_cnt"),
+        F.round(mean_cnt, 6).alias("mean_cnt"),
+        F.round(
+            F.percentile(F.col("cnt").cast("double"), F.lit(0.99)), 6
+        ).alias("p99_cnt"),
+        F.round(F.max("cnt").cast("double") / (n_total / F.count(F.lit(1)).cast("double")), 6).alias(
+            "skew_factor"
+        ),
+        F.round(F.max("cnt").cast("double") / n_total, 6).alias(
+            "hottest_share"
+        ),
+    )
+
+
+register(
+    "events_key_skew_report",
+    events_key_skew_report,
+    """
+    WITH per AS (
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM events GROUP BY user_id
+    )
+    SELECT
+        CAST(COUNT(*) AS BIGINT) AS n_keys,
+        CAST(SUM(cnt) AS BIGINT) AS n_rows,
+        MAX(cnt) AS max_cnt,
+        ROUND(CAST(SUM(cnt) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+            AS mean_cnt,
+        ROUND(quantile_cont(CAST(cnt AS DOUBLE), 0.99), 6) AS p99_cnt,
+        ROUND(CAST(MAX(cnt) AS DOUBLE)
+              / (CAST(SUM(cnt) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)), 6)
+            AS skew_factor,
+        ROUND(CAST(MAX(cnt) AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE), 6)
+            AS hottest_share
+    FROM per
+    """,
+)

@@ -1456,3 +1456,111 @@ register(
     FROM r{graph.ITERATIONS} JOIN deg ON deg.src = r{graph.ITERATIONS}.id
     """,
 )
+
+
+# --- Source x language independence (chi-square) ------------------------------
+
+def source_lang_chisq(docs: DataFrame) -> DataFrame:
+    """Chi-square statistic of the source x lang contingency table — the
+    mixture-design check for whether languages are skewed across
+    sources (a large statistic means per-source language balancing is
+    needed before setting mixture weights). Returns one row per cell
+    with observed/expected counts and its chi-square contribution, plus
+    the table-wide statistic repeated for thresholding (grand totals via
+    windows over the tiny cell table).
+
+    100 TB shape: one partial-aggregated groupBy(source, lang) collapses
+    the corpus to |sources| x |langs| cells; the zero-cell completion is
+    a cross join of two tiny distinct lists (chi-square is wrong without
+    absent combinations); everything after runs on that cell table."""
+    from pyspark.sql import Window
+
+    observed = docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("observed")
+    )
+    frame = (
+        docs.select("source").distinct()
+        .crossJoin(docs.select("lang").distinct())
+    )
+    cells = frame.join(observed, ["source", "lang"], "left").select(
+        "source",
+        "lang",
+        F.coalesce("observed", F.lit(0)).cast("bigint").alias("observed"),
+    )
+    row_w = Window.partitionBy("source")
+    col_w = Window.partitionBy("lang")
+    all_w = Window.partitionBy()
+    n = F.sum("observed").over(all_w).cast("double")
+    expected = (
+        F.sum("observed").over(row_w).cast("double")
+        * F.sum("observed").over(col_w).cast("double")
+        / n
+    )
+    with_exp = cells.select(
+        "source",
+        "lang",
+        "observed",
+        expected.alias("expected_raw"),
+    ).withColumn(
+        "contrib_raw",
+        (F.col("observed").cast("double") - F.col("expected_raw"))
+        * (F.col("observed").cast("double") - F.col("expected_raw"))
+        / F.col("expected_raw"),
+    )
+    return with_exp.select(
+        "source",
+        "lang",
+        "observed",
+        F.round("expected_raw", 6).alias("expected"),
+        F.round("contrib_raw", 6).alias("chisq_contrib"),
+        F.round(F.sum("contrib_raw").over(Window.partitionBy()), 6).alias(
+            "chisq_total"
+        ),
+    )
+
+
+def doc_source_lang_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return source_lang_chisq(t(spark, sf_dir, "documents"))
+
+
+register(
+    "doc_source_lang_chisq",
+    doc_source_lang_chisq,
+    """
+    WITH observed AS (
+        SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS observed
+        FROM documents GROUP BY source, lang
+    ),
+    frame AS (
+        SELECT s.source, l.lang
+        FROM (SELECT DISTINCT source FROM documents) s
+        CROSS JOIN (SELECT DISTINCT lang FROM documents) l
+    ),
+    cells AS (
+        SELECT f.source, f.lang,
+               CAST(COALESCE(o.observed, 0) AS BIGINT) AS observed
+        FROM frame f
+        LEFT JOIN observed o
+          ON o.source = f.source AND o.lang = f.lang
+    ),
+    ex AS (
+        SELECT source, lang, observed,
+               CAST(SUM(observed) OVER (PARTITION BY source) AS DOUBLE)
+                   * CAST(SUM(observed) OVER (PARTITION BY lang) AS DOUBLE)
+                   / CAST(SUM(observed) OVER () AS DOUBLE) AS expected_raw
+        FROM cells
+    ),
+    contrib AS (
+        SELECT *,
+               (CAST(observed AS DOUBLE) - expected_raw)
+                   * (CAST(observed AS DOUBLE) - expected_raw)
+                   / expected_raw AS contrib_raw
+        FROM ex
+    )
+    SELECT source, lang, observed,
+           ROUND(expected_raw, 6) AS expected,
+           ROUND(contrib_raw, 6) AS chisq_contrib,
+           ROUND(SUM(contrib_raw) OVER (), 6) AS chisq_total
+    FROM contrib
+    """,
+)

@@ -117,3 +117,19 @@ def test_scd2_intervals_tile_user_timeline(spark, sf_dir):
         assert closes == opens, uid
         types = grp["event_type"].tolist()
         assert all(a != b for a, b in zip(types, types[1:])), uid
+
+
+def test_key_skew_report_consistency(spark, sf_dir):
+    """One row; totals reconcile with the raw table; skew stats obey
+    their definitional inequalities."""
+    from flink_streaming_demo_spark.plans.event_queries import (
+        events_key_skew_report,
+    )
+
+    [r] = events_key_skew_report(spark, sf_dir).collect()
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    assert r.n_rows == ev.count()
+    assert r.n_keys == ev.select("user_id").distinct().count()
+    assert r.mean_cnt <= r.p99_cnt <= r.max_cnt
+    assert abs(r.skew_factor - r.max_cnt / r.mean_cnt) < 1e-4
+    assert 0 < r.hottest_share < 1

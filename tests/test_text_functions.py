@@ -120,3 +120,25 @@ def test_token_entropy_planted_values(spark):
     assert out[2].entropy == round(math.log(4), 6) and out[2].ttr == 1.0
     assert out[3].entropy == round(math.log(3), 6) and out[3].ttr == 0.5
     assert out[3].n_tokens == 6 and out[3].n_types == 3
+
+
+def test_chisq_zero_under_independence_large_under_dependence(spark):
+    """A perfectly independent source x lang table yields chi2 == 0; a
+    diagonal (fully dependent) table yields chi2 == N * (cells-ish)."""
+    from flink_streaming_demo_spark.plans.text_queries import (
+        source_lang_chisq,
+    )
+
+    indep = spark.createDataFrame(
+        [(i, f"s{i % 2}", f"l{(i // 2) % 2}") for i in range(40)],
+        "doc_id long, source string, lang string",
+    )
+    out = source_lang_chisq(indep).collect()
+    assert all(r.chisq_total == 0.0 and r.chisq_contrib == 0.0 for r in out)
+    diag = spark.createDataFrame(
+        [(i, f"s{i % 2}", f"l{i % 2}") for i in range(40)],
+        "doc_id long, source string, lang string",
+    )
+    out2 = source_lang_chisq(diag).collect()
+    # 2x2 fully dependent: chi2 == N
+    assert all(r.chisq_total == 40.0 for r in out2)
