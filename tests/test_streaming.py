@@ -914,3 +914,70 @@ def test_streaming_enrich_with_static_equals_batch(spark):
         assert len(want) >= 8
     finally:
         shutil.rmtree(chunk_dir, ignore_errors=True)
+
+
+EVENTS_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string"
+)
+
+
+def test_streaming_scd2_equals_batch_closed_intervals(spark, sf_dir):
+    """CDC->SCD2 at ingest: over jittered (60s <= watermark) replay, the
+    streaming operator's closed intervals equal the batch builder's
+    valid_to-not-null rows exactly — versions, bounds, and types. The
+    far-future sentinel advances the watermark past every real change so
+    all batch-closed intervals seal."""
+    from flink_streaming_demo_spark.plans.event_queries import (
+        events_scd2_type_history,
+    )
+    from flink_streaming_demo_spark.schemas import load_table
+    from flink_streaming_demo_spark.streaming.scd2 import streaming_scd2
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    max_ts = events.agg(F.max("ts")).first()[0]
+    sentinel = spark.createDataFrame(
+        [(10**12, max_ts + timedelta(hours=2), 10**9, "zz_sentinel")],
+        EVENTS_SCHEMA,
+    )
+    jittered = replay.with_delivery_jitter(
+        events.unionByName(sentinel), max_delay_secs=60
+    )
+    chunk_dir = replay.write_replay_chunks(
+        jittered, n_chunks=6, order_col="delivery_ts"
+    )
+    sink = InMemoryUpsertSink(["user_id", "version"])
+    try:
+        stream = replay.read_replay_stream(
+            spark, chunk_dir, EVENTS_SCHEMA, max_files_per_trigger=1
+        )
+        q = write_update_stream(
+            streaming_scd2(stream, watermark_delay="60 seconds"),
+            sink,
+            "scd2",
+            "append",
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        got = {
+            (d["user_id"], d["version"]): (
+                d["event_type"],
+                d["valid_from"],
+                d["valid_to"],
+            )
+            for d in sink.snapshot()
+            if d["user_id"] != 10**9
+        }
+        expected = {
+            (r.user_id, r.version): (r.event_type, r.valid_from, r.valid_to)
+            for r in events_scd2_type_history(spark, sf_dir)
+            .filter(F.col("valid_to").isNotNull())
+            .collect()
+        }
+        assert got == expected
+        assert all(not d["is_current"] for d in sink.snapshot())
+    finally:
+        shutil.rmtree(chunk_dir, ignore_errors=True)
