@@ -1006,3 +1006,69 @@ register(
     FROM per
     """,
 )
+
+
+# --- Daily series with range-framed moving average ---------------------------
+
+def events_daily_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily event counts with a 7-day RANGE-framed moving average and a
+    previous-present-day delta. The RANGE frame (value-based, anchored
+    on a day number) is the correct windowing for calendar series with
+    gaps: a missing day still shrinks the average's denominator, which a
+    ROWS frame would silently get wrong. This is the engine's only
+    range-frame exercise, so it also pins that Catalyst feature.
+
+    100 TB shape: the heavy shuffle collapses the fact table to one row
+    per day (partial-aggregated); the window then runs over the tiny
+    daily series. Single-partition window over |days| rows is
+    intentional — the series IS the small table."""
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events")
+    )
+    day_num = F.datediff(F.col("day"), F.lit("2024-01-01").cast("date"))
+    w7 = (
+        Window.orderBy(day_num.cast("long"))
+        .rangeBetween(-6, Window.currentRow)
+    )
+    wlag = Window.orderBy("day")
+    n = F.col("n_events").cast("double")
+    return daily.select(
+        F.col("day").cast("timestamp").alias("day"),
+        "n_events",
+        F.round(F.sum(n).over(w7) / F.count(F.lit(1)).over(w7), 6).alias(
+            "ma7"
+        ),
+        (F.col("n_events") - F.lag("n_events").over(wlag)).alias(
+            "delta_prev_day"
+        ),
+    )
+
+
+register(
+    "events_daily_moving_avg",
+    events_daily_moving_avg,
+    """
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM events GROUP BY 1
+    ),
+    numbered AS (
+        SELECT *, date_diff('day', DATE '2024-01-01', day) AS day_num
+        FROM daily
+    )
+    SELECT
+        CAST(day AS TIMESTAMP) AS day,
+        n_events,
+        ROUND(
+            SUM(CAST(n_events AS DOUBLE)) OVER w7
+                / COUNT(*) OVER w7, 6) AS ma7,
+        n_events - LAG(n_events) OVER (ORDER BY day) AS delta_prev_day
+    FROM numbered
+    WINDOW w7 AS (ORDER BY day_num
+                  RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+    """,
+)

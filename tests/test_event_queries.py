@@ -133,3 +133,32 @@ def test_key_skew_report_consistency(spark, sf_dir):
     assert r.mean_cnt <= r.p99_cnt <= r.max_cnt
     assert abs(r.skew_factor - r.max_cnt / r.mean_cnt) < 1e-4
     assert 0 < r.hottest_share < 1
+
+
+def test_moving_avg_range_frame_handles_gaps(spark, monkeypatch):
+    """Planted series with a missing day: the RANGE frame's denominator
+    shrinks across the gap (day 8's window spans days 2-8 -> 2 present
+    days), which a ROWS frame would get wrong."""
+    from pyspark.sql import functions as F
+
+    import flink_streaming_demo_spark.plans.event_queries as EQ
+
+    ev = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:00:00", 1, "c", 0.0, "{}"),
+            (2, "2024-01-02 00:00:00", 1, "c", 0.0, "{}"),
+            (3, "2024-01-02 06:00:00", 1, "c", 0.0, "{}"),
+            (4, "2024-01-08 00:00:00", 1, "c", 0.0, "{}"),
+        ],
+        "event_id long, ts string, user_id long, event_type string,"
+        " value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    monkeypatch.setattr(EQ, "t", lambda *_: ev)
+    got = {
+        str(r.day)[:10]: (r.n_events, r.ma7, r.delta_prev_day)
+        for r in EQ.events_daily_moving_avg(spark, "ignored").collect()
+    }
+    assert got["2024-01-01"] == (1, 1.0, None)
+    assert got["2024-01-02"] == (2, 1.5, 1)
+    # day 8: range frame covers days 2..8 -> only day 2 and day 8 present
+    assert got["2024-01-08"] == (1, 1.5, -1)
