@@ -118,7 +118,8 @@ _ROUND6_WINDOW = [
 # sample_weighted_topk, text_token_entropy, embedding_dim_profile,
 # embedding_random_projection, events_user_rfm, graph_pagerank_neardup,
 # events_winsorized_stats, layout_zorder_cells, events_scd2_type_history,
-# doc_source_lang_chisq, events_key_skew_report, events_daily_moving_avg.
+# doc_source_lang_chisq, events_key_skew_report, events_daily_moving_avg,
+# text_bigram_logprob.
 
 
 def _apply_window_order() -> None:

@@ -1564,3 +1564,114 @@ register(
     FROM contrib
     """,
 )
+
+
+# --- Bigram LM score (smoothed conditional perplexity proxy) ------------------
+
+def bigram_logprob(docs: DataFrame) -> DataFrame:
+    """Per-document average negative log-probability under the corpus's
+    own add-one-smoothed BIGRAM LM — the sequential upgrade of
+    unigram_logprob: ``p(w2|w1) = (c(w1,w2)+1) / (ctx(w1)+V)`` where
+    ``ctx(w1)`` counts w1 as a bigram context and ``V`` is the corpus
+    vocabulary. Catches locally-incoherent token soup that a unigram
+    model scores as normal, because every transition is judged against
+    the corpus's observed continuations.
+
+    Plan shape: bigrams via a zero-shuffle array transform on the scan;
+    (doc, bigram) tf with map-side combine; the bigram table and its
+    context marginal are groupBys over that (cardinality = distinct
+    bigrams, far below corpus tokens); V is a 1-row broadcast. The
+    scoring join keys on the bigram — linear in corpus size, skew on hot
+    transitions handled by AQE like the unigram path."""
+    toks = docs.select(
+        "doc_id", TX.tokens(F.col("text")).alias("toks")
+    ).filter(F.size("toks") >= 2)
+    bigrams = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(slice(toks, 1, size(toks) - 1),"
+                " (x, i) -> concat(x, chr(1), toks[i + 1]))"
+            )
+        ).alias("bigram"),
+    )
+    tf = bigrams.groupBy("doc_id", "bigram").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    btab = tf.groupBy("bigram").agg(F.sum("tf").alias("c2"))
+    ctx = btab.withColumn(
+        "w1", F.substring_index(F.col("bigram"), "\x01", 1)
+    ).groupBy("w1").agg(F.sum("c2").alias("c1"))
+    vocab = (
+        docs.select(F.explode(TX.tokens(F.col("text"))).alias("token"))
+        .agg(F.countDistinct("token").cast("double").alias("v"))
+    )
+    scored = (
+        tf.join(btab, "bigram")
+        .withColumn("w1", F.substring_index(F.col("bigram"), "\x01", 1))
+        .join(ctx, "w1")
+        .crossJoin(F.broadcast(vocab))
+    )
+    p = (F.col("c2").cast("double") + F.lit(1.0)) / (
+        F.col("c1").cast("double") + F.col("v")
+    )
+    return scored.groupBy("doc_id").agg(
+        F.sum("tf").cast("bigint").alias("n_bigrams"),
+        F.round(
+            F.sum(F.col("tf").cast("double") * -F.log(p))
+            / F.sum("tf").cast("double"),
+            6,
+        ).alias("avg_neg_logp2"),
+    )
+
+
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bigram_logprob(
+        t(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+
+
+register(
+    "text_bigram_logprob",
+    text_bigram_logprob,
+    """
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS toks
+        FROM documents
+        WHERE len(string_split(text, ' ')) >= 2
+    ),
+    bigrams AS (
+        SELECT doc_id,
+               unnest(list_transform(
+                   generate_series(1, len(toks) - 1),
+                   i -> toks[i] || chr(1) || toks[i + 1])) AS bigram
+        FROM toks
+    ),
+    tf AS (
+        SELECT doc_id, bigram, COUNT(*) AS tf
+        FROM bigrams GROUP BY doc_id, bigram
+    ),
+    btab AS (SELECT bigram, SUM(tf) AS c2 FROM tf GROUP BY bigram),
+    ctx AS (
+        SELECT string_split(bigram, chr(1))[1] AS w1, SUM(c2) AS c1
+        FROM btab GROUP BY 1
+    ),
+    vocab AS (
+        SELECT CAST(COUNT(DISTINCT token) AS DOUBLE) AS v
+        FROM (SELECT unnest(string_split(text, ' ')) AS token
+              FROM documents)
+    )
+    SELECT doc_id,
+           CAST(SUM(tf) AS BIGINT) AS n_bigrams,
+           ROUND(
+               SUM(CAST(tf AS DOUBLE)
+                   * -ln((CAST(c2 AS DOUBLE) + 1.0)
+                         / (CAST(c1 AS DOUBLE) + v)))
+               / CAST(SUM(tf) AS DOUBLE), 6) AS avg_neg_logp2
+    FROM tf
+    JOIN btab USING (bigram)
+    JOIN ctx ON ctx.w1 = string_split(bigram, chr(1))[1]
+    CROSS JOIN vocab
+    GROUP BY doc_id
+    """,
+)

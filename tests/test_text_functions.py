@@ -142,3 +142,40 @@ def test_chisq_zero_under_independence_large_under_dependence(spark):
     out2 = source_lang_chisq(diag).collect()
     # 2x2 fully dependent: chi2 == N
     assert all(r.chisq_total == 40.0 for r in out2)
+
+
+def test_bigram_logprob_exact_and_orders_incoherent_higher(spark):
+    """Exact add-one-smoothed values on a planted corpus, and the
+    locally-incoherent doc (unseen transitions) outscores the one built
+    from the corpus's common transitions."""
+    import math
+    from collections import Counter
+
+    from flink_streaming_demo_spark.plans.text_queries import (
+        bigram_logprob,
+    )
+
+    texts = {1: "a b a b a b", 2: "a b a b", 3: "b b c a"}
+    docs = spark.createDataFrame(
+        list(texts.items()), "doc_id long, text string"
+    )
+    got = {r.doc_id: r for r in bigram_logprob(docs).collect()}
+
+    all_tokens = [t for s in texts.values() for t in s.split()]
+    vocab = len(set(all_tokens))
+    c2 = Counter()
+    for s in texts.values():
+        ws = s.split()
+        c2.update(zip(ws, ws[1:]))
+    c1 = Counter()
+    for (w1, _), c in c2.items():
+        c1[w1] += c
+    for doc_id, s in texts.items():
+        ws = s.split()
+        bgs = list(zip(ws, ws[1:]))
+        want = sum(
+            -math.log((c2[b] + 1) / (c1[b[0]] + vocab)) for b in bgs
+        ) / len(bgs)
+        assert abs(got[doc_id].avg_neg_logp2 - want) < 2e-6, doc_id
+        assert got[doc_id].n_bigrams == len(bgs)
+    assert got[3].avg_neg_logp2 > got[1].avg_neg_logp2

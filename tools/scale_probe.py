@@ -58,6 +58,13 @@ PROBE_QUERIES = [
     "decon_source_overlap",
     "events_error_after_click",
     "dedup_semantic_sized",
+    # round-6 continuation additions: explode-heavy text passes (linear
+    # in corpus tokens) and the iterative pagerank over the LSH-bounded
+    # pair list (probe copies are shingle-disjoint -> the 10x graph is 10
+    # disjoint copies, so edges and per-iteration cost must scale ~10x)
+    "text_token_entropy",
+    "tfidf_top_terms",
+    "graph_pagerank_neardup",
 ]
 
 _DOC_SHIFT = 10_000_000
