@@ -919,3 +919,73 @@ def source_overlap_matrix(
             ).alias("overlap_coef"),
         )
     )
+
+
+# --- Fuzzy record linkage (symmetric-deletion blocking) -----------------------
+
+def _deletion_variants(name_expr: str, max_len: int = 64) -> "Column":
+    """The name itself plus every single-character deletion of it — the
+    SymSpell/FastSS block keys: two strings at edit distance <= 1
+    (substitution, insert, or delete) always share at least one
+    variant."""
+    return F.expr(
+        f"array_union(array({name_expr}), "
+        f"transform(sequence(1, length({name_expr})), "
+        f"p -> concat(substring({name_expr}, 1, p - 1), "
+        f"substring({name_expr}, p + 1, {max_len}))))"
+    )
+
+
+def fuzzy_link(
+    dirty: DataFrame,
+    clean: DataFrame,
+    max_distance: int = 1,
+) -> DataFrame:
+    """Record linkage of a dirty file against a clean reference by name,
+    tolerant to edit distance <= 1: symmetric-deletion blocking
+    (SymSpell/FastSS) generates each name's single-deletion variants on
+    BOTH sides and equi-joins on the variant, then verifies candidates
+    with exact levenshtein — never an all-pairs comparison, and unlike
+    prefix/band blocking there is no viral constant-prefix block to cap:
+    deletion variants of distinct names are near-unique.
+
+    Inputs: dirty(dirty_id, dirty_name), clean(clean_id, clean_name).
+    Output: verified matches with a deterministic per-dirty-record rank.
+
+    100 TB shape: row expansion = name length (bounded, ~tens), block
+    keys shuffle-join like any equi key; the verify runs only on
+    blocking survivors. Distance budgets > 1 generalize to deleting up
+    to k chars (variant count ~ L^k) — the documented SymSpell
+    trade-off.
+    """
+    from pyspark.sql import Window
+
+    d = dirty.select(
+        "dirty_id",
+        "dirty_name",
+        F.explode(_deletion_variants("dirty_name")).alias("variant"),
+    )
+    c = clean.select(
+        "clean_id",
+        "clean_name",
+        F.explode(_deletion_variants("clean_name")).alias("variant"),
+    )
+    cand = (
+        d.join(c, "variant")
+        .select("dirty_id", "dirty_name", "clean_id", "clean_name")
+        .distinct()
+    )
+    verified = cand.withColumn(
+        "edit_distance", F.levenshtein("dirty_name", "clean_name")
+    ).filter(F.col("edit_distance") <= max_distance)
+    w = Window.partitionBy("dirty_id").orderBy("edit_distance", "clean_id")
+    return verified.withColumn("match_rank", F.row_number().over(w))
+
+
+def sql_deletion_variants(name_expr: str) -> str:
+    """DuckDB twin of _deletion_variants."""
+    return (
+        f"list_prepend({name_expr}, "
+        f"list_transform(generate_series(1, length({name_expr})), "
+        f"p -> substr({name_expr}, 1, p - 1) || substr({name_expr}, p + 1)))"
+    )

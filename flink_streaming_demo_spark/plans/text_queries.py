@@ -1675,3 +1675,73 @@ register(
     GROUP BY doc_id
     """,
 )
+
+
+# --- Fuzzy customer linkage (planted-typo file vs clean reference) ------------
+
+def link_fuzzy_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record linkage: a dirty customer file (deterministically planted
+    single-character typos, one per c_custkey%7==0, at a key-dependent
+    digit position) matched back to the clean reference by
+    symmetric-deletion blocking + exact levenshtein verify
+    (operators/dedup.py:fuzzy_link). Every dirty row links to its origin
+    at distance 1; a typo in a low digit position may legitimately also
+    match sibling keys, ranked after by the deterministic
+    (distance, clean_id) order."""
+    cust = t(spark, sf_dir, "customer")
+    clean = cust.select(
+        F.col("c_custkey").alias("clean_id"),
+        F.col("c_name").alias("clean_name"),
+    )
+    dirty = cust.filter(F.col("c_custkey") % 7 == 0).select(
+        (F.col("c_custkey") + F.lit(10_000_000)).alias("dirty_id"),
+        F.expr(
+            "concat(substring(c_name, 1, cast(9 + c_custkey % 8 as int)),"
+            " 'x',"
+            " substring(c_name, cast(11 + c_custkey % 8 as int), 18))"
+        ).alias("dirty_name"),
+    )
+    return dedup.fuzzy_link(dirty, clean, max_distance=1)
+
+
+register(
+    "link_fuzzy_customers",
+    link_fuzzy_customers,
+    f"""
+    WITH clean AS (
+        SELECT c_custkey AS clean_id, c_name AS clean_name FROM customer
+    ),
+    dirty AS (
+        SELECT c_custkey + 10000000 AS dirty_id,
+               substr(c_name, 1, CAST(9 + c_custkey % 8 AS INT))
+                   || 'x'
+                   || substr(c_name, CAST(11 + c_custkey % 8 AS INT), 18)
+                   AS dirty_name
+        FROM customer WHERE c_custkey % 7 = 0
+    ),
+    dv AS (
+        SELECT dirty_id, dirty_name,
+               unnest({dedup.sql_deletion_variants('dirty_name')}) AS variant
+        FROM dirty
+    ),
+    cv AS (
+        SELECT clean_id, clean_name,
+               unnest({dedup.sql_deletion_variants('clean_name')}) AS variant
+        FROM clean
+    ),
+    cand AS (
+        SELECT DISTINCT dirty_id, dirty_name, clean_id, clean_name
+        FROM dv JOIN cv USING (variant)
+    ),
+    verified AS (
+        SELECT *, CAST(levenshtein(dirty_name, clean_name) AS INT)
+                      AS edit_distance
+        FROM cand
+        WHERE levenshtein(dirty_name, clean_name) <= 1
+    )
+    SELECT *, CAST(ROW_NUMBER() OVER (
+        PARTITION BY dirty_id ORDER BY edit_distance, clean_id
+    ) AS INT) AS match_rank
+    FROM verified
+    """,
+)

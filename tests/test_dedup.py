@@ -305,3 +305,25 @@ def test_pagerank_matches_numpy_power_iteration(spark):
     # the star center out-ranks the pendant pair; mass sums to ~1
     assert got[0].pr > got[10].pr
     assert abs(sum(x.pr for x in got.values()) - 1.0) < 1e-5
+
+
+def test_fuzzy_link_full_recall_on_planted_typos(spark, sf_dir):
+    """Symmetric-deletion blocking guarantees distance<=1 recall: every
+    planted dirty record links back to its origin, and every match is a
+    verified distance-1 pair with contiguous ranks."""
+    from flink_streaming_demo_spark.plans.text_queries import (
+        link_fuzzy_customers,
+    )
+
+    out = link_fuzzy_customers(spark, sf_dir).toPandas()
+    n_dirty = (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .filter("c_custkey % 7 = 0")
+        .count()
+    )
+    assert out["dirty_id"].nunique() == n_dirty  # no dirty row unmatched
+    assert (out["edit_distance"] == 1).all()
+    by_dirty = out.groupby("dirty_id")
+    for did, grp in by_dirty:
+        assert (did - 10_000_000) in set(grp["clean_id"]), did
+        assert sorted(grp["match_rank"]) == list(range(1, len(grp) + 1))
