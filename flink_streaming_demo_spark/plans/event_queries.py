@@ -1072,3 +1072,89 @@ register(
                   RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
     """,
 )
+
+
+# --- Temporal (point-in-time) join against the SCD2 dimension ----------------
+
+def events_temporal_scd2_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time enrichment: each event joined to the SCD2 version
+    valid at its timestamp (valid_from <= ts < valid_to, open interval =
+    current version). Returns per (user, version) event counts plus a
+    self-consistency flag: because the dimension is derived from this
+    same stream, every event's own type must equal its covering
+    version's type — ``n_mismatched`` is 0 by construction, so the
+    column pins temporal-join correctness inside the hash check itself.
+
+    100 TB shape: equi-join keyed on user_id with the interval predicate
+    as a join condition — candidates per event = that user's version
+    count (small by construction), never a time-cross; one user_id
+    shuffle shared with the SCD2 build."""
+    ev = t(spark, sf_dir, "events")
+    dim = events_scd2_type_history(spark, sf_dir).select(
+        F.col("user_id").alias("d_user"),
+        F.col("event_type").alias("dim_type"),
+        "version",
+        "valid_from",
+        "valid_to",
+    )
+    joined = ev.join(
+        dim,
+        (F.col("user_id") == F.col("d_user"))
+        & (F.col("ts") >= F.col("valid_from"))
+        & (
+            F.col("valid_to").isNull() | (F.col("ts") < F.col("valid_to"))
+        ),
+    )
+    return joined.groupBy("user_id", "version", "dim_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+        F.sum(
+            (F.col("event_type") != F.col("dim_type")).cast("int")
+        ).cast("bigint").alias("n_mismatched"),
+    )
+
+
+register(
+    "events_temporal_scd2_join",
+    events_temporal_scd2_join,
+    """
+    WITH ordered AS (
+        SELECT user_id, event_id, event_type,
+               CAST(ts AS TIMESTAMP) AS ts,
+               LAG(event_type) OVER w AS prev_type
+        FROM events
+        WINDOW w AS (PARTITION BY user_id
+                     ORDER BY CAST(ts AS TIMESTAMP), event_id)
+    ),
+    changes AS (
+        SELECT * FROM ordered
+        WHERE prev_type IS NULL OR event_type <> prev_type
+    ),
+    dim AS (
+        SELECT
+            user_id AS d_user,
+            event_type AS dim_type,
+            CAST(ROW_NUMBER() OVER w2 AS INT) AS version,
+            ts AS valid_from,
+            LEAD(ts) OVER w2 AS valid_to
+        FROM changes
+        WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT
+        e.user_id,
+        d.version,
+        d.dim_type,
+        CAST(COUNT(*) AS BIGINT) AS n_events,
+        MIN(CAST(e.ts AS TIMESTAMP)) AS first_ts,
+        MAX(CAST(e.ts AS TIMESTAMP)) AS last_ts,
+        CAST(SUM(CASE WHEN e.event_type <> d.dim_type THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_mismatched
+    FROM events e
+    JOIN dim d
+      ON e.user_id = d.d_user
+     AND CAST(e.ts AS TIMESTAMP) >= d.valid_from
+     AND (d.valid_to IS NULL OR CAST(e.ts AS TIMESTAMP) < d.valid_to)
+    GROUP BY e.user_id, d.version, d.dim_type
+    """,
+)

@@ -162,3 +162,19 @@ def test_moving_avg_range_frame_handles_gaps(spark, monkeypatch):
     assert got["2024-01-02"] == (2, 1.5, 1)
     # day 8: range frame covers days 2..8 -> only day 2 and day 8 present
     assert got["2024-01-08"] == (1, 1.5, -1)
+
+
+def test_temporal_join_covers_every_event_exactly_once(spark, sf_dir):
+    """Partition property of the temporal join: every event falls in
+    exactly one validity interval (counts sum to the event total), the
+    covering version's type always equals the event's own type, and
+    interval bounds contain [first_ts, last_ts]."""
+    from flink_streaming_demo_spark.plans.event_queries import (
+        events_temporal_scd2_join,
+    )
+
+    out = events_temporal_scd2_join(spark, sf_dir).toPandas()
+    n_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    assert out["n_events"].sum() == n_events
+    assert (out["n_mismatched"] == 0).all()
+    assert (out["first_ts"] <= out["last_ts"]).all()
