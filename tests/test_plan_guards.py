@@ -148,3 +148,14 @@ def test_scd2_single_user_shuffle(spark, sf_dir):
     # hashpartitioning argument separately
     assert plan.count(") Exchange") == 1, plan[:2000]
     assert "hashpartitioning(user_id" in plan
+
+
+def test_temporal_join_is_equi_on_user(spark, sf_dir):
+    """The point-in-time join must key on user_id (equi) with the
+    interval bounds as join conditions — a nested-loop over events x
+    versions would be the time-cross this plan exists to avoid."""
+    plan = _plan(spark, "events_temporal_scd2_join", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) \
+        or ("BroadcastHashJoin" in plan)
