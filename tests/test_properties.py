@@ -211,3 +211,43 @@ def test_winnow_pairs_matches_brute_force(spark, docs, min_shared, max_fp_df):
                 if shared >= min_shared:
                     want[(a, b)] = shared
     assert got == want
+
+
+@given(
+    names=st.lists(
+        st.text(alphabet="abcdefg", min_size=3, max_size=10),
+        min_size=1,
+        max_size=6,
+        unique=True,
+    ),
+    edit=st.tuples(
+        st.sampled_from(["sub", "ins", "del"]),
+        st.integers(min_value=0, max_value=9),
+        st.sampled_from("abcdefgZ"),
+    ),
+)
+@settings(**_SETTINGS)
+def test_fuzzy_link_property_finds_any_single_edit(spark, names, edit):
+    """SymSpell guarantee: for ANY clean name and ANY single edit
+    (substitution, insertion, or deletion), fuzzy_link links the dirty
+    form back to its origin — blocking never loses a distance-1 pair."""
+    kind, pos, ch = edit
+    origin = names[0]
+    p = pos % len(origin)
+    if kind == "sub":
+        dirty_name = origin[:p] + ch + origin[p + 1:]
+    elif kind == "ins":
+        dirty_name = origin[:p] + ch + origin[p:]
+    else:
+        dirty_name = origin[:p] + origin[p + 1:]
+    clean = spark.createDataFrame(
+        [(i, n) for i, n in enumerate(names)],
+        "clean_id long, clean_name string",
+    )
+    dirty = spark.createDataFrame(
+        [(100, dirty_name)], "dirty_id long, dirty_name string"
+    )
+    got = dedup.fuzzy_link(dirty, clean, max_distance=1).collect()
+    assert any(r.clean_id == 0 for r in got), (origin, dirty_name)
+    # every reported match really is within distance 1
+    assert all(r.edit_distance <= 1 for r in got)
