@@ -1158,3 +1158,104 @@ register(
     GROUP BY e.user_id, d.version, d.dim_type
     """,
 )
+
+
+# --- Daily anomaly flags (trailing-window z-score) ----------------------------
+
+_ANOM_Z = 2.0
+
+
+def events_daily_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-anomaly detection on the daily series: each day scored
+    against the TRAILING 7-day window ending the previous day (range
+    frame -7..-1, so the day never explains itself and calendar gaps
+    shrink the baseline correctly); z = (n - mean) / std with an
+    explicit-formula std, flagged at |z| >= 2. Days with fewer than 3
+    baseline days emit a null z and never flag; a degenerate
+    zero-variance baseline also emits a null z but DOES flag any
+    deviation from it (a constant baseline makes any departure
+    infinitely anomalous — the planted-spike test pins this).
+
+    100 TB shape: identical to events_daily_moving_avg — the fact scan
+    collapses to one row per day before any window runs."""
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events")
+    )
+    day_num = F.datediff(F.col("day"), F.lit("2024-01-01").cast("date"))
+    wprev = (
+        Window.orderBy(day_num.cast("long")).rangeBetween(-7, -1)
+    )
+    n = F.col("n_events").cast("double")
+    base_n = F.count(F.lit(1)).over(wprev).cast("double")
+    base_mean = F.sum(n).over(wprev) / base_n
+    base_var = (
+        F.sum(n * n).over(wprev) / base_n - base_mean * base_mean
+    )
+    z_raw = F.when(
+        (base_n >= 3) & (base_var > 0),
+        (n - base_mean) / F.sqrt(base_var),
+    )
+    return daily.select(
+        F.col("day").cast("timestamp").alias("day"),
+        "n_events",
+        F.round(base_mean, 6).alias("baseline_mean"),
+        F.round(z_raw, 6).alias("z_score"),
+        (
+            F.coalesce(F.abs(z_raw) >= _ANOM_Z, F.lit(False))
+            | ((base_n >= 3) & (base_var <= 0) & (n != base_mean))
+        ).alias("is_anomaly"),
+    )
+
+
+register(
+    "events_daily_anomaly",
+    events_daily_anomaly,
+    f"""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM events GROUP BY 1
+    ),
+    numbered AS (
+        SELECT *, date_diff('day', DATE '2024-01-01', day) AS day_num
+        FROM daily
+    ),
+    scored AS (
+        SELECT
+            day,
+            n_events,
+            COUNT(*) OVER wprev AS base_n,
+            SUM(CAST(n_events AS DOUBLE)) OVER wprev
+                / COUNT(*) OVER wprev AS base_mean,
+            SUM(CAST(n_events AS DOUBLE) * CAST(n_events AS DOUBLE))
+                OVER wprev / COUNT(*) OVER wprev
+                - (SUM(CAST(n_events AS DOUBLE)) OVER wprev
+                   / COUNT(*) OVER wprev)
+                  * (SUM(CAST(n_events AS DOUBLE)) OVER wprev
+                     / COUNT(*) OVER wprev) AS base_var
+        FROM numbered
+        WINDOW wprev AS (ORDER BY day_num
+                         RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING)
+    ),
+    z AS (
+        SELECT day, n_events, base_mean, base_n, base_var,
+               CASE WHEN base_n >= 3 AND base_var > 0
+                    THEN (CAST(n_events AS DOUBLE) - base_mean)
+                         / SQRT(base_var)
+               END AS z_raw
+        FROM scored
+    )
+    SELECT
+        CAST(day AS TIMESTAMP) AS day,
+        n_events,
+        ROUND(base_mean, 6) AS baseline_mean,
+        ROUND(z_raw, 6) AS z_score,
+        COALESCE(ABS(z_raw) >= {_ANOM_Z}, FALSE)
+            OR (base_n >= 3 AND base_var <= 0
+                AND CAST(n_events AS DOUBLE) <> base_mean) AS is_anomaly
+    FROM z
+    """,
+)

@@ -119,7 +119,8 @@ _ROUND6_WINDOW = [
 # embedding_random_projection, events_user_rfm, graph_pagerank_neardup,
 # events_winsorized_stats, layout_zorder_cells, events_scd2_type_history,
 # doc_source_lang_chisq, events_key_skew_report, events_daily_moving_avg,
-# text_bigram_logprob, link_fuzzy_customers, events_temporal_scd2_join.
+# text_bigram_logprob, link_fuzzy_customers, events_temporal_scd2_join,
+# events_daily_anomaly.
 
 
 def _apply_window_order() -> None:

@@ -178,3 +178,43 @@ def test_temporal_join_covers_every_event_exactly_once(spark, sf_dir):
     assert out["n_events"].sum() == n_events
     assert (out["n_mismatched"] == 0).all()
     assert (out["first_ts"] <= out["last_ts"]).all()
+
+
+def test_daily_anomaly_flags_planted_spike(spark, monkeypatch):
+    """Flat 10-events/day baseline with one 100-event spike: the spike
+    day (and only days with a valid >=3-day baseline) gets flagged; the
+    self-excluding trailing window keeps the spike out of its own
+    baseline."""
+    from pyspark.sql import functions as F
+
+    import flink_streaming_demo_spark.plans.event_queries as EQ
+
+    rows = []
+    eid = 0
+    for d in range(1, 11):  # Jan 1..10, 10 events/day
+        for k in range(10):
+            rows.append((eid, f"2024-01-{d:02d} 0{k%10}:00:00"))
+            eid += 1
+    for k in range(90):  # spike on Jan 11 -> 100 events
+        rows.append((eid, f"2024-01-11 10:{k%60:02d}:00"))
+        eid += 1
+    for k in range(10):
+        rows.append((eid, f"2024-01-11 0{k%10}:00:00"))
+        eid += 1
+    ev = spark.createDataFrame(
+        [(i, ts, 1, "c", 0.0, "{}") for i, ts in rows],
+        "event_id long, ts string, user_id long, event_type string,"
+        " value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    monkeypatch.setattr(EQ, "t", lambda *_: ev)
+    got = {
+        str(r.day)[:10]: r
+        for r in EQ.events_daily_anomaly(spark, "ignored").collect()
+    }
+    assert got["2024-01-11"].is_anomaly
+    assert got["2024-01-11"].baseline_mean == 10.0
+    # flat days: zero-variance baseline -> null z, not flagged
+    assert got["2024-01-10"].z_score is None
+    assert not got["2024-01-10"].is_anomaly
+    # first day has no baseline at all
+    assert got["2024-01-01"].z_score is None
