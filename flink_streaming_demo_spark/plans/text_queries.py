@@ -1745,3 +1745,66 @@ register(
     FROM verified
     """,
 )
+
+
+# --- Split-leakage audit (near-dups straddling train/val/test) ----------------
+
+def decon_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The audit a deterministic hash split still needs: a random-by-key
+    split happily puts two NEAR-DUPLICATE documents on opposite sides of
+    the train/test boundary (the copy leaks the test set into training).
+    Counts MinHash-LSH near-dup pairs (est >= 0.5, the dedup_minhash_lsh
+    pair set) per ordered split pair over the planted corpus — the
+    cross-split cells quantify leakage that per-key splitting cannot
+    see; the fix (dedup before splitting, or split by cluster id) is
+    exactly what pipeline_clean_corpus + dedup_clusters provide.
+
+    100 TB shape: the pair list is the LSH-bounded candidate set; split
+    labels are pure md5 expressions attached map-side; the final agg is
+    9 cells."""
+    from flink_streaming_demo_spark.operators import sampling
+
+    corpus = _planted_corpus(spark, sf_dir)
+    pairs = dedup.minhash_lsh_pairs(corpus, threshold=0.5).select(
+        "id_a", "id_b"
+    )
+    split_of = lambda c: sampling.hash_split(F.col(c))  # noqa: E731
+    labeled = pairs.select(
+        split_of("id_a").alias("split_a"),
+        split_of("id_b").alias("split_b"),
+    )
+    return labeled.groupBy("split_a", "split_b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs")
+    ).withColumn(
+        "is_leak", F.col("split_a") != F.col("split_b")
+    )
+
+
+def _sql_split_of(col: str) -> str:
+    b = (
+        f"(CAST(('0x' || substr(md5(CAST({col} AS VARCHAR)), 1, 8)) AS BIGINT)"
+        " % 1000000)"
+    )
+    return (
+        f"CASE WHEN {b} < 800000 THEN 'train'"
+        f" WHEN {b} < 900000 THEN 'val' ELSE 'test' END"
+    )
+
+
+register(
+    "decon_split_leakage",
+    decon_split_leakage,
+    f"""
+    WITH {_sql_minhash_pair_ctes(0.5)},
+    labeled AS (
+        SELECT {_sql_split_of('id_a')} AS split_a,
+               {_sql_split_of('id_b')} AS split_b
+        FROM cc_pairs
+    )
+    SELECT split_a, split_b,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           split_a <> split_b AS is_leak
+    FROM labeled
+    GROUP BY split_a, split_b
+    """,
+)

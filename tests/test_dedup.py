@@ -327,3 +327,19 @@ def test_fuzzy_link_full_recall_on_planted_typos(spark, sf_dir):
     for did, grp in by_dirty:
         assert (did - 10_000_000) in set(grp["clean_id"]), did
         assert sorted(grp["match_rank"]) == list(range(1, len(grp) + 1))
+
+
+def test_split_leakage_accounts_for_all_neardup_pairs(spark, sf_dir):
+    """The 3x3 split cells partition the exact near-dup pair set, and
+    the planted copies do leak across splits (the condition the audit
+    exists to expose: per-key hash splitting cannot see near-dups)."""
+    from flink_streaming_demo_spark.plans.text_queries import (
+        decon_split_leakage,
+        dedup_minhash_lsh,
+    )
+
+    cells = decon_split_leakage(spark, sf_dir).collect()
+    n_pairs = dedup_minhash_lsh(spark, sf_dir).count()
+    assert sum(r.n_pairs for r in cells) == n_pairs
+    assert all(r.is_leak == (r.split_a != r.split_b) for r in cells)
+    assert sum(r.n_pairs for r in cells if r.is_leak) > 0
