@@ -1808,3 +1808,82 @@ register(
     GROUP BY split_a, split_b
     """,
 )
+
+
+# --- Cluster-keyed split (the leakage fix) -----------------------------------
+
+def decon_split_by_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fix decon_split_leakage motivates: key the train/val/test
+    hash split by the near-dup CLUSTER id (connected components over the
+    LSH pair set; singletons are their own cluster) so every near-dup
+    family travels to the same split — re-auditing the pair set under
+    this split yields diagonal-only cells by construction, which the
+    hash check itself then proves. Returns the per-split corpus counts
+    plus the re-audited pair cells.
+
+    100 TB shape: CC runs on the LSH-bounded pair list; the split label
+    is one md5 expression on the cluster id; the join attaching labels
+    to pairs is two id-keyed equi-joins."""
+    from flink_streaming_demo_spark.operators import sampling
+
+    corpus = _planted_corpus(spark, sf_dir)
+    pairs = dedup.minhash_lsh_pairs(corpus, threshold=0.5).select(
+        "id_a", "id_b"
+    )
+    labels = dedup.connected_components(pairs)
+    membership = corpus.select("doc_id").join(
+        labels.select(
+            F.col("node").alias("doc_id"),
+            F.col("component").alias("cluster_id"),
+        ),
+        "doc_id",
+        "left",
+    ).select(
+        "doc_id",
+        F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id"),
+    )
+    split = membership.select(
+        "doc_id",
+        sampling.hash_split(F.col("cluster_id")).alias("split"),
+    )
+    cells = (
+        pairs.join(
+            split.select(F.col("doc_id").alias("id_a"),
+                         F.col("split").alias("split_a")), "id_a")
+        .join(
+            split.select(F.col("doc_id").alias("id_b"),
+                         F.col("split").alias("split_b")), "id_b")
+        .groupBy("split_a", "split_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+    )
+    return cells.withColumn(
+        "is_leak", F.col("split_a") != F.col("split_b")
+    )
+
+
+register(
+    "decon_split_by_cluster",
+    decon_split_by_cluster,
+    f"""
+    WITH RECURSIVE {_sql_minhash_pair_ctes(0.5)},
+    {dedup.SQL_CONNECTED_COMPONENTS},
+    membership AS (
+        SELECT c.doc_id,
+               COALESCE(l.cluster_id, c.doc_id) AS cluster_id
+        FROM corpus c
+        LEFT JOIN cc_labels l ON l.id = c.doc_id
+    ),
+    split AS (
+        SELECT doc_id, {_sql_split_of('cluster_id')} AS split
+        FROM membership
+    )
+    SELECT sa.split AS split_a,
+           sb.split AS split_b,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           sa.split <> sb.split AS is_leak
+    FROM cc_pairs p
+    JOIN split sa ON sa.doc_id = p.id_a
+    JOIN split sb ON sb.doc_id = p.id_b
+    GROUP BY sa.split, sb.split
+    """,
+)

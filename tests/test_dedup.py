@@ -343,3 +343,18 @@ def test_split_leakage_accounts_for_all_neardup_pairs(spark, sf_dir):
     assert sum(r.n_pairs for r in cells) == n_pairs
     assert all(r.is_leak == (r.split_a != r.split_b) for r in cells)
     assert sum(r.n_pairs for r in cells if r.is_leak) > 0
+
+
+def test_cluster_keyed_split_eliminates_leakage(spark, sf_dir):
+    """Under the cluster-keyed split, no near-dup pair straddles splits:
+    only diagonal cells appear, and they still account for every pair."""
+    from flink_streaming_demo_spark.plans.text_queries import (
+        decon_split_by_cluster,
+        dedup_minhash_lsh,
+    )
+
+    cells = decon_split_by_cluster(spark, sf_dir).collect()
+    assert all(not r.is_leak for r in cells)
+    assert all(r.split_a == r.split_b for r in cells)
+    n_pairs = dedup_minhash_lsh(spark, sf_dir).count()
+    assert sum(r.n_pairs for r in cells) == n_pairs

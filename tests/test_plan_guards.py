@@ -23,7 +23,9 @@ _SKIP_CONSTRUCTION = {"dedup_clusters", "sim_ivf_kmeans",
                       # guarded by test_semantic_dedup_pair_join_is_equi
                       "dedup_semantic", "pipeline_embedding_dedup",
                       # pagerank checkpoints each iteration at construction
-                      "graph_pagerank_neardup"}
+                      "graph_pagerank_neardup",
+                      # cluster-keyed split runs the CC loop at construction
+                      "decon_split_by_cluster"}
 
 
 def _plan(spark, name, sf_dir) -> str:
