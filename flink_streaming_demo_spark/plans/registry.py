@@ -120,7 +120,8 @@ _ROUND6_WINDOW = [
 # events_winsorized_stats, layout_zorder_cells, events_scd2_type_history,
 # doc_source_lang_chisq, events_key_skew_report, events_daily_moving_avg,
 # text_bigram_logprob, link_fuzzy_customers, events_temporal_scd2_join,
-# events_daily_anomaly, decon_split_leakage, decon_split_by_cluster.
+# events_daily_anomaly, decon_split_leakage, decon_split_by_cluster,
+# pipeline_keep_decisions.
 
 
 def _apply_window_order() -> None:

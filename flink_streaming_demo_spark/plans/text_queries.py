@@ -1887,3 +1887,148 @@ register(
     GROUP BY sa.split, sb.split
     """,
 )
+
+
+# --- Per-document keep/drop audit (the pipeline's decision table) -------------
+
+def pipeline_keep_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The audit view of pipeline_clean_corpus: for EVERY planted-corpus
+    document, whether it survives and the FIRST stage that dropped it
+    ('quality' -> 'exact_dup' -> 'near_dup' -> 'kept') — the table a
+    data engineer debugs a cleaning run with, and the lineage a removal
+    request is answered from. Kept set == pipeline_clean_corpus's output
+    by construction (pinned by test).
+
+    100 TB shape: identical stages to the pipeline (narrow scan,
+    min-per-hash groupBy, LSH pairs, CC on the pair list); the audit
+    adds only left joins of small loser/keeper sets back onto the
+    corpus scan."""
+    corpus = _planted_corpus(spark, sf_dir)
+    n = TX.token_count(F.col("text"))
+    flagged = corpus.select(
+        "doc_id",
+        "text",
+        ((n >= 5) & (TX.avg_token_len(F.col("text")) >= 2.0)).alias(
+            "quality_pass"
+        ),
+    )
+    quality = flagged.filter("quality_pass").select("doc_id", "text")
+    keepers = quality.groupBy(F.md5("text").alias("h")).agg(
+        F.min("doc_id").alias("keeper_id")
+    )
+    exact = quality.join(
+        keepers, F.md5(quality["text"]) == keepers["h"]
+    ).select(
+        "doc_id",
+        "text",
+        (F.col("doc_id") == F.col("keeper_id")).alias("exact_survivor"),
+    )
+    survivors = exact.filter("exact_survivor").select("doc_id", "text")
+    pairs = dedup.minhash_lsh_pairs(
+        survivors, threshold=PIPE_NEARDUP_EST
+    ).select("id_a", "id_b")
+    losers = (
+        dedup.connected_components(pairs)
+        .filter(F.col("node") != F.col("component"))
+        .select(F.col("node").alias("doc_id"), F.lit(True).alias("cc_loser"))
+    )
+    dec = (
+        flagged.join(
+            exact.select("doc_id", "exact_survivor"), "doc_id", "left"
+        )
+        .join(losers, "doc_id", "left")
+        .select(
+            "doc_id",
+            "quality_pass",
+            F.coalesce("exact_survivor", F.lit(False)).alias(
+                "exact_survivor"
+            ),
+            F.coalesce("cc_loser", F.lit(False)).alias("near_dup_loser"),
+        )
+    )
+    reason = (
+        F.when(~F.col("quality_pass"), "quality")
+        .when(~F.col("exact_survivor"), "exact_dup")
+        .when(F.col("near_dup_loser"), "near_dup")
+        .otherwise("kept")
+    )
+    return dec.select(
+        "doc_id",
+        "quality_pass",
+        "exact_survivor",
+        "near_dup_loser",
+        reason.alias("reason"),
+        (reason == "kept").alias("kept"),
+    )
+
+
+register(
+    "pipeline_keep_decisions",
+    pipeline_keep_decisions,
+    f"""
+    WITH RECURSIVE corpus AS ({_PLANTED_SQL}),
+    flagged AS (
+        SELECT doc_id, text,
+               ({TX.sql_token_count('text')} >= 5
+                AND {TX.sql_avg_token_len('text')} >= 2.0) AS quality_pass
+        FROM corpus
+    ),
+    quality AS (
+        SELECT doc_id, text FROM flagged WHERE quality_pass
+    ),
+    keepers AS (
+        SELECT md5(text) AS h, MIN(doc_id) AS keeper_id
+        FROM quality GROUP BY md5(text)
+    ),
+    exact AS (
+        SELECT q.doc_id, q.text,
+               (q.doc_id = k.keeper_id) AS exact_survivor
+        FROM quality q JOIN keepers k ON md5(q.text) = k.h
+    ),
+    survivors AS (
+        SELECT doc_id, text FROM exact WHERE exact_survivor
+    ),
+    sigs AS (
+        SELECT
+            doc_id,
+            {dedup.sql_minhash_signature(dedup.sql_shingles('text'))} AS sig
+        FROM survivors
+        WHERE len(string_split(text, ' ')) >= {dedup.SHINGLE_N}
+    ),
+    banded AS (
+        SELECT doc_id, sig, unnest({dedup.sql_lsh_band_keys('sig')}) AS band_key
+        FROM sigs
+    ),
+    cand AS (
+        SELECT DISTINCT
+            a.doc_id AS id_a, b.doc_id AS id_b, a.sig AS sig_a, b.sig AS sig_b
+        FROM banded a
+        JOIN banded b
+          ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+    ),
+    cc_pairs AS (
+        SELECT id_a, id_b FROM cand
+        WHERE CAST(list_sum(list_transform(generate_series(1, {dedup.N_HASHES}),
+                j -> CASE WHEN sig_a[j] = sig_b[j] THEN 1 ELSE 0 END)) AS DOUBLE)
+                / {float(dedup.N_HASHES)} >= {PIPE_NEARDUP_EST}
+    ),
+    {dedup.SQL_CONNECTED_COMPONENTS},
+    dec AS (
+        SELECT f.doc_id,
+               f.quality_pass,
+               COALESCE(e.exact_survivor, FALSE) AS exact_survivor,
+               COALESCE(l.id IS NOT NULL AND l.id <> l.cluster_id, FALSE)
+                   AS near_dup_loser
+        FROM flagged f
+        LEFT JOIN exact e ON e.doc_id = f.doc_id
+        LEFT JOIN cc_labels l ON l.id = f.doc_id
+    )
+    SELECT *,
+           CASE WHEN NOT quality_pass THEN 'quality'
+                WHEN NOT exact_survivor THEN 'exact_dup'
+                WHEN near_dup_loser THEN 'near_dup'
+                ELSE 'kept' END AS reason,
+           (quality_pass AND exact_survivor AND NOT near_dup_loser) AS kept
+    FROM dec
+    """,
+)

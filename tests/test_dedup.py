@@ -358,3 +358,29 @@ def test_cluster_keyed_split_eliminates_leakage(spark, sf_dir):
     assert all(r.split_a == r.split_b for r in cells)
     n_pairs = dedup_minhash_lsh(spark, sf_dir).count()
     assert sum(r.n_pairs for r in cells) == n_pairs
+
+
+def test_keep_decisions_agree_with_pipeline_output(spark, sf_dir):
+    """The audit's kept set is exactly pipeline_clean_corpus's output,
+    reasons follow the stage precedence, and every corpus doc gets
+    exactly one decision row."""
+    from flink_streaming_demo_spark.plans.text_queries import (
+        _planted_corpus,
+        pipeline_clean_corpus,
+        pipeline_keep_decisions,
+    )
+
+    dec = pipeline_keep_decisions(spark, sf_dir).toPandas()
+    assert len(dec) == _planted_corpus(spark, sf_dir).count()
+    kept_audit = set(dec[dec.kept]["doc_id"])
+    kept_pipeline = {
+        r.doc_id for r in pipeline_clean_corpus(spark, sf_dir).collect()
+    }
+    assert kept_audit == kept_pipeline
+    assert ((dec["reason"] == "kept") == dec["kept"]).all()
+    assert (dec.loc[~dec.quality_pass, "reason"] == "quality").all()
+    # planted exact copies never survive exact dedup
+    exact_copy = dec[
+        (dec.doc_id >= 1000000) & (dec.doc_id < 2000000)
+    ]
+    assert not exact_copy["kept"].any()

@@ -24,8 +24,8 @@ _SKIP_CONSTRUCTION = {"dedup_clusters", "sim_ivf_kmeans",
                       "dedup_semantic", "pipeline_embedding_dedup",
                       # pagerank checkpoints each iteration at construction
                       "graph_pagerank_neardup",
-                      # cluster-keyed split runs the CC loop at construction
-                      "decon_split_by_cluster"}
+                      # these run the CC loop at construction
+                      "decon_split_by_cluster", "pipeline_keep_decisions"}
 
 
 def _plan(spark, name, sf_dir) -> str:
