@@ -68,8 +68,15 @@ def main() -> int:
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         return time.perf_counter() - t0
 
+    # Opt-in diagnostics: SPARK_GRAFT_BENCH_ALL=1 times EVERY registered
+    # query instead of the frozen HEADLINE set, and marks the metric so
+    # the output can never be mistaken for (or compared against) the
+    # cross-round headline series. stdout stays one JSON line either way.
+    bench_all = os.environ.get("SPARK_GRAFT_BENCH_ALL") == "1"
+    names = list(qs) if bench_all else HEADLINE
+
     timings: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in names:
         run_once(name)  # warmup: codegen compile + Python worker spin-up
         timings[name] = round(run_once(name), 3)
 
@@ -78,7 +85,11 @@ def main() -> int:
     print(
         json.dumps(
             {
-                "metric": "headline_queries_total_wall_sec",
+                "metric": (
+                    "all_queries_total_wall_sec"
+                    if bench_all
+                    else "headline_queries_total_wall_sec"
+                ),
                 "value": total,
                 "unit": "sec",
                 "queries": timings,

@@ -379,15 +379,22 @@ def winnow_fingerprints(df, text_col: str = "text", id_col: str = "doc_id"):
     from pyspark.sql import functions as F  # local: df-level helper
 
     hs, positions, fps = _winnow_spark_exprs(text_col)
-    step1 = df.select(F.col(id_col), F.expr(hs).alias("hs"))
-    return step1.select(
+    # Bind hs ONCE per row via the lambda-variable let idiom: a plain
+    # hs column would be re-INLINED at every reference by Catalyst's
+    # projection collapse, recomputing the full per-gram md5 transform
+    # inside each of the ~w-window lambdas (measured ~50x slowdown).
+    bound = (
+        f"transform(array({hs}), hs -> named_struct("
+        f"'n_grams', size(hs), "
+        f"'n_fingerprints', CAST(size({positions}) AS INT), "
+        f"'winnow_digest', md5(concat_ws(',', transform({fps},"
+        " x -> CAST(x AS STRING))))))[0]"
+    )
+    return df.select(F.col(id_col), F.expr(bound).alias("_w")).select(
         F.col(id_col),
-        F.expr("size(hs)").alias("n_grams"),
-        F.expr(f"size({positions})").cast("int").alias("n_fingerprints"),
-        F.expr(
-            f"md5(concat_ws(',', transform({fps},"
-            " x -> CAST(x AS STRING))))"
-        ).alias("winnow_digest"),
+        F.col("_w.n_grams").alias("n_grams"),
+        F.col("_w.n_fingerprints").alias("n_fingerprints"),
+        F.col("_w.winnow_digest").alias("winnow_digest"),
     )
 
 
@@ -399,10 +406,10 @@ def winnow_fp_sets(df, text_col: str = "text", id_col: str = "doc_id"):
     from pyspark.sql import functions as F  # local: df-level helper
 
     hs, _positions, fps = _winnow_spark_exprs(text_col)
-    step1 = df.select(F.col(id_col), F.expr(hs).alias("hs"))
-    return step1.select(
-        F.col(id_col),
-        F.expr(f"array_distinct({fps})").alias("fps"),
+    # same let-binding as winnow_fingerprints (see comment there)
+    bound = f"transform(array({hs}), hs -> array_distinct({fps}))[0]"
+    return df.select(
+        F.col(id_col), F.expr(bound).alias("fps")
     )
 
 

@@ -818,6 +818,10 @@ def winnow_pairs(
     fp = winnow_fp_sets(df, text_col, id_col).select(
         F.col(id_col), F.explode("fps").alias("fp")
     )
+    # one hash exchange on fp feeds all three consumers (stop-list
+    # groupBy, join side a, join side b) via ReusedExchange — the
+    # fingerprint extraction runs once, not three times
+    fp = fp.repartition("fp")
     stop = (
         fp.groupBy("fp")
         .agg(F.count(F.lit(1)).alias("_df"))
