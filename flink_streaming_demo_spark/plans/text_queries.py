@@ -2032,3 +2032,161 @@ register(
     FROM dec
     """,
 )
+
+
+# --- Cross-document duplicated-span stripping --------------------------------
+#
+# Exact-substring dedup at word-gram granularity (Lee et al. 2022,
+# "Deduplicating Training Data Makes Language Models Better"): any run of
+# tokens whose every length-SPAN_N window also occurs in ANOTHER document is
+# boilerplate; strip it and keep the residue. This consumes the signal that
+# dedup_repeated_ngrams only reports — the actual span-removal cleaning step.
+# Runs over the NATURAL documents table (the synthetic corpus genuinely
+# shares boilerplate 8-grams across docs; no planting needed).
+
+
+def strip_dup_spans(docs: DataFrame, n: int = SPAN_N) -> DataFrame:
+    """Per document: count and strip maximal cross-document duplicated
+    token spans.
+
+    A token position j (1-based) is *covered* when some n-gram window
+    [s, s+n-1] containing j occurs in >= 2 distinct documents. Covered
+    positions merge into maximal spans (gaps-and-islands); the kept text
+    is the uncovered tokens joined by a single space (the corpus is
+    single-space tokenized, so this is lossless on the residue).
+
+    Output: doc_id, n_tokens, dup_token_count, n_spans, kept_hash
+    (md5 of the stripped text; '' hashes for fully-duplicated docs).
+
+    100 TB shape: one explode to (gram, doc, pos) — O(total tokens);
+    duplicated-gram detection is a two-level partial-aggregated groupBy
+    on the gram (a viral boilerplate gram is one skewed reduce key,
+    AQE-split, never a pair join); the coverage join back to documents
+    is an equi-join on gram whose output is bounded by gram occurrences
+    (linear in corpus size); span merging and stripping are pure
+    per-row array expressions over the collected start list (bounded by
+    doc length). No all-pairs stage anywhere.
+    """
+    toks = TX.tokens(F.col("text"))
+    starts_rng = F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1))
+    grams = F.transform(
+        starts_rng, lambda i: F.concat_ws(" ", F.slice(toks, i, n))
+    )
+    guarded = F.when(F.size(toks) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+    # (doc_id, start, gram) with 1-based start positions.
+    doc_grams = docs.select(
+        "doc_id", F.posexplode(guarded).alias("pos0", "gram")
+    ).select("doc_id", (F.col("pos0") + 1).alias("s"), "gram")
+    # Grams occurring in >= 2 distinct docs (two-level agg: partial
+    # (gram, doc) distinct-ing, then gram-level doc count).
+    dup_grams = (
+        doc_grams.select("gram", "doc_id")
+        .distinct()
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+        .select("gram")
+    )
+    # Per doc: sorted duplicated-window start positions.
+    doc_starts = (
+        doc_grams.join(dup_grams, "gram")
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_set("s")).alias("starts"))
+    )
+    joined = docs.join(doc_starts, "doc_id", "left").select(
+        "doc_id",
+        toks.alias("tk"),
+        F.coalesce(
+            F.col("starts"), F.array().cast("array<int>")
+        ).alias("starts"),
+    )
+
+    def covered(j):  # j: 1-based token position Column
+        return F.exists(
+            F.col("starts"),
+            lambda s: (s <= j) & (j <= s + F.lit(n - 1)),
+        )
+
+    pos = F.sequence(F.lit(1), F.size(F.col("tk")))
+    kept = F.filter(
+        F.col("tk"), lambda _t, i0: ~covered(i0 + F.lit(1))
+    )
+    span_starts = F.filter(
+        pos, lambda j: covered(j) & ~covered(j - F.lit(1))
+    )
+    return joined.select(
+        "doc_id",
+        F.size("tk").alias("n_tokens"),
+        (F.size("tk") - F.size(kept)).alias("dup_token_count"),
+        F.size(span_starts).alias("n_spans"),
+        F.md5(F.concat_ws(" ", kept)).alias("kept_hash"),
+    )
+
+
+def text_strip_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    return strip_dup_spans(docs)
+
+
+register(
+    "text_strip_dup_spans",
+    text_strip_dup_spans,
+    f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+    ),
+    grams AS (
+        SELECT doc_id, i AS s,
+               array_to_string(tk[i:i+{SPAN_N - 1}], ' ') AS gram
+        FROM toks,
+             LATERAL unnest(generate_series(1, len(tk) - {SPAN_N - 1}))
+                 AS u(i)
+        WHERE len(tk) >= {SPAN_N}
+    ),
+    dup AS (
+        SELECT gram FROM grams GROUP BY gram
+        HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    starts AS (
+        SELECT g.doc_id, g.s FROM grams g JOIN dup USING (gram)
+    ),
+    pos AS (
+        SELECT doc_id, j
+        FROM toks, LATERAL unnest(generate_series(1, len(tk))) AS p(j)
+    ),
+    covered AS (
+        SELECT DISTINCT p.doc_id, p.j
+        FROM pos p
+        JOIN starts s
+          ON p.doc_id = s.doc_id AND p.j BETWEEN s.s AND s.s + {SPAN_N - 1}
+    ),
+    islands AS (
+        SELECT doc_id, j,
+               CASE WHEN lag(j) OVER (PARTITION BY doc_id ORDER BY j) = j - 1
+                    THEN 0 ELSE 1 END AS is_start
+        FROM covered
+    ),
+    span_agg AS (
+        SELECT doc_id, COUNT(*) AS dup_token_count, SUM(is_start) AS n_spans
+        FROM islands GROUP BY doc_id
+    ),
+    kept_pos AS (
+        SELECT p.doc_id, list(p.j ORDER BY p.j) AS keep
+        FROM pos p
+        ANTI JOIN covered c ON p.doc_id = c.doc_id AND p.j = c.j
+        GROUP BY p.doc_id
+    )
+    SELECT t.doc_id,
+           CAST(len(t.tk) AS INT) AS n_tokens,
+           CAST(COALESCE(s.dup_token_count, 0) AS INT) AS dup_token_count,
+           CAST(COALESCE(s.n_spans, 0) AS INT) AS n_spans,
+           md5(COALESCE(array_to_string(
+               list_select(t.tk, COALESCE(k.keep, [])), ' '), ''))
+               AS kept_hash
+    FROM toks t
+    LEFT JOIN span_agg s ON s.doc_id = t.doc_id
+    LEFT JOIN kept_pos k ON k.doc_id = t.doc_id
+    """,
+)

@@ -179,3 +179,57 @@ def test_bigram_logprob_exact_and_orders_incoherent_higher(spark):
         assert abs(got[doc_id].avg_neg_logp2 - want) < 2e-6, doc_id
         assert got[doc_id].n_bigrams == len(bgs)
     assert got[3].avg_neg_logp2 > got[1].avg_neg_logp2
+
+
+def test_strip_dup_spans_planted_passage(spark):
+    """Two docs share a 10-token passage embedded in otherwise-unique
+    text (SPAN_N=8, so 3 windows fit inside the passage and none
+    straddles into the unique flanks); a third doc shares nothing.
+    The span boundaries, counts, and stripped residue must be exact."""
+    import hashlib
+
+    from flink_streaming_demo_spark.plans.text_queries import (
+        SPAN_N,
+        strip_dup_spans,
+    )
+
+    assert SPAN_N == 8
+    shared = " ".join(f"dup{i}" for i in range(10))
+    a_head, a_tail = "a1 a2 a3", "a4 a5"
+    b_head, b_tail = "b1 b2 b3 b4", "b5"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{a_head} {shared} {a_tail}"),
+            (2, f"{b_head} {shared} {b_tail}"),
+            (3, "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in strip_dup_spans(docs).collect()}
+    # Doc 1: tokens 4..13 covered (the 10 shared tokens; windows start
+    # at 4,5,6 and cover [4,13]) -> one span of 10 dup tokens.
+    assert (got[1].n_tokens, got[1].dup_token_count, got[1].n_spans) == (15, 10, 1)
+    assert got[1].kept_hash == hashlib.md5(b"a1 a2 a3 a4 a5").hexdigest()
+    assert (got[2].n_tokens, got[2].dup_token_count, got[2].n_spans) == (15, 10, 1)
+    assert got[2].kept_hash == hashlib.md5(b"b1 b2 b3 b4 b5").hexdigest()
+    # Doc 3: nothing shared -> untouched.
+    assert (got[3].dup_token_count, got[3].n_spans) == (0, 0)
+    assert got[3].kept_hash == hashlib.md5(
+        b"c1 c2 c3 c4 c5 c6 c7 c8 c9 c10"
+    ).hexdigest()
+
+
+def test_strip_dup_spans_identical_docs_fully_covered(spark):
+    """Two identical docs (>= SPAN_N tokens): every position is covered,
+    residue is empty, and the whole doc is one span."""
+    import hashlib
+
+    from flink_streaming_demo_spark.plans.text_queries import strip_dup_spans
+
+    text = " ".join(f"w{i}" for i in range(12))
+    docs = spark.createDataFrame(
+        [(1, text), (2, text)], "doc_id long, text string"
+    )
+    for r in strip_dup_spans(docs).collect():
+        assert (r.n_tokens, r.dup_token_count, r.n_spans) == (12, 12, 1)
+        assert r.kept_hash == hashlib.md5(b"").hexdigest()
