@@ -625,3 +625,322 @@ def semantic_dedup(
             "cos_sim",
         )
     )
+
+
+# --- Product quantization (PQ) -----------------------------------------------
+#
+# The compression layer of large-scale ANN (Jegou et al. 2011, "Product
+# Quantization for Nearest Neighbor Search"): split each d-dim vector into M
+# subvectors, k-means each subspace to KSUB codes, store each vector as M
+# small codes (here 8 x 4 bits vs 64 x float32 = 64x compression), and
+# answer queries in the compressed domain via ADC (asymmetric distance
+# computation: per-query lookup table of query-subvector -> centroid
+# distances, summed over the M codes). At 100 TB this is what makes the
+# corpus fit in memory; candidate bounding comes from composing with the
+# IVF cells (ivf_topk) exactly as IVF-PQ does — PQ replaces the full-width
+# rerank scan, IVF bounds which codes are scanned.
+
+PQ_M = 8        # subspaces
+PQ_DSUB = 8     # dims per subspace (PQ_M * PQ_DSUB = 64)
+PQ_KSUB = 16    # codes per subspace (4-bit codes)
+PQ_ITERS = 2    # Lloyd iterations per subspace
+
+
+def sq_l2(a: Column, b: Column) -> Column:
+    """Sequential-order squared L2 distance (deterministic IEEE)."""
+    return F.aggregate(
+        F.zip_with(
+            _to_double(a), _to_double(b), lambda x, y: (x - y) * (x - y)
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def subvectors(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = PQ_M,
+    dsub: int = PQ_DSUB,
+) -> DataFrame:
+    """(id, su, svec): subspace su's dsub-dim slice, cast to double.
+    Pure explode — M rows per vector, no shuffle."""
+    return (
+        df.select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("su"),
+        )
+        .select(
+            id_col,
+            "su",
+            _to_double(
+                F.slice(F.col(vec_col), F.col("su") * dsub + 1, dsub)
+            ).alias("svec"),
+        )
+    )
+
+
+def _pq_assign(subs: DataFrame, cents: DataFrame, id_col: str) -> DataFrame:
+    """Nearest per-subspace code for every (vector, subspace): broadcast
+    the M x KSUB codebook, rank by rounded squared L2 (code tiebreak)."""
+    scored = subs.join(F.broadcast(cents), "su").select(
+        id_col,
+        "su",
+        "svec",
+        "code",
+        F.round(sq_l2(F.col("svec"), F.col("cvec")), 6).alias("d"),
+    )
+    w = Window.partitionBy(id_col, "su").orderBy(F.asc("d"), F.asc("code"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(id_col, "su", "svec", "code")
+    )
+
+
+def pq_train(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = PQ_M,
+    dsub: int = PQ_DSUB,
+    ksub: int = PQ_KSUB,
+    n_iterations: int = PQ_ITERS,
+) -> DataFrame:
+    """Per-subspace Lloyd k-means codebooks, (su, code, cvec), seeded from
+    the deterministic picks (id < ksub), so an oracle can replay the
+    trajectory. Same determinism contract as kmeans_centroids: rounded
+    assignment distances, round-6 per-dim means, empty-code coalesce;
+    each iteration localCheckpoints the M x KSUB codebook.
+
+    All M subspaces train in ONE DataFrame pass per iteration (the
+    subspace id is just another grouping key), so the iteration cost is
+    a corpus scan + a broadcast join — not M separate jobs.
+    """
+    subs = subvectors(corpus, id_col, vec_col, m, dsub)
+    cents = (
+        subs.filter(F.col(id_col) < ksub)
+        .select("su", F.col(id_col).cast("int").alias("code"),
+                F.col("svec").alias("cvec"))
+        .localCheckpoint()
+    )
+    for _ in range(n_iterations):
+        assigned = _pq_assign(subs, cents, id_col).select(
+            "su", "code", F.posexplode("svec").alias("dim", "val")
+        )
+        means = (
+            assigned.groupBy("su", "code", "dim")
+            .agg(F.round(F.avg("val"), 6).alias("cval"))
+            .groupBy("su", "code")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("dim", "cval"))
+                ).alias("pairs")
+            )
+            .select(
+                "su",
+                "code",
+                F.transform(F.col("pairs"), lambda p: p.cval).alias("_mean"),
+            )
+        )
+        cents = (
+            cents.join(means, ["su", "code"], "left")
+            .select(
+                "su",
+                "code",
+                F.coalesce("_mean", F.col("cvec")).alias("cvec"),
+            )
+            .localCheckpoint()
+        )
+    return cents
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = PQ_M,
+    dsub: int = PQ_DSUB,
+) -> DataFrame:
+    """(id, su, code): each vector's nearest code per subspace — the
+    compressed representation (M small ints per vector)."""
+    subs = subvectors(corpus, id_col, vec_col, m, dsub)
+    return _pq_assign(subs, codebooks, id_col).select(id_col, "su", "code")
+
+
+def pq_adc_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    codebooks: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = PQ_M,
+    dsub: int = PQ_DSUB,
+) -> DataFrame:
+    """ADC top-k in the compressed domain: per query, a distance table
+    (query-subvector -> each code's squared L2, floored to integer
+    micro-units so the M-way sum is an exact bigint — order-free across
+    engines), joined against the encoded corpus and summed.
+
+    Output: (query_id, rank, neighbor_id, adc_micro); self-pairs
+    excluded, ties break on neighbor id.
+
+    Scale: the codebook (M x KSUB rows) and distance table (|Q| x M x
+    KSUB rows) are broadcast; the compressed corpus (M rows per vector)
+    is scanned once — the only shuffle is the (query, neighbor) partial
+    sum and the per-query top-k window, both bounded by |Q| x |C| sums
+    of M integers, never full-width vectors. Compose with IVF cells to
+    bound |C| per query (IVF-PQ) at 100 TB.
+    """
+    enc = pq_encode(corpus, codebooks, id_col, vec_col, m, dsub)
+    qsub = subvectors(queries, id_col, vec_col, m, dsub).select(
+        F.col(id_col).alias("query_id"), "su", F.col("svec").alias("qvec")
+    )
+    dtable = qsub.join(F.broadcast(codebooks), "su").select(
+        "query_id",
+        "su",
+        "code",
+        F.floor(sq_l2(F.col("qvec"), F.col("cvec")) * F.lit(1000000.0))
+        .cast("bigint")
+        .alias("pd_micro"),
+    )
+    adc = (
+        enc.join(F.broadcast(dtable), ["su", "code"])
+        .filter(F.col("query_id") != F.col(id_col))
+        .groupBy("query_id", F.col(id_col).alias("neighbor_id"))
+        .agg(F.sum("pd_micro").alias("adc_micro"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_micro"), F.asc("neighbor_id")
+    )
+    return (
+        adc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "adc_micro")
+    )
+
+
+def sql_sq_l2(a: str, b: str, dims: int) -> str:
+    return f"""
+        list_sum(list_transform(generate_series(1, {dims}),
+            i -> (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))
+               * (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))))
+    """
+
+
+def sql_pq_cents(
+    ksub: int = PQ_KSUB,
+    m: int = PQ_M,
+    dsub: int = PQ_DSUB,
+    n_iterations: int = PQ_ITERS,
+    corpus: str = "embeddings",
+) -> str:
+    """DuckDB twin of pq_train seeded with ``vec_id < ksub``: CTE chain
+    ``subv, pcent0 .. pcent{n}`` unrolling the per-subspace Lloyd
+    iterations (rounded squared-L2 assignment with code tiebreak,
+    round-6 per-dim means, empty-code coalesce). Embed inside WITH and
+    select from ``pcent{n_iterations}``."""
+    d = sql_sq_l2("s.svec", "c.cvec", dsub)
+    parts = [
+        f"""subv AS (
+        SELECT vec_id, su,
+               list_transform(embedding[su * {dsub} + 1 : su * {dsub} + {dsub}],
+                   x -> CAST(x AS DOUBLE)) AS svec
+        FROM {corpus}, generate_series(0, {m - 1}) AS g(su)
+    )""",
+        f"""pcent0 AS (
+        SELECT su, CAST(vec_id AS INT) AS code, svec AS cvec
+        FROM subv WHERE vec_id < {ksub}
+    )""",
+    ]
+    for i in range(1, n_iterations + 1):
+        p = i - 1
+        parts.append(f"""passign{i} AS (
+        SELECT vec_id, su, svec, code FROM (
+            SELECT s.vec_id, s.su, s.svec, c.code,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY s.vec_id, s.su
+                       ORDER BY ROUND({d}, 6) ASC, c.code ASC
+                   ) AS rk
+            FROM subv s JOIN pcent{p} c ON s.su = c.su
+        ) WHERE rk = 1
+    )""")
+        parts.append(f"""pmeans{i} AS (
+        SELECT su, code, di, ROUND(AVG(svec[di]), 6) AS cval
+        FROM passign{i}, generate_series(1, {dsub}) AS u(di)
+        GROUP BY su, code, di
+    )""")
+        parts.append(f"""pcent{i} AS (
+        SELECT p.su, p.code, COALESCE(mm.cvec, p.cvec) AS cvec
+        FROM pcent{p} p
+        LEFT JOIN (
+            SELECT su, code, list(cval ORDER BY di) AS cvec
+            FROM pmeans{i} GROUP BY su, code
+        ) mm USING (su, code)
+    )""")
+    return ",\n    ".join(parts)
+
+
+def pq_shortlist_rerank(
+    queries: DataFrame,
+    corpus: DataFrame,
+    codebooks: DataFrame,
+    k: int = 5,
+    shortlist: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = PQ_M,
+    dsub: int = PQ_DSUB,
+) -> DataFrame:
+    """The production PQ query shape: ADC prunes the corpus to a
+    per-query shortlist in the compressed domain, then ONLY the
+    shortlist is reranked with the exact full-width cosine.
+
+    Output: (query_id, rank, neighbor_id, score) — same shape as
+    brute_force_topk, so the two are directly comparable.
+
+    Scale: the expensive exact stage touches |Q| x shortlist vectors
+    instead of |Q| x |C| — here a 10% scan fraction; at 100 TB the
+    shortlist join is an equi-join on the neighbor id against the
+    (pruned) corpus, so full-width vectors are only shuffled for
+    shortlist members.
+    """
+    short = pq_adc_topk(
+        queries, corpus, codebooks, k=shortlist,
+        id_col=id_col, vec_col=vec_col, m=m, dsub=dsub,
+    ).select("query_id", "neighbor_id")
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        l2_norm(F.col(vec_col)).alias("q_norm"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        l2_norm(F.col(vec_col)).alias("c_norm"),
+    )
+    scored = (
+        short.join(F.broadcast(q), "query_id")
+        .join(c, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                dot(F.col("q_vec"), F.col("c_vec"))
+                / (F.col("q_norm") * F.col("c_norm")),
+                6,
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "score")
+    )

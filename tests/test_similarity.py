@@ -277,3 +277,58 @@ def test_random_projection_matches_numpy(spark, sf_dir):
             .to_numpy()
         )
         assert np.allclose(got, want, atol=2e-6)
+
+
+def test_pq_encode_recovers_planted_codes(spark):
+    """Corpus built from 2 distinct subvectors per subspace (m=2, dsub=2,
+    ksub=2): after training, every vector must encode to the codes of the
+    subvectors it was built from, and ADC distance between two vectors
+    sharing all codes must be 0."""
+    from flink_streaming_demo_spark.operators import similarity as SIM
+
+    sub = {0: [0.0, 0.0], 1: [10.0, 10.0]}
+    # vec_id 0/1 seed the codebooks; 2-5 are exact repeats of the seeds'
+    # subvector combinations (including mixed ones).
+    rows = [
+        (0, sub[0] + sub[0]),
+        (1, sub[1] + sub[1]),
+        (2, sub[0] + sub[0]),
+        (3, sub[1] + sub[1]),
+        (4, sub[0] + sub[1]),
+        (5, sub[1] + sub[0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cb = SIM.pq_train(emb, m=2, dsub=2, ksub=2, n_iterations=2)
+    enc = {
+        (r.vec_id, r.su): r.code
+        for r in SIM.pq_encode(emb, cb, m=2, dsub=2).collect()
+    }
+    # same planted subvector -> same code within a subspace
+    assert enc[(2, 0)] == enc[(0, 0)] and enc[(2, 1)] == enc[(0, 1)]
+    assert enc[(4, 0)] == enc[(0, 0)] and enc[(4, 1)] == enc[(1, 1)]
+    assert enc[(5, 0)] == enc[(1, 0)] and enc[(5, 1)] == enc[(0, 1)]
+    # ADC: vec 2 (== vec 0's codes) is at integer-micro distance 0 from
+    # query 0, and strictly closer than any vector with a differing code.
+    top = SIM.pq_adc_topk(
+        emb.filter("vec_id = 0"), emb, cb, k=5, m=2, dsub=2
+    ).collect()
+    by_rank = {r.rank: r for r in sorted(top, key=lambda r: r.rank)}
+    assert by_rank[1].neighbor_id == 2 and by_rank[1].adc_micro == 0
+    assert by_rank[2].adc_micro > 0
+
+
+def test_pq_rerank_with_full_shortlist_equals_exact(spark, sf_dir):
+    """With shortlist >= |corpus| the ADC prune keeps everything, so the
+    rerank stage must reproduce brute_force_topk exactly."""
+    from flink_streaming_demo_spark.operators import similarity as SIM
+    from flink_streaming_demo_spark.schemas import load_table as t
+    from pyspark.sql import functions as F
+
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3)
+    cb = SIM.pq_train(emb, n_iterations=1)
+    got = SIM.pq_shortlist_rerank(
+        queries, emb, cb, k=5, shortlist=10_000
+    ).collect()
+    want = SIM.brute_force_topk(queries, emb, k=5).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
