@@ -993,3 +993,76 @@ def sql_deletion_variants(name_expr: str) -> str:
         f"list_transform(generate_series(1, length({name_expr})), "
         f"p -> substr({name_expr}, 1, p - 1) || substr({name_expr}, p + 1)))"
     )
+
+
+# --- Incremental (batch-vs-corpus) dedup -------------------------------------
+
+def incremental_dedup_decisions(
+    base: DataFrame,
+    incoming: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Keep/drop verdicts for an INCOMING batch against an EXISTING
+    corpus — the steady-state shape of a production ingest pipeline,
+    where the corpus was deduped long ago and each new crawl batch must
+    be checked against it without re-shuffling the corpus.
+
+    Per incoming doc: 'exact_dup' (content hash present in base, via a
+    hash equi-join), else 'near_dup' (shares an LSH band with a base doc
+    AND signature-estimated Jaccard >= threshold), else 'new';
+    matched_base_id is the lowest matching base doc (NULL for 'new').
+
+    100 TB shape: the base side is never self-joined and never shuffled
+    — the small incoming batch is BROADCAST to both the content-hash
+    probe and the band join, so the two lookups are corpus scans with
+    map-side joins (in production the base signatures/bands are a
+    precomputed index, making this incremental cost independent of
+    corpus size except for the scan; with the band index bucketed by
+    band_key it is independent of corpus size entirely).
+    """
+    bh = base.select(
+        F.md5(F.col(text_col)).alias("h"), F.col(id_col).alias("base_id")
+    )
+    ih = incoming.select(F.col(id_col), F.md5(F.col(text_col)).alias("h"))
+    exact = (
+        bh.join(F.broadcast(ih), "h")
+        .groupBy(id_col)
+        .agg(F.min("base_id").alias("exact_match"))
+    )
+    bband = minhash_signatures_agg(base, text_col, id_col).select(
+        F.col(id_col).alias("base_id"),
+        F.col("sig").alias("sig_b"),
+        F.explode(lsh_band_keys(F.col("sig"))).alias("band_key"),
+    )
+    iband = minhash_signatures_agg(incoming, text_col, id_col).select(
+        F.col(id_col),
+        F.col("sig").alias("sig_i"),
+        F.explode(lsh_band_keys(F.col("sig"))).alias("band_key"),
+    )
+    est = F.expr(
+        "round(CAST(aggregate(zip_with(sig_i, sig_b,"
+        " (x, y) -> IF(x = y, 1, 0)), 0, (acc, v) -> acc + v) AS DOUBLE)"
+        f" / {float(N_HASHES)}, 6)"
+    )
+    near = (
+        bband.join(F.broadcast(iband), "band_key")
+        .dropDuplicates([id_col, "base_id"])
+        .filter(est >= threshold)
+        .groupBy(id_col)
+        .agg(F.min("base_id").alias("near_match"))
+    )
+    return (
+        incoming.select(id_col)
+        .join(exact, id_col, "left")
+        .join(near, id_col, "left")
+        .select(
+            id_col,
+            F.when(F.col("exact_match").isNotNull(), F.lit("exact_dup"))
+            .when(F.col("near_match").isNotNull(), F.lit("near_dup"))
+            .otherwise(F.lit("new"))
+            .alias("verdict"),
+            F.coalesce("exact_match", "near_match").alias("matched_base_id"),
+        )
+    )

@@ -2190,3 +2190,117 @@ register(
     LEFT JOIN kept_pos k ON k.doc_id = t.doc_id
     """,
 )
+
+
+# --- Incremental (batch-vs-corpus) dedup -------------------------------------
+#
+# Incoming batch: exact copies (doc_id%10), near copies with the appended
+# tail (doc_id%25), and token-REVERSED docs (doc_id%7) whose ordered
+# 3-gram shingles share ~nothing with the base — three planted verdict
+# classes over the natural documents base.
+
+
+def _incoming_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    exact = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    near = docs.filter(F.col("doc_id") % 25 == 0).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(NEAR_TAIL)).alias("text"),
+    )
+    new = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 3000000).alias("doc_id"),
+        F.concat_ws(" ", F.reverse(F.split(F.col("text"), " "))).alias("text"),
+    )
+    return exact.unionAll(near).unionAll(new)
+
+
+_INCOMING_SQL = """
+        SELECT doc_id + 1000000 AS doc_id, text
+        FROM documents WHERE doc_id % 10 = 0
+        UNION ALL
+        SELECT doc_id + 2000000 AS doc_id, text || '{tail}' AS text
+        FROM documents WHERE doc_id % 25 = 0
+        UNION ALL
+        SELECT doc_id + 3000000 AS doc_id,
+               array_to_string(list_reverse(string_split(text, ' ')), ' ')
+                   AS text
+        FROM documents WHERE doc_id % 7 = 0
+""".format(tail=NEAR_TAIL)
+
+
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time dedup of a new batch against the existing corpus:
+    exact (content hash) -> near (MinHash-LSH band + signature Jaccard
+    >= 0.5) -> new, with the matched base doc. The base corpus is never
+    self-joined or shuffled — see operators/dedup.
+    incremental_dedup_decisions for the broadcast-index scale shape."""
+    base = t(spark, sf_dir, "documents").select("doc_id", "text")
+    return dedup.incremental_dedup_decisions(
+        base, _incoming_batch(spark, sf_dir), threshold=0.5
+    )
+
+
+register(
+    "dedup_incremental",
+    dedup_incremental,
+    f"""
+    WITH base AS (
+        SELECT doc_id, text FROM documents
+    ),
+    inc AS ({_INCOMING_SQL}),
+    bh AS (
+        SELECT md5(text) AS h, doc_id AS base_id FROM base
+    ),
+    exact AS (
+        SELECT i.doc_id, MIN(b.base_id) AS exact_match
+        FROM inc i JOIN bh b ON md5(i.text) = b.h
+        GROUP BY i.doc_id
+    ),
+    bsig AS (
+        SELECT doc_id AS base_id,
+               {dedup.sql_minhash_signature(dedup.sql_shingles('text'))}
+                   AS sig_b
+        FROM base
+        WHERE len(string_split(text, ' ')) >= {dedup.SHINGLE_N}
+    ),
+    isig AS (
+        SELECT doc_id,
+               {dedup.sql_minhash_signature(dedup.sql_shingles('text'))}
+                   AS sig_i
+        FROM inc
+        WHERE len(string_split(text, ' ')) >= {dedup.SHINGLE_N}
+    ),
+    bband AS (
+        SELECT base_id, sig_b,
+               unnest({dedup.sql_lsh_band_keys('sig_b')}) AS band_key
+        FROM bsig
+    ),
+    iband AS (
+        SELECT doc_id, sig_i,
+               unnest({dedup.sql_lsh_band_keys('sig_i')}) AS band_key
+        FROM isig
+    ),
+    cand AS (
+        SELECT DISTINCT i.doc_id, b.base_id, i.sig_i, b.sig_b
+        FROM iband i JOIN bband b USING (band_key)
+    ),
+    near AS (
+        SELECT doc_id, MIN(base_id) AS near_match
+        FROM cand
+        WHERE CAST(list_sum(list_transform(generate_series(1, {dedup.N_HASHES}),
+                j -> CASE WHEN sig_i[j] = sig_b[j] THEN 1 ELSE 0 END))
+                AS DOUBLE) / {float(dedup.N_HASHES)} >= 0.5
+        GROUP BY doc_id
+    )
+    SELECT i.doc_id,
+           CASE WHEN e.exact_match IS NOT NULL THEN 'exact_dup'
+                WHEN n.near_match IS NOT NULL THEN 'near_dup'
+                ELSE 'new' END AS verdict,
+           COALESCE(e.exact_match, n.near_match) AS matched_base_id
+    FROM inc i
+    LEFT JOIN exact e ON e.doc_id = i.doc_id
+    LEFT JOIN near n ON n.doc_id = i.doc_id
+    """,
+)

@@ -384,3 +384,53 @@ def test_keep_decisions_agree_with_pipeline_output(spark, sf_dir):
         (dec.doc_id >= 1000000) & (dec.doc_id < 2000000)
     ]
     assert not exact_copy["kept"].any()
+
+
+def test_incremental_dedup_verdict_classes(spark, sf_dir):
+    """The three planted incoming classes must get their verdicts: exact
+    copies -> exact_dup matched to their source doc; tail-appended near
+    copies -> near_dup matched to their source; token-reversed docs ->
+    never matched to their own source as exact."""
+    from flink_streaming_demo_spark.plans.text_queries import dedup_incremental
+
+    rows = {r.doc_id: r for r in dedup_incremental(spark, sf_dir).collect()}
+    exact_ids = [i for i in rows if 1000000 <= i < 2000000]
+    near_ids = [i for i in rows if 2000000 <= i < 3000000]
+    new_ids = [i for i in rows if i >= 3000000]
+    assert exact_ids and near_ids and new_ids
+    for i in exact_ids:
+        assert rows[i].verdict == "exact_dup"
+        assert rows[i].matched_base_id == i - 1000000
+    for i in near_ids:
+        assert rows[i].verdict == "near_dup"
+        # matched_base_id is the MIN matching base doc; the source always
+        # matches (tail-append keeps most shingles), but a naturally
+        # similar base doc with a lower id may win the min.
+        assert rows[i].matched_base_id <= i - 2000000
+    # Reversed docs must never be exact dups; shingle order makes a
+    # near-dup match against ANY base doc overwhelmingly unlikely, and a
+    # planted check on the strongest candidate (its own source) is exact:
+    for i in new_ids:
+        assert rows[i].verdict != "exact_dup"
+        if rows[i].verdict == "near_dup":
+            assert rows[i].matched_base_id != i - 3000000
+
+
+def test_incremental_dedup_new_on_disjoint_vocab(spark):
+    """A batch with fully disjoint vocabulary is all 'new'."""
+    from flink_streaming_demo_spark.operators.dedup import (
+        incremental_dedup_decisions,
+    )
+
+    base = spark.createDataFrame(
+        [(1, "a b c d e f g h"), (2, "c d e f g h i j")],
+        "doc_id long, text string",
+    )
+    inc = spark.createDataFrame(
+        [(10, "q r s t u v w x"), (11, "a b c d e f g h")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in
+           incremental_dedup_decisions(base, inc).collect()}
+    assert got[10].verdict == "new" and got[10].matched_base_id is None
+    assert got[11].verdict == "exact_dup" and got[11].matched_base_id == 1

@@ -161,3 +161,12 @@ def test_temporal_join_is_equi_on_user(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
     assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) \
         or ("BroadcastHashJoin" in plan)
+
+
+def test_incremental_dedup_broadcasts_incoming_side(spark, sf_dir):
+    """The base corpus must reach both probes via map-side joins: the
+    incoming batch is broadcast, so no SortMergeJoin shuffles the base
+    content hashes or band keys."""
+    plan = _plan(spark, "dedup_incremental", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
