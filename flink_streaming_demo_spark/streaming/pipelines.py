@@ -228,3 +228,53 @@ def streaming_enrich_with_static(
         "n_events",
         "weighted_value",
     )
+
+
+def streaming_incremental_dedup(
+    base: DataFrame,
+    sink,
+    threshold: float = 0.5,
+):
+    """foreachBatch body for ingest-time dedup of a document stream
+    against a STATIC existing corpus: every micro-batch runs
+    operators/dedup.incremental_dedup_decisions (exact content-hash ->
+    MinHash-LSH near -> new, matched base id) and upserts the verdicts
+    keyed by doc_id. Because verdicts depend only on (doc, base) — no
+    cross-batch state — the streaming result converges to the batch
+    operator over the same incoming set regardless of chunking or
+    arrival order; the equivalence test pins that.
+
+    Compose after ``streaming_dedup`` (dropDuplicatesWithinWatermark on
+    the content hash) when the stream itself may repeat content: intra-
+    stream dedup is the engine's watermark-bounded state, corpus-level
+    dedup is this batch-per-trigger check — same division of labor as
+    streaming_clean_corpus_front.
+
+    Scale: the micro-batch is small by construction, so both probe joins
+    broadcast it against the (in production: precomputed, bucketed) base
+    index — the base is never shuffled per trigger.
+    """
+    from flink_streaming_demo_spark.operators.dedup import (
+        incremental_dedup_decisions,
+    )
+
+    def body(batch_df: DataFrame, epoch_id: int) -> None:
+        if not batch_df.head(1):
+            return
+        verdicts = incremental_dedup_decisions(
+            base, batch_df, threshold=threshold
+        )
+        sink.foreach_batch(verdicts, epoch_id)
+
+    return body
+
+
+def write_foreach_batch_stream(stream: DataFrame, body, query_name: str):
+    """Attach a custom foreachBatch body (e.g.
+    streaming_incremental_dedup) to a stream."""
+    return (
+        stream.writeStream.outputMode("append")
+        .queryName(query_name)
+        .foreachBatch(body)
+        .start()
+    )

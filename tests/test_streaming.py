@@ -981,3 +981,64 @@ def test_streaming_scd2_equals_batch_closed_intervals(spark, sf_dir):
         assert all(not d["is_current"] for d in sink.snapshot())
     finally:
         shutil.rmtree(chunk_dir, ignore_errors=True)
+
+
+def test_streaming_incremental_dedup_equals_batch(spark, sf_dir):
+    """Chunked out-of-order replay of the incoming batch, deduped
+    per-trigger against the static base corpus, must produce EXACTLY the
+    batch operator's verdicts — incremental decisions carry no
+    cross-batch state, so chunking must not change a single verdict."""
+    from flink_streaming_demo_spark.operators.dedup import (
+        incremental_dedup_decisions,
+    )
+    from flink_streaming_demo_spark.plans.text_queries import _incoming_batch
+    from flink_streaming_demo_spark.schemas import load_table
+    from flink_streaming_demo_spark.streaming.pipelines import (
+        streaming_incremental_dedup,
+        write_foreach_batch_stream,
+    )
+    from flink_streaming_demo_spark.streaming.sinks import ParquetUpsertSink
+
+    base = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    incoming = _incoming_batch(spark, sf_dir)
+    base_us = 1_700_000_000 * 1_000_000
+    stamped = incoming.withColumn(
+        "ingest_ts",
+        F.timestamp_micros(
+            F.lit(base_us) + (F.col("doc_id") % 240) * F.lit(1_000_000)
+        ),
+    )
+    jittered = replay.with_delivery_jitter(
+        stamped, ts_col="ingest_ts", max_delay_secs=60
+    )
+    chunk_dir = replay.write_replay_chunks(
+        jittered, n_chunks=5, order_col="delivery_ts"
+    )
+    store = tempfile.mkdtemp(prefix="inc_dedup_") + "/store"
+    sink = ParquetUpsertSink(store, ["doc_id"])
+    try:
+        stream = replay.read_replay_stream(
+            spark,
+            chunk_dir,
+            "doc_id long, text string, ingest_ts timestamp",
+            max_files_per_trigger=1,
+        ).select("doc_id", "text")
+        q = write_foreach_batch_stream(
+            stream, streaming_incremental_dedup(base, sink), "inc_dedup"
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        got = {
+            r.doc_id: (r.verdict, r.matched_base_id)
+            for r in sink.read(spark).collect()
+        }
+        want = {
+            r.doc_id: (r.verdict, r.matched_base_id)
+            for r in incremental_dedup_decisions(base, incoming).collect()
+        }
+        assert got == want
+    finally:
+        shutil.rmtree(chunk_dir, ignore_errors=True)
+        shutil.rmtree(store, ignore_errors=True)
