@@ -1,0 +1,188 @@
+"""Trained document-quality classifier: logistic regression by full-batch
+gradient descent, in pure DataFrame ops.
+
+The standard LLM-corpus move (CCNet / GPT-3 / LLaMA data pipelines): learn a
+smooth quality scorer and keep/weight documents by predicted probability,
+instead of a hard hand-written gate. Here the training labels are a
+hand-written curation policy (token count >= 50 AND stopword ratio >= 0.05
+— "long enough, naturally worded"; ~1/3 of the synthetic corpus, so both
+classes are populated), and the classifier distills the hard policy into a
+calibrated score. The policy is a CONJUNCTION of thresholds on two of the
+features, so it is only approximately linearly separable — the 3-iteration
+trajectory has a real gradient signal and a non-trivial decision boundary,
+which is what the oracle verifies. Measured at sf0.01: 8 iterations at
+lr=4.0 reach 73.2% train accuracy with scores spanning the 0.5 boundary
+(the linear ceiling for this conjunction on unnormalized features; lr
+sweeps 1-16 plateau at ~0.73 and oscillate above lr=8).
+
+Determinism contract (same as the k-means / PQ trainers): features are
+round-6 doubles built from expressions with exact DuckDB twins; the margin
+z = x.w is a sequential-order dot rounded to 6; the sigmoid output and each
+per-dimension gradient mean are rounded to 6; weights update by round-6
+steps. An IEEE-double engine replays the identical weight trajectory, so
+the oracle unrolls the iterations CTE-by-CTE.
+
+Scale: one corpus scan per iteration — the (doc, dim) gradient explode is
+partial-aggregated map-side before the 5-key dim shuffle, the weight row is
+broadcast, and each iteration localCheckpoints the 1-row weight table to
+truncate lineage. No collect; weights never leave the cluster.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from flink_streaming_demo_spark.functions import text as TX
+from flink_streaming_demo_spark.operators.similarity import dot
+
+N_FEATURES = 5
+LEARNING_RATE = 4.0
+TRAIN_ITERS = 8
+
+
+def quality_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, x array<double>[5], y): bias, scaled token count, scaled
+    avg token length, stopword ratio, distinct-token ratio; label = the
+    curation policy (n_tokens >= 50 AND stopword_ratio >= 0.05)."""
+    t = F.col(text_col)
+    n = TX.token_count(t)
+    return docs.select(
+        "doc_id",
+        F.array(
+            F.lit(1.0),
+            n.cast("double") / F.lit(100.0),
+            TX.avg_token_len(t) / F.lit(10.0),
+            TX.stopword_ratio(t),
+            F.round(
+                TX.distinct_token_count(t).cast("double") / n.cast("double"),
+                6,
+            ),
+        ).alias("x"),
+        F.when(
+            (n >= 50) & (TX.stopword_ratio(t) >= 0.05), F.lit(1.0)
+        )
+        .otherwise(F.lit(0.0))
+        .alias("y"),
+    )
+
+
+def _prob(x: Column, w: Column) -> Column:
+    z = F.round(dot(x, w), 6)
+    return F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
+
+
+def logreg_train(
+    feats: DataFrame,
+    dims: int = N_FEATURES,
+    lr: float = LEARNING_RATE,
+    n_iterations: int = TRAIN_ITERS,
+) -> DataFrame:
+    """Full-batch GD from w = 0: per iteration, p = sigmoid(x.w) and
+    w_j -= lr * mean((p - y) * x_j), every scalar rounded to 6 so the
+    trajectory is engine-exact. Returns the 1-row (w array<double>)."""
+    spark = feats.sparkSession
+    w = spark.createDataFrame(
+        [([0.0] * dims,)], "w array<double>"
+    ).localCheckpoint()
+    for _ in range(n_iterations):
+        scored = feats.crossJoin(F.broadcast(w))
+        grads = (
+            scored.select(
+                _prob(F.col("x"), F.col("w")).alias("p"),
+                "y",
+                F.posexplode("x").alias("dim", "xj"),
+            )
+            .groupBy("dim")
+            .agg(
+                F.round(
+                    F.avg((F.col("p") - F.col("y")) * F.col("xj")), 6
+                ).alias("gj")
+            )
+            .groupBy()
+            .agg(
+                F.array_sort(F.collect_list(F.struct("dim", "gj"))).alias(
+                    "pairs"
+                )
+            )
+            .select(F.transform("pairs", lambda s: s.gj).alias("g"))
+        )
+        w = (
+            w.crossJoin(F.broadcast(grads))
+            .select(
+                F.zip_with(
+                    "w",
+                    "g",
+                    lambda wj, gj: F.round(wj - F.lit(lr) * gj, 6),
+                ).alias("w")
+            )
+            .localCheckpoint()
+        )
+    return w
+
+
+def logreg_score(feats: DataFrame, weights: DataFrame) -> DataFrame:
+    """(doc_id, y, score, pred): sigmoid score under the trained weights
+    and the >= 0.5 decision."""
+    p = _prob(F.col("x"), F.col("w"))
+    return feats.crossJoin(F.broadcast(weights)).select(
+        "doc_id",
+        "y",
+        p.alias("score"),
+        (p >= 0.5).alias("pred"),
+    )
+
+
+def sql_logreg_ctes(
+    dims: int = N_FEATURES,
+    lr: float = LEARNING_RATE,
+    n_iterations: int = TRAIN_ITERS,
+    corpus: str = "documents",
+    text: str = "text",
+) -> str:
+    """DuckDB twin: CTE chain ``feat, w0, p1, g1, w1 .. w{n}`` unrolling
+    the GD iterations. Select the final scores from ``feat, w{n}``."""
+    n = TX.sql_token_count(text)
+    al = TX.sql_avg_token_len(text)
+    feat = f"""feat AS (
+        SELECT doc_id,
+               [1.0,
+                CAST({n} AS DOUBLE) / 100.0,
+                {al} / 10.0,
+                {TX.sql_stopword_ratio(text)},
+                ROUND(CAST({TX.sql_distinct_token_count(text)} AS DOUBLE)
+                      / CAST({n} AS DOUBLE), 6)] AS x,
+               CASE WHEN {n} >= 50 AND {TX.sql_stopword_ratio(text)} >= 0.05
+                    THEN 1.0 ELSE 0.0 END AS y
+        FROM {corpus}
+    )"""
+    zeros = ", ".join(["0.0"] * dims)
+    parts = [feat, f"w0 AS (SELECT [{zeros}] AS w)"]
+    prob = (
+        "ROUND(1.0 / (1.0 + exp(-ROUND(list_sum(list_transform("
+        f"generate_series(1, {dims}), i -> x[i] * w[i])), 6))), 6)"
+    )
+    for i in range(1, n_iterations + 1):
+        p = i - 1
+        parts.append(f"""p{i} AS (
+        SELECT doc_id, x, y, {prob} AS p FROM feat, w{p}
+    )""")
+        parts.append(f"""g{i} AS (
+        SELECT list(gj ORDER BY dim) AS g FROM (
+            SELECT dim, ROUND(AVG((p - y) * x[dim]), 6) AS gj
+            FROM p{i}, generate_series(1, {dims}) AS u(dim)
+            GROUP BY dim
+        )
+    )""")
+        parts.append(f"""w{i} AS (
+        SELECT list_transform(generate_series(1, {dims}),
+                   i -> ROUND(w[i] - {lr} * g[i], 6)) AS w
+        FROM w{p}, g{i}
+    )""")
+    return ",\n    ".join(parts)
+
+
+SQL_LOGREG_PROB = (
+    "ROUND(1.0 / (1.0 + exp(-ROUND(list_sum(list_transform("
+    f"generate_series(1, {N_FEATURES}), i -> x[i] * w[i])), 6))), 6)"
+)

@@ -2304,3 +2304,37 @@ register(
     LEFT JOIN near n ON n.doc_id = i.doc_id
     """,
 )
+
+
+# --- Trained quality classifier (logistic regression) ------------------------
+
+def text_quality_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Logistic-regression quality scores: 8 full-batch GD iterations
+    (lr=4.0) over round-6 features (bias, scaled length, scaled avg token
+    length, stopword ratio, distinct ratio); labels = the curation policy
+    n_tokens >= 50 AND stopword_ratio >= 0.05 (309/191 split, 73.2%
+    train accuracy at sf0.01 — the linear ceiling for the conjunction).
+    The oracle unrolls the identical iterations, so the green proves the
+    DataFrame training trajectory — weights, gradients, and the final
+    calibrated scores. See operators/classify."""
+    from flink_streaming_demo_spark.operators import classify as CL
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    feats = CL.quality_features(docs)
+    w = CL.logreg_train(feats)
+    return CL.logreg_score(feats, w)
+
+
+def _logreg_oracle() -> str:
+    from flink_streaming_demo_spark.operators import classify as CL
+
+    n = CL.TRAIN_ITERS
+    return f"""
+    WITH {CL.sql_logreg_ctes()}
+    SELECT doc_id, y, p AS score, p >= 0.5 AS pred FROM (
+        SELECT doc_id, y, {CL.SQL_LOGREG_PROB} AS p FROM feat, w{n}
+    )
+    """
+
+
+register("text_quality_logreg", text_quality_logreg, _logreg_oracle())

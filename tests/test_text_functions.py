@@ -233,3 +233,49 @@ def test_strip_dup_spans_identical_docs_fully_covered(spark):
     for r in strip_dup_spans(docs).collect():
         assert (r.n_tokens, r.dup_token_count, r.n_spans) == (12, 12, 1)
         assert r.kept_hash == hashlib.md5(b"").hexdigest()
+
+
+def test_logreg_first_gd_step_matches_hand_computation(spark):
+    """One GD iteration from w=0 on a 2-doc frame must produce exactly
+    the hand-computed round-6 weights: p = sigmoid(0) = 0.5 for every
+    doc, so w_j = -lr * mean((0.5 - y) * x_j)."""
+    from flink_streaming_demo_spark.operators.classify import logreg_train
+
+    feats = spark.createDataFrame(
+        [(1, [1.0, 0.2, 0.3, 0.1, 0.5], 1.0),
+         (2, [1.0, 0.8, 0.1, 0.0, 0.4], 0.0)],
+        "doc_id long, x array<double>, y double",
+    )
+    got = logreg_train(feats, lr=2.0, n_iterations=1).collect()[0].w
+    # grad_j = mean((p - y) * x_j) with p = 0.5:
+    #   doc1 contributes -0.5 * x, doc2 contributes +0.5 * x
+    want = [
+        round(0.0 - 2.0 * round((-0.5 * a + 0.5 * b) / 2.0, 6), 6)
+        for a, b in zip([1.0, 0.2, 0.3, 0.1, 0.5],
+                        [1.0, 0.8, 0.1, 0.0, 0.4])
+    ]
+    assert got == want
+
+
+def test_logreg_learns_separable_labels(spark):
+    """On a linearly separable planted set (y = x1 > 0.5), enough GD
+    iterations must reach 100% train accuracy and order scores with the
+    labels."""
+    from flink_streaming_demo_spark.operators.classify import (
+        logreg_score,
+        logreg_train,
+    )
+
+    rows = [
+        (i, [1.0, i / 20.0, 0.0, 0.0, 0.0], 1.0 if i / 20.0 > 0.5 else 0.0)
+        for i in range(21)
+    ]
+    feats = spark.createDataFrame(
+        rows, "doc_id long, x array<double>, y double"
+    )
+    w = logreg_train(feats, lr=8.0, n_iterations=20)
+    out = logreg_score(feats, w).collect()
+    assert all((r.score >= 0.5) == (r.y == 1.0) for r in out)
+    top = max(out, key=lambda r: r.score)
+    bot = min(out, key=lambda r: r.score)
+    assert top.y == 1.0 and bot.y == 0.0
