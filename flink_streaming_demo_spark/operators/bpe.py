@@ -1,0 +1,177 @@
+"""BPE (byte-pair encoding) merge-table training in pure DataFrame ops.
+
+The tokenizer-training step of an LLM data pipeline (Sennrich et al. 2016):
+start from characters, repeatedly merge the most frequent adjacent symbol
+pair. Classic implementations train on the word-frequency table — so does
+this one: the corpus scan happens ONCE (token explode + count), and the
+iterations run over the distinct-word table, whose size is bounded by
+vocabulary, not corpus.
+
+Representation trick that keeps the whole trajectory engine-replayable:
+a word's symbol sequence is stored as a DELIMITED STRING — ``|sym1||sym2|
+..|symN|`` (every symbol wrapped in ``|`` on both sides). Applying merge
+(pa, pb) is then a plain ``replace(s, '|pa||pb|', '|papb|')``: SQL replace
+scans left-to-right over non-overlapping occurrences, which is EXACTLY
+BPE's greedy merge order, and because each occurrence both starts and ends
+with its own ``|``, adjacent matches (``a b a b``) and overlapping repeats
+(``a a a`` -> ``aa a``) behave correctly. Spark and DuckDB implement the
+same replace semantics, so the oracle replays the merge trajectory with no
+arrays-of-structs folding on either side.
+
+Determinism: pair counts are exact integer sums; the winning pair per
+iteration is (count DESC, pa ASC, pb ASC) — total order, both engines
+compare ASCII identically. Words containing ``|`` are excluded by contract
+(none exist in the corpus; the guard keeps the representation injective).
+
+Scale: per iteration, one scan of the word table (explode to adjacent
+pairs, partial-aggregated count), one top-1 (TakeOrdered, no full sort),
+one broadcast of the 1-row winner, one map-only replace. The word table is
+localCheckpointed per iteration to truncate lineage. No corpus re-scan, no
+shuffle wider than the pair-count aggregation (keys = distinct symbol
+pairs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+N_MERGES = 6
+
+
+def word_frequency_table(
+    docs: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """(word, cnt): the single corpus pass BPE trains on. Excludes words
+    containing the representation delimiter '|' (none in practice)."""
+    return (
+        docs.select(
+            F.explode(F.split(F.col(text_col), " ")).alias("word")
+        )
+        .filter((F.length("word") >= 1) & (~F.col("word").contains("|")))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def _to_repr(word: F.Column) -> F.Column:
+    """'abc' -> '|a||b||c|' (each character a delimited symbol)."""
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length(word)),
+        lambda i: F.substring(word, i, F.lit(1)),
+    )
+    return F.concat(F.lit("|"), F.array_join(chars, "||"), F.lit("|"))
+
+
+def _symbols(col_name: str) -> F.Column:
+    """'|ab||c|' -> ['ab', 'c'] (col_name references the repr column)."""
+    return F.split(
+        F.expr(f"trim(BOTH '|' FROM {col_name})"), r"\|\|"
+    )
+
+
+def bpe_train_merges(
+    docs: DataFrame,
+    text_col: str = "text",
+    n_merges: int = N_MERGES,
+) -> DataFrame:
+    """Train the merge table: (rank, pa, pb, pair_count) for the
+    ``n_merges`` most frequent adjacent-pair merges, in training order."""
+    vocab = word_frequency_table(docs, text_col).select(
+        _to_repr(F.col("word")).alias("s"), "cnt"
+    ).localCheckpoint()
+    winners = []
+    for rank in range(1, n_merges + 1):
+        sym = _symbols("s")
+        pairs = (
+            vocab.select(
+                F.explode(
+                    F.zip_with(
+                        F.slice(sym, 1, F.size(sym) - 1),
+                        F.slice(sym, 2, F.size(sym) - 1),
+                        lambda a, b: F.struct(
+                            a.alias("pa"), b.alias("pb")
+                        ),
+                    )
+                ).alias("p"),
+                "cnt",
+            )
+            .groupBy("p.pa", "p.pb")
+            .agg(F.sum("cnt").alias("pair_count"))
+        )
+        win = (
+            pairs.orderBy(
+                F.desc("pair_count"), F.asc("pa"), F.asc("pb")
+            )
+            .limit(1)
+            .localCheckpoint()
+        )
+        winners.append(win.select(F.lit(rank).alias("rank"), "pa", "pb",
+                                  "pair_count"))
+        find = F.concat(
+            F.lit("|"), F.col("pa"), F.lit("||"), F.col("pb"), F.lit("|")
+        )
+        repl = F.concat(F.lit("|"), F.col("pa"), F.col("pb"), F.lit("|"))
+        vocab = (
+            vocab.crossJoin(F.broadcast(win.select("pa", "pb")))
+            .select(F.replace(F.col("s"), find, repl).alias("s"), "cnt")
+            .localCheckpoint()
+        )
+    out = winners[0]
+    for w in winners[1:]:
+        out = out.unionAll(w)
+    return out
+
+
+def sql_bpe_ctes(
+    n_merges: int = N_MERGES,
+    corpus: str = "documents",
+    text: str = "text",
+) -> str:
+    """DuckDB twin: CTE chain ``vocab0, pairs1, win1, vocab1 ..`` unrolling
+    the merge iterations over the same delimited-string representation.
+    Select the merge table from ``win1 .. win{n}`` (see sql_bpe_final)."""
+    parts = [f"""vocab0 AS (
+        SELECT '|' || array_to_string(list_transform(
+                   generate_series(1, len(word)),
+                   i -> substr(word, i, 1)), '||') || '|' AS s,
+               cnt
+        FROM (
+            SELECT word, COUNT(*) AS cnt FROM (
+                SELECT unnest(string_split({text}, ' ')) AS word
+                FROM {corpus}
+            )
+            WHERE len(word) >= 1 AND NOT contains(word, '|')
+            GROUP BY word
+        )
+    )"""]
+    for i in range(1, n_merges + 1):
+        p = i - 1
+        parts.append(f"""pairs{i} AS (
+        SELECT sym[j] AS pa, sym[j + 1] AS pb, SUM(cnt) AS pair_count
+        FROM (
+            SELECT string_split(trim(s, '|'), '||') AS sym, cnt
+            FROM vocab{p}
+        ), LATERAL unnest(generate_series(1, len(sym) - 1)) AS u(j)
+        GROUP BY sym[j], sym[j + 1]
+    )""")
+        parts.append(f"""win{i} AS (
+        SELECT pa, pb, CAST(pair_count AS BIGINT) AS pair_count
+        FROM pairs{i}
+        ORDER BY pair_count DESC, pa ASC, pb ASC LIMIT 1
+    )""")
+        parts.append(f"""vocab{i} AS (
+        SELECT replace(s, '|' || pa || '||' || pb || '|',
+                       '|' || pa || pb || '|') AS s, cnt
+        FROM vocab{p}, win{i}
+    )""")
+    return ",\n    ".join(parts)
+
+
+def sql_bpe_final(n_merges: int = N_MERGES) -> str:
+    """UNION of the per-iteration winners with their ranks."""
+    selects = [
+        f"SELECT {i} AS rank, pa, pb, pair_count FROM win{i}"
+        for i in range(1, n_merges + 1)
+    ]
+    return "\n    UNION ALL\n    ".join(selects)

@@ -121,7 +121,10 @@ _ROUND6_WINDOW = [
 # doc_source_lang_chisq, events_key_skew_report, events_daily_moving_avg,
 # text_bigram_logprob, link_fuzzy_customers, events_temporal_scd2_join,
 # events_daily_anomaly, decon_split_leakage, decon_split_by_cluster,
-# pipeline_keep_decisions.
+# pipeline_keep_decisions; and the closing-session additions
+# text_strip_dup_spans, sim_pq_adc, sim_pq_rerank, dedup_incremental,
+# text_quality_logreg (each hash-green via tools/parity.py at sf0.001
+# AND sf0.01 the day it landed, plus behavioral tests).
 
 
 def _apply_window_order() -> None:

@@ -2338,3 +2338,30 @@ def _logreg_oracle() -> str:
 
 
 register("text_quality_logreg", text_quality_logreg, _logreg_oracle())
+
+
+# --- BPE merge-table training -------------------------------------------------
+
+def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-pair-encoding tokenizer training (Sennrich et al. 2016): the
+    6 most frequent adjacent-symbol merges over the corpus word-frequency
+    table, in training order. The oracle unrolls the identical merge
+    iterations over the same delimited-string symbol representation, so
+    the green proves the trained merge TABLE, not just pair counts. See
+    operators/bpe for the replace-based merge trick and the scale shape."""
+    from flink_streaming_demo_spark.operators import bpe as BPE
+
+    docs = t(spark, sf_dir, "documents").select("text")
+    return BPE.bpe_train_merges(docs)
+
+
+def _bpe_oracle() -> str:
+    from flink_streaming_demo_spark.operators import bpe as BPE
+
+    return f"""
+    WITH {BPE.sql_bpe_ctes()}
+    {BPE.sql_bpe_final()}
+    """
+
+
+register("text_bpe_merges", text_bpe_merges, _bpe_oracle())

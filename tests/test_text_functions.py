@@ -279,3 +279,70 @@ def test_logreg_learns_separable_labels(spark):
     top = max(out, key=lambda r: r.score)
     bot = min(out, key=lambda r: r.score)
     assert top.y == 1.0 and bot.y == 0.0
+
+
+def _reference_bpe(word_counts, n_merges):
+    """Plain-Python BPE (Sennrich et al.) on a word-frequency dict, greedy
+    left-to-right merge application, ties (count DESC, pa, pb)."""
+    vocab = {tuple(w): c for w, c in word_counts.items()}
+    merges = []
+    for _ in range(n_merges):
+        counts = {}
+        for sym, c in vocab.items():
+            for a, b in zip(sym, sym[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + c
+        if not counts:
+            break
+        (pa, pb), c = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((pa, pb, c))
+        new_vocab = {}
+        for sym, c2 in vocab.items():
+            out, i = [], 0
+            while i < len(sym):
+                if i + 1 < len(sym) and sym[i] == pa and sym[i + 1] == pb:
+                    out.append(pa + pb)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + c2
+        vocab = new_vocab
+    return merges
+
+
+def test_bpe_merges_match_reference_implementation(spark):
+    """The DataFrame trainer must reproduce a plain-Python BPE exactly on
+    a corpus engineered to hit the tricky cases: overlapping repeats
+    (aaa -> aa+a), adjacent pair repeats (abab -> ab ab), and a merge
+    whose operand is itself a merged symbol."""
+    from flink_streaming_demo_spark.operators.bpe import bpe_train_merges
+
+    words = {
+        "aaa": 10, "abab": 8, "banana": 6, "bandana": 5, "ana": 4,
+    }
+    text = " ".join(w for w, c in words.items() for _ in range(c))
+    docs = spark.createDataFrame([(text,)], "text string")
+    got = [
+        (r.pa, r.pb, r.pair_count)
+        for r in bpe_train_merges(docs, n_merges=5)
+        .orderBy("rank")
+        .collect()
+    ]
+    want = _reference_bpe(words, 5)
+    assert got == want
+
+
+def test_bpe_greedy_overlap_on_run_of_repeats(spark):
+    """'aaaa' x1: pairs (a,a) count 3 -> merge 1 rewrites to (aa, aa);
+    merge 2 must then be (aa, aa), proving the left-to-right greedy
+    application and the delimiter representation survive self-adjacency."""
+    from flink_streaming_demo_spark.operators.bpe import bpe_train_merges
+
+    docs = spark.createDataFrame([("aaaa",)], "text string")
+    got = [
+        (r.rank, r.pa, r.pb, r.pair_count)
+        for r in bpe_train_merges(docs, n_merges=2).orderBy("rank").collect()
+    ]
+    assert got == [(1, "a", "a", 3), (2, "aa", "aa", 1)]

@@ -65,6 +65,16 @@ PROBE_QUERIES = [
     "text_token_entropy",
     "tfidf_top_terms",
     "graph_pagerank_neardup",
+    # round-6 closing additions: cross-doc span stripping (explode +
+    # gram-join, linear in tokens; the per-copy token suffixes keep the
+    # copies' dup-gram structure identical, so covered tokens must scale
+    # ~10x), incremental batch-vs-corpus dedup (broadcast-index probes,
+    # linear in corpus scan), and the two iterative trainers (PQ and
+    # logreg: per-iteration corpus scans, no pairwise stage).
+    "text_strip_dup_spans",
+    "dedup_incremental",
+    "sim_pq_adc",
+    "text_quality_logreg",
 ]
 
 _DOC_SHIFT = 10_000_000
