@@ -175,3 +175,95 @@ def sql_bpe_final(n_merges: int = N_MERGES) -> str:
         for i in range(1, n_merges + 1)
     ]
     return "\n    UNION ALL\n    ".join(selects)
+
+
+def bpe_segment(
+    docs: DataFrame,
+    merges: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply a trained merge table to every document: each word becomes
+    its delimited char representation and the merges replay IN TRAINING
+    ORDER (the defining BPE-apply rule) as an aggregate-fold of replaces.
+
+    Output: (doc_id, n_words, n_subwords, seg_hash). n_subwords is what
+    a context-window packer actually needs; seg_hash (md5 of the
+    segmented word stream, in document order) pins the exact
+    segmentation so the oracle proves apply-order correctness, not just
+    counts.
+
+    Scale: MAP-ONLY — the merge table aggregates to one rank-ordered
+    array row and is broadcast (never collected to the driver); every
+    document is segmented by pure array expressions with zero shuffle
+    and zero explode.
+    """
+    ordered = merges.orderBy("rank").select(
+        F.array_sort(
+            F.collect_list(F.struct("rank", "pa", "pb"))
+        ).alias("ms")
+    )
+    words = F.filter(
+        F.split(F.col(text_col), " "),
+        lambda w: (F.length(w) >= 1) & (~w.contains("|")),
+    )
+
+    def seg_word(w):
+        return F.aggregate(
+            F.col("ms"),
+            _to_repr(w),
+            lambda acc, m: F.replace(
+                acc,
+                F.concat(F.lit("|"), m.pa, F.lit("||"), m.pb, F.lit("|")),
+                F.concat(F.lit("|"), m.pa, m.pb, F.lit("|")),
+            ),
+        )
+
+    def n_syms(s):
+        return F.size(F.split(F.btrim(s, F.lit("|")), r"\|\|"))
+
+    return (
+        docs.select(F.col(id_col), F.col(text_col))
+        .crossJoin(F.broadcast(ordered))
+        .select(F.col(id_col), F.transform(words, seg_word).alias("segs"))
+        .select(
+            id_col,
+            F.size("segs").alias("n_words"),
+            F.aggregate(
+                F.col("segs"),
+                F.lit(0).cast("long"),
+                lambda acc, s: acc + n_syms(s).cast("long"),
+            ).alias("n_subwords"),
+            F.md5(F.concat_ws(" ", F.col("segs"))).alias("seg_hash"),
+        )
+    )
+
+
+def sql_bpe_segment(n_merges: int = N_MERGES, corpus: str = "documents",
+                    text: str = "text") -> str:
+    """DuckDB twin of bpe_segment: embed after sql_bpe_ctes(); the merge
+    application unrolls as nested replaces over win1..win{n} (each a
+    1-row CTE cross-joined in), innermost-first = training order."""
+    seg = ("'|' || array_to_string(list_transform("
+           "generate_series(1, len(w)), i -> substr(w, i, 1)), '||') || '|'")
+    for i in range(1, n_merges + 1):
+        seg = (f"replace({seg}, '|' || w{i}.pa || '||' || w{i}.pb || '|', "
+               f"'|' || w{i}.pa || w{i}.pb || '|')")
+    wins = ", ".join(f"win{i} w{i}" for i in range(1, n_merges + 1))
+    return f"""
+    SELECT doc_id,
+           CAST(len(words) AS INT) AS n_words,
+           CAST(COALESCE(list_sum(list_transform(segs,
+                    s -> len(string_split(trim(s, '|'), '||')))), 0)
+                AS BIGINT) AS n_subwords,
+           md5(array_to_string(segs, ' ')) AS seg_hash
+    FROM (
+        SELECT doc_id, words, list_transform(words, w -> {seg}) AS segs
+        FROM (
+            SELECT doc_id,
+                   list_filter(string_split({text}, ' '),
+                       w -> len(w) >= 1 AND NOT contains(w, '|')) AS words
+            FROM {corpus}
+        ), {wins}
+    )
+    """

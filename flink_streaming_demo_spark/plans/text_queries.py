@@ -2365,3 +2365,28 @@ def _bpe_oracle() -> str:
 
 
 register("text_bpe_merges", text_bpe_merges, _bpe_oracle())
+
+
+def text_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the trained BPE merge table to segment every document:
+    per-doc word count, subword count, and a digest of the exact
+    segmented stream (so apply ORDER is proven, not just counts).
+    Train + apply — the full tokenizer loop — in one oracle-checked
+    plan; the apply pass is map-only (operators/bpe.bpe_segment)."""
+    from flink_streaming_demo_spark.operators import bpe as BPE
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    merges = BPE.bpe_train_merges(docs.select("text"))
+    return BPE.bpe_segment(docs, merges)
+
+
+def _bpe_segment_oracle() -> str:
+    from flink_streaming_demo_spark.operators import bpe as BPE
+
+    return f"""
+    WITH {BPE.sql_bpe_ctes()}
+    {BPE.sql_bpe_segment()}
+    """
+
+
+register("text_bpe_segment", text_bpe_segment, _bpe_segment_oracle())

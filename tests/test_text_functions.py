@@ -346,3 +346,50 @@ def test_bpe_greedy_overlap_on_run_of_repeats(spark):
         for r in bpe_train_merges(docs, n_merges=2).orderBy("rank").collect()
     ]
     assert got == [(1, "a", "a", 3), (2, "aa", "aa", 1)]
+
+
+def test_bpe_segment_matches_reference_apply(spark):
+    """Segmenting with a trained table must match the plain-Python BPE
+    applied word-by-word, including subword counts and the exact
+    segmented stream digest."""
+    import hashlib
+
+    from flink_streaming_demo_spark.operators.bpe import (
+        bpe_segment,
+        bpe_train_merges,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "banana bandana aaa"), (2, "abab banana")],
+        "doc_id long, text string",
+    )
+    merges_df = bpe_train_merges(docs.select("text"), n_merges=4)
+    merges = [
+        (r.pa, r.pb)
+        for r in merges_df.orderBy("rank").collect()
+    ]
+
+    def apply_word(w):
+        sym = list(w)
+        for pa, pb in merges:
+            out, i = [], 0
+            while i < len(sym):
+                if i + 1 < len(sym) and sym[i] == pa and sym[i + 1] == pb:
+                    out.append(pa + pb)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            sym = out
+        return sym
+
+    got = {r.doc_id: r for r in bpe_segment(docs, merges_df).collect()}
+    for doc_id, text in [(1, "banana bandana aaa"), (2, "abab banana")]:
+        segs = [apply_word(w) for w in text.split(" ")]
+        stream = " ".join(
+            "|" + "||".join(s) + "|" for s in segs
+        )
+        r = got[doc_id]
+        assert r.n_words == len(segs)
+        assert r.n_subwords == sum(len(s) for s in segs)
+        assert r.seg_hash == hashlib.md5(stream.encode()).hexdigest()
