@@ -123,7 +123,8 @@ _ROUND6_WINDOW = [
 # events_daily_anomaly, decon_split_leakage, decon_split_by_cluster,
 # pipeline_keep_decisions; and the closing-session additions
 # text_strip_dup_spans, sim_pq_adc, sim_pq_rerank, dedup_incremental,
-# text_quality_logreg, text_bpe_merges, text_bpe_segment (each hash-green via tools/parity.py at sf0.001
+# text_quality_logreg, text_bpe_merges, text_bpe_segment,
+# sample_pack_subwords (each hash-green via tools/parity.py at sf0.001
 # AND sf0.01 the day it landed, plus behavioral tests).
 
 

@@ -588,3 +588,67 @@ register(
     FROM ranked WHERE rank <= {_WTOPK_K}
     """,
 )
+
+
+# --- Tokenizer-aware packing (BPE subword budget) ----------------------------
+
+def sample_pack_subwords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window packing under the REAL token budget: documents are
+    sized by the trained BPE tokenizer's subword counts (train + apply,
+    operators/bpe) instead of whitespace words, then offset-binned into
+    ~2048-subword bins per source — what a production packer actually
+    optimizes, since the model's context is measured in tokenizer
+    tokens. The oracle replays training, segmentation, and the packing
+    window end-to-end."""
+    from flink_streaming_demo_spark.operators import bpe as BPE
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    merges = BPE.bpe_train_merges(docs.select("text"))
+    seg = BPE.bpe_segment(docs, merges).select("doc_id", "n_subwords")
+    sized = docs.select("doc_id", "source").join(seg, "doc_id")
+    packed = sampling.pack_greedy(
+        sized, "n_subwords", _PACK_CAPACITY, part_col="source"
+    )
+    return packed.groupBy("source", "bin_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_subwords").cast("bigint").alias("bin_subwords"),
+        F.round(
+            F.sum("n_subwords").cast("double")
+            / F.lit(float(_PACK_CAPACITY)),
+            6,
+        ).alias("fill_ratio"),
+    )
+
+
+def _pack_subwords_oracle() -> str:
+    from flink_streaming_demo_spark.operators import bpe as BPE
+
+    return f"""
+    WITH {BPE.sql_bpe_ctes()},
+    seg AS ({BPE.sql_bpe_segment()}),
+    sized AS (
+        SELECT d.doc_id, d.source, s.n_subwords
+        FROM documents d JOIN seg s USING (doc_id)
+    ),
+    packed AS (
+        SELECT source, n_subwords,
+               CAST(FLOOR(
+                   (SUM(n_subwords) OVER (
+                        PARTITION BY source ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                    ) - n_subwords) / {_PACK_CAPACITY}.0
+               ) AS BIGINT) AS bin_id
+        FROM sized
+    )
+    SELECT source, bin_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_subwords) AS BIGINT) AS bin_subwords,
+           ROUND(CAST(SUM(n_subwords) AS DOUBLE) / {_PACK_CAPACITY}.0, 6)
+               AS fill_ratio
+    FROM packed
+    GROUP BY source, bin_id
+    """
+
+
+register("sample_pack_subwords", sample_pack_subwords,
+         _pack_subwords_oracle())

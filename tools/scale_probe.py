@@ -238,11 +238,22 @@ def probe(spark, sf_dir: str) -> dict[str, dict]:
     qs = _probe_callables()
     out: dict[str, dict] = {}
     for name in PROBE_QUERIES:
-        qs[name](spark, sf_dir).count()  # warmup (codegen, worker spin-up)
+        # Full materialization via the noop sink (bench.py convention),
+        # NOT .count(): under count, Catalyst's redundant-join elimination
+        # legitimately deletes left joins against unique-keyed aggregates
+        # (measured: text_strip_dup_spans collapsed to count(documents) —
+        # 0 shuffle, flat wall at 10x), so count probes the pruned plan,
+        # not the operator. rows still comes from a separate count.
+        qs[name](spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()  # warmup (codegen, worker spin-up)
         r0, w0 = shuffle_totals(spark)
         t0 = time.perf_counter()
-        rows = qs[name](spark, sf_dir).count()
+        qs[name](spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
         wall = time.perf_counter() - t0
+        rows = qs[name](spark, sf_dir).count()
         r1, w1 = shuffle_totals(spark)
         out[name] = {
             "wall_sec": round(wall, 3),
