@@ -170,3 +170,38 @@ def test_incremental_dedup_broadcasts_incoming_side(spark, sf_dir):
     plan = _plan(spark, "dedup_incremental", sf_dir)
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_bpe_segment_apply_is_map_only(spark, sf_dir):
+    """The BPE apply pass claims map-only: its plan may broadcast the
+    merge row but must not shuffle the corpus (no non-broadcast
+    Exchange after the scan feeding the segment expressions)."""
+    from flink_streaming_demo_spark.operators import bpe as BPE
+    from flink_streaming_demo_spark.schemas import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    merges = BPE.bpe_train_merges(docs.select("text"))
+    df = BPE.bpe_segment(docs, merges)
+    qe = df._jdf.queryExecution()
+    plan = qe.explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    # The only shuffles allowed are over the 6-row MERGE TABLE (its
+    # orderBy + collect_list aggregation); no exchange may carry corpus
+    # columns (doc_id / text / segs).
+    import re
+
+    for m in re.finditer(r"\((\d+)\) Exchange\n(Input[^\n]*)", plan):
+        cols = m.group(2)
+        assert not re.search(r"\b(doc_id|text|segs)#", cols), cols
+    assert "CartesianProduct" not in plan
+
+
+def test_strip_dup_spans_no_cartesian_and_pruned_scan(spark, sf_dir):
+    """Span stripping joins on the gram key (equi) and must read only
+    (doc_id, text) from the parquet scan."""
+    plan = _plan(spark, "text_strip_dup_spans", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "lang" not in plan.split("ReadSchema")[1][:200]
