@@ -944,3 +944,73 @@ def pq_shortlist_rerank(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "score")
     )
+
+
+def ivfpq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    centroids: DataFrame,
+    codebooks: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = PQ_M,
+    dsub: int = PQ_DSUB,
+) -> DataFrame:
+    """IVF-PQ: the standard billion-scale ANN query shape (Jegou et al.
+    2011) — the IVF cells bound WHICH vectors are scanned (candidates ~
+    nprobe/K of the corpus per query), and PQ bounds HOW MUCH is read
+    per candidate (M 4-bit codes against a broadcast distance table,
+    never the full-width vector). Output: (query_id, rank, neighbor_id,
+    adc_micro), ties on neighbor id, self-pairs excluded.
+
+    Scale: the corpus is touched twice, both times linearly — once to
+    assign cells (broadcast centroids), once to encode (broadcast
+    codebooks); the per-query candidate join is an equi-join on the
+    probed cell id, and the ADC sum shuffles only (query, neighbor,
+    integer) triples. Swapping the exact-rerank stage of ivf_topk for
+    ADC is what makes the probe scan 64x narrower at 100 TB.
+    """
+    corp_cell = assign_to_centroids(corpus, centroids, 1, id_col, vec_col)
+    qry_cell = assign_to_centroids(
+        queries, centroids, nprobe, id_col, vec_col
+    ).select(F.col(id_col).alias("query_id"), "centroid_id")
+    cand = (
+        qry_cell.join(
+            corp_cell.select(
+                F.col(id_col).alias("neighbor_id"), "centroid_id"
+            ),
+            "centroid_id",
+        )
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+    )
+    enc = pq_encode(corpus, codebooks, id_col, vec_col, m, dsub).select(
+        F.col(id_col).alias("neighbor_id"), "su", "code"
+    )
+    qsub = subvectors(queries, id_col, vec_col, m, dsub).select(
+        F.col(id_col).alias("query_id"), "su", F.col("svec").alias("qvec")
+    )
+    dtable = qsub.join(F.broadcast(codebooks), "su").select(
+        "query_id",
+        "su",
+        "code",
+        F.floor(sq_l2(F.col("qvec"), F.col("cvec")) * F.lit(1000000.0))
+        .cast("bigint")
+        .alias("pd_micro"),
+    )
+    adc = (
+        cand.join(enc, "neighbor_id")
+        .join(F.broadcast(dtable), ["query_id", "su", "code"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("pd_micro").alias("adc_micro"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_micro"), F.asc("neighbor_id")
+    )
+    return (
+        adc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "adc_micro")
+    )

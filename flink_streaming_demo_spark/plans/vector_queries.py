@@ -951,3 +951,101 @@ register(
     ) WHERE rank <= {TOP_K}
     """,
 )
+
+
+# --- IVF-PQ: cells bound candidates, codes bound bytes -----------------------
+
+def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ top-5 for the first 5 vectors: seed IVF cells (vec_id <
+    N_CENTROIDS, the sim_ivf_topk configuration) bound the candidates,
+    trained PQ codebooks + integer ADC rank them. The oracle replays
+    cell assignment, codebook training, encoding, and the ADC ranking
+    end-to-end — the full billion-scale ANN query shape, hash-checked."""
+    emb = t(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding")
+    )
+    cb = SIM.pq_train(emb, n_iterations=PQ_QUERY_ITERS)
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    return SIM.ivfpq_topk(
+        queries, emb, centroids, cb, k=TOP_K, nprobe=IVF_NPROBE
+    )
+
+
+register(
+    "sim_ivfpq_topk",
+    sim_ivfpq_topk,
+    f"""
+    WITH {SIM.sql_pq_cents(n_iterations=PQ_QUERY_ITERS)},
+    cb AS (
+        SELECT su, code, cvec FROM pcent{PQ_QUERY_ITERS}
+    ),
+    cent AS (
+        SELECT vec_id AS centroid_id, embedding AS c_vec
+        FROM embeddings WHERE vec_id < {N_CENTROIDS}
+    ),
+    corp_scored AS (
+        SELECT e.vec_id, centroid_id,
+               ROUND({SIM.sql_cosine('e.embedding', 'c_vec', DIMS)}, 6)
+                   AS c_score
+        FROM embeddings e CROSS JOIN cent
+    ),
+    corp_cell AS (
+        SELECT vec_id AS neighbor_id, centroid_id
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY vec_id ORDER BY c_score DESC, centroid_id ASC
+            ) AS c_rank
+            FROM corp_scored
+        ) WHERE c_rank = 1
+    ),
+    qry_cell AS (
+        SELECT vec_id AS query_id, centroid_id
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY vec_id ORDER BY c_score DESC, centroid_id ASC
+            ) AS c_rank
+            FROM corp_scored WHERE vec_id < {N_QUERIES}
+        ) WHERE c_rank <= {IVF_NPROBE}
+    ),
+    cand AS (
+        SELECT q.query_id, c.neighbor_id
+        FROM qry_cell q
+        JOIN corp_cell c USING (centroid_id)
+        WHERE q.query_id <> c.neighbor_id
+    ),
+    enc AS (
+        SELECT vec_id AS neighbor_id, su, code FROM (
+            SELECT s.vec_id, s.su, c.code,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY s.vec_id, s.su
+                       ORDER BY ROUND({SIM.sql_sq_l2('s.svec', 'c.cvec', SIM.PQ_DSUB)}, 6) ASC,
+                                c.code ASC
+                   ) AS rk
+            FROM subv s JOIN cb c ON s.su = c.su
+        ) WHERE rk = 1
+    ),
+    dt AS (
+        SELECT q.vec_id AS query_id, c.su, c.code,
+               CAST(FLOOR({SIM.sql_sq_l2('q.svec', 'c.cvec', SIM.PQ_DSUB)}
+                          * 1000000) AS BIGINT) AS pd_micro
+        FROM subv q JOIN cb c ON q.su = c.su
+        WHERE q.vec_id < {N_QUERIES}
+    ),
+    adc AS (
+        SELECT a.query_id, a.neighbor_id,
+               CAST(SUM(d.pd_micro) AS BIGINT) AS adc_micro
+        FROM cand a
+        JOIN enc e ON e.neighbor_id = a.neighbor_id
+        JOIN dt d ON d.query_id = a.query_id
+                 AND d.su = e.su AND d.code = e.code
+        GROUP BY a.query_id, a.neighbor_id
+    )
+    SELECT query_id, rank, neighbor_id, adc_micro FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY adc_micro ASC, neighbor_id ASC
+        ) AS rank
+        FROM adc
+    ) WHERE rank <= {TOP_K}
+    """,
+)

@@ -332,3 +332,24 @@ def test_pq_rerank_with_full_shortlist_equals_exact(spark, sf_dir):
     ).collect()
     want = SIM.brute_force_topk(queries, emb, k=5).collect()
     assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+
+def test_ivfpq_with_all_cells_probed_equals_pure_adc(spark, sf_dir):
+    """nprobe = #centroids means the cell filter admits every candidate,
+    so IVF-PQ must reproduce the pure ADC ranking exactly."""
+    from flink_streaming_demo_spark.operators import similarity as SIM
+    from flink_streaming_demo_spark.schemas import load_table as t
+    from pyspark.sql import functions as F
+
+    emb = t(spark, sf_dir, "embeddings")
+    n_cells = 4
+    centroids = emb.filter(F.col("vec_id") < n_cells).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding")
+    )
+    cb = SIM.pq_train(emb, n_iterations=1)
+    queries = emb.filter(F.col("vec_id") < 3)
+    got = SIM.ivfpq_topk(
+        queries, emb, centroids, cb, k=5, nprobe=n_cells
+    ).collect()
+    want = SIM.pq_adc_topk(queries, emb, cb, k=5).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
