@@ -1049,3 +1049,67 @@ register(
     ) WHERE rank <= {TOP_K}
     """,
 )
+
+
+# --- PQ quantization distortion audit ----------------------------------------
+
+def sim_pq_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-subspace reconstruction error of the trained PQ codebooks:
+    each vector's squared L2 to its assigned code centroid (integer
+    micro-units, the same quantity ADC sums), averaged per subspace.
+    The codebook-quality audit a production index build emits — a
+    subspace whose distortion is an outlier needs more codes or a
+    different split. Exact integer sums / exact count, one division at
+    the end — order-free on both engines."""
+    emb = t(spark, sf_dir, "embeddings")
+    cb = SIM.pq_train(emb, n_iterations=PQ_QUERY_ITERS)
+    subs = SIM.subvectors(emb)
+    assigned = SIM._pq_assign(subs, cb, "vec_id")
+    scored = assigned.join(F.broadcast(cb), ["su", "code"]).select(
+        "su",
+        F.floor(SIM.sq_l2(F.col("svec"), F.col("cvec")) * F.lit(1000000.0))
+        .cast("bigint")
+        .alias("pd_micro"),
+    )
+    return scored.groupBy("su").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.round(
+            F.sum("pd_micro").cast("double") / F.count(F.lit(1)), 2
+        ).alias("avg_dist_micro"),
+    )
+
+
+register(
+    "sim_pq_distortion",
+    sim_pq_distortion,
+    f"""
+    WITH {SIM.sql_pq_cents(n_iterations=PQ_QUERY_ITERS)},
+    cb AS (
+        SELECT su, code, cvec FROM pcent{PQ_QUERY_ITERS}
+    ),
+    assigned AS (
+        SELECT vec_id, su, svec, code FROM (
+            SELECT s.vec_id, s.su, s.svec, c.code,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY s.vec_id, s.su
+                       ORDER BY ROUND({SIM.sql_sq_l2('s.svec', 'c.cvec', SIM.PQ_DSUB)}, 6) ASC,
+                                c.code ASC
+                   ) AS rk
+            FROM subv s JOIN cb c ON s.su = c.su
+        ) WHERE rk = 1
+    ),
+    scored AS (
+        SELECT a.su,
+               CAST(FLOOR({SIM.sql_sq_l2('a.svec', 'c.cvec', SIM.PQ_DSUB)}
+                          * 1000000) AS BIGINT) AS pd_micro
+        FROM assigned a
+        JOIN cb c ON c.su = a.su AND c.code = a.code
+    )
+    SELECT su,
+           COUNT(*) AS n_vectors,
+           ROUND(CAST(CAST(SUM(pd_micro) AS BIGINT) AS DOUBLE)
+                 / COUNT(*), 2) AS avg_dist_micro
+    FROM scored
+    GROUP BY su
+    """,
+)
