@@ -278,3 +278,22 @@ def write_foreach_batch_stream(stream: DataFrame, body, query_name: str):
         .foreachBatch(body)
         .start()
     )
+
+
+def streaming_quality_scores(
+    stream: DataFrame,
+    weights: DataFrame,
+) -> DataFrame:
+    """Score a document stream with the TRAINED logistic-regression
+    quality classifier (operators/classify): the 1-row weight table is a
+    static broadcast side of a stream-static join, so scoring is
+    map-only per micro-batch — the standard "train offline, score at
+    ingest" split. Emits (doc_id, score, pred) per document; batch
+    scoring over the same docs is the equivalence oracle."""
+    from flink_streaming_demo_spark.operators.classify import (
+        logreg_score,
+        quality_features,
+    )
+
+    feats = quality_features(stream)
+    return logreg_score(feats, weights).select("doc_id", "score", "pred")

@@ -1107,3 +1107,53 @@ def test_streaming_restart_from_checkpoint_equals_batch(spark, rides_df):
     finally:
         shutil.rmtree(chunk_dir, ignore_errors=True)
         shutil.rmtree(work, ignore_errors=True)
+
+
+def test_streaming_quality_scores_equal_batch(spark, sf_dir):
+    """Stream-static scoring under the trained weights must produce the
+    batch scores exactly, for every document, regardless of chunking."""
+    from flink_streaming_demo_spark.operators.classify import (
+        logreg_score,
+        logreg_train,
+        quality_features,
+    )
+    from flink_streaming_demo_spark.schemas import load_table
+    from flink_streaming_demo_spark.streaming.pipelines import (
+        streaming_quality_scores,
+    )
+    from flink_streaming_demo_spark.streaming.sinks import ParquetUpsertSink
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    w = logreg_train(quality_features(docs))
+    chunk_dir = replay.write_replay_chunks(
+        docs.withColumn("delivery_ts", F.col("doc_id")),
+        n_chunks=4,
+        order_col="delivery_ts",
+    )
+    store = tempfile.mkdtemp(prefix="q_scores_") + "/store"
+    sink = ParquetUpsertSink(store, ["doc_id"])
+    try:
+        stream = replay.read_replay_stream(
+            spark, chunk_dir, "doc_id long, text string",
+            max_files_per_trigger=1,
+        )
+        q = write_update_stream(
+            streaming_quality_scores(stream, w), sink, "q_scores", "append"
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        got = {
+            r.doc_id: (r.score, r.pred) for r in sink.read(spark).collect()
+        }
+        want = {
+            r.doc_id: (r.score, r.pred)
+            for r in logreg_score(quality_features(docs), w)
+            .select("doc_id", "score", "pred")
+            .collect()
+        }
+        assert got == want
+    finally:
+        shutil.rmtree(chunk_dir, ignore_errors=True)
+        shutil.rmtree(store, ignore_errors=True)
