@@ -1259,3 +1259,58 @@ register(
     FROM z
     """,
 )
+
+
+# --- Burst suppression (first-in-burst keep) ---------------------------------
+
+BURST_GAP_SECS = 300
+
+
+def events_first_in_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeat-event suppression: per (user, event_type), keep only
+    events whose predecessor of the same key is more than 300 s older
+    (or absent) — the gap-based throttle an ETL ingest applies to
+    machine-generated repeat fire. One lag window per key; the kept set
+    is deterministic because (user, type, ts) ordering ties break on
+    event_id.
+
+    100 TB shape: a single shuffle on (user_id, event_type) — the same
+    key the sessionization already uses — and a lag; no self-join."""
+    ev = t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts"
+    )
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts", "event_id"
+    )
+    prev = F.lag("ts").over(w)
+    return (
+        ev.withColumn("prev_ts", prev)
+        .filter(
+            F.col("prev_ts").isNull()
+            | (
+                F.unix_micros("ts") - F.unix_micros("prev_ts")
+                > BURST_GAP_SECS * 1_000_000
+            )
+        )
+        .select("event_id", "user_id", "event_type", "ts")
+    )
+
+
+register(
+    "events_first_in_burst",
+    events_first_in_burst,
+    f"""
+    SELECT event_id, user_id, event_type, ts
+    FROM (
+        SELECT event_id, user_id, event_type, ts,
+               lag(ts) OVER (
+                   PARTITION BY user_id, event_type
+                   ORDER BY ts, event_id
+               ) AS prev_ts
+        FROM events
+    )
+    WHERE prev_ts IS NULL
+       OR date_diff('microsecond', prev_ts, ts)
+          > {BURST_GAP_SECS} * 1000000
+    """,
+)
