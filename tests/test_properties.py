@@ -251,3 +251,118 @@ def test_fuzzy_link_property_finds_any_single_edit(spark, names, edit):
     assert any(r.clean_id == 0 for r in got), (origin, dirty_name)
     # every reported match really is within distance 1
     assert all(r.edit_distance <= 1 for r in got)
+
+
+# --- BPE trainer vs plain-Python reference -----------------------------------
+
+def _py_bpe(word_counts: dict[str, int], n_merges: int):
+    vocab = {tuple(w): c for w, c in word_counts.items()}
+    merges = []
+    for _ in range(n_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for sym, c in vocab.items():
+            for a, b in zip(sym, sym[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + c
+        if not counts:
+            break
+        (pa, pb), c = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((pa, pb, c))
+        nv: dict[tuple[str, ...], int] = {}
+        for sym, c2 in vocab.items():
+            out, i = [], 0
+            while i < len(sym):
+                if i + 1 < len(sym) and sym[i] == pa and sym[i + 1] == pb:
+                    out.append(pa + pb)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            nv[tuple(out)] = nv.get(tuple(out), 0) + c2
+        vocab = nv
+    return merges
+
+
+@given(
+    words=st.lists(
+        st.text(alphabet="abc", min_size=1, max_size=6),
+        min_size=1,
+        max_size=12,
+    ),
+    n_merges=st.integers(min_value=1, max_value=4),
+)
+@settings(**_SETTINGS)
+def test_bpe_trainer_matches_python_model(spark, words, n_merges):
+    """Random tiny corpora over a 3-letter alphabet — maximal pair
+    collisions and tie-breaks — must reproduce the reference BPE
+    exactly, merge by merge."""
+    from flink_streaming_demo_spark.operators.bpe import bpe_train_merges
+
+    counts: dict[str, int] = {}
+    for w in words:
+        counts[w] = counts.get(w, 0) + 1
+    docs = spark.createDataFrame([(" ".join(words),)], "text string")
+    got = [
+        (r.pa, r.pb, r.pair_count)
+        for r in bpe_train_merges(docs, n_merges=n_merges)
+        .orderBy("rank")
+        .collect()
+    ]
+    assert got == _py_bpe(counts, n_merges)
+
+
+# --- Cross-doc span stripping vs plain-Python reference ----------------------
+
+@given(
+    docs_tokens=st.lists(
+        st.lists(
+            st.sampled_from(["w0", "w1", "w2", "w3"]),
+            min_size=1,
+            max_size=14,
+        ),
+        min_size=2,
+        max_size=5,
+    ),
+)
+@settings(**_SETTINGS)
+def test_strip_dup_spans_matches_python_model(spark, docs_tokens):
+    """Random corpora over a 4-token vocabulary (dense n-gram overlap)
+    must match a direct Python computation of covered positions, span
+    islands, and residue — with n=3 so short docs still collide."""
+    import hashlib
+
+    from flink_streaming_demo_spark.plans.text_queries import strip_dup_spans
+
+    n = 3
+    texts = {i + 1: toks for i, toks in enumerate(docs_tokens)}
+    grams: dict[str, set[int]] = {}
+    for d, toks in texts.items():
+        for i in range(len(toks) - n + 1):
+            grams.setdefault(" ".join(toks[i:i + n]), set()).add(d)
+    dup = {g for g, ds in grams.items() if len(ds) >= 2}
+    want = {}
+    for d, toks in texts.items():
+        covered = set()
+        for i in range(len(toks) - n + 1):
+            if " ".join(toks[i:i + n]) in dup:
+                covered.update(range(i + 1, i + n + 1))
+        spans = sum(1 for j in covered if j - 1 not in covered)
+        kept = " ".join(
+            tok for j, tok in enumerate(toks, start=1) if j not in covered
+        )
+        want[d] = (
+            len(toks),
+            len(covered),
+            spans,
+            hashlib.md5(kept.encode()).hexdigest(),
+        )
+    df = spark.createDataFrame(
+        [(d, " ".join(toks)) for d, toks in texts.items()],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.n_tokens, r.dup_token_count, r.n_spans, r.kept_hash)
+        for r in strip_dup_spans(df, n=n).collect()
+    }
+    assert got == want
