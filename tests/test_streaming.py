@@ -1157,3 +1157,65 @@ def test_streaming_quality_scores_equal_batch(spark, sf_dir):
     finally:
         shutil.rmtree(chunk_dir, ignore_errors=True)
         shutil.rmtree(store, ignore_errors=True)
+
+
+def test_streaming_drops_beyond_watermark_and_accounts_them(spark, rides_df):
+    """Negative case of the golden invariant: when delivery jitter
+    EXCEEDS the watermark delay, append-mode windows may close before
+    late events arrive — those events must be DROPPED (not silently
+    merged), the engine must account them in numRowsDroppedByWatermark,
+    and every emitted window must still match the batch count over the
+    events that were NOT late-dropped... which the sentinel-advanced
+    replay makes deterministic: with jitter 10x the watermark, at least
+    one drop is guaranteed on this data."""
+    rides = rides_df.unionByName(_sentinel(spark, rides_df))
+    # The sf0.001 rides are SPARSE (~1 event/43 min over 30 days), and
+    # the watermark only advances between micro-batches — so forcing
+    # drops needs jitter that moves events across CHUNK boundaries by
+    # more than the watermark: 1-day jitter against ~14-hour chunks.
+    jittered = replay.with_delivery_jitter(
+        rides, max_delay_secs=86_400
+    )
+    chunk_dir = replay.write_replay_chunks(
+        jittered, n_chunks=50, order_col="delivery_ts"
+    )
+    sink = InMemoryUpsertSink(["cell", "window_end"])
+    try:
+        stream = replay.read_replay_stream(
+            spark, chunk_dir, RIDES_SCHEMA, max_files_per_trigger=1
+        )
+        q = write_update_stream(
+            streaming_sliding_arrival_count(stream), sink, "late_drop",
+            "append",
+        )
+        try:
+            q.processAllAvailable()
+            dropped = sum(
+                int(so["numRowsDroppedByWatermark"])
+                for p in q.recentProgress
+                for so in p["stateOperators"]
+            )
+        finally:
+            q.stop()
+        assert dropped > 0  # the engine accounted the late rows
+        # every emitted (finalized) window undercounts or equals batch —
+        # late drops can only REMOVE arrivals from a window, and at
+        # least one emitted window must show the deficit
+        batch = {
+            (r.cell, r.window_end): r.cnt
+            for r in sliding_arrival_count(rides).collect()
+        }
+        got = {
+            (d["cell"], d["window_end"]): d["cnt"] for d in sink.snapshot()
+        }
+        got = {k: v for k, v in got.items() if k[0] != SENT_CELL}
+        batch = {k: v for k, v in batch.items() if k[0] != SENT_CELL}
+        assert got  # windows were emitted
+        # late drops can only REMOVE arrivals: every emitted window is a
+        # batch window with at most the batch count, and the total
+        # deficit must be visible (as lower counts or as windows whose
+        # every event was dropped and which therefore never emitted)
+        assert all(cnt <= batch.get(key, 0) for key, cnt in got.items())
+        assert sum(got.values()) < sum(batch.values())
+    finally:
+        shutil.rmtree(chunk_dir, ignore_errors=True)
