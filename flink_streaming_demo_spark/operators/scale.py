@@ -127,3 +127,57 @@ def write_partitioned(
     out.write.mode("overwrite").partitionBy(*partition_cols).format(fmt).save(
         path
     )
+
+
+# --- Incremental (mergeable) corpus statistics -------------------------------
+#
+# The incremental-view-maintenance pattern: keep per-source corpus stats as
+# MERGEABLE partials (counts, sums, sums of squares, min/max), so a new
+# ingest batch updates the stats table by merging its own partial — the
+# base corpus is NEVER rescanned. Mean/variance derive from the partials at
+# read time (explicit-formula variance), so every stored field is a
+# semigroup and merge is associative + commutative: stats(A) ⊕ stats(B) ==
+# stats(A ∪ B) exactly (integer fields; the property test pins it).
+
+STATS_FIELDS = ("n_docs", "n_tokens", "sq_tokens", "min_tokens", "max_tokens")
+
+
+def source_stats_partial(docs: "DataFrame", key_col: str = "source",
+                         n_col: str = "n_chars") -> "DataFrame":
+    """Mergeable per-key partial over an integer size column."""
+    n = F.col(n_col).cast("long")
+    return docs.groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(n).alias("n_tokens"),
+        F.sum(n * n).alias("sq_tokens"),
+        F.min(n).alias("min_tokens"),
+        F.max(n).alias("max_tokens"),
+    )
+
+
+def merge_source_stats(cur: "DataFrame", delta: "DataFrame",
+                       key_col: str = "source") -> "DataFrame":
+    """⊕: combine two partial-stats tables (outer union on the key)."""
+    return (
+        cur.unionByName(delta)
+        .groupBy(key_col)
+        .agg(
+            F.sum("n_docs").alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.sum("sq_tokens").alias("sq_tokens"),
+            F.min("min_tokens").alias("min_tokens"),
+            F.max("max_tokens").alias("max_tokens"),
+        )
+    )
+
+
+def finalize_source_stats(partials: "DataFrame") -> "DataFrame":
+    """Derive the read-time view (mean, variance) from the partials."""
+    n = F.col("n_docs").cast("double")
+    mean = F.col("n_tokens").cast("double") / n
+    var = F.col("sq_tokens").cast("double") / n - mean * mean
+    return partials.select(
+        "*",
+        F.round(mean, 6).alias("mean_tokens"),
+        F.round(var, 6).alias("var_tokens"),
+    )

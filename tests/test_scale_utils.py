@@ -121,3 +121,60 @@ def test_write_partitioned_prunes(spark, sf_dir):
         assert one.count() == n_click
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+def test_mergeable_stats_incremental_equals_full(spark, sf_dir):
+    """stats(base) ⊕ stats(batch) must equal stats(base ∪ batch) exactly
+    — the incremental-view-maintenance contract: a new ingest batch
+    never forces a base rescan."""
+    from flink_streaming_demo_spark.operators.scale import (
+        finalize_source_stats,
+        merge_source_stats,
+        source_stats_partial,
+    )
+    from flink_streaming_demo_spark.schemas import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.filter(F.col("doc_id") % 3 != 0)
+    batch = docs.filter(F.col("doc_id") % 3 == 0)
+    merged = merge_source_stats(
+        source_stats_partial(base), source_stats_partial(batch)
+    )
+    full = source_stats_partial(docs)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, full.collect())
+    )
+    # associativity/commutativity: the other association must agree too
+    merged2 = merge_source_stats(
+        source_stats_partial(batch), source_stats_partial(base)
+    )
+    assert sorted(map(tuple, merged2.collect())) == sorted(
+        map(tuple, full.collect())
+    )
+    # finalize derives the same mean/variance from either path
+    a = sorted(map(tuple, finalize_source_stats(merged).collect()))
+    b = sorted(map(tuple, finalize_source_stats(full).collect()))
+    assert a == b
+
+
+def test_mergeable_stats_new_key_in_delta(spark):
+    """A batch introducing a brand-new key must appear in the merge with
+    exactly its own partial."""
+    from flink_streaming_demo_spark.operators.scale import (
+        merge_source_stats,
+        source_stats_partial,
+    )
+
+    base = spark.createDataFrame(
+        [("a", 10), ("a", 20)], "source string, n_chars long"
+    )
+    delta = spark.createDataFrame(
+        [("b", 5)], "source string, n_chars long"
+    )
+    got = {
+        r.source: (r.n_docs, r.n_tokens, r.min_tokens, r.max_tokens)
+        for r in merge_source_stats(
+            source_stats_partial(base), source_stats_partial(delta)
+        ).collect()
+    }
+    assert got == {"a": (2, 30, 10, 20), "b": (1, 5, 5, 5)}
