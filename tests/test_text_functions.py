@@ -393,3 +393,39 @@ def test_bpe_segment_matches_reference_apply(spark):
         assert r.n_words == len(segs)
         assert r.n_subwords == sum(len(s) for s in segs)
         assert r.seg_hash == hashlib.md5(stream.encode()).hexdigest()
+
+
+def test_new_operators_degenerate_inputs(spark):
+    """Edge behavior: single-char vocab (no BPE pairs), single doc (no
+    cross-doc dup spans), sub-ksub PQ corpus — none may throw, and each
+    must return the documented degenerate result."""
+    import hashlib
+
+    from flink_streaming_demo_spark.operators import similarity as SIM
+    from flink_streaming_demo_spark.operators.bpe import bpe_train_merges
+    from flink_streaming_demo_spark.plans.text_queries import strip_dup_spans
+
+    # BPE: every word one char -> no adjacent pairs -> zero merges
+    docs = spark.createDataFrame([("a b c a b",)], "text string")
+    assert bpe_train_merges(docs, n_merges=3).collect() == []
+
+    # span stripping: single doc -> nothing cross-doc -> untouched
+    one = spark.createDataFrame(
+        [(1, "x1 x2 x3 x4 x5 x6 x7 x8 x9")], "doc_id long, text string"
+    )
+    r = strip_dup_spans(one).collect()[0]
+    assert (r.dup_token_count, r.n_spans) == (0, 0)
+    assert r.kept_hash == hashlib.md5(b"x1 x2 x3 x4 x5 x6 x7 x8 x9").hexdigest()
+
+    # PQ: corpus smaller than ksub -> codebook has |corpus| codes, still
+    # encodes and ranks
+    emb = spark.createDataFrame(
+        [(i, [float(i)] * 4) for i in range(3)],
+        "vec_id long, embedding array<double>",
+    )
+    cb = SIM.pq_train(emb, m=2, dsub=2, ksub=16, n_iterations=1)
+    assert cb.count() == 6  # 2 subspaces x 3 seeded codes
+    top = SIM.pq_adc_topk(
+        emb.filter("vec_id = 0"), emb, cb, k=2, m=2, dsub=2
+    ).collect()
+    assert len(top) == 2
