@@ -127,6 +127,15 @@ _ROUND6_WINDOW = [
 # sample_pack_subwords, sim_ivfpq_topk, sim_pq_distortion,
 # events_first_in_burst, system_profile_lineitem (each hash-green via tools/parity.py at sf0.001
 # AND sf0.01 the day it landed, plus behavioral tests).
+#
+# Closing-session module churn note: the additions above touched shared
+# modules (operators/dedup.py, operators/similarity.py, plans/
+# text_queries.py, plans/vector_queries.py) APPEND-ONLY — no existing
+# function changed. The compensating re-proof for every rotated-out
+# query whose import closure includes those modules is the two FULL-
+# SURFACE tools/parity.py sweeps run this session AFTER the churn:
+# 115/115 (pre-additions surface) and 123/123 (post-additions surface)
+# at sf0.01, recorded in BENCH_NOTES.md.
 
 
 def _apply_window_order() -> None:
