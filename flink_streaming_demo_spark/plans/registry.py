@@ -125,7 +125,8 @@ _ROUND6_WINDOW = [
 # text_strip_dup_spans, sim_pq_adc, sim_pq_rerank, dedup_incremental,
 # text_quality_logreg, text_bpe_merges, text_bpe_segment,
 # sample_pack_subwords, sim_ivfpq_topk, sim_pq_distortion,
-# events_first_in_burst, system_profile_lineitem (each hash-green via tools/parity.py at sf0.001
+# events_first_in_burst, system_profile_lineitem,
+# dedup_cluster_sizes, decon_canary_hits (each hash-green via tools/parity.py at sf0.001
 # AND sf0.01 the day it landed, plus behavioral tests).
 #
 # Closing-session module churn note: the additions above touched shared

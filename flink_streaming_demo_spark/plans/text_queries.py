@@ -2390,3 +2390,96 @@ def _bpe_segment_oracle() -> str:
 
 
 register("text_bpe_segment", text_bpe_segment, _bpe_segment_oracle())
+
+
+# --- Cluster-size histogram ---------------------------------------------------
+
+def dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram of near-dup cluster sizes over the planted corpus —
+    the shape report a dedup run emits (a fat tail here means boilerplate
+    families, exactly what viral-cap tuning needs to see). Derived from
+    the same CC labels dedup_clusters proves."""
+    labels = dedup_clusters(spark, sf_dir)
+    return (
+        labels.groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("cluster_size"))
+        .groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+    )
+
+
+def _cluster_sizes_oracle() -> str:
+    from flink_streaming_demo_spark.plans.registry import ORACLE_SQL
+
+    inner = ORACLE_SQL["dedup_clusters"]
+    return f"""
+    SELECT cluster_size, COUNT(*) AS n_clusters FROM (
+        SELECT cluster_id, COUNT(*) AS cluster_size FROM (
+            {inner}
+        ) GROUP BY cluster_id
+    ) GROUP BY cluster_size
+    """
+
+
+register("dedup_cluster_sizes", dedup_cluster_sizes,
+         _cluster_sizes_oracle())
+
+
+# --- Benchmark-canary contamination search ------------------------------------
+
+CANARIES = (
+    "key agg row",
+    "batch window spark",
+    "the quick brown fox",
+)
+
+
+def decon_canary_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring canary search: count documents containing each
+    known benchmark canary phrase (the cheap, high-precision layer of
+    decontamination — run BEFORE the n-gram overlap pass; a hit is a
+    hard drop). Broadcast canary list x corpus scan, map-only."""
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    canaries = spark.createDataFrame(
+        [(c,) for c in CANARIES], "canary string"
+    )
+    hits = docs.crossJoin(F.broadcast(canaries)).filter(
+        F.expr("contains(text, canary)")
+    )
+    return (
+        canaries.join(
+            hits.groupBy("canary").agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.min("doc_id").alias("first_doc"),
+            ),
+            "canary",
+            "left",
+        )
+        .select(
+            "canary",
+            F.coalesce("n_docs", F.lit(0)).alias("n_docs"),
+            "first_doc",
+        )
+    )
+
+
+_CANARY_VALUES = ", ".join(f"('{c}')" for c in CANARIES)
+
+register(
+    "decon_canary_hits",
+    decon_canary_hits,
+    f"""
+    WITH canaries(canary) AS (VALUES {_CANARY_VALUES}),
+    hits AS (
+        SELECT c.canary, COUNT(*) AS n_docs, MIN(d.doc_id) AS first_doc
+        FROM canaries c
+        JOIN documents d ON contains(d.text, c.canary)
+        GROUP BY c.canary
+    )
+    SELECT c.canary,
+           COALESCE(h.n_docs, 0) AS n_docs,
+           h.first_doc
+    FROM canaries c
+    LEFT JOIN hits h USING (canary)
+    """,
+)
