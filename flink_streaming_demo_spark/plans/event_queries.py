@@ -1314,3 +1314,28 @@ register(
           > {BURST_GAP_SECS} * 1000000
     """,
 )
+
+
+# --- True stateful throttle (vs the gap-filter approximation) ----------------
+
+def events_throttle_kept(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kept events under the TRUE per-(user, type) throttle — each kept
+    event restarts the 300 s clock (a sequential recurrence the
+    first-in-burst gap filter only approximates). Arrow applyInPandas
+    fold, hash-checked against a recursive-CTE oracle computing the
+    identical chain. See operators/throttle."""
+    from flink_streaming_demo_spark.operators import throttle as TH
+
+    return TH.throttle_kept_events(t(spark, sf_dir, "events"))
+
+
+def _throttle_oracle() -> str:
+    from flink_streaming_demo_spark.operators import throttle as TH
+
+    return f"""
+    WITH RECURSIVE {TH.sql_throttle_kept()}
+    SELECT event_id, user_id, event_type, ts FROM kept
+    """
+
+
+register("events_throttle_kept", events_throttle_kept, _throttle_oracle())

@@ -126,7 +126,8 @@ _ROUND6_WINDOW = [
 # text_quality_logreg, text_bpe_merges, text_bpe_segment,
 # sample_pack_subwords, sim_ivfpq_topk, sim_pq_distortion,
 # events_first_in_burst, system_profile_lineitem,
-# dedup_cluster_sizes, decon_canary_hits (each hash-green via tools/parity.py at sf0.001
+# dedup_cluster_sizes, decon_canary_hits, events_throttle_kept
+# (each hash-green via tools/parity.py at sf0.001
 # AND sf0.01 the day it landed, plus behavioral tests).
 #
 # Closing-session module churn note: the additions above touched shared

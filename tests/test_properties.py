@@ -366,3 +366,41 @@ def test_strip_dup_spans_matches_python_model(spark, docs_tokens):
         for r in strip_dup_spans(df, n=n).collect()
     }
     assert got == want
+
+
+# --- True throttle vs plain-Python reference ---------------------------------
+
+@given(
+    offsets=st.lists(
+        st.integers(min_value=0, max_value=2000),
+        min_size=1,
+        max_size=30,
+        unique=True,
+    ),
+    gap=st.integers(min_value=1, max_value=900),
+)
+@settings(**_SETTINGS)
+def test_throttle_matches_python_model(spark, offsets, gap):
+    """Random dense bursts: the distributed fold must keep exactly the
+    greedy sequential set (each kept event restarts the clock)."""
+    from datetime import datetime, timedelta
+
+    from flink_streaming_demo_spark.operators.throttle import (
+        throttle_kept_events,
+    )
+
+    base = datetime(2024, 1, 1)
+    rows = [
+        (i, 1, "click", base + timedelta(seconds=off))
+        for i, off in enumerate(sorted(offsets))
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp"
+    )
+    got = sorted(r.event_id for r in throttle_kept_events(df, gap).collect())
+    want, last = [], None
+    for i, off in enumerate(sorted(offsets)):
+        if last is None or off > last + gap:
+            want.append(i)
+            last = off
+    assert got == want

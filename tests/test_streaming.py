@@ -1219,3 +1219,57 @@ def test_streaming_drops_beyond_watermark_and_accounts_them(spark, rides_df):
         assert sum(got.values()) < sum(batch.values())
     finally:
         shutil.rmtree(chunk_dir, ignore_errors=True)
+
+
+def test_streaming_throttle_equals_batch(spark, sf_dir):
+    """The streaming stateful throttle over jittered (<= watermark)
+    replay must keep EXACTLY the batch throttle's events — the
+    recurrence is order-sensitive, so this pins the watermark-sealed
+    buffering, not just the fold. Sentinel advances the watermark past
+    every real event so all keys drain."""
+    from flink_streaming_demo_spark.operators.throttle import (
+        throttle_kept_events,
+    )
+    from flink_streaming_demo_spark.schemas import load_table
+    from flink_streaming_demo_spark.streaming.throttle import (
+        streaming_throttle,
+    )
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    max_ts = events.agg(F.max("ts")).first()[0]
+    sentinel = spark.createDataFrame(
+        [(10**12, max_ts + timedelta(hours=2), 10**9, "zz_sentinel")],
+        EVENTS_SCHEMA,
+    )
+    jittered = replay.with_delivery_jitter(
+        events.unionByName(sentinel), max_delay_secs=60
+    )
+    chunk_dir = replay.write_replay_chunks(
+        jittered, n_chunks=6, order_col="delivery_ts"
+    )
+    sink = InMemoryUpsertSink(["event_id"])
+    try:
+        stream = replay.read_replay_stream(
+            spark, chunk_dir, EVENTS_SCHEMA, max_files_per_trigger=1
+        )
+        q = write_update_stream(
+            streaming_throttle(stream, watermark_delay="60 seconds"),
+            sink,
+            "throttle",
+            "append",
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        got = {
+            d["event_id"] for d in sink.snapshot() if d["user_id"] != 10**9
+        }
+        want = {
+            r.event_id for r in throttle_kept_events(events).collect()
+        }
+        assert got == want
+    finally:
+        shutil.rmtree(chunk_dir, ignore_errors=True)
