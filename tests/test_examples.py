@@ -1,0 +1,32 @@
+"""The examples/ scripts must stay runnable — they are the repo's
+user-facing entry points, so a refactor that breaks them is a release
+blocker even if the operator tests stay green."""
+
+from __future__ import annotations
+
+import subprocess
+import sys
+
+
+def _run(script: str) -> subprocess.CompletedProcess:
+    return subprocess.run(
+        [sys.executable, script, "/root/testdata/sf0.001"],
+        capture_output=True,
+        text=True,
+        timeout=600,
+        cwd="/root/repo",
+    )
+
+
+def test_clean_corpus_example_runs():
+    r = _run("examples/clean_corpus_end_to_end.py")
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "after dedup" in r.stdout
+    assert "merges:" in r.stdout
+
+
+def test_streaming_ingest_example_runs():
+    r = _run("examples/streaming_ingest.py")
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "distinct quality-passing contents" in r.stdout
+    assert "exact_dup" in r.stdout
