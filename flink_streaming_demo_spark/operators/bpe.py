@@ -155,10 +155,20 @@ def sql_bpe_ctes(
         ), LATERAL unnest(generate_series(1, len(sym) - 1)) AS u(j)
         GROUP BY sym[j], sym[j + 1]
     )""")
+        # Always exactly ONE row: if pairs{i} is empty (the corpus
+        # admits fewer than n_merges merges) a sentinel ('', '') merge
+        # keeps the downstream cross joins alive; its replace pattern
+        # '||||' cannot occur in a valid repr (symbols are non-empty),
+        # so it is a no-op, and sql_bpe_final filters it out.
         parts.append(f"""win{i} AS (
-        SELECT pa, pb, CAST(pair_count AS BIGINT) AS pair_count
-        FROM pairs{i}
-        ORDER BY pair_count DESC, pa ASC, pb ASC LIMIT 1
+        SELECT COALESCE(w.pa, '') AS pa, COALESCE(w.pb, '') AS pb,
+               COALESCE(w.pair_count, 0) AS pair_count
+        FROM (SELECT 1) AS one{i}
+        LEFT JOIN (
+            SELECT pa, pb, CAST(pair_count AS BIGINT) AS pair_count
+            FROM pairs{i}
+            ORDER BY pair_count DESC, pa ASC, pb ASC LIMIT 1
+        ) w ON TRUE
     )""")
         parts.append(f"""vocab{i} AS (
         SELECT replace(s, '|' || pa || '||' || pb || '|',
@@ -171,7 +181,8 @@ def sql_bpe_ctes(
 def sql_bpe_final(n_merges: int = N_MERGES) -> str:
     """UNION of the per-iteration winners with their ranks."""
     selects = [
-        f"SELECT {i} AS rank, pa, pb, pair_count FROM win{i}"
+        f"SELECT {i} AS rank, pa, pb, pair_count FROM win{i} "
+        f"WHERE pa <> ''"
         for i in range(1, n_merges + 1)
     ]
     return "\n    UNION ALL\n    ".join(selects)
@@ -256,7 +267,7 @@ def sql_bpe_segment(n_merges: int = N_MERGES, corpus: str = "documents",
            CAST(COALESCE(list_sum(list_transform(segs,
                     s -> len(string_split(trim(s, '|'), '||')))), 0)
                 AS BIGINT) AS n_subwords,
-           md5(array_to_string(segs, ' ')) AS seg_hash
+           md5(COALESCE(array_to_string(segs, ' '), '')) AS seg_hash
     FROM (
         SELECT doc_id, words, list_transform(words, w -> {seg}) AS segs
         FROM (

@@ -8,8 +8,8 @@ hand-written curation policy (token count >= 50 AND stopword ratio >= 0.05
 — "long enough, naturally worded"; ~1/3 of the synthetic corpus, so both
 classes are populated), and the classifier distills the hard policy into a
 calibrated score. The policy is a CONJUNCTION of thresholds on two of the
-features, so it is only approximately linearly separable — the 3-iteration
-trajectory has a real gradient signal and a non-trivial decision boundary,
+features, so it is only approximately linearly separable — the 8-iteration
+trajectory (TRAIN_ITERS below) has a real gradient signal and a non-trivial decision boundary,
 which is what the oracle verifies. Measured at sf0.01: 8 iterations at
 lr=4.0 reach 73.2% train accuracy with scores spanning the 0.5 boundary
 (the linear ceiling for this conjunction on unnormalized features; lr

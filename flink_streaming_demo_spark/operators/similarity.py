@@ -1014,3 +1014,33 @@ def ivfpq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "adc_micro")
     )
+
+
+def sql_pq_enc_dt(n_queries: int, dsub: int = PQ_DSUB) -> str:
+    """Shared oracle CTEs for the PQ query family (sim_pq_adc,
+    sim_pq_rerank, sim_ivfpq_topk): ``enc`` (each corpus vector's
+    nearest code per subspace) and ``dt`` (per-query integer ADC
+    distance table). Embed after sql_pq_cents' chain and a ``cb`` CTE —
+    one definition so a change to the assignment tie-break or the
+    micro-unit scale cannot silently diverge across the three
+    oracles."""
+    d_enc = sql_sq_l2("s.svec", "c.cvec", dsub)
+    d_dt = sql_sq_l2("q.svec", "c.cvec", dsub)
+    return f"""enc AS (
+        SELECT vec_id, su, code FROM (
+            SELECT s.vec_id, s.su, c.code,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY s.vec_id, s.su
+                       ORDER BY ROUND({d_enc}, 6) ASC,
+                                c.code ASC
+                   ) AS rk
+            FROM subv s JOIN cb c ON s.su = c.su
+        ) WHERE rk = 1
+    ),
+    dt AS (
+        SELECT q.vec_id AS query_id, c.su, c.code,
+               CAST(FLOOR({d_dt}
+                          * 1000000) AS BIGINT) AS pd_micro
+        FROM subv q JOIN cb c ON q.su = c.su
+        WHERE q.vec_id < {n_queries}
+    )"""

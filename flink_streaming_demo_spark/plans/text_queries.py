@@ -995,6 +995,22 @@ register(
 SPAN_N = 8
 
 
+def _guarded_ngrams(text_col, n: int):
+    """Space-joined token n-grams of ``text_col`` as an array column,
+    empty (never a negative-length sequence) for docs shorter than n.
+    Shared by repeated_ngram_spans and strip_dup_spans — one place to
+    fix tokenization or the short-doc guard."""
+    toks = TX.tokens(text_col)
+    starts = F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1))
+    grams = F.transform(
+        starts, lambda i: F.concat_ws(" ", F.slice(toks, i, n))
+    )
+    return F.when(F.size(toks) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+
 def repeated_ngram_spans(corpus: DataFrame, n: int = SPAN_N) -> DataFrame:
     """Token n-gram spans occurring in >= 2 distinct documents — the
     repeated-substring signal of exact-substring dedup (Lee et al. 2022,
@@ -1012,14 +1028,7 @@ def repeated_ngram_spans(corpus: DataFrame, n: int = SPAN_N) -> DataFrame:
     boilerplate gram costs one skewed reduce key (AQE-split) rather than
     a quadratic blowup; output is bounded by the distinct-gram count.
     """
-    toks = TX.tokens(F.col("text"))
-    starts = F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1))
-    grams = F.transform(
-        starts, lambda i: F.concat_ws(" ", F.slice(toks, i, n))
-    )
-    guarded = F.when(F.size(toks) >= n, grams).otherwise(
-        F.array().cast("array<string>")
-    )
+    guarded = _guarded_ngrams(F.col("text"), n)
     per_doc = (
         corpus.select("doc_id", F.explode(guarded).alias("gram"))
         .groupBy("gram", "doc_id")
@@ -2068,13 +2077,7 @@ def strip_dup_spans(docs: DataFrame, n: int = SPAN_N) -> DataFrame:
     doc length). No all-pairs stage anywhere.
     """
     toks = TX.tokens(F.col("text"))
-    starts_rng = F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1))
-    grams = F.transform(
-        starts_rng, lambda i: F.concat_ws(" ", F.slice(toks, i, n))
-    )
-    guarded = F.when(F.size(toks) >= n, grams).otherwise(
-        F.array().cast("array<string>")
-    )
+    guarded = _guarded_ngrams(F.col("text"), n)
     # (doc_id, start, gram) with 1-based start positions.
     doc_grams = docs.select(
         "doc_id", F.posexplode(guarded).alias("pos0", "gram")

@@ -838,24 +838,7 @@ register(
     cb AS (
         SELECT su, code, cvec FROM pcent{PQ_QUERY_ITERS}
     ),
-    enc AS (
-        SELECT vec_id, su, code FROM (
-            SELECT s.vec_id, s.su, c.code,
-                   ROW_NUMBER() OVER (
-                       PARTITION BY s.vec_id, s.su
-                       ORDER BY ROUND({SIM.sql_sq_l2('s.svec', 'c.cvec', SIM.PQ_DSUB)}, 6) ASC,
-                                c.code ASC
-                   ) AS rk
-            FROM subv s JOIN cb c ON s.su = c.su
-        ) WHERE rk = 1
-    ),
-    dt AS (
-        SELECT q.vec_id AS query_id, c.su, c.code,
-               CAST(FLOOR({SIM.sql_sq_l2('q.svec', 'c.cvec', SIM.PQ_DSUB)}
-                          * 1000000) AS BIGINT) AS pd_micro
-        FROM subv q JOIN cb c ON q.su = c.su
-        WHERE q.vec_id < {N_QUERIES}
-    ),
+    {SIM.sql_pq_enc_dt(N_QUERIES)},
     adc AS (
         SELECT d.query_id, e.vec_id AS neighbor_id,
                CAST(SUM(d.pd_micro) AS BIGINT) AS adc_micro
@@ -901,24 +884,7 @@ register(
     cb AS (
         SELECT su, code, cvec FROM pcent{PQ_QUERY_ITERS}
     ),
-    enc AS (
-        SELECT vec_id, su, code FROM (
-            SELECT s.vec_id, s.su, c.code,
-                   ROW_NUMBER() OVER (
-                       PARTITION BY s.vec_id, s.su
-                       ORDER BY ROUND({SIM.sql_sq_l2('s.svec', 'c.cvec', SIM.PQ_DSUB)}, 6) ASC,
-                                c.code ASC
-                   ) AS rk
-            FROM subv s JOIN cb c ON s.su = c.su
-        ) WHERE rk = 1
-    ),
-    dt AS (
-        SELECT q.vec_id AS query_id, c.su, c.code,
-               CAST(FLOOR({SIM.sql_sq_l2('q.svec', 'c.cvec', SIM.PQ_DSUB)}
-                          * 1000000) AS BIGINT) AS pd_micro
-        FROM subv q JOIN cb c ON q.su = c.su
-        WHERE q.vec_id < {N_QUERIES}
-    ),
+    {SIM.sql_pq_enc_dt(N_QUERIES)},
     adc AS (
         SELECT d.query_id, e.vec_id AS neighbor_id,
                CAST(SUM(d.pd_micro) AS BIGINT) AS adc_micro
@@ -1014,29 +980,12 @@ register(
         JOIN corp_cell c USING (centroid_id)
         WHERE q.query_id <> c.neighbor_id
     ),
-    enc AS (
-        SELECT vec_id AS neighbor_id, su, code FROM (
-            SELECT s.vec_id, s.su, c.code,
-                   ROW_NUMBER() OVER (
-                       PARTITION BY s.vec_id, s.su
-                       ORDER BY ROUND({SIM.sql_sq_l2('s.svec', 'c.cvec', SIM.PQ_DSUB)}, 6) ASC,
-                                c.code ASC
-                   ) AS rk
-            FROM subv s JOIN cb c ON s.su = c.su
-        ) WHERE rk = 1
-    ),
-    dt AS (
-        SELECT q.vec_id AS query_id, c.su, c.code,
-               CAST(FLOOR({SIM.sql_sq_l2('q.svec', 'c.cvec', SIM.PQ_DSUB)}
-                          * 1000000) AS BIGINT) AS pd_micro
-        FROM subv q JOIN cb c ON q.su = c.su
-        WHERE q.vec_id < {N_QUERIES}
-    ),
+    {SIM.sql_pq_enc_dt(N_QUERIES)},
     adc AS (
         SELECT a.query_id, a.neighbor_id,
                CAST(SUM(d.pd_micro) AS BIGINT) AS adc_micro
         FROM cand a
-        JOIN enc e ON e.neighbor_id = a.neighbor_id
+        JOIN enc e ON e.vec_id = a.neighbor_id
         JOIN dt d ON d.query_id = a.query_id
                  AND d.su = e.su AND d.code = e.code
         GROUP BY a.query_id, a.neighbor_id

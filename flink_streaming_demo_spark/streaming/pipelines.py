@@ -255,14 +255,21 @@ def streaming_incremental_dedup(
     index — the base is never shuffled per trigger.
     """
     from flink_streaming_demo_spark.operators.dedup import (
+        build_incremental_index,
         incremental_dedup_decisions,
     )
+
+    # Build the batch-invariant base index ONCE, materialized via
+    # localCheckpoint so no trigger recomputes the corpus-wide hashing/
+    # signature pass (it was re-running per micro-batch before).
+    bh, bband = build_incremental_index(base)
+    index = (bh.localCheckpoint(), bband.localCheckpoint())
 
     def body(batch_df: DataFrame, epoch_id: int) -> None:
         if not batch_df.head(1):
             return
         verdicts = incremental_dedup_decisions(
-            base, batch_df, threshold=threshold
+            base, batch_df, threshold=threshold, index=index
         )
         sink.foreach_batch(verdicts, epoch_id)
 

@@ -253,8 +253,10 @@ def probe(spark, sf_dir: str) -> dict[str, dict]:
             "overwrite"
         ).save()
         wall = time.perf_counter() - t0
+        r1, w1 = shuffle_totals(spark)  # BEFORE the rows job: the count
+        # below runs a join-pruned plan whose shuffle must not leak into
+        # the recorded per-run metrics
         rows = qs[name](spark, sf_dir).count()
-        r1, w1 = shuffle_totals(spark)
         out[name] = {
             "wall_sec": round(wall, 3),
             "rows": rows,
