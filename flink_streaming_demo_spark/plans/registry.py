@@ -140,6 +140,20 @@ _ROUND6_WINDOW = [
 # at sf0.01, recorded in BENCH_NOTES.md.
 
 
+# ROUND-7 WINDOW PREP (for the next session; do NOT activate in r6 —
+# the r6 driver check must run against _ROUND6_WINDOW above): the 50
+# slots should go to never-driver-checked queries, oldest first. As of
+# the end of r6 the never-checked set is the 32 "added late in round 6"
+# queries listed above PLUS the closing-session additions
+# (text_strip_dup_spans, sim_pq_adc, sim_pq_rerank, sim_ivfpq_topk,
+# sim_pq_distortion, dedup_incremental, text_quality_logreg,
+# text_bpe_merges, text_bpe_segment, sample_pack_subwords,
+# events_first_in_burst, events_throttle_kept, system_profile_lineitem,
+# dedup_cluster_sizes, decon_canary_hits) — 47 total, leaving ~3 slots
+# for r7 churn. Everything else is r5/r6-driver-green and has the
+# closing full-surface parity sweeps as freshness evidence.
+
+
 def _apply_window_order() -> None:
     ordered = {n: QUERIES[n] for n in _ROUND6_WINDOW if n in QUERIES}
     ordered.update({n: f for n, f in QUERIES.items() if n not in ordered})
