@@ -23,7 +23,12 @@ def _canon(df):
 
 @pytest.fixture(scope="module")
 def docs(spark, sf_dir):
-    return load_table(spark, sf_dir, "documents").cache()
+    # Unpersist on module teardown: a lingering cache turns later plan
+    # guards' parquet scans into InMemoryTableScans (their ReadSchema /
+    # PushedFilters assertions then see the cache, not the source).
+    df = load_table(spark, sf_dir, "documents").cache()
+    yield df
+    df.unpersist()
 
 
 @pytest.mark.parametrize("fmt", ["parquet", "orc", "json", "csv"])
