@@ -30,3 +30,29 @@ def test_streaming_ingest_example_runs():
     assert r.returncode == 0, r.stderr[-2000:]
     assert "distinct quality-passing contents" in r.stdout
     assert "exact_dup" in r.stdout
+
+
+def test_bench_emits_valid_json_line():
+    """bench.py is the driver's per-round artifact: it must run and its
+    LAST stdout line must be the documented one-line JSON contract."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    env = dict(os.environ, SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001")
+    r = subprocess.run(
+        [sys.executable, "bench.py"],
+        capture_output=True,
+        text=True,
+        timeout=580,
+        cwd="/root/repo",
+        env=env,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    line = r.stdout.strip().splitlines()[-1]
+    d = json.loads(line)
+    assert d["metric"] == "headline_queries_total_wall_sec"
+    assert d["unit"] == "sec" and d["value"] > 0
+    assert set(d["queries"]) >= {"tpch_q1_pricing_summary",
+                                 "pipeline_clean_corpus"}
