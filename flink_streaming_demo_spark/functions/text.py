@@ -43,6 +43,19 @@ def avg_token_len(text: Column) -> Column:
     )
 
 
+#: The corpus-cleaning quality gate, shared by the batch pipeline, the
+#: keep/drop audit, and the streaming ingest front half — ONE definition
+#: so the three can never silently desynchronize.
+QUALITY_MIN_TOKENS = 5
+QUALITY_MIN_AVG_TOKEN_LEN = 2.0
+
+
+def quality_pass(text: Column) -> Column:
+    return (token_count(text) >= QUALITY_MIN_TOKENS) & (
+        avg_token_len(text) >= QUALITY_MIN_AVG_TOKEN_LEN
+    )
+
+
 def stopword_count(text: Column) -> Column:
     sw = F.array(*[F.lit(s) for s in STOPWORDS_EN])
     return F.size(F.filter(tokens(text), lambda t: F.array_contains(sw, t)))
@@ -297,6 +310,13 @@ def sql_avg_token_len(text: str) -> str:
     return (
         f"ROUND(CAST(LENGTH({text}) - ({n} - 1) AS DOUBLE)"
         f" / CAST({n} AS DOUBLE), 6)"
+    )
+
+
+def sql_quality_pass(text: str) -> str:
+    return (
+        f"({sql_token_count(text)} >= {QUALITY_MIN_TOKENS} "
+        f"AND {sql_avg_token_len(text)} >= {QUALITY_MIN_AVG_TOKEN_LEN})"
     )
 
 

@@ -287,6 +287,23 @@ def minhash_lsh_pairs(
 MAX_SHINGLE_DF = 64
 
 
+def drop_viral_keys(df: DataFrame, key_col: str, cap: int) -> DataFrame:
+    """The viral-key cap all the blocking schemes share: drop rows whose
+    ``key_col`` value occurs more than ``cap`` times. Computed as
+    groupBy + count (map-side partial aggregation: a viral key
+    contributes one partial row per task, never a hot reducer) and
+    applied as a broadcast anti-join of the tiny (> cap) list. Boundary
+    semantics pinned HERE once: a key with exactly ``cap`` occurrences
+    is KEPT."""
+    stop = (
+        df.groupBy(key_col)
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") > cap)
+        .select(key_col)
+    )
+    return df.join(F.broadcast(stop), key_col, "left_anti")
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -323,13 +340,7 @@ def ngram_jaccard_pairs(
     # viral shingle into one partition before filtering it out). The stop
     # list (df > cap) is tiny by construction, so it broadcast-anti-joins
     # into the candidate path with no extra shuffle on the big side.
-    stop = (
-        sh_all.groupBy("shingle")
-        .agg(F.count(F.lit(1)).alias("_df"))
-        .filter(F.col("_df") > max_shingle_df)
-        .select("shingle")
-    )
-    sh = sh_all.join(F.broadcast(stop), "shingle", "left_anti")
+    sh = drop_viral_keys(sh_all, "shingle", max_shingle_df)
     counts = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -822,13 +833,7 @@ def winnow_pairs(
     # groupBy, join side a, join side b) via ReusedExchange — the
     # fingerprint extraction runs once, not three times
     fp = fp.repartition("fp")
-    stop = (
-        fp.groupBy("fp")
-        .agg(F.count(F.lit(1)).alias("_df"))
-        .filter(F.col("_df") > max_fp_df)
-        .select("fp")
-    )
-    fp = fp.join(F.broadcast(stop), "fp", "left_anti")
+    fp = drop_viral_keys(fp, "fp", max_fp_df)
     a = fp.alias("a").hint("shuffle_hash")
     b = fp.alias("b").hint("shuffle_hash")
     return (
@@ -877,13 +882,7 @@ def source_overlap_matrix(
         .distinct()
     )
     if max_shingle_sources is not None:
-        viral = (
-            sh.groupBy("shingle")
-            .agg(F.count(F.lit(1)).alias("_n"))
-            .filter(F.col("_n") > max_shingle_sources)
-            .select("shingle")
-        )
-        sh = sh.join(F.broadcast(viral), "shingle", "left_anti")
+        sh = drop_viral_keys(sh, "shingle", max_shingle_sources)
     sizes = sh.groupBy("src").agg(F.count(F.lit(1)).alias("n_shingles"))
     a = sh.select(F.col("src").alias("source_a"), "shingle")
     b = sh.select(F.col("src").alias("source_b"), "shingle")
@@ -927,16 +926,19 @@ def source_overlap_matrix(
 
 # --- Fuzzy record linkage (symmetric-deletion blocking) -----------------------
 
-def _deletion_variants(name_expr: str, max_len: int = 64) -> "Column":
+def _deletion_variants(name_expr: str) -> "Column":
     """The name itself plus every single-character deletion of it — the
     SymSpell/FastSS block keys: two strings at edit distance <= 1
     (substitution, insert, or delete) always share at least one
-    variant."""
+    variant. The suffix uses the 2-arg substring (to end of string) —
+    a previous fixed-length cap (64) silently truncated variants of
+    longer names, breaking the shared-variant guarantee above ~65 chars
+    and diverging from the uncapped DuckDB twin."""
     return F.expr(
         f"array_union(array({name_expr}), "
         f"transform(sequence(1, length({name_expr})), "
         f"p -> concat(substring({name_expr}, 1, p - 1), "
-        f"substring({name_expr}, p + 1, {max_len}))))"
+        f"substring({name_expr}, p + 1))))"
     )
 
 

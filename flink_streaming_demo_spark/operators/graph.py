@@ -49,6 +49,12 @@ def pagerank(
     ).unionAll(
         edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
     )
+    # Checkpoint the symmetrized edge list BEFORE iterating: edges is
+    # typically the output of the whole MinHash-LSH pipeline, and every
+    # contrib join below re-executes its subtree otherwise (measured:
+    # iterations+1 full signature passes) — same pattern as
+    # connected_components' pair-list checkpoint.
+    sym = sym.localCheckpoint()
     deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("degree"))
     deg = deg.localCheckpoint()
     n = deg.count()

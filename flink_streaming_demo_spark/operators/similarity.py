@@ -258,13 +258,9 @@ def embedding_neardup_pairs(
     # Narrow band rows: id + band key only (vectors re-attach post-dedup).
     sides = df.select(F.col(id_col), F.explode(band_keys).alias("bk"))
     if max_bucket is not None:
-        viral = (
-            sides.groupBy("bk")
-            .agg(F.count(F.lit(1)).alias("_n"))
-            .filter(F.col("_n") > max_bucket)
-            .select("bk")
-        )
-        sides = sides.join(F.broadcast(viral), "bk", "left_anti")
+        from flink_streaming_demo_spark.operators.dedup import drop_viral_keys
+
+        sides = drop_viral_keys(sides, "bk", max_bucket)
     a = sides.alias("a").hint("shuffle_hash")
     b = sides.alias("b").hint("shuffle_hash")
     cand_ids = (
@@ -554,6 +550,7 @@ def semantic_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_cluster: int | None = None,
+    assigned: DataFrame | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication: cluster-then-dedup.
 
@@ -577,16 +574,20 @@ def semantic_dedup(
     applies); ``max_cluster`` drops clusters larger than the cap before
     the join (the stop-shingle/viral-bucket move — a cluster that big
     means the centroid does not discriminate; tighten k instead).
+
+    ``assigned``: optionally pass a precomputed assign_to_centroids(
+    corpus, centroids, 1) frame — a caller that also needs the cell
+    assignment (pipeline_embedding_dedup) then pays the corpus-wide
+    broadcast-rank pass ONCE instead of twice.
     """
-    assigned = assign_to_centroids(corpus, centroids, 1, id_col, vec_col)
-    if max_cluster is not None:
-        viral = (
-            assigned.groupBy("centroid_id")
-            .agg(F.count(F.lit(1)).alias("_n"))
-            .filter(F.col("_n") > max_cluster)
-            .select("centroid_id")
+    if assigned is None:
+        assigned = assign_to_centroids(
+            corpus, centroids, 1, id_col, vec_col
         )
-        assigned = assigned.join(F.broadcast(viral), "centroid_id", "left_anti")
+    if max_cluster is not None:
+        from flink_streaming_demo_spark.operators.dedup import drop_viral_keys
+
+        assigned = drop_viral_keys(assigned, "centroid_id", max_cluster)
     a = assigned.select(
         F.col("centroid_id"),
         F.col(id_col).alias("id_a"),

@@ -224,7 +224,7 @@ def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("top_2gram_count") / ng, 6), F.lit(0.0)
         ).alias("top_2gram_share"),
         (
-            (n >= 5) & (TX.avg_token_len(F.col("text")) >= 2.0)
+            TX.quality_pass(F.col("text"))
         ).alias("passes_quality"),
     )
 
@@ -250,8 +250,7 @@ register(
         COALESCE(ROUND(
             CAST(r.top_2gram_count AS DOUBLE)
             / CAST(r.n_2grams AS DOUBLE), 6), 0.0) AS top_2gram_share,
-        ({TX.sql_token_count('text')} >= 5
-         AND {TX.sql_avg_token_len('text')} >= 2.0) AS passes_quality
+        {TX.sql_quality_pass('text')} AS passes_quality
     FROM documents LEFT JOIN rep_stats r USING (doc_id)
     """,
 )
@@ -414,10 +413,7 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     against the small non-survivor set.
     """
     corpus = _planted_corpus(spark, sf_dir)
-    n = TX.token_count(F.col("text"))
-    quality = corpus.filter(
-        (n >= 5) & (TX.avg_token_len(F.col("text")) >= 2.0)
-    )
+    quality = corpus.filter(TX.quality_pass(F.col("text")))
     # survivors feeds TWO consumers (the LSH pair-finder and the final
     # anti-join): pinning it behind one hash exchange lets ReusedExchange
     # compute the dedup subtree once instead of once per consumer.
@@ -444,8 +440,7 @@ register(
     WITH RECURSIVE corpus AS ({_PLANTED_SQL}),
     quality AS (
         SELECT doc_id, text FROM corpus
-        WHERE {TX.sql_token_count('text')} >= 5
-          AND {TX.sql_avg_token_len('text')} >= 2.0
+        WHERE {TX.sql_quality_pass('text')}
     ),
     survivors AS (
         SELECT doc_id, text FROM quality
@@ -1913,13 +1908,10 @@ def pipeline_keep_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
     adds only left joins of small loser/keeper sets back onto the
     corpus scan."""
     corpus = _planted_corpus(spark, sf_dir)
-    n = TX.token_count(F.col("text"))
     flagged = corpus.select(
         "doc_id",
         "text",
-        ((n >= 5) & (TX.avg_token_len(F.col("text")) >= 2.0)).alias(
-            "quality_pass"
-        ),
+        TX.quality_pass(F.col("text")).alias("quality_pass"),
     )
     quality = flagged.filter("quality_pass").select("doc_id", "text")
     keepers = quality.groupBy(F.md5("text").alias("h")).agg(
@@ -1978,8 +1970,7 @@ register(
     WITH RECURSIVE corpus AS ({_PLANTED_SQL}),
     flagged AS (
         SELECT doc_id, text,
-               ({TX.sql_token_count('text')} >= 5
-                AND {TX.sql_avg_token_len('text')} >= 2.0) AS quality_pass
+               {TX.sql_quality_pass('text')} AS quality_pass
         FROM corpus
     ),
     quality AS (

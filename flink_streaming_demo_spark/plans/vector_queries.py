@@ -616,15 +616,15 @@ def pipeline_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("centroid_id"), F.col("embedding")
     )
     cent = SIM.kmeans_centroids(emb, seeds, n_iterations=KMEANS_ITERS)
-    assigned = SIM.assign_to_centroids(emb, cent, 1).select(
-        "vec_id", "centroid_id"
-    )
+    # ONE corpus-wide assignment pass, shared by the output's cluster
+    # column and SemDeDup's in-cluster pair stage (it ran twice before).
+    assigned = SIM.assign_to_centroids(emb, cent, 1)
     dropped = SIM.semantic_dedup(
-        emb, cent, threshold=SEMDEDUP_THRESHOLD
+        emb, cent, threshold=SEMDEDUP_THRESHOLD, assigned=assigned
     ).select("vec_id")
     return (
         emb.join(dropped, "vec_id", "left_anti")
-        .join(assigned, "vec_id")
+        .join(assigned.select("vec_id", "centroid_id"), "vec_id")
         .select("vec_id", "label", "centroid_id")
     )
 

@@ -94,8 +94,7 @@ def streaming_clean_corpus_front(
     batch pass over the sink's table — the standard lambda split for
     dedup at ingest.
     """
-    n = TX.token_count(F.col("text"))
-    quality = docs.filter((n >= 5) & (TX.avg_token_len(F.col("text")) >= 2.0))
+    quality = docs.filter(TX.quality_pass(F.col("text")))
     hashed = quality.withColumn("text_hash", F.md5("text"))
     deduped = streaming_dedup(
         hashed, ["text_hash"], ts_col=ts_col, watermark_delay=watermark_delay

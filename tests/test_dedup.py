@@ -434,3 +434,21 @@ def test_incremental_dedup_new_on_disjoint_vocab(spark):
            incremental_dedup_decisions(base, inc).collect()}
     assert got[10].verdict == "new" and got[10].matched_base_id is None
     assert got[11].verdict == "exact_dup" and got[11].matched_base_id == 1
+
+
+def test_fuzzy_link_long_names_beyond_64_chars(spark):
+    """Regression: the deletion-variant suffix must not truncate — a
+    92-char name with one inserted char must still share a block key
+    with its clean form and link at distance 1."""
+    from flink_streaming_demo_spark.operators.dedup import fuzzy_link
+
+    clean_name = "x" * 40 + "abcdefghijklmnopqrstuvwxyz" * 2
+    dirty_name = clean_name[:3] + "Q" + clean_name[3:]
+    clean = spark.createDataFrame(
+        [(1, clean_name)], "clean_id long, clean_name string"
+    )
+    dirty = spark.createDataFrame(
+        [(2, dirty_name)], "dirty_id long, dirty_name string"
+    )
+    out = fuzzy_link(dirty, clean).collect()
+    assert len(out) == 1 and out[0].edit_distance == 1

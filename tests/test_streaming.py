@@ -740,10 +740,7 @@ def test_streaming_clean_corpus_front_equals_batch(spark, sf_dir):
             q.stop()
         got_rows = sink.read(spark).collect()
         got = {r.text_hash: r.n_tokens for r in got_rows}
-        n = TX.token_count(F.col("text"))
-        quality = corpus.filter(
-            (n >= 5) & (TX.avg_token_len(F.col("text")) >= 2.0)
-        )
+        quality = corpus.filter(TX.quality_pass(F.col("text")))
         expected = {
             r.text_hash: r.n_tokens
             for r in quality.select(

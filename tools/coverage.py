@@ -46,20 +46,15 @@ def _module_imports(repo: str, mod: str, src: str) -> set[str]:
     silently under-reported closure staleness)."""
     deps: set[str] = set()
 
-    def _walk_module_level(body):
-        """Yield stmts reachable at import time: recurse into if/try
-        blocks but NOT function/class bodies — deferred function-local
-        imports (e.g. registry._load_all) are wiring, not semantics."""
-        for node in body:
-            yield node
-            if isinstance(node, (ast.If, ast.Try)):
-                for attr in ("body", "orelse", "finalbody"):
-                    yield from _walk_module_level(getattr(node, attr, []))
-                for h in getattr(node, "handlers", []):
-                    yield from _walk_module_level(h.body)
-
+    # Walk EVERY node, including function bodies: several query
+    # functions import their operator module lazily (e.g. text_queries'
+    # classify/bpe/sampling imports), and those imports ARE semantics —
+    # a change there changes query output. A staleness audit must
+    # over-report (re-check something fresh) rather than under-report
+    # (skip something stale); the module-level-only walk silently did
+    # the latter.
     tree = ast.parse(src)
-    for node in _walk_module_level(tree.body):
+    for node in ast.walk(tree):
         if isinstance(node, ast.Import):
             for a in node.names:
                 if a.name == PKG or a.name.startswith(PKG + "."):
