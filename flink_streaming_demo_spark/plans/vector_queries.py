@@ -1062,3 +1062,61 @@ register(
     GROUP BY su
     """,
 )
+
+
+# --- Joint text + vector curation (capstone composition) ---------------------
+
+def pipeline_joint_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text-AND-vector curation in one decision: a document survives iff
+    it (a) passes the text quality gate, (b) is its content's exact-dedup
+    keeper, and (c) its paired embedding (vec_id == doc_id in the
+    testdata) is a SemDeDup survivor. This is the real curation join —
+    textual signals and semantic-space signals vote on the SAME corpus —
+    and every leg reuses an already-proven operator, so the oracle
+    composes their existing CTEs verbatim.
+
+    100 TB shape: three independent linear passes (scan + gate; hash
+    groupBy; k-means/SemDeDup over the LSH-bounded cluster pairs) joined
+    on the id at the end — no new shuffle classes."""
+    from flink_streaming_demo_spark.functions import text as TX
+    from flink_streaming_demo_spark.operators import dedup as DD
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    quality = docs.filter(TX.quality_pass(F.col("text")))
+    kept_text = DD.exact_dedup(quality)
+    sem_dropped = dedup_semantic(spark, sf_dir).select(
+        F.col("vec_id").alias("doc_id")
+    )
+    return (
+        kept_text.join(sem_dropped, "doc_id", "left_anti")
+        .select("doc_id", "source", TX.token_count(F.col("text"))
+                .alias("n_tokens"))
+    )
+
+
+def _joint_curation_oracle() -> str:
+    from flink_streaming_demo_spark.functions import text as TX
+    from flink_streaming_demo_spark.plans.registry import ORACLE_SQL
+
+    sem = ORACLE_SQL["dedup_semantic"]
+    return f"""
+    WITH q AS (
+        SELECT doc_id, source, text FROM documents
+        WHERE {TX.sql_quality_pass('text')}
+    ),
+    keepers AS (
+        SELECT MIN(doc_id) AS doc_id FROM q GROUP BY md5(text)
+    ),
+    sem_dropped AS (
+        SELECT vec_id AS doc_id FROM ({sem})
+    )
+    SELECT q.doc_id, q.source,
+           {TX.sql_token_count('q.text')} AS n_tokens
+    FROM q
+    JOIN keepers USING (doc_id)
+    ANTI JOIN sem_dropped s ON s.doc_id = q.doc_id
+    """
+
+
+register("pipeline_joint_curation", pipeline_joint_curation,
+         _joint_curation_oracle())
