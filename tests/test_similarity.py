@@ -353,3 +353,25 @@ def test_ivfpq_with_all_cells_probed_equals_pure_adc(spark, sf_dir):
     ).collect()
     want = SIM.pq_adc_topk(queries, emb, cb, k=5).collect()
     assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+
+def test_joint_curation_is_intersection_of_legs(spark, sf_dir):
+    """The joint verdict must be exactly: quality-passing exact keepers
+    minus SemDeDup-dropped ids — no leg may leak."""
+    from pyspark.sql import functions as F
+
+    from flink_streaming_demo_spark.functions import text as TX
+    from flink_streaming_demo_spark.operators import dedup as DD
+    from flink_streaming_demo_spark.plans.vector_queries import (
+        dedup_semantic,
+        pipeline_joint_curation,
+    )
+    from flink_streaming_demo_spark.schemas import load_table
+
+    got = {r.doc_id for r in
+           pipeline_joint_curation(spark, sf_dir).collect()}
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    quality = docs.filter(TX.quality_pass(F.col("text")))
+    keepers = {r.doc_id for r in DD.exact_dedup(quality).collect()}
+    dropped = {r.vec_id for r in dedup_semantic(spark, sf_dir).collect()}
+    assert got == keepers - dropped
