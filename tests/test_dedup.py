@@ -452,3 +452,17 @@ def test_fuzzy_link_long_names_beyond_64_chars(spark):
     )
     out = fuzzy_link(dirty, clean).collect()
     assert len(out) == 1 and out[0].edit_distance == 1
+
+
+def test_drop_neardup_clusters_is_idempotent(spark, sf_dir):
+    """Docstring contract: survivors contain no qualifying pair, so a
+    second pass over the output must be a no-op — the property that
+    makes the streaming compaction safe to run on any cadence."""
+    from flink_streaming_demo_spark.plans.text_queries import _planted_corpus
+
+    corpus = _planted_corpus(spark, sf_dir)
+    once = dedup.drop_neardup_clusters(corpus, threshold=0.5)
+    twice = dedup.drop_neardup_clusters(once, threshold=0.5)
+    a = sorted(r.doc_id for r in once.select("doc_id").collect())
+    b = sorted(r.doc_id for r in twice.select("doc_id").collect())
+    assert a == b and len(a) > 0

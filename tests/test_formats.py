@@ -84,3 +84,29 @@ def test_partitioned_write_prunes_partitions(spark, docs):
         assert got == want
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+def test_schema_evolution_merge_reads_both_generations(spark, docs):
+    """A corpus written in two generations (the second adding a column)
+    must read back under mergeSchema with the union schema, nulls for
+    the old generation — the ingest-evolution path a long-lived corpus
+    store hits."""
+    out = tempfile.mkdtemp(prefix="fmt_evolve_")
+    try:
+        g1 = docs.select("doc_id", "text").filter(F.col("doc_id") < 100)
+        g2 = (
+            docs.select("doc_id", "text")
+            .filter(F.col("doc_id") >= 100)
+            .withColumn("ingest_batch", F.lit(2))
+        )
+        g1.write.mode("append").parquet(out)
+        g2.write.mode("append").parquet(out)
+        back = spark.read.option("mergeSchema", "true").parquet(out)
+        assert set(back.columns) == {"doc_id", "text", "ingest_batch"}
+        assert back.count() == docs.count()
+        old = back.filter(F.col("doc_id") < 100)
+        assert old.filter(F.col("ingest_batch").isNotNull()).count() == 0
+        new = back.filter(F.col("doc_id") >= 100)
+        assert new.filter(F.col("ingest_batch") != 2).count() == 0
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
