@@ -1347,3 +1347,40 @@ def _throttle_oracle() -> str:
 
 
 register("events_throttle_kept", events_throttle_kept, _throttle_oracle())
+
+
+# --- Event-type transition matrix --------------------------------------------
+
+def events_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order behavioral transition counts: for each user, pair
+    every event with its successor (ts, event_id order) and count
+    (from_type, to_type) globally — the Markov matrix behind
+    session-quality and bot-detection heuristics. One lag window per
+    user, one partial-aggregated 25-key count."""
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = ev.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    return pairs.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )
+
+
+register(
+    "events_type_transitions",
+    events_type_transitions,
+    """
+    SELECT from_type, to_type, COUNT(*) AS n_transitions
+    FROM (
+        SELECT event_type AS from_type,
+               LEAD(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS to_type
+        FROM events
+    )
+    WHERE to_type IS NOT NULL
+    GROUP BY from_type, to_type
+    """,
+)

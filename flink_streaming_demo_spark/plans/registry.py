@@ -127,7 +127,8 @@ _ROUND6_WINDOW = [
 # sample_pack_subwords, sim_ivfpq_topk, sim_pq_distortion,
 # events_first_in_burst, system_profile_lineitem,
 # dedup_cluster_sizes, decon_canary_hits, events_throttle_kept,
-# dedup_lsh_scurve, pipeline_joint_curation
+# dedup_lsh_scurve, pipeline_joint_curation,
+# events_type_transitions, text_ngram_novelty
 # (each hash-green via tools/parity.py at sf0.001
 # AND sf0.01 the day it landed, plus behavioral tests).
 #

@@ -2529,3 +2529,67 @@ _SCURVE_SQL = "\nUNION ALL\n".join(
 )
 
 register("dedup_lsh_scurve", dedup_lsh_scurve, _SCURVE_SQL)
+
+
+# --- N-gram novelty curve -----------------------------------------------------
+
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document novelty: the fraction of its distinct 3-grams whose
+    FIRST occurrence (by doc_id order) is this document — the curve a
+    curation run watches for template drift (novelty collapsing toward 0
+    means the crawl is re-reading the same boilerplate). One explode +
+    min-per-gram + per-doc ratio; no pair joins."""
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(_guarded_ngrams(F.col("text"), 3))
+        ).alias("gram"),
+    )
+    first = grams.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = (
+        grams.join(first, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(
+                (F.col("first_doc") == F.col("doc_id")).cast("long")
+            ).alias("n_novel"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_grams",
+        "n_novel",
+        F.round(
+            F.col("n_novel").cast("double") / F.col("n_grams").cast("double"),
+            6,
+        ).alias("novelty"),
+    )
+
+
+register(
+    "text_ngram_novelty",
+    text_ngram_novelty,
+    """
+    WITH grams AS (
+        SELECT DISTINCT doc_id,
+               array_to_string(string_split(text, ' ')[i:i+2], ' ') AS gram
+        FROM documents,
+             LATERAL unnest(generate_series(1,
+                 len(string_split(text, ' ')) - 2)) AS u(i)
+        WHERE len(string_split(text, ' ')) >= 3
+    ),
+    first AS (
+        SELECT gram, MIN(doc_id) AS first_doc FROM grams GROUP BY gram
+    )
+    SELECT g.doc_id,
+           COUNT(*) AS n_grams,
+           CAST(SUM(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           ROUND(CAST(SUM(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
+                      AS DOUBLE) / COUNT(*), 6) AS novelty
+    FROM grams g JOIN first f USING (gram)
+    GROUP BY g.doc_id
+    """,
+)
