@@ -18,7 +18,11 @@ from pyspark.sql import functions as F
 
 
 def main(sf_dir: str = "/root/testdata/sf0.001") -> int:
-    sys.path.insert(0, ".")
+    import os
+
+    sys.path.insert(
+        0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
     from flink_streaming_demo_spark.operators import bpe, dedup, sampling
     from flink_streaming_demo_spark.plans.text_queries import strip_dup_spans
     from flink_streaming_demo_spark.schemas import load_table

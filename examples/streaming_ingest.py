@@ -18,7 +18,11 @@ import tempfile
 
 
 def main(sf_dir: str = "/root/testdata/sf0.001") -> int:
-    sys.path.insert(0, ".")
+    import os
+
+    sys.path.insert(
+        0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
     from pyspark.sql import functions as F
 
     from flink_streaming_demo_spark.plans.text_queries import _incoming_batch

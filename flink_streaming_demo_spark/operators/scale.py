@@ -135,23 +135,31 @@ def write_partitioned(
 # MERGEABLE partials (counts, sums, sums of squares, min/max), so a new
 # ingest batch updates the stats table by merging its own partial — the
 # base corpus is NEVER rescanned. Mean/variance derive from the partials at
-# read time (explicit-formula variance), so every stored field is a
-# semigroup and merge is associative + commutative: stats(A) ⊕ stats(B) ==
-# stats(A ∪ B) exactly (integer fields; the property test pins it).
+# read time, so every stored field is a semigroup and merge is associative
+# + commutative: stats(A) ⊕ stats(B) == stats(A ∪ B) exactly (the property
+# test pins it). The squared sum is DECIMAL(38, 0): exact and overflow-safe
+# where BIGINT would wrap (~1e12 rows of ~1e8-squared values); the derived
+# variance clamps at 0 because the E[x²]−mean² form can cancel to a tiny
+# negative under doubles (a Welford merge would avoid the cancellation but
+# is not a plain SUM, losing the groupBy-mergeable shape this table is
+# for).
 
-STATS_FIELDS = ("n_docs", "n_tokens", "sq_tokens", "min_tokens", "max_tokens")
+STATS_FIELDS = ("n_rows", "sum_val", "sum_sq", "min_val", "max_val")
 
 
 def source_stats_partial(docs: "DataFrame", key_col: str = "source",
                          n_col: str = "n_chars") -> "DataFrame":
-    """Mergeable per-key partial over an integer size column."""
+    """Mergeable per-key partial over the integer ``n_col`` (fields are
+    value-generic — n_col defaults to documents.n_chars, so the unit is
+    CHARACTERS unless the caller passes a token-count column)."""
     n = F.col(n_col).cast("long")
+    sq = F.col(n_col).cast("decimal(38, 0)")
     return docs.groupBy(key_col).agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum(n).alias("n_tokens"),
-        F.sum(n * n).alias("sq_tokens"),
-        F.min(n).alias("min_tokens"),
-        F.max(n).alias("max_tokens"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(n).alias("sum_val"),
+        F.sum(sq * sq).alias("sum_sq"),
+        F.min(n).alias("min_val"),
+        F.max(n).alias("max_val"),
     )
 
 
@@ -162,22 +170,23 @@ def merge_source_stats(cur: "DataFrame", delta: "DataFrame",
         cur.unionByName(delta)
         .groupBy(key_col)
         .agg(
-            F.sum("n_docs").alias("n_docs"),
-            F.sum("n_tokens").alias("n_tokens"),
-            F.sum("sq_tokens").alias("sq_tokens"),
-            F.min("min_tokens").alias("min_tokens"),
-            F.max("max_tokens").alias("max_tokens"),
+            F.sum("n_rows").alias("n_rows"),
+            F.sum("sum_val").alias("sum_val"),
+            F.sum("sum_sq").cast("decimal(38, 0)").alias("sum_sq"),
+            F.min("min_val").alias("min_val"),
+            F.max("max_val").alias("max_val"),
         )
     )
 
 
 def finalize_source_stats(partials: "DataFrame") -> "DataFrame":
-    """Derive the read-time view (mean, variance) from the partials."""
-    n = F.col("n_docs").cast("double")
-    mean = F.col("n_tokens").cast("double") / n
-    var = F.col("sq_tokens").cast("double") / n - mean * mean
+    """Derive the read-time view (mean, variance) from the partials;
+    variance clamps at 0 (see module note on cancellation)."""
+    n = F.col("n_rows").cast("double")
+    mean = F.col("sum_val").cast("double") / n
+    var = F.col("sum_sq").cast("double") / n - mean * mean
     return partials.select(
         "*",
-        F.round(mean, 6).alias("mean_tokens"),
-        F.round(var, 6).alias("var_tokens"),
+        F.round(mean, 6).alias("mean_val"),
+        F.round(F.greatest(var, F.lit(0.0)), 6).alias("var_val"),
     )

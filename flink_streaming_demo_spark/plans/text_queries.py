@@ -2457,7 +2457,9 @@ def decon_canary_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_CANARY_VALUES = ", ".join(f"('{c}')" for c in CANARIES)
+_CANARY_VALUES = ", ".join(
+    "('" + c.replace("'", "''") + "')" for c in CANARIES
+)
 
 register(
     "decon_canary_hits",

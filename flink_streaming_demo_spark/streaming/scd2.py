@@ -76,8 +76,12 @@ def _fn(
     wm_ms = state.getCurrentWatermarkMs()
     sealed_us = wm_ms * 1000
     pending.sort()
-    ready = [p for p in pending if p[0] <= sealed_us]
-    hold = [p for p in pending if p[0] > sealed_us]
+    # STRICT inequality: Spark guarantees no more rows with ts <
+    # watermark, but a row with ts == watermark may still arrive in a
+    # later micro-batch — folding boundary events now could commit an
+    # out-of-(ts, id)-order decision. Hold them.
+    ready = [p for p in pending if p[0] < sealed_us]
+    hold = [p for p in pending if p[0] >= sealed_us]
     closed: list[tuple] = []
     for t_us, _eid, etype in ready:
         if open_type is None:

@@ -62,8 +62,12 @@ def _make_fn(gap_secs: int):
                     pending.append((int(t_us), int(eid)))
         sealed_us = state.getCurrentWatermarkMs() * 1000
         pending.sort()
-        ready = [p for p in pending if p[0] <= sealed_us]
-        hold = [p for p in pending if p[0] > sealed_us]
+        # STRICT inequality: Spark guarantees no more rows with ts <
+        # watermark, but a row with ts == watermark may still arrive
+        # in a later micro-batch — folding boundary events now could
+        # commit an out-of-(ts, id)-order decision. Hold them.
+        ready = [p for p in pending if p[0] < sealed_us]
+        hold = [p for p in pending if p[0] >= sealed_us]
         kept: list[tuple] = []
         for t_us, eid in ready:
             if last_kept is None or t_us > last_kept + gap_us:

@@ -172,7 +172,7 @@ def test_mergeable_stats_new_key_in_delta(spark):
         [("b", 5)], "source string, n_chars long"
     )
     got = {
-        r.source: (r.n_docs, r.n_tokens, r.min_tokens, r.max_tokens)
+        r.source: (r.n_rows, r.sum_val, r.min_val, r.max_val)
         for r in merge_source_stats(
             source_stats_partial(base), source_stats_partial(delta)
         ).collect()
