@@ -25,3 +25,19 @@ def test_all_queries_registered():
 def test_parity(parity_results):
     failures = {k: v for k, v in parity_results.items() if v}
     assert not failures, failures
+
+
+def test_driver_contract_integrity():
+    """Every oracle key maps to a registered query, and the rows-only
+    set (no DuckDB analogue, by design) is exactly the two documented
+    cases — a new query accidentally registered without its oracle
+    would silently downgrade to the weaker rows-only check."""
+    import __spark_entry__ as e
+
+    qs, oracles = e.queries(), e.oracle_sql()
+    assert set(oracles) <= set(qs)
+    assert set(qs) - set(oracles) == {
+        "events_approx_distinct_users",
+        "taxi_early_arrival_fires",
+    }
+    assert len(qs) >= 134
