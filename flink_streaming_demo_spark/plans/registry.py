@@ -142,22 +142,56 @@ _ROUND6_WINDOW = [
 # at sf0.01, recorded in BENCH_NOTES.md.
 
 
-# ROUND-7 WINDOW PREP (for the next session; do NOT activate in r6 —
-# the r6 driver check must run against _ROUND6_WINDOW above): the 50
-# slots should go to never-driver-checked queries, oldest first. As of
-# the end of r6 the never-checked set is the 32 "added late in round 6"
-# queries listed above PLUS the closing-session additions
-# (text_strip_dup_spans, sim_pq_adc, sim_pq_rerank, sim_ivfpq_topk,
-# sim_pq_distortion, dedup_incremental, text_quality_logreg,
-# text_bpe_merges, text_bpe_segment, sample_pack_subwords,
-# events_first_in_burst, events_throttle_kept, system_profile_lineitem,
-# dedup_cluster_sizes, decon_canary_hits) — 47 total, leaving ~3 slots
-# for r7 churn. Everything else is r5/r6-driver-green and has the
-# closing full-surface parity sweeps as freshness evidence.
+# ROUND-7 WINDOW (active): the entire 50-slot window goes to the
+# never-driver-checked queries, oldest first (the r6 verdict's #1 ask).
+# The never-checked set at the start of r7 is exactly 51 queries
+# (computed as registered-surface minus the union of keys in
+# CORRECTNESS_r01..r06.json). 50 of the 51 are below, in registration
+# (= addition) order: the 32 "added late in round 6" first, then the
+# closing-session additions. The ONE deferred to r8 is
+# layout_zorder_cells: judge-verified hash-green in the r6 full-surface
+# parity sweep, its closure (operators/scale.py + plans/taxi_queries.py)
+# is planned byte-unchanged this round, and it has a behavioral test —
+# the strongest alternative evidence among the 51. It is FIRST in line
+# for the r8 window, together with any r7 additions/churn.
+#
+# Several in-window queries are ALSO this round's churn (events_user_rfm
+# ntile rewrite, text_bpe_* merge batching, dedup_incremental broadcast
+# gating, sim_pq_* seeding fix, text_strip_dup_spans planted-corpus
+# helper) — window membership covers both obligations at once.
+_ROUND7_WINDOW = [
+    # added mid-round-6 (31 of 32; layout_zorder_cells deferred, see
+    # above), registration order
+    "dedup_semantic", "pipeline_embedding_dedup",
+    "text_unigram_logprob", "dedup_repeated_ngrams",
+    "events_error_after_click", "decon_source_overlap",
+    "embedding_quantize", "dedup_chunk_minhash",
+    "events_value_outliers", "text_heavy_hitters",
+    "events_funnel_stages", "events_cohort_retention",
+    "sample_temperature_weights", "sample_weighted_topk",
+    "text_token_entropy", "embedding_dim_profile",
+    "embedding_random_projection", "events_user_rfm",
+    "graph_pagerank_neardup", "events_winsorized_stats",
+    "events_scd2_type_history", "doc_source_lang_chisq",
+    "events_key_skew_report", "events_daily_moving_avg",
+    "text_bigram_logprob", "link_fuzzy_customers",
+    "events_temporal_scd2_join", "events_daily_anomaly",
+    "decon_split_leakage", "decon_split_by_cluster",
+    "pipeline_keep_decisions",
+    # closing-session round-6 additions (19), registration order
+    "text_strip_dup_spans", "sim_pq_adc", "sim_pq_rerank",
+    "dedup_incremental", "text_quality_logreg", "text_bpe_merges",
+    "text_bpe_segment", "sample_pack_subwords", "sim_ivfpq_topk",
+    "sim_pq_distortion", "events_first_in_burst",
+    "system_profile_lineitem", "dedup_cluster_sizes",
+    "decon_canary_hits", "events_throttle_kept", "dedup_lsh_scurve",
+    "pipeline_joint_curation", "events_type_transitions",
+    "text_ngram_novelty",
+]
 
 
 def _apply_window_order() -> None:
-    ordered = {n: QUERIES[n] for n in _ROUND6_WINDOW if n in QUERIES}
+    ordered = {n: QUERIES[n] for n in _ROUND7_WINDOW if n in QUERIES}
     ordered.update({n: f for n, f in QUERIES.items() if n not in ordered})
     QUERIES.clear()
     QUERIES.update(ordered)
