@@ -1021,6 +1021,32 @@ def build_incremental_index(
     return bh, bband
 
 
+def _fits_broadcast(df: DataFrame) -> bool:
+    """Catalyst-stats gate for an explicit broadcast hint: True iff the
+    optimizer's sizeInBytes estimate for ``df`` is within the session's
+    autoBroadcastJoinThreshold. Plan-time only (no job); estimates are
+    coarse, but the failure mode is symmetric — an over-estimate merely
+    falls back to a shuffle join, an under-estimate is no worse than
+    what Catalyst itself would have picked with the same stats. Inputs
+    with UNKNOWN stats (RDD-backed plans report Long.MaxValue) return
+    False: never force a broadcast nobody can size."""
+    spark = df.sparkSession
+    raw = spark.conf.get(
+        "spark.sql.autoBroadcastJoinThreshold", "10485760"
+    )
+    thresh = int(
+        spark._jvm.org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+            raw
+        )
+    )
+    if thresh <= 0:
+        return False
+    est = int(
+        df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+    )
+    return est <= thresh
+
+
 def incremental_dedup_decisions(
     base: DataFrame,
     incoming: DataFrame,
@@ -1028,6 +1054,7 @@ def incremental_dedup_decisions(
     id_col: str = "doc_id",
     threshold: float = 0.5,
     index: tuple[DataFrame, DataFrame] | None = None,
+    broadcast_incoming: bool | None = None,
 ) -> DataFrame:
     """Keep/drop verdicts for an INCOMING batch against an EXISTING
     corpus — the steady-state shape of a production ingest pipeline,
@@ -1040,19 +1067,26 @@ def incremental_dedup_decisions(
     matched_base_id is the lowest matching base doc (NULL for 'new').
 
     100 TB shape: the base side is never self-joined and never shuffled
-    — the small incoming batch is BROADCAST to both the content-hash
+    — a small incoming batch is BROADCAST to both the content-hash
     probe and the band join, so the two lookups are corpus scans with
     map-side joins (in production the base signatures/bands are a
     precomputed index, making this incremental cost independent of
     corpus size except for the scan; with the band index bucketed by
-    band_key it is independent of corpus size entirely).
+    band_key it is independent of corpus size entirely). The hint is
+    GATED: ``broadcast_incoming=None`` (default) broadcasts only when
+    Catalyst's size estimate fits autoBroadcastJoinThreshold, so an
+    unexpectedly large batch degrades to a plain equi-join instead of
+    OOMing every executor; pass True/False to force either way.
     """
     bh, bband = index if index is not None else build_incremental_index(
         base, text_col, id_col
     )
     ih = incoming.select(F.col(id_col), F.md5(F.col(text_col)).alias("h"))
+    if broadcast_incoming is None:
+        broadcast_incoming = _fits_broadcast(ih)
+    hint = F.broadcast if broadcast_incoming else (lambda d: d)
     exact = (
-        bh.join(F.broadcast(ih), "h")
+        bh.join(hint(ih), "h")
         .groupBy(id_col)
         .agg(F.min("base_id").alias("exact_match"))
     )
@@ -1067,7 +1101,7 @@ def incremental_dedup_decisions(
         f" / {float(N_HASHES)}, 6)"
     )
     near = (
-        bband.join(F.broadcast(iband), "band_key")
+        bband.join(hint(iband), "band_key")
         .dropDuplicates([id_col, "base_id"])
         .filter(est >= threshold)
         .groupBy(id_col)

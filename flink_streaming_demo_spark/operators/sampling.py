@@ -184,3 +184,100 @@ def pack_greedy(
     if not part_col:
         drop.append(pc)
     return out.drop(*drop)
+
+
+def exact_global_ntile(
+    df: DataFrame,
+    tiles: int,
+    order_col: str,
+    tiebreak_col: str,
+    desc: bool = False,
+    n_chunks: int = 16,
+    out_col: str = "tile",
+) -> DataFrame:
+    """``NTILE(tiles) OVER (ORDER BY order_col [DESC], tiebreak_col)``
+    with NO single-partition window — bit-identical to the SQL form.
+
+    The naive expression is a global sort through one reducer (Spark
+    warns ``WindowExec: No Partition Defined``); at 100x scale that one
+    task sorts every row. This form decomposes the global rank the same
+    way ``pack_greedy`` decomposes its cumsum:
+
+    1. value-range chunking: rows map to one of ``n_chunks`` contiguous
+       chunks of the order column's [min, max] span (pure expression
+       once the 1-row bounds agg broadcasts). Equal values always land
+       in the same chunk, and chunk order agrees with sort order, so
+       2. a per-chunk ``row_number`` (parallel, partitioned window) plus
+       3. the exclusive prefix of chunk sizes (a broadcast self-join on
+       the <= n_chunks-row size table — no window at all)
+       reconstruct the exact global rank: rank = prefix + local_rank.
+    4. NTILE is then a closed-form expression of (rank, n_rows): the
+       first ``n % tiles`` buckets hold ``n // tiles + 1`` rows, the
+       rest ``n // tiles`` — exactly ANSI NTILE's spill rule.
+
+    The chunk id uses a double cast of the order column, which is
+    monotone and maps equal values to equal chunks; the WITHIN-chunk
+    sort uses the original (uncast) column plus the tiebreak, so rank —
+    and therefore the tile — is exact even if the double cast collapses
+    adjacent values into one chunk.
+    """
+    o_raw = F.col(order_col)
+    o = (-o_raw if desc else o_raw).cast("double")
+    bounds = df.agg(
+        F.min(o).alias("_gn_min"),
+        F.max(o).alias("_gn_max"),
+        F.count(F.lit(1)).alias("_gn_n"),
+    )
+    chunked = df.crossJoin(F.broadcast(bounds)).withColumn(
+        "_gn_chunk",
+        F.when(
+            F.col("_gn_max") > F.col("_gn_min"),
+            F.least(
+                F.lit(n_chunks - 1),
+                F.floor(
+                    (o - F.col("_gn_min"))
+                    / (F.col("_gn_max") - F.col("_gn_min"))
+                    * n_chunks
+                ),
+            ),
+        )
+        .otherwise(F.lit(0))
+        .cast("int"),
+    )
+    order_exprs = [
+        o_raw.desc() if desc else o_raw.asc(),
+        F.col(tiebreak_col).asc(),
+    ]
+    w_local = Window.partitionBy("_gn_chunk").orderBy(*order_exprs)
+    local = chunked.withColumn("_gn_local", F.row_number().over(w_local))
+    sizes = chunked.groupBy("_gn_chunk").agg(
+        F.count(F.lit(1)).alias("_gn_size")
+    )
+    lower = sizes.select(
+        F.col("_gn_chunk").alias("_gn_c2"), F.col("_gn_size").alias("_gn_s2")
+    )
+    prefixes = (
+        sizes.join(
+            F.broadcast(lower), F.col("_gn_c2") < F.col("_gn_chunk"), "left"
+        )
+        .groupBy("_gn_chunk")
+        .agg(F.coalesce(F.sum("_gn_s2"), F.lit(0)).alias("_gn_prefix"))
+    )
+    ranked = local.join(F.broadcast(prefixes), "_gn_chunk").withColumn(
+        "_gn_rank", F.col("_gn_prefix") + F.col("_gn_local")
+    )
+    n, r = F.col("_gn_n"), F.col("_gn_rank")
+    q = (n - n % tiles) / tiles  # n // tiles, exact while n < 2^53
+    rem = n % tiles
+    big = q + 1  # size of the first `rem` buckets; >= 1 always
+    tile = F.when(
+        r <= rem * big, F.floor((r - 1) / big) + 1
+    ).otherwise(
+        # q >= 1 whenever this branch is reachable (r > rem*big implies
+        # n > rem, i.e. n >= tiles); greatest() keeps ANSI mode happy.
+        rem + F.floor((r - rem * big - 1) / F.greatest(q, F.lit(1))) + 1
+    )
+    return ranked.withColumn(out_col, tile.cast("int")).drop(
+        "_gn_min", "_gn_max", "_gn_n", "_gn_chunk", "_gn_local",
+        "_gn_size", "_gn_prefix", "_gn_rank",
+    )

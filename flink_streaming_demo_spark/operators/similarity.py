@@ -711,20 +711,35 @@ def pq_train(
     n_iterations: int = PQ_ITERS,
 ) -> DataFrame:
     """Per-subspace Lloyd k-means codebooks, (su, code, cvec), seeded from
-    the deterministic picks (id < ksub), so an oracle can replay the
-    trajectory. Same determinism contract as kmeans_centroids: rounded
-    assignment distances, round-6 per-dim means, empty-code coalesce;
-    each iteration localCheckpoints the M x KSUB codebook.
+    the ``ksub`` SMALLEST ids (code = rank - 1), so an oracle can replay
+    the trajectory. Rank-based seeding works for sparse/offset id spaces
+    — a corpus whose ids don't start at 0 still seeds exactly ksub codes
+    per subspace (the previous ``id < ksub`` filter silently under-seeded
+    there); on a contiguous 0-based id space the two are identical, so
+    existing oracles replay unchanged. Same determinism contract as
+    kmeans_centroids: rounded assignment distances, round-6 per-dim
+    means, empty-code coalesce; each iteration localCheckpoints the
+    M x KSUB codebook.
 
     All M subspaces train in ONE DataFrame pass per iteration (the
     subspace id is just another grouping key), so the iteration cost is
     a corpus scan + a broadcast join — not M separate jobs.
     """
     subs = subvectors(corpus, id_col, vec_col, m, dsub)
+    # ksub smallest ids -> TakeOrderedAndProject (no global sort); the
+    # row_number window runs over the ksub-row result only.
+    seed_ids = (
+        corpus.select(id_col)
+        .orderBy(id_col)
+        .limit(ksub)
+        .withColumn(
+            "code",
+            (F.row_number().over(Window.orderBy(id_col)) - 1).cast("int"),
+        )
+    )
     cents = (
-        subs.filter(F.col(id_col) < ksub)
-        .select("su", F.col(id_col).cast("int").alias("code"),
-                F.col("svec").alias("cvec"))
+        subs.join(F.broadcast(seed_ids), id_col)
+        .select("su", "code", F.col("svec").alias("cvec"))
         .localCheckpoint()
     )
     for _ in range(n_iterations):
@@ -840,11 +855,12 @@ def sql_pq_cents(
     n_iterations: int = PQ_ITERS,
     corpus: str = "embeddings",
 ) -> str:
-    """DuckDB twin of pq_train seeded with ``vec_id < ksub``: CTE chain
-    ``subv, pcent0 .. pcent{n}`` unrolling the per-subspace Lloyd
-    iterations (rounded squared-L2 assignment with code tiebreak,
-    round-6 per-dim means, empty-code coalesce). Embed inside WITH and
-    select from ``pcent{n_iterations}``."""
+    """DuckDB twin of pq_train seeded from the ``ksub`` smallest ids
+    (code = rank - 1, identical to ``vec_id < ksub`` on a contiguous
+    0-based id space): CTE chain ``subv, pcent0 .. pcent{n}`` unrolling
+    the per-subspace Lloyd iterations (rounded squared-L2 assignment
+    with code tiebreak, round-6 per-dim means, empty-code coalesce).
+    Embed inside WITH and select from ``pcent{n_iterations}``."""
     d = sql_sq_l2("s.svec", "c.cvec", dsub)
     parts = [
         f"""subv AS (
@@ -853,9 +869,15 @@ def sql_pq_cents(
                    x -> CAST(x AS DOUBLE)) AS svec
         FROM {corpus}, generate_series(0, {m - 1}) AS g(su)
     )""",
+        f"""pseed AS (
+        SELECT vec_id,
+               CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS code
+        FROM (SELECT DISTINCT vec_id FROM {corpus}
+              ORDER BY vec_id LIMIT {ksub})
+    )""",
         f"""pcent0 AS (
-        SELECT su, CAST(vec_id AS INT) AS code, svec AS cvec
-        FROM subv WHERE vec_id < {ksub}
+        SELECT s.su, p.code, s.svec AS cvec
+        FROM subv s JOIN pseed p USING (vec_id)
     )""",
     ]
     for i in range(1, n_iterations + 1):

@@ -10,6 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from flink_streaming_demo_spark.operators.sampling import exact_global_ntile
 from flink_streaming_demo_spark.plans.registry import register
 from flink_streaming_demo_spark.schemas import load_table as t
 
@@ -728,15 +729,17 @@ def events_user_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM (recency / frequency / monetary) segmentation: per user, the
     seconds since their last event (anchored to the corpus max ts so the
     result is replay-stable), their event count, and their total value;
-    each scored into quartiles by NTILE(4) with user_id as the
+    each scored into quartiles (NTILE(4) semantics) with user_id as the
     deterministic tiebreak, concatenated into the classic 'RFM' segment
     code (recency quartile 1 = most recent).
 
     100 TB shape: one partial-aggregated groupBy(user_id) over the event
-    scan, then three window NTILEs over the *per-user* table (rows =
-    distinct users, orders of magnitude smaller than events); the
-    corpus-max anchor is a window max over the same small table, not a
-    second scan of events.
+    scan; the corpus-max anchor is a 1-row agg broadcast back (not a
+    window), and each quartile score uses exact_global_ntile's two-level
+    rank (value-range chunks + broadcast prefix table) — bit-identical
+    to the oracle's NTILE with NO single-partition WindowExec anywhere
+    in the plan, so distinct-user cardinality never funnels through one
+    reducer's sort.
     """
     ev = t(spark, sf_dir, "events")
     per = ev.groupBy("user_id").agg(
@@ -744,32 +747,38 @@ def events_user_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("frequency"),
         F.round(F.sum("value"), 2).alias("monetary"),
     )
-    everyone = Window.partitionBy()
-    recency = (
-        F.max("last_ts").over(everyone) - F.col("last_ts")
-    ).alias("recency_secs")
-    scored = per.select(
-        "user_id", recency, "frequency", "monetary"
+    anchor = per.agg(F.max("last_ts").alias("_max_ts"))
+    scored = per.crossJoin(F.broadcast(anchor)).select(
+        "user_id",
+        (F.col("_max_ts") - F.col("last_ts")).alias("recency_secs"),
+        "frequency",
+        "monetary",
     )
-    r_w = Window.orderBy("recency_secs", "user_id")
-    f_w = Window.orderBy(F.col("frequency").desc(), "user_id")
-    m_w = Window.orderBy(F.col("monetary").desc(), "user_id")
+    scored = exact_global_ntile(
+        scored, _RFM_TILES, "recency_secs", "user_id", out_col="r_score"
+    )
+    scored = exact_global_ntile(
+        scored, _RFM_TILES, "frequency", "user_id", desc=True,
+        out_col="f_score",
+    )
+    scored = exact_global_ntile(
+        scored, _RFM_TILES, "monetary", "user_id", desc=True,
+        out_col="m_score",
+    )
     return scored.select(
         "user_id",
         "recency_secs",
         "frequency",
         "monetary",
-        F.ntile(_RFM_TILES).over(r_w).alias("r_score"),
-        F.ntile(_RFM_TILES).over(f_w).alias("f_score"),
-        F.ntile(_RFM_TILES).over(m_w).alias("m_score"),
-    ).withColumn(
-        "segment",
+        "r_score",
+        "f_score",
+        "m_score",
         F.concat_ws(
             "",
             F.col("r_score").cast("string"),
             F.col("f_score").cast("string"),
             F.col("m_score").cast("string"),
-        ),
+        ).alias("segment"),
     )
 
 

@@ -308,18 +308,18 @@ def sample_mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(substring(source, 4) AS INT)") % 2 == 0, F.lit(2.0)
     ).otherwise(F.lit(1.0))
     weighted = per.withColumn("w", w)
-    from pyspark.sql import Window
-
-    all_w = Window.partitionBy()
-    fracs = weighted.select(
+    tots = weighted.agg(
+        F.sum("w").alias("_sw"), F.sum("avail").alias("_sa")
+    )
+    fracs = weighted.crossJoin(F.broadcast(tots)).select(
         "source",
         "avail",
-        (F.col("w") / F.sum("w").over(all_w)).alias("target_share"),
+        (F.col("w") / F.col("_sw")).alias("target_share"),
         F.least(
             F.lit(1.0),
-            (F.col("w") / F.sum("w").over(all_w))
+            (F.col("w") / F.col("_sw"))
             * F.lit(_REBAL_BUDGET)
-            * F.sum("avail").over(all_w)
+            * F.col("_sa")
             / F.col("avail"),
         ).alias("keep_frac"),
     )
@@ -344,13 +344,16 @@ def sample_mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
             "kept_tokens"
         ),
     )
-    return out.withColumn(
-        "realized_share",
-        F.round(
-            F.col("kept_tokens").cast("double")
-            / F.sum("kept_tokens").over(all_w),
-            6,
-        ),
+    ktot = out.agg(F.sum("kept_tokens").alias("_kt"))
+    return (
+        out.crossJoin(F.broadcast(ktot))
+        .withColumn(
+            "realized_share",
+            F.round(
+                F.col("kept_tokens").cast("double") / F.col("_kt"), 6
+            ),
+        )
+        .drop("_kt")
     )
 
 
@@ -404,24 +407,23 @@ register(
 
 def sample_mixture_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token share per (source, lang) — the mixture-weight table a data
-    recipe is tuned against. The corpus total comes from a window over the
-    grouped result (5x5 rows), not a second scan."""
+    recipe is tuned against. The corpus total comes from a 1-row agg over
+    the grouped result (5x5 rows) broadcast back — not a second scan, and
+    not a single-partition window."""
     docs = t(spark, sf_dir, "documents")
     per = docs.groupBy("source", "lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(TX.token_count(F.col("text"))).cast("bigint").alias("tokens"),
     )
-    from pyspark.sql import Window
-
-    total = F.sum("tokens").over(Window.partitionBy())
-    return per.select(
+    total = per.agg(F.sum("tokens").alias("_tot"))
+    return per.crossJoin(F.broadcast(total)).select(
         "source",
         "lang",
         "n_docs",
         "tokens",
-        F.round(F.col("tokens").cast("double") / total, 6).alias(
-            "token_share"
-        ),
+        F.round(
+            F.col("tokens").cast("double") / F.col("_tot"), 6
+        ).alias("token_share"),
     )
 
 
@@ -457,21 +459,24 @@ def sample_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     budget (min(1, q_i/p_i) — upsampling beyond 1.0 is clamped, the
     usual no-repeat policy; feeding these into
     sample_mixture_rebalance's hash threshold applies the recipe
-    map-only). The whole computation is one groupBy(source) plus window
-    aggregates over the 20-row result — corpus-scale work is only the
-    token-count scan."""
+    map-only). The whole computation is one groupBy(source) plus two
+    1-row broadcast aggregates over the 20-row result — corpus-scale
+    work is only the token-count scan, and no single-partition window
+    appears anywhere."""
     docs = t(spark, sf_dir, "documents")
     per = docs.groupBy("source").agg(
         F.sum(TX.token_count(F.col("text"))).cast("bigint").alias("tokens")
     )
-    from pyspark.sql import Window
-
-    w = Window.partitionBy()
-    p = F.col("tokens").cast("double") / F.sum("tokens").over(w)
-    q = F.pow(p, F.lit(_MIX_TEMPERATURE)) / F.sum(
-        F.pow(p, F.lit(_MIX_TEMPERATURE))
-    ).over(w)
-    return per.select(
+    tot = per.agg(F.sum("tokens").cast("double").alias("_tot"))
+    shared = per.crossJoin(F.broadcast(tot)).withColumn(
+        "_p", F.col("tokens").cast("double") / F.col("_tot")
+    )
+    z = shared.agg(
+        F.sum(F.pow(F.col("_p"), F.lit(_MIX_TEMPERATURE))).alias("_z")
+    )
+    p = F.col("_p")
+    q = F.pow(p, F.lit(_MIX_TEMPERATURE)) / F.col("_z")
+    return shared.crossJoin(F.broadcast(z)).select(
         "source",
         "tokens",
         F.round(p, 6).alias("natural_share"),

@@ -18,27 +18,62 @@ from flink_streaming_demo_spark.schemas import load_table as t
 
 NEAR_TAIL = " zzz zzz zzz"
 
+# One source of truth for every planted-duplicate scheme (the dedup
+# corpus, the incremental incoming batch, and the tests all derive from
+# these): docs with doc_id % MOD == 0 are copied to doc_id + OFFSET,
+# transformed per leg. Exact = verbatim copy; near = appended tail
+# (keeps most shingles -> MinHash near-dup); new = token-reversed
+# (ordered shingles share ~nothing -> must NOT match).
+EXACT_OFFSET, EXACT_MOD = 1_000_000, 10
+NEAR_OFFSET, NEAR_MOD = 2_000_000, 25
+NEW_OFFSET, NEW_MOD = 3_000_000, 7
+
+
+def _exact_leg(docs: DataFrame) -> DataFrame:
+    return docs.filter(F.col("doc_id") % EXACT_MOD == 0).select(
+        (F.col("doc_id") + EXACT_OFFSET).alias("doc_id"), F.col("text")
+    )
+
+
+def _near_leg(docs: DataFrame) -> DataFrame:
+    return docs.filter(F.col("doc_id") % NEAR_MOD == 0).select(
+        (F.col("doc_id") + NEAR_OFFSET).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(NEAR_TAIL)).alias("text"),
+    )
+
+
+def _new_leg(docs: DataFrame) -> DataFrame:
+    return docs.filter(F.col("doc_id") % NEW_MOD == 0).select(
+        (F.col("doc_id") + NEW_OFFSET).alias("doc_id"),
+        F.concat_ws(" ", F.reverse(F.split(F.col("text"), " "))).alias(
+            "text"
+        ),
+    )
+
+
+_SQL_EXACT_LEG = f"""
+        SELECT doc_id + {EXACT_OFFSET} AS doc_id, text
+        FROM documents WHERE doc_id % {EXACT_MOD} = 0"""
+_SQL_NEAR_LEG = f"""
+        SELECT doc_id + {NEAR_OFFSET} AS doc_id,
+               text || '{NEAR_TAIL}' AS text
+        FROM documents WHERE doc_id % {NEAR_MOD} = 0"""
+_SQL_NEW_LEG = f"""
+        SELECT doc_id + {NEW_OFFSET} AS doc_id,
+               array_to_string(list_reverse(string_split(text, ' ')), ' ')
+                   AS text
+        FROM documents WHERE doc_id % {NEW_MOD} = 0"""
+
 
 def _planted_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents").select("doc_id", "text")
-    exact_copies = docs.filter(F.col("doc_id") % 10 == 0).select(
-        (F.col("doc_id") + 1000000).alias("doc_id"), F.col("text")
-    )
-    near_copies = docs.filter(F.col("doc_id") % 25 == 0).select(
-        (F.col("doc_id") + 2000000).alias("doc_id"),
-        F.concat(F.col("text"), F.lit(NEAR_TAIL)).alias("text"),
-    )
-    return docs.unionAll(exact_copies).unionAll(near_copies)
+    return docs.unionAll(_exact_leg(docs)).unionAll(_near_leg(docs))
 
 
 _PLANTED_SQL = f"""
         SELECT doc_id, text FROM documents
-        UNION ALL
-        SELECT doc_id + 1000000 AS doc_id, text
-        FROM documents WHERE doc_id % 10 = 0
-        UNION ALL
-        SELECT doc_id + 2000000 AS doc_id, text || '{NEAR_TAIL}' AS text
-        FROM documents WHERE doc_id % 25 = 0
+        UNION ALL{_SQL_EXACT_LEG}
+        UNION ALL{_SQL_NEAR_LEG}
 """
 
 
@@ -1471,7 +1506,8 @@ def source_lang_chisq(docs: DataFrame) -> DataFrame:
     needed before setting mixture weights). Returns one row per cell
     with observed/expected counts and its chi-square contribution, plus
     the table-wide statistic repeated for thresholding (grand totals via
-    windows over the tiny cell table).
+    1-row broadcast aggs over the tiny cell table — the row/column
+    marginals stay partitioned windows).
 
     100 TB shape: one partial-aggregated groupBy(source, lang) collapses
     the corpus to |sources| x |langs| cells; the zero-cell completion is
@@ -1493,14 +1529,13 @@ def source_lang_chisq(docs: DataFrame) -> DataFrame:
     )
     row_w = Window.partitionBy("source")
     col_w = Window.partitionBy("lang")
-    all_w = Window.partitionBy()
-    n = F.sum("observed").over(all_w).cast("double")
+    ntot = cells.agg(F.sum("observed").cast("double").alias("_n"))
     expected = (
         F.sum("observed").over(row_w).cast("double")
         * F.sum("observed").over(col_w).cast("double")
-        / n
+        / F.col("_n")
     )
-    with_exp = cells.select(
+    with_exp = cells.crossJoin(F.broadcast(ntot)).select(
         "source",
         "lang",
         "observed",
@@ -1511,15 +1546,14 @@ def source_lang_chisq(docs: DataFrame) -> DataFrame:
         * (F.col("observed").cast("double") - F.col("expected_raw"))
         / F.col("expected_raw"),
     )
-    return with_exp.select(
+    ctot = with_exp.agg(F.sum("contrib_raw").alias("_ct"))
+    return with_exp.crossJoin(F.broadcast(ctot)).select(
         "source",
         "lang",
         "observed",
         F.round("expected_raw", 6).alias("expected"),
         F.round("contrib_raw", 6).alias("chisq_contrib"),
-        F.round(F.sum("contrib_raw").over(Window.partitionBy()), 6).alias(
-            "chisq_total"
-        ),
+        F.round(F.col("_ct"), 6).alias("chisq_total"),
     )
 
 
@@ -2188,40 +2222,24 @@ register(
 
 # --- Incremental (batch-vs-corpus) dedup -------------------------------------
 #
-# Incoming batch: exact copies (doc_id%10), near copies with the appended
-# tail (doc_id%25), and token-REVERSED docs (doc_id%7) whose ordered
-# 3-gram shingles share ~nothing with the base — three planted verdict
-# classes over the natural documents base.
+# Incoming batch = the three shared planted legs (see the EXACT_/NEAR_/
+# NEW_ constants at the top of this module): exact copies, near copies
+# with the appended tail, and token-REVERSED docs whose ordered 3-gram
+# shingles share ~nothing with the base — three planted verdict classes
+# over the natural documents base.
 
 
 def _incoming_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents").select("doc_id", "text")
-    exact = docs.filter(F.col("doc_id") % 10 == 0).select(
-        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    return (
+        _exact_leg(docs).unionAll(_near_leg(docs)).unionAll(_new_leg(docs))
     )
-    near = docs.filter(F.col("doc_id") % 25 == 0).select(
-        (F.col("doc_id") + 2000000).alias("doc_id"),
-        F.concat(F.col("text"), F.lit(NEAR_TAIL)).alias("text"),
-    )
-    new = docs.filter(F.col("doc_id") % 7 == 0).select(
-        (F.col("doc_id") + 3000000).alias("doc_id"),
-        F.concat_ws(" ", F.reverse(F.split(F.col("text"), " "))).alias("text"),
-    )
-    return exact.unionAll(near).unionAll(new)
 
 
-_INCOMING_SQL = """
-        SELECT doc_id + 1000000 AS doc_id, text
-        FROM documents WHERE doc_id % 10 = 0
-        UNION ALL
-        SELECT doc_id + 2000000 AS doc_id, text || '{tail}' AS text
-        FROM documents WHERE doc_id % 25 = 0
-        UNION ALL
-        SELECT doc_id + 3000000 AS doc_id,
-               array_to_string(list_reverse(string_split(text, ' ')), ' ')
-                   AS text
-        FROM documents WHERE doc_id % 7 = 0
-""".format(tail=NEAR_TAIL)
+_INCOMING_SQL = f"""{_SQL_EXACT_LEG}
+        UNION ALL{_SQL_NEAR_LEG}
+        UNION ALL{_SQL_NEW_LEG}
+"""
 
 
 def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:

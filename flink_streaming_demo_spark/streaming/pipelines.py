@@ -267,8 +267,10 @@ def streaming_incremental_dedup(
     def body(batch_df: DataFrame, epoch_id: int) -> None:
         if not batch_df.head(1):
             return
+        # micro-batches are trigger-bounded: always broadcast-size
         verdicts = incremental_dedup_decisions(
-            base, batch_df, threshold=threshold, index=index
+            base, batch_df, threshold=threshold, index=index,
+            broadcast_incoming=True,
         )
         sink.foreach_batch(verdicts, epoch_id)
 

@@ -32,7 +32,7 @@ from __future__ import annotations
 import os
 import tempfile
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 DEFAULT_SEED = 7452  # reference: sources/TaxiRideSource.scala:175
@@ -71,9 +71,24 @@ def write_replay_chunks(
     maxFilesPerTrigger=1 — the replay analogue of the reference's paced
     source thread."""
     out_dir = out_dir or tempfile.mkdtemp(prefix="replay_")
-    chunked = df.withColumn(
-        "_chunk", F.ntile(n_chunks).over(Window.orderBy(order_col)) - 1
-    ).cache()
+    # Range-based chunking on the order column (same pattern as
+    # operators/sampling.pack_greedy): a 1-row bounds agg + a pure map
+    # expression replace the previous global-sort ntile — no
+    # single-partition WindowExec for the harness either. Chunks stay
+    # time-ordered (chunk i's max <= chunk i+1's min); equal timestamps
+    # always land in the same chunk. Chunk sizes follow the event-time
+    # density instead of being exactly equal, which is closer to the
+    # reference's paced wall-clock source anyway.
+    key = F.col(order_col).cast("double")
+    lo, hi = df.agg(F.min(key), F.max(key)).first()
+    if lo is None or hi is None or hi <= lo:
+        chunk = F.lit(0)
+    else:
+        chunk = F.least(
+            F.lit(n_chunks - 1),
+            F.floor((key - F.lit(lo)) / F.lit(hi - lo) * n_chunks),
+        ).cast("int")
+    chunked = df.withColumn("_chunk", chunk).cache()
     # Written sequentially so file modification times follow replay order
     # (the file-stream source picks oldest files first).
     for i in range(n_chunks):

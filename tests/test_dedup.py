@@ -380,8 +380,13 @@ def test_keep_decisions_agree_with_pipeline_output(spark, sf_dir):
     assert ((dec["reason"] == "kept") == dec["kept"]).all()
     assert (dec.loc[~dec.quality_pass, "reason"] == "quality").all()
     # planted exact copies never survive exact dedup
+    from flink_streaming_demo_spark.plans.text_queries import (
+        EXACT_OFFSET,
+        NEAR_OFFSET,
+    )
+
     exact_copy = dec[
-        (dec.doc_id >= 1000000) & (dec.doc_id < 2000000)
+        (dec.doc_id >= EXACT_OFFSET) & (dec.doc_id < NEAR_OFFSET)
     ]
     assert not exact_copy["kept"].any()
 
@@ -391,29 +396,34 @@ def test_incremental_dedup_verdict_classes(spark, sf_dir):
     copies -> exact_dup matched to their source doc; tail-appended near
     copies -> near_dup matched to their source; token-reversed docs ->
     never matched to their own source as exact."""
-    from flink_streaming_demo_spark.plans.text_queries import dedup_incremental
+    from flink_streaming_demo_spark.plans.text_queries import (
+        EXACT_OFFSET,
+        NEAR_OFFSET,
+        NEW_OFFSET,
+        dedup_incremental,
+    )
 
     rows = {r.doc_id: r for r in dedup_incremental(spark, sf_dir).collect()}
-    exact_ids = [i for i in rows if 1000000 <= i < 2000000]
-    near_ids = [i for i in rows if 2000000 <= i < 3000000]
-    new_ids = [i for i in rows if i >= 3000000]
+    exact_ids = [i for i in rows if EXACT_OFFSET <= i < NEAR_OFFSET]
+    near_ids = [i for i in rows if NEAR_OFFSET <= i < NEW_OFFSET]
+    new_ids = [i for i in rows if i >= NEW_OFFSET]
     assert exact_ids and near_ids and new_ids
     for i in exact_ids:
         assert rows[i].verdict == "exact_dup"
-        assert rows[i].matched_base_id == i - 1000000
+        assert rows[i].matched_base_id == i - EXACT_OFFSET
     for i in near_ids:
         assert rows[i].verdict == "near_dup"
         # matched_base_id is the MIN matching base doc; the source always
         # matches (tail-append keeps most shingles), but a naturally
         # similar base doc with a lower id may win the min.
-        assert rows[i].matched_base_id <= i - 2000000
+        assert rows[i].matched_base_id <= i - NEAR_OFFSET
     # Reversed docs must never be exact dups; shingle order makes a
     # near-dup match against ANY base doc overwhelmingly unlikely, and a
     # planted check on the strongest candidate (its own source) is exact:
     for i in new_ids:
         assert rows[i].verdict != "exact_dup"
         if rows[i].verdict == "near_dup":
-            assert rows[i].matched_base_id != i - 3000000
+            assert rows[i].matched_base_id != i - NEW_OFFSET
 
 
 def test_incremental_dedup_new_on_disjoint_vocab(spark):
@@ -466,3 +476,49 @@ def test_drop_neardup_clusters_is_idempotent(spark, sf_dir):
     a = sorted(r.doc_id for r in once.select("doc_id").collect())
     b = sorted(r.doc_id for r in twice.select("doc_id").collect())
     assert a == b and len(a) > 0
+
+
+def test_incremental_dedup_broadcast_gate(spark):
+    """The broadcast hint on the incoming side is gated: verdicts are
+    IDENTICAL whether the batch is broadcast or shuffled, and with the
+    session threshold squeezed to 1 byte the auto mode must NOT plant a
+    broadcast hint (so a huge batch degrades to an equi-join instead of
+    OOMing executors)."""
+    from flink_streaming_demo_spark.operators.dedup import (
+        _fits_broadcast,
+        incremental_dedup_decisions,
+    )
+
+    base = spark.createDataFrame(
+        [(i, f"doc {i} body common tail words here {i}") for i in range(30)],
+        "doc_id long, text string",
+    )
+    inc = spark.createDataFrame(
+        [(100, "doc 3 body common tail words here 3"),
+         (101, "totally unrelated fresh vocabulary qqq zzz")],
+        "doc_id long, text string",
+    )
+    want = {r.doc_id: (r.verdict, r.matched_base_id) for r in
+            incremental_dedup_decisions(
+                base, inc, broadcast_incoming=True).collect()}
+    got = {r.doc_id: (r.verdict, r.matched_base_id) for r in
+           incremental_dedup_decisions(
+               base, inc, broadcast_incoming=False).collect()}
+    assert want == got
+    assert want[100][0] == "exact_dup" and want[101][0] == "new"
+    # gate behavior: unknown stats (RDD-backed local df) -> never force;
+    # parquet-backed stats -> broadcast iff within the threshold
+    assert not _fits_broadcast(inc)
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="incgate_")
+    inc.write.mode("overwrite").parquet(d)
+    on_disk = spark.read.parquet(d)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1b")
+        assert not _fits_broadcast(on_disk)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10MB")
+        assert _fits_broadcast(on_disk)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)

@@ -204,4 +204,58 @@ def test_strip_dup_spans_no_cartesian_and_pruned_scan(spark, sf_dir):
     (doc_id, text) from the parquet scan."""
     plan = _plan(spark, "text_strip_dup_spans", sf_dir)
     assert "CartesianProduct" not in plan
+    assert "ReadSchema" in plan, "no ReadSchema marker in plan:\n" + plan[:800]
     assert "lang" not in plan.split("ReadSchema")[1][:200]
+
+
+# Queries allowed to carry a Window with an empty partition spec, each
+# with the justification for why its input is bounded by construction
+# (the guard's contract: a single-partition sort is acceptable ONLY over
+# a table whose row count is a small constant or grows sub-linearly in
+# corpus size).
+_UNPARTITIONED_WINDOW_ALLOWED = {
+    "text_heavy_hitters": (
+        "rank window runs AFTER the >=0.5%-share filter: input is the "
+        "handful of viral tokens (<=200 rows at any corpus size by the "
+        "share bound 1/0.005)"
+    ),
+    "events_daily_moving_avg": (
+        "lag/7-day-rolling windows over the per-DAY aggregate: rows = "
+        "distinct calendar days (~365/year regardless of event volume); "
+        "an ordered rolling window over days is the query's semantics"
+    ),
+    "events_daily_anomaly": (
+        "trailing-week baseline over the per-DAY aggregate: same "
+        "distinct-days bound as events_daily_moving_avg"
+    ),
+}
+
+
+def test_no_unpartitioned_windows_anywhere(spark, sf_dir):
+    """Registry-wide guard (r6 verdict #3): no registered query may plan
+    a Window with an empty partition spec — Spark executes that as ONE
+    task sorting every row (`WindowExec: No Partition Defined`), the
+    canonical silent 100x-scale straggler. Bounded-input exceptions are
+    allowlisted above with a justification."""
+    from flink_streaming_demo_spark.plancheck import (
+        iter_unpartitioned_windows,
+    )
+
+    offenders = {}
+    for name in registry.QUERIES:
+        if name in _SKIP_CONSTRUCTION:
+            continue
+        df = registry.QUERIES[name](spark, sf_dir)
+        hits = iter_unpartitioned_windows(df)
+        if hits and name not in _UNPARTITIONED_WINDOW_ALLOWED:
+            offenders[name] = hits[0][:120]
+    assert not offenders, offenders
+    # allowlist hygiene: every allowlisted query still HAS one (drop the
+    # entry when the query is fixed) and is still registered
+    for name in _UNPARTITIONED_WINDOW_ALLOWED:
+        assert name in registry.QUERIES, name
+        df = registry.QUERIES[name](spark, sf_dir)
+        assert iter_unpartitioned_windows(df), (
+            f"{name} no longer has an unpartitioned window — remove it "
+            "from the allowlist"
+        )

@@ -269,3 +269,43 @@ def test_weighted_topk_matches_brute_force(spark, sf_dir):
         assert got == expect, src
     # ranks are 1..K per source
     assert set(out["rank"]) <= set(range(1, _WTOPK_K + 1))
+
+
+def test_exact_global_ntile_matches_builtin(spark):
+    """exact_global_ntile is bit-identical to NTILE OVER (ORDER BY ...)
+    on adversarial shapes: heavy ties, n % tiles != 0, n < tiles, desc,
+    negative values — while its plan contains no single-partition
+    window (the whole point)."""
+    import random
+
+    from pyspark.sql import Window
+
+    rng = random.Random(7452)
+    cases = [
+        # (n_rows, tiles, value_pool, desc)
+        (97, 4, list(range(10)), False),       # heavy ties, n%tiles=1
+        (100, 7, list(range(-5, 5)), True),    # negatives, desc
+        (3, 4, [1, 1, 2], False),              # n < tiles
+        (64, 4, [5], True),                    # ALL tied -> pure tiebreak
+        (50, 3, [x / 7.0 for x in range(9)], False),  # doubles
+    ]
+    for n_rows, tiles, pool, desc in cases:
+        rows = [(i, float(rng.choice(pool))) for i in range(n_rows)]
+        df = spark.createDataFrame(rows, "id long, v double").repartition(8)
+        order = F.col("v").desc() if desc else F.col("v").asc()
+        expect = df.select(
+            "id", F.ntile(tiles).over(Window.orderBy(order, "id")).alias("t")
+        )
+        got = sampling.exact_global_ntile(
+            df, tiles, "v", "id", desc=desc, n_chunks=5, out_col="t"
+        ).select("id", "t")
+        mism = got.join(expect, "id").filter(
+            got["t"] != expect["t"]
+        ).count()
+        assert mism == 0, (n_rows, tiles, desc)
+        # the whole point: no single-partition window in the plan
+        from flink_streaming_demo_spark.plancheck import (
+            iter_unpartitioned_windows,
+        )
+
+        assert not iter_unpartitioned_windows(got), (n_rows, tiles)

@@ -375,3 +375,36 @@ def test_joint_curation_is_intersection_of_legs(spark, sf_dir):
     keepers = {r.doc_id for r in DD.exact_dedup(quality).collect()}
     dropped = {r.vec_id for r in dedup_semantic(spark, sf_dir).collect()}
     assert got == keepers - dropped
+
+
+def test_pq_train_seeds_full_codebook_on_offset_ids(spark):
+    """Rank-based seeding: a corpus whose ids start at 5000 (and skip
+    around) must still seed ksub codes 0..ksub-1 per subspace — the old
+    `id < ksub` filter seeded NOTHING here. And on a contiguous 0-based
+    corpus the seeds must equal the old behavior (code == vec_id), so
+    every existing oracle trajectory is unchanged."""
+    from pyspark.sql import functions as F
+
+    from flink_streaming_demo_spark.operators import similarity as SIM
+
+    rows = [
+        (5000 + 17 * i, [float((i * 7 + d) % 5) for d in range(8)])
+        for i in range(12)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cb = SIM.pq_train(emb, m=2, dsub=4, ksub=4, n_iterations=0)
+    per_su = cb.groupBy("su").agg(
+        F.sort_array(F.collect_list("code")).alias("codes")
+    )
+    for r in per_su.collect():
+        assert r.codes == [0, 1, 2, 3], r
+    # contiguous case: seed vectors are exactly the first-ksub subvectors
+    emb0 = spark.createDataFrame(
+        [(i, v) for i, (_, v) in enumerate(rows)],
+        "vec_id long, embedding array<float>",
+    )
+    cb0 = SIM.pq_train(emb0, m=2, dsub=4, ksub=4, n_iterations=0)
+    seeds = {(r.su, r.code): r.cvec for r in cb0.collect()}
+    subs = SIM.subvectors(emb0.filter(F.col("vec_id") < 4), m=2, dsub=4)
+    for r in subs.collect():
+        assert seeds[(r.su, int(r.vec_id))] == r.svec
