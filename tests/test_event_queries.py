@@ -218,3 +218,32 @@ def test_daily_anomaly_flags_planted_spike(spark, monkeypatch):
     assert not got["2024-01-10"].is_anomaly
     # first day has no baseline at all
     assert got["2024-01-01"].z_score is None
+
+
+def test_approx_distinct_users_bounded_error(spark, sf_dir):
+    """events_approx_distinct_users has no hash oracle by design (HLL
+    sketches are engine-specific), so this pins its correctness instead:
+    per event_type, the estimate must sit within 5% relative error of
+    the exact distinct-user count (the query requests rsd=0.02; 5%
+    allows ~2.5 sigma), and n_events must match exactly."""
+    from pyspark.sql import functions as F
+
+    from flink_streaming_demo_spark.plans.event_queries import (
+        events_approx_distinct_users,
+    )
+    from flink_streaming_demo_spark.schemas import load_table
+
+    got = {r.event_type: r for r in
+           events_approx_distinct_users(spark, sf_dir).collect()}
+    exact = {r.event_type: r for r in
+             load_table(spark, sf_dir, "events")
+             .groupBy("event_type")
+             .agg(F.countDistinct("user_id").alias("exact_users"),
+                  F.count(F.lit(1)).alias("n_events"))
+             .collect()}
+    assert set(got) == set(exact) and got
+    for et, r in got.items():
+        e = exact[et]
+        assert r.n_events == e.n_events, et
+        rel = abs(r.approx_users - e.exact_users) / max(e.exact_users, 1)
+        assert rel <= 0.05, (et, r.approx_users, e.exact_users, rel)
