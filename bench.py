@@ -79,10 +79,24 @@ def main() -> int:
     names = list(qs) if bench_all else HEADLINE
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
 
+    from flink_streaming_demo_spark.plancheck import plan_fingerprint
+
     load_before = [round(x, 2) for x in os.getloadavg()]
     timings: dict[str, float] = {}
     spread: dict[str, float] = {}
+    plan_fps: dict[str, str] = {}
+    plan_nodes: dict[str, str] = {}
     for name in names:
+        # Plan-shape fingerprint BEFORE any execution: the initial
+        # physical plan (node-name sequence) is deterministic, so a new
+        # exchange / lost broadcast / lost codegen span diffs
+        # round-over-round instead of being inferred from wall time.
+        try:
+            plan_fps[name], plan_nodes[name] = plan_fingerprint(
+                qs[name](spark, sf_dir)
+            )
+        except Exception as e:  # streaming-only or non-plannable query
+            plan_fps[name] = f"err:{type(e).__name__}"
         run_once(name)  # warmup: codegen compile + Python worker spin-up
         samples = sorted(run_once(name) for _ in range(n_runs))
         timings[name] = round(samples[0], 3)
@@ -104,6 +118,8 @@ def main() -> int:
                 "queries": timings,
                 "sf": float(sf) if sf else sf_dir,
                 "protocol": f"best_of_{n_runs}_after_warmup",
+                "plan_fingerprint": plan_fps,
+                "plan_nodes": plan_nodes,
                 "spread_max_minus_min_sec": spread,
                 "loadavg_1_5_15_before": load_before,
                 "loadavg_1_5_15_after": load_after,

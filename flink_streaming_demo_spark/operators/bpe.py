@@ -300,11 +300,13 @@ def sql_bpe_segment(n_merges: int = N_MERGES, corpus: str = "documents",
 # declarative anti-join against higher-ranked candidates (no greedy
 # driver state), global merge rank = cumulative kept order. The merge
 # COUNT per pass is data-dependent (conflicts drop candidates) but
-# identical on both engines; 8 passes x 12 candidates yields 64+ merges
-# on the test corpora at ~1/8th the scans of sequential training.
+# identical on both engines; character-pair candidates conflict heavily
+# (~4-5 kept per early pass), so the pass count drives yield: 16 passes
+# x 16 candidates trains 64+ merges on the test corpora (67 at sf0.01,
+# 71 at sf0.001) at ~1/4th the vocab scans sequential training needs.
 
-BPE_BATCH_K = 12
-BPE_N_BATCHES = 8
+BPE_BATCH_K = 16
+BPE_N_BATCHES = 16
 
 _REPL_SEP = "\x01"  # joins (pa, pb) into one fold element; never in text
 
@@ -415,6 +417,12 @@ def bpe_train_merges_batched(
             )
             .localCheckpoint()
         )
+    if not winners:
+        # degenerate corpus (no adjacent pairs anywhere): same
+        # empty-result contract as the sequential trainer
+        return docs.sparkSession.createDataFrame(
+            [], "rank int, pa string, pb string, pair_count bigint"
+        )
     out = winners[0]
     for w in winners[1:]:
         out = out.unionAll(w)
@@ -431,7 +439,7 @@ def sql_bpe_ctes_batched(
     bpairs1, bcand1, bkeep1, brepl1, bvocab1, ..`` plus ``bmerges`` (the
     final rank-ordered merge table). Embed inside WITH and select from
     ``bmerges``."""
-    parts = [f"""bvocab0 AS (
+    parts = [f"""bvocab0 AS MATERIALIZED (
         SELECT '|' || array_to_string(list_transform(
                    generate_series(1, len(word)),
                    i -> substr(word, i, 1)), '||') || '|' AS s,
@@ -454,7 +462,7 @@ def sql_bpe_ctes_batched(
     )
     for i in range(1, n_batches + 1):
         p = i - 1
-        parts.append(f"""bpairs{i} AS (
+        parts.append(f"""bpairs{i} AS MATERIALIZED (
         SELECT sym[j] AS pa, sym[j + 1] AS pb, SUM(cnt) AS pair_count
         FROM (
             SELECT string_split(trim(s, '|'), '||') AS sym, cnt
@@ -462,14 +470,14 @@ def sql_bpe_ctes_batched(
         ), LATERAL unnest(generate_series(1, len(sym) - 1)) AS u(j)
         GROUP BY sym[j], sym[j + 1]
     )""")
-        parts.append(f"""bcand{i} AS (
+        parts.append(f"""bcand{i} AS MATERIALIZED (
         SELECT pa, pb, CAST(pair_count AS BIGINT) AS pair_count,
                ROW_NUMBER() OVER (
                    ORDER BY pair_count DESC, pa ASC, pb ASC) AS rn
         FROM bpairs{i}
         ORDER BY pair_count DESC, pa ASC, pb ASC LIMIT {batch_k}
     )""")
-        parts.append(f"""bkeep{i} AS (
+        parts.append(f"""bkeep{i} AS MATERIALIZED (
         SELECT c.pa, c.pb, c.pair_count, c.rn
         FROM bcand{i} c
         WHERE NOT EXISTS (
@@ -482,12 +490,12 @@ def sql_bpe_ctes_batched(
                 OR (d.pa || d.pb) = (c.pa || c.pb))
         )
     )""")
-        parts.append(f"""brepl{i} AS (
+        parts.append(f"""brepl{i} AS MATERIALIZED (
         SELECT COALESCE(list(pa || chr(1) || pb ORDER BY rn),
                         CAST([] AS VARCHAR[])) AS rs
         FROM bkeep{i}
     )""")
-        parts.append(f"""bvocab{i} AS (
+        parts.append(f"""bvocab{i} AS MATERIALIZED (
         SELECT list_reduce(list_prepend(v.s, r.rs), {fold}) AS s, v.cnt
         FROM bvocab{p} v, brepl{i} r
     )""")

@@ -1064,7 +1064,7 @@ def incremental_dedup_decisions(
     Per incoming doc: 'exact_dup' (content hash present in base, via a
     hash equi-join), else 'near_dup' (shares an LSH band with a base doc
     AND signature-estimated Jaccard >= threshold), else 'new';
-    matched_base_id is the lowest matching base doc (NULL for 'new').
+    matched_base_id is the lowest matching base doc (-1 for 'new').
 
     100 TB shape: the base side is never self-joined and never shuffled
     — a small incoming batch is BROADCAST to both the content-hash
@@ -1082,18 +1082,23 @@ def incremental_dedup_decisions(
         base, text_col, id_col
     )
     ih = incoming.select(F.col(id_col), F.md5(F.col(text_col)).alias("h"))
+    iband = minhash_signatures_agg(incoming, text_col, id_col).select(
+        F.col(id_col),
+        F.col("sig").alias("sig_i"),
+        F.explode(lsh_band_keys(F.col("sig"))).alias("band_key"),
+    )
     if broadcast_incoming is None:
-        broadcast_incoming = _fits_broadcast(ih)
+        # Gate on BOTH broadcast candidates: iband is ~N_BANDS x ih's
+        # row count plus band_key strings and the full signature array,
+        # so a batch whose hash table squeaks under the threshold can
+        # still carry a far-over-threshold band table — sizing only ih
+        # recreates the executor-OOM risk the gate exists to prevent.
+        broadcast_incoming = _fits_broadcast(ih) and _fits_broadcast(iband)
     hint = F.broadcast if broadcast_incoming else (lambda d: d)
     exact = (
         bh.join(hint(ih), "h")
         .groupBy(id_col)
         .agg(F.min("base_id").alias("exact_match"))
-    )
-    iband = minhash_signatures_agg(incoming, text_col, id_col).select(
-        F.col(id_col),
-        F.col("sig").alias("sig_i"),
-        F.explode(lsh_band_keys(F.col("sig"))).alias("band_key"),
     )
     est = F.expr(
         "round(CAST(aggregate(zip_with(sig_i, sig_b,"
@@ -1117,6 +1122,11 @@ def incremental_dedup_decisions(
             .when(F.col("near_match").isNotNull(), F.lit("near_dup"))
             .otherwise(F.lit("new"))
             .alias("verdict"),
-            F.coalesce("exact_match", "near_match").alias("matched_base_id"),
+            # -1 sentinel for 'new' (no match): keeps the column exact
+            # int64 whether or not any batch happens to contain NULLs —
+            # nullable-int columns promote to float64 in pandas/DuckDB,
+            # which would make the dtype data-dependent.
+            F.coalesce("exact_match", "near_match", F.lit(-1).cast("long"))
+            .alias("matched_base_id"),
         )
     )

@@ -220,6 +220,21 @@ def exact_global_ntile(
     sort uses the original (uncast) column plus the tiebreak, so rank —
     and therefore the tile — is exact even if the double cast collapses
     adjacent values into one chunk.
+
+    NULL order values get their own dedicated chunk placed where
+    Spark's ``orderBy`` would sort them (first for asc, last for desc),
+    so they are ranked — never dropped — exactly as the built-in
+    ``NTILE`` would rank them.
+
+    Skew caveat: value-range chunking balances work only when the order
+    column is spread across its [min, max] span. A constant or heavily
+    skewed column collapses (almost) every row into one chunk, and the
+    per-chunk row_number degenerates back into a single-task sort —
+    structurally guard-clean but a runtime straggler. Current call
+    sites (RFM scores: counts, recency days, value sums) are
+    well-spread; for a skewed order column switch ``n_chunks`` range
+    boundaries to approxQuantile-based ones before leaning on this at
+    scale.
     """
     o_raw = F.col(order_col)
     o = (-o_raw if desc else o_raw).cast("double")
@@ -228,9 +243,14 @@ def exact_global_ntile(
         F.max(o).alias("_gn_max"),
         F.count(F.lit(1)).alias("_gn_n"),
     )
+    # NULLs sort first (asc) / last (desc) in Spark's orderBy; give them
+    # a dedicated chunk on the matching side so the prefix join ranks
+    # them instead of silently dropping them (inner join on NULL).
+    null_chunk = F.lit(n_chunks if desc else -1)
     chunked = df.crossJoin(F.broadcast(bounds)).withColumn(
         "_gn_chunk",
-        F.when(
+        F.when(o_raw.isNull(), null_chunk)
+        .when(
             F.col("_gn_max") > F.col("_gn_min"),
             F.least(
                 F.lit(n_chunks - 1),

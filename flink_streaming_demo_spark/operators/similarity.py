@@ -726,10 +726,14 @@ def pq_train(
     a corpus scan + a broadcast join — not M separate jobs.
     """
     subs = subvectors(corpus, id_col, vec_col, m, dsub)
-    # ksub smallest ids -> TakeOrderedAndProject (no global sort); the
-    # row_number window runs over the ksub-row result only.
+    # ksub smallest DISTINCT ids -> TakeOrderedAndProject after a
+    # partial-agg distinct (no global sort); the row_number window runs
+    # over the ksub-row result only. distinct() matches the oracle's
+    # SELECT DISTINCT vec_id — a corpus with duplicate ids would
+    # otherwise seed duplicate codes on the Spark side only.
     seed_ids = (
         corpus.select(id_col)
+        .distinct()
         .orderBy(id_col)
         .limit(ksub)
         .withColumn(

@@ -13,6 +13,45 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
+def physical_plan_nodes(df: DataFrame) -> list[str]:
+    """Preorder node-name sequence of ``df``'s PHYSICAL plan (exchanges,
+    broadcasts, codegen boundaries included). Under AQE the top node is
+    AdaptiveSparkPlanExec (a leaf from the traversal's point of view);
+    we descend into its current plan — before execution that is the
+    initial physical plan, which is exactly the deterministic
+    pre-runtime shape a round-over-round fingerprint should pin.
+    Expression details (ids, literals) are excluded on purpose: the
+    fingerprint should change when the plan SHAPE changes (new shuffle,
+    lost broadcast, lost whole-stage span), not when a constant does."""
+    out: list[str] = []
+    stack = [df._jdf.queryExecution().executedPlan()]
+    while stack:
+        node = stack.pop()
+        name = node.getClass().getSimpleName()
+        # Scala object-style suffix noise ("$anon$1") never appears for
+        # plan nodes, but strip the Exec suffix for readability.
+        out.append(name[:-4] if name.endswith("Exec") else name)
+        kids = []
+        if name == "AdaptiveSparkPlanExec":
+            kids = [node.executedPlan()]
+        else:
+            children = node.children()
+            kids = [children.apply(i) for i in range(children.size())]
+        # preorder: push children in reverse so child 0 pops first
+        stack.extend(reversed(kids))
+    return out
+
+
+def plan_fingerprint(df: DataFrame) -> tuple[str, str]:
+    """(short md5, '>'-joined node names) of the physical plan shape —
+    recorded per headline query in BENCH JSON so a plan regression is
+    diffable round-over-round instead of inferred from wall time."""
+    import hashlib
+
+    nodes = ">".join(physical_plan_nodes(df))
+    return hashlib.md5(nodes.encode()).hexdigest()[:12], nodes
+
+
 def iter_unpartitioned_windows(df: DataFrame) -> list[str]:
     """Return the first line of every Window node in ``df``'s OPTIMIZED
     logical plan whose partition spec is empty (i.e. would execute as a

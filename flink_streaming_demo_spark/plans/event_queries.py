@@ -566,8 +566,8 @@ register(
            COUNT(*) AS n_events,
            ROUND(ANY_VALUE(d.med), 6) AS med,
            ROUND(ANY_VALUE(m.mad), 6) AS mad,
-           SUM(CASE WHEN d.adev > {_MAD_SIGMA * _MAD_K} * m.mad
-                    THEN 1 ELSE 0 END) AS n_outliers,
+           CAST(SUM(CASE WHEN d.adev > {_MAD_SIGMA * _MAD_K} * m.mad
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
            ROUND(CAST(SUM(CASE WHEN d.adev > {_MAD_SIGMA * _MAD_K} * m.mad
                                THEN 1 ELSE 0 END) AS DOUBLE)
                  / CAST(COUNT(*) AS DOUBLE), 6) AS outlier_frac
@@ -1050,9 +1050,12 @@ def events_daily_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(n).over(w7) / F.count(F.lit(1)).over(w7), 6).alias(
             "ma7"
         ),
-        (F.col("n_events") - F.lag("n_events").over(wlag)).alias(
-            "delta_prev_day"
-        ),
+        # double, not bigint: the first row is NULL, and a deterministic
+        # dtype across engines (DuckDB/pandas promote nullable ints to
+        # float64) keeps the driver's dtype-sensitive value hash stable.
+        (F.col("n_events") - F.lag("n_events").over(wlag))
+        .cast("double")
+        .alias("delta_prev_day"),
     )
 
 
@@ -1075,7 +1078,8 @@ register(
         ROUND(
             SUM(CAST(n_events AS DOUBLE)) OVER w7
                 / COUNT(*) OVER w7, 6) AS ma7,
-        n_events - LAG(n_events) OVER (ORDER BY day) AS delta_prev_day
+        CAST(n_events - LAG(n_events) OVER (ORDER BY day)
+             AS DOUBLE) AS delta_prev_day
     FROM numbered
     WINDOW w7 AS (ORDER BY day_num
                   RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)

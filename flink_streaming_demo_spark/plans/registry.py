@@ -190,8 +190,71 @@ _ROUND7_WINDOW = [
 ]
 
 
+# ROUND-8 WINDOW (active), priority order per the r7 verdict's #2:
+#   1. the three r7 REDS (oracle-twin dtype casts landed this round:
+#      uncast integer SUM -> CAST AS BIGINT) — re-check first;
+#   2. layout_zorder_cells — the LAST never-driver-checked query;
+#   3. sample_mixture_stats + sample_mixture_rebalance — driver-green r6
+#      but their module changed post-window in 9112ef2 (broadcast grand
+#      totals), so their r6 rows are stale-evidence;
+#   4. all round-8 churn, function-scoped closures (diff audit):
+#      events_daily_moving_avg + decon_canary_hits + dedup_incremental
+#      (latent symmetric dtype normalizations: delta cast to DOUBLE,
+#      first_doc/matched_base_id -1 sentinels), text_bpe_merges_batched
+#      (NEW: the batched trainer, wired per verdict #3),
+#      taxi_early_arrival_fires (NEW recursive-CTE oracle, verdict #8 —
+#      upgrades it from rows-only; also r5-stale), events_user_rfm
+#      (exact_global_ntile gained NULL-chunk ranking), and the four
+#      pq_train consumers (seed ids now .distinct(), matching the
+#      oracle): sim_pq_adc, sim_pq_rerank, sim_ivfpq_topk,
+#      sim_pq_distortion;
+#   5. oldest-first rotation: the 33 queries last driver-checked in r5
+#      (fires already placed above -> 32 here);
+#   6. two spare slots -> sample_hash_split + sample_source_cap:
+#      r6-checked and function-scope-unchanged, but they share
+#      operators/sampling.py with this round's exact_global_ntile edit —
+#      module-level belt-and-braces.
+# Rotated out the back: everything driver-checked r7 (50 green rows,
+# closures byte-unchanged unless listed above) and the remaining
+# r6-green queries; every one re-proven locally by this round's
+# full-surface tools/parity.py sweep (now dtype-strict) at sf0.01.
+_ROUND8_WINDOW = [
+    # 1. r7 reds, oracle dtype-cast fix
+    "text_unigram_logprob", "dedup_repeated_ngrams",
+    "events_value_outliers",
+    # 2. last never-checked
+    "layout_zorder_cells",
+    # 3. changed post-r7-window (9112ef2)
+    "sample_mixture_stats", "sample_mixture_rebalance",
+    # 4. round-8 churn
+    "events_daily_moving_avg", "decon_canary_hits", "dedup_incremental",
+    "text_bpe_merges_batched", "taxi_early_arrival_fires",
+    "events_user_rfm", "sim_pq_adc", "sim_pq_rerank", "sim_ivfpq_topk",
+    "sim_pq_distortion",
+    # 5. last checked r5 — three rounds stale (32), registration order
+    "taxi_ride_durations", "taxi_early_arrival_final",
+    "tpch_q1_pricing_summary", "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier_volume", "tpch_q6_revenue_forecast",
+    "tpch_q7_volume_shipping", "tpch_q8_market_share",
+    "tpch_q10_returned_items", "tpch_q13_customer_distribution",
+    "tpch_q14_promo_revenue", "tpch_q15_top_supplier",
+    "tpch_q17_small_quantity", "tpch_q18_large_volume_customer",
+    "tpch_q19_discounted_revenue",
+    "star_cube_returnflag", "star_customers_with_urgent_orders",
+    "star_date_functions", "star_distinct_part_supp",
+    "star_grouping_sets", "star_lineitem_window_functions",
+    "star_rollup_order_priority", "star_scalar_functions",
+    "star_set_operations", "star_topk_orders_per_segment",
+    "events_sessionization", "sim_topk_cosine", "sim_ann_lsh",
+    "sim_ivf_topk", "sim_ivf_kmeans", "dedup_embedding_neardup",
+    "text_redact_pii",
+    # 6. sampling-module belt-and-braces
+    "sample_hash_split", "sample_source_cap",
+]
+
+
 def _apply_window_order() -> None:
-    ordered = {n: QUERIES[n] for n in _ROUND7_WINDOW if n in QUERIES}
+    ordered = {n: QUERIES[n] for n in _ROUND8_WINDOW if n in QUERIES}
     ordered.update({n: f for n, f in QUERIES.items() if n not in ordered})
     QUERIES.clear()
     QUERIES.update(ordered)

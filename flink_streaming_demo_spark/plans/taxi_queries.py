@@ -109,11 +109,14 @@ register(
 
 def taxi_early_arrival_fires(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full emission sequence of the count-driven early trigger (partials +
-    finals) — the one genuinely non-SQL-expressible operator (fire points are
-    sequential; each fire re-bases the next threshold), so no oracle: the
-    driver records a rows-only check. The emission *sequence* is pinned by
-    unit tests (tests/test_early_fire.py) and the final results are
-    oracle-checked via taxi_early_arrival_final."""
+    finals). The fire points are sequential (each fire re-bases the next
+    threshold, reference: EarlyArrivalCount.scala:131-141), but over the
+    pane's cumulative sum they are the iterated jump s_{k+1} = min{cum >=
+    s_k + T}: a recursive-CTE oracle replays the exact sequence — fire k's
+    emitted total IS s_k (overshoot discarded by the reset-to-zero), and
+    the final row carries the pane total with fire_seq = #partials. The
+    emission sequence is additionally pinned by tests/test_early_fire.py;
+    the finals also oracle-checked via taxi_early_arrival_final."""
     from flink_streaming_demo_spark.operators.early_fire import (
         early_fire_counts,
     )
@@ -122,7 +125,74 @@ def taxi_early_arrival_fires(spark: SparkSession, sf_dir: str) -> DataFrame:
     return early_fire_counts(arrivals)
 
 
-register("taxi_early_arrival_fires", taxi_early_arrival_fires, None)
+def _early_fires_oracle() -> str:
+    from flink_streaming_demo_spark.operators.early_fire import (
+        DEFAULT_THRESHOLD as T,
+    )
+
+    return f"""
+    WITH RECURSIVE rides AS ({_RIDES_SQL}),
+    arrivals AS (
+        SELECT {geo.sql_grid_cell('lon', 'lat')} AS cell, ts, passenger_cnt
+        FROM rides
+        WHERE NOT is_start AND {geo.sql_is_in_nyc('lon', 'lat')}
+    ),
+    expanded AS (
+        SELECT cell, passenger_cnt, ts,
+               time_bucket(INTERVAL '5 minutes', ts)
+                   - g.k * INTERVAL '5 minutes' AS w_start
+        FROM arrivals, generate_series(0, 2) AS g(k)
+    ),
+    ev AS (
+        -- running pane total in event-time order; ties on (ts, cnt) are
+        -- permutation-invariant for the cumulative-sum SEQUENCE, so the
+        -- fire points below are deterministic across engines
+        SELECT cell, w_start,
+               CAST(SUM(passenger_cnt) OVER (
+                   PARTITION BY cell, w_start
+                   ORDER BY ts, passenger_cnt
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        FROM expanded
+    ),
+    pane AS (
+        SELECT cell, w_start, MAX(cum) AS total FROM ev GROUP BY cell, w_start
+    ),
+    fires AS (
+        -- fire 0: first event where the pane's running count reaches T
+        SELECT p.cell, p.w_start, 0 AS fire_seq,
+               (SELECT MIN(e.cum) FROM ev e
+                WHERE e.cell = p.cell AND e.w_start = p.w_start
+                  AND e.cum >= {T}) AS fire_cum
+        FROM pane p
+        WHERE p.total >= {T}
+        UNION ALL
+        -- fire k+1: counter resets to 0 at fire k (overshoot discarded),
+        -- so the next fire is the first cum >= fire_cum + T
+        SELECT cell, w_start, fire_seq + 1, nxt
+        FROM (
+            SELECT f.cell, f.w_start, f.fire_seq,
+                   (SELECT MIN(e.cum) FROM ev e
+                    WHERE e.cell = f.cell AND e.w_start = f.w_start
+                      AND e.cum >= f.fire_cum + {T}) AS nxt
+            FROM fires f
+        )
+        WHERE nxt IS NOT NULL
+    )
+    SELECT cell, w_start + INTERVAL '15 minutes' AS window_end,
+           fire_cum AS cnt, FALSE AS is_final, CAST(fire_seq AS INT) AS fire_seq
+    FROM fires
+    UNION ALL
+    SELECT p.cell, p.w_start + INTERVAL '15 minutes', p.total, TRUE,
+           CAST(COALESCE((SELECT MAX(f.fire_seq) + 1 FROM fires f
+                          WHERE f.cell = p.cell
+                            AND f.w_start = p.w_start), 0) AS INT)
+    FROM pane p
+    """
+
+
+register(
+    "taxi_early_arrival_fires", taxi_early_arrival_fires, _early_fires_oracle()
+)
 
 
 def taxi_early_arrival_final(spark: SparkSession, sf_dir: str) -> DataFrame:

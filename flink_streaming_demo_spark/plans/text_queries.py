@@ -1009,7 +1009,7 @@ register(
     ),
     tot AS (SELECT SUM(cnt) AS total FROM unigram)
     SELECT doc_id,
-           SUM(tf) AS n_tokens,
+           CAST(SUM(tf) AS BIGINT) AS n_tokens,
            ROUND(
                SUM(CAST(tf AS DOUBLE)
                    * -ln(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE)))
@@ -1106,7 +1106,7 @@ register(
     )
     SELECT md5(gram) AS gram_hash,
            COUNT(*) AS n_docs,
-           SUM(occ) AS n_occurrences,
+           CAST(SUM(occ) AS BIGINT) AS n_occurrences,
            MIN(doc_id) AS first_doc
     FROM per_doc
     GROUP BY gram
@@ -2310,7 +2310,8 @@ register(
            CASE WHEN e.exact_match IS NOT NULL THEN 'exact_dup'
                 WHEN n.near_match IS NOT NULL THEN 'near_dup'
                 ELSE 'new' END AS verdict,
-           COALESCE(e.exact_match, n.near_match) AS matched_base_id
+           COALESCE(e.exact_match, n.near_match,
+                    CAST(-1 AS BIGINT)) AS matched_base_id
     FROM inc i
     LEFT JOIN exact e ON e.doc_id = i.doc_id
     LEFT JOIN near n ON n.doc_id = i.doc_id
@@ -2404,6 +2405,37 @@ def _bpe_segment_oracle() -> str:
 register("text_bpe_segment", text_bpe_segment, _bpe_segment_oracle())
 
 
+def text_bpe_merges_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched BPE training (the distributed-trainer variant): each of 8
+    passes snapshots pair counts ONCE, takes the top 12 candidates, keeps
+    the pairwise non-interacting subset, and applies all kept merges as
+    one broadcast fold — 64+ merges at ~1/8th the vocab scans of the
+    sequential trainer. The oracle unrolls the identical pass structure
+    (candidate ranking, NOT-EXISTS keep filter, list_reduce fold), so the
+    green proves the whole batched TRAJECTORY — selection, conflict
+    resolution, and global merge ranks — not just the final counts. See
+    operators/bpe.py 'Batched merge training' for the non-interaction
+    invariant that makes the batch replay-safe."""
+    from flink_streaming_demo_spark.operators import bpe as BPE
+
+    docs = t(spark, sf_dir, "documents").select("text")
+    return BPE.bpe_train_merges_batched(docs)
+
+
+def _bpe_batched_oracle() -> str:
+    from flink_streaming_demo_spark.operators import bpe as BPE
+
+    return f"""
+    WITH {BPE.sql_bpe_ctes_batched()}
+    SELECT rank, pa, pb, pair_count FROM bmerges
+    """
+
+
+register(
+    "text_bpe_merges_batched", text_bpe_merges_batched, _bpe_batched_oracle()
+)
+
+
 # --- Cluster-size histogram ---------------------------------------------------
 
 def dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2470,7 +2502,12 @@ def decon_canary_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "canary",
             F.coalesce("n_docs", F.lit(0)).alias("n_docs"),
-            "first_doc",
+            # -1 sentinel for "canary never seen": keeps the column exact
+            # int64 regardless of whether this corpus has unmatched
+            # canaries (nullable ints promote to float64 in pandas).
+            F.coalesce("first_doc", F.lit(-1).cast("long")).alias(
+                "first_doc"
+            ),
         )
     )
 
@@ -2492,7 +2529,7 @@ register(
     )
     SELECT c.canary,
            COALESCE(h.n_docs, 0) AS n_docs,
-           h.first_doc
+           COALESCE(h.first_doc, CAST(-1 AS BIGINT)) AS first_doc
     FROM canaries c
     LEFT JOIN hits h USING (canary)
     """,

@@ -27,17 +27,36 @@ def test_parity(parity_results):
     assert not failures, failures
 
 
+def test_dtype_strictness_detects_int_float_clash():
+    """Round-7 regression: three oracle twins returned float64 (uncast
+    DuckDB HUGEINT SUM) where Spark returned int64 — values bit-equal,
+    driver hash red. dtype_problems must flag that class, so reverting
+    any `CAST(SUM(...) AS BIGINT)` fails test_parity locally."""
+    import pandas as pd
+
+    sp = pd.DataFrame({"n": pd.Series([1, 2], dtype="int64")})
+    ora = pd.DataFrame({"n": pd.Series([1.0, 2.0], dtype="float64")})
+    probs = parity.dtype_problems(sp, ora)
+    assert probs and "dtype class differs" in probs[0]
+    assert parity.dtype_problems(sp, sp.copy()) == []
+    # symmetric NULL-driven float promotion on BOTH sides stays legal
+    both_null = pd.DataFrame({"n": pd.Series([1.0, None], dtype="float64")})
+    assert parity.dtype_problems(both_null, both_null.copy()) == []
+
+
 def test_driver_contract_integrity():
     """Every oracle key maps to a registered query, and the rows-only
-    set (no DuckDB analogue, by design) is exactly the two documented
-    cases — a new query accidentally registered without its oracle
-    would silently downgrade to the weaker rows-only check."""
+    set (no DuckDB analogue, by design) is exactly the one documented
+    case — a new query accidentally registered without its oracle
+    would silently downgrade to the weaker rows-only check.
+    (taxi_early_arrival_fires gained a recursive-CTE oracle in r8: the
+    fire sequence is the iterated jump min{cum >= prev + T} over the
+    pane's cumulative sum.)"""
     import __spark_entry__ as e
 
     qs, oracles = e.queries(), e.oracle_sql()
     assert set(oracles) <= set(qs)
     assert set(qs) - set(oracles) == {
         "events_approx_distinct_users",
-        "taxi_early_arrival_fires",
     }
-    assert len(qs) >= 134
+    assert len(qs) >= 135

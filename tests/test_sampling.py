@@ -309,3 +309,26 @@ def test_exact_global_ntile_matches_builtin(spark):
         )
 
         assert not iter_unpartitioned_windows(got), (n_rows, tiles)
+
+
+def test_exact_global_ntile_ranks_nulls_like_builtin(spark):
+    """NULL order values must be RANKED (first asc / last desc, Spark's
+    default null ordering), never dropped — the r7 advice flagged that
+    a NULL chunk id silently fell out of the prefix equi-join."""
+    from pyspark.sql import Window
+
+    rows = [(0, None), (1, 3.0), (2, None), (3, 1.0), (4, 2.0), (5, 1.0)]
+    df = spark.createDataFrame(rows, "id long, v double").repartition(4)
+    for desc in (False, True):
+        order = F.col("v").desc() if desc else F.col("v").asc()
+        expect = df.select(
+            "id", F.ntile(3).over(Window.orderBy(order, "id")).alias("t")
+        )
+        got = sampling.exact_global_ntile(
+            df, 3, "v", "id", desc=desc, n_chunks=4, out_col="t"
+        ).select("id", "t")
+        assert got.count() == len(rows), "NULL rows were dropped"
+        mism = got.join(expect, "id").filter(
+            got["t"] != expect["t"]
+        ).count()
+        assert mism == 0, desc

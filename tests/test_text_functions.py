@@ -395,6 +395,66 @@ def test_bpe_segment_matches_reference_apply(spark):
         assert r.seg_hash == hashlib.md5(stream.encode()).hexdigest()
 
 
+def test_bpe_batched_equals_sequential_when_non_interacting(spark):
+    """On a corpus whose top pairs are pairwise non-interacting (disjoint
+    symbol sets), a single batched pass of K merges must reproduce the
+    K-merge sequential trajectory exactly — merging one pair cannot
+    change any other pair's count, so the snapshot ranking IS the greedy
+    ranking. This pins the batched trainer's core claim: the keep-filter
+    only ever drops merges that the snapshot could mis-count."""
+    from flink_streaming_demo_spark.operators.bpe import (
+        bpe_train_merges,
+        bpe_train_merges_batched,
+    )
+
+    # ab x5, cd x4, ef x3: candidates (a,b) (c,d) (e,f) — all disjoint
+    text = " ".join(["ab"] * 5 + ["cd"] * 4 + ["ef"] * 3)
+    docs = spark.createDataFrame([(text,)], "text string")
+    seq = [
+        (r.rank, r.pa, r.pb, r.pair_count)
+        for r in bpe_train_merges(docs, n_merges=3).orderBy("rank").collect()
+    ]
+    bat = [
+        (r.rank, r.pa, r.pb, r.pair_count)
+        for r in bpe_train_merges_batched(docs, n_batches=1, batch_k=3)
+        .orderBy("rank")
+        .collect()
+    ]
+    assert seq == bat == [(1, "a", "b", 5), (2, "c", "d", 4), (3, "e", "f", 3)]
+
+
+def test_bpe_batched_conflict_drop_defers_interacting_merge(spark):
+    """ab x3, bc x2: (a,b) and (b,c) share symbol b, so pass 1 must keep
+    only the top candidate and pass 2 picks up (b,c) from a FRESH
+    snapshot — the deferred merge lands with its recount, proving the
+    anti-join conflict resolution and the cross-pass global rank."""
+    from flink_streaming_demo_spark.operators.bpe import (
+        bpe_train_merges_batched,
+    )
+
+    text = " ".join(["ab"] * 3 + ["bc"] * 2)
+    docs = spark.createDataFrame([(text,)], "text string")
+    got = [
+        (r.rank, r.pa, r.pb, r.pair_count)
+        for r in bpe_train_merges_batched(docs, n_batches=2, batch_k=2)
+        .orderBy("rank")
+        .collect()
+    ]
+    assert got == [(1, "a", "b", 3), (2, "b", "c", 2)]
+
+
+def test_bpe_batched_degenerate_no_pairs(spark):
+    """Single-char vocab: no adjacent pairs, batched trainer must return
+    the same empty merge table as the sequential one (no IndexError on
+    the zero-winners path)."""
+    from flink_streaming_demo_spark.operators.bpe import (
+        bpe_train_merges_batched,
+    )
+
+    docs = spark.createDataFrame([("a b c a b",)], "text string")
+    assert bpe_train_merges_batched(docs, n_batches=2).collect() == []
+
+
 def test_new_operators_degenerate_inputs(spark):
     """Edge behavior: single-char vocab (no BPE pairs), single doc (no
     cross-doc dup spans), sub-ksub PQ corpus — none may throw, and each

@@ -2,8 +2,17 @@
 
 Runs each ``queries()[name]`` on Spark and the matching ``oracle_sql()[name]``
 on DuckDB over the same parquet tables, then compares row count, column
-names, and order-insensitive values (exact equality; floats must match
-bit-for-bit, which our oracle twins are written to achieve).
+names, per-column pandas dtype CLASS (int/float/bool/timestamp/object —
+the driver's value hash is dtype-sensitive, so ``SUM(int)`` returning
+HUGEINT->float64 on the DuckDB side while Spark returns bigint is a FAIL
+here even though 6930 == 6930.0), and order-insensitive values (exact
+equality; floats must match bit-for-bit, which our oracle twins are
+written to achieve).
+
+History: round 7 shipped three driver-red queries whose values matched
+bit-for-bit — ``==`` hid the int-vs-float dtype clash that the driver's
+hash sees. The ``_dtype_class`` check exists so that defect class can
+never again pass locally.
 
 CLI: ``python tools/parity.py [sf_dir] [query ...]``
 """
@@ -42,6 +51,34 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(by=list(df.columns), ignore_index=True)
 
 
+def _dtype_class(s: pd.Series) -> str:
+    """Collapse a pandas dtype to the class the driver's hash distinguishes."""
+    if pd.api.types.is_bool_dtype(s):
+        return "bool"
+    if pd.api.types.is_integer_dtype(s):
+        return "int"
+    if pd.api.types.is_float_dtype(s):
+        return "float"
+    if pd.api.types.is_datetime64_any_dtype(s):
+        return "timestamp"
+    return "object"
+
+
+def dtype_problems(sp: pd.DataFrame, oracle: pd.DataFrame) -> list[str]:
+    """Strict per-column dtype-class comparison (shared with the pytest)."""
+    problems: list[str] = []
+    for c in sorted(sp.columns):
+        if c not in oracle.columns:
+            continue
+        a, b = _dtype_class(sp[c]), _dtype_class(oracle[c])
+        if a != b:
+            problems.append(
+                f"dtype class differs for col {c}: spark={a} ({sp[c].dtype}) "
+                f"oracle={b} ({oracle[c].dtype}) — driver hash WILL mismatch"
+            )
+    return problems
+
+
 def _values_equal(a, b) -> bool:
     if a is None and b is None:
         return True
@@ -67,6 +104,7 @@ def compare(name: str, spark_df, oracle_df: pd.DataFrame) -> list[str]:
         return problems
     if len(sp) != len(oracle_df):
         problems.append(f"row count differ: spark={len(sp)} oracle={len(oracle_df)}")
+    problems.extend(dtype_problems(sp, oracle_df))
     a, b = _canon(sp), _canon(oracle_df)
     n = min(len(a), len(b))
     mismatches = 0

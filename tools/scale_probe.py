@@ -75,6 +75,11 @@ PROBE_QUERIES = [
     "dedup_incremental",
     "sim_pq_adc",
     "text_quality_logreg",
+    # round-8: batched BPE trainer — per PASS one vocab scan (explode +
+    # partial-agg pair count) + one broadcast fold; vocab is the word
+    # set, which grows ~10x under the token-suffix copies, so wall
+    # should scale ~linearly in vocab size with a fixed pass count.
+    "text_bpe_merges_batched",
 ]
 
 _DOC_SHIFT = 10_000_000
