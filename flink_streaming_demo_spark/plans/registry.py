@@ -210,10 +210,11 @@ _ROUND7_WINDOW = [
 #      sim_pq_distortion;
 #   5. oldest-first rotation: the 33 queries last driver-checked in r5
 #      (fires already placed above -> 32 here);
-#   6. two spare slots -> sample_hash_split + sample_source_cap:
-#      r6-checked and function-scope-unchanged, but they share
-#      operators/sampling.py with this round's exact_global_ntile edit —
-#      module-level belt-and-braces.
+#   6. last two slots: text_bpe_segment_batched (NEW this round — the
+#      batched trainer's apply leg; never-checked churn belongs in the
+#      window) and sample_hash_split (r6-checked and function-scope-
+#      unchanged, but it shares operators/sampling.py with this round's
+#      exact_global_ntile edit — module-level belt-and-braces).
 # Rotated out the back: everything driver-checked r7 (50 green rows,
 # closures byte-unchanged unless listed above) and the remaining
 # r6-green queries; every one re-proven locally by this round's
@@ -248,8 +249,8 @@ _ROUND8_WINDOW = [
     "events_sessionization", "sim_topk_cosine", "sim_ann_lsh",
     "sim_ivf_topk", "sim_ivf_kmeans", "dedup_embedding_neardup",
     "text_redact_pii",
-    # 6. sampling-module belt-and-braces
-    "sample_hash_split", "sample_source_cap",
+    # 6. new-query churn + sampling-module belt-and-braces
+    "text_bpe_segment_batched", "sample_hash_split",
 ]
 
 

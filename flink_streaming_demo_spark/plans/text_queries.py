@@ -2406,16 +2406,16 @@ register("text_bpe_segment", text_bpe_segment, _bpe_segment_oracle())
 
 
 def text_bpe_merges_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Batched BPE training (the distributed-trainer variant): each of 8
-    passes snapshots pair counts ONCE, takes the top 12 candidates, keeps
+    """Batched BPE training (the distributed-trainer variant): each of 16
+    passes snapshots pair counts ONCE, takes the top 16 candidates, keeps
     the pairwise non-interacting subset, and applies all kept merges as
-    one broadcast fold — 64+ merges at ~1/8th the vocab scans of the
-    sequential trainer. The oracle unrolls the identical pass structure
-    (candidate ranking, NOT-EXISTS keep filter, list_reduce fold), so the
-    green proves the whole batched TRAJECTORY — selection, conflict
-    resolution, and global merge ranks — not just the final counts. See
-    operators/bpe.py 'Batched merge training' for the non-interaction
-    invariant that makes the batch replay-safe."""
+    one broadcast fold — 64+ merges on the test corpora at ~1/4th the
+    vocab scans of sequential training. The oracle unrolls the identical
+    pass structure (candidate ranking, NOT-EXISTS keep filter,
+    list_reduce fold), so the green proves the whole batched TRAJECTORY —
+    selection, conflict resolution, and global merge ranks — not just the
+    final counts. See operators/bpe.py 'Batched merge training' for the
+    non-interaction invariant that makes the batch replay-safe."""
     from flink_streaming_demo_spark.operators import bpe as BPE
 
     docs = t(spark, sf_dir, "documents").select("text")
@@ -2433,6 +2433,37 @@ def _bpe_batched_oracle() -> str:
 
 register(
     "text_bpe_merges_batched", text_bpe_merges_batched, _bpe_batched_oracle()
+)
+
+
+def text_bpe_segment_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segment every document with the BATCH-trained merge table — the
+    full distributed tokenizer loop (batched train + map-only apply) in
+    one oracle-checked plan. The apply leg is the same broadcast +
+    rank-ordered F.aggregate fold as text_bpe_segment; the oracle
+    composes sql_bpe_ctes_batched with the merge-table-generic
+    list_reduce segmenter, so a single hash green pins trainer AND
+    applier over 64+ merges."""
+    from flink_streaming_demo_spark.operators import bpe as BPE
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    merges = BPE.bpe_train_merges_batched(docs.select("text"))
+    return BPE.bpe_segment(docs, merges)
+
+
+def _bpe_segment_batched_oracle() -> str:
+    from flink_streaming_demo_spark.operators import bpe as BPE
+
+    return f"""
+    WITH {BPE.sql_bpe_ctes_batched()}
+    {BPE.sql_bpe_segment_from_merges()}
+    """
+
+
+register(
+    "text_bpe_segment_batched",
+    text_bpe_segment_batched,
+    _bpe_segment_batched_oracle(),
 )
 
 

@@ -442,7 +442,9 @@ def test_incremental_dedup_new_on_disjoint_vocab(spark):
     )
     got = {r.doc_id: r for r in
            incremental_dedup_decisions(base, inc).collect()}
-    assert got[10].verdict == "new" and got[10].matched_base_id is None
+    # -1 sentinel (not NULL) for 'new': keeps the column exact int64 in
+    # pandas/DuckDB regardless of batch contents (r8 dtype contract)
+    assert got[10].verdict == "new" and got[10].matched_base_id == -1
     assert got[11].verdict == "exact_dup" and got[11].matched_base_id == 1
 
 

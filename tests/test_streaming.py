@@ -1041,6 +1041,96 @@ def test_streaming_incremental_dedup_equals_batch(spark, sf_dir):
         shutil.rmtree(store, ignore_errors=True)
 
 
+def test_streaming_incremental_dedup_restart_from_checkpoint(spark, sf_dir):
+    """Checkpoint-restart across the broadcast-gated incremental-dedup
+    path (r7 verdict #6): kill the ingest stream mid-replay, restart
+    from the same checkpoint, and the upserted verdicts must still equal
+    the batch operator exactly. Exercises the trigger-bounded
+    ``broadcast_incoming=True`` pinning in streaming_incremental_dedup
+    across a restart — replayed micro-batches re-run the gated joins and
+    the doc_id-keyed upsert keeps the result exactly-once. (The other
+    r7 rewrite, exact_global_ntile, has NO streaming consumer — it is a
+    batch-only scoring op; nothing in streaming/pipelines.py composes
+    it, so its equivalence evidence is the batch oracle + property
+    tests.)"""
+    import time as _time
+
+    from flink_streaming_demo_spark.operators.dedup import (
+        incremental_dedup_decisions,
+    )
+    from flink_streaming_demo_spark.plans.text_queries import _incoming_batch
+    from flink_streaming_demo_spark.schemas import load_table
+    from flink_streaming_demo_spark.streaming.pipelines import (
+        streaming_incremental_dedup,
+    )
+    from flink_streaming_demo_spark.streaming.sinks import ParquetUpsertSink
+
+    base = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    incoming = _incoming_batch(spark, sf_dir)
+    base_us = 1_700_000_000 * 1_000_000
+    stamped = incoming.withColumn(
+        "ingest_ts",
+        F.timestamp_micros(
+            F.lit(base_us) + (F.col("doc_id") % 240) * F.lit(1_000_000)
+        ),
+    )
+    jittered = replay.with_delivery_jitter(
+        stamped, ts_col="ingest_ts", max_delay_secs=60
+    )
+    chunk_dir = replay.write_replay_chunks(
+        jittered, n_chunks=6, order_col="delivery_ts"
+    )
+    work = tempfile.mkdtemp(prefix="inc_dedup_ckpt_")
+    store, ckpt = work + "/store", work + "/ckpt"
+    sink = ParquetUpsertSink(store, ["doc_id"])
+    body = streaming_incremental_dedup(base, sink)
+
+    def start():
+        stream = replay.read_replay_stream(
+            spark,
+            chunk_dir,
+            "doc_id long, text string, ingest_ts timestamp",
+            max_files_per_trigger=1,
+        ).select("doc_id", "text")
+        return (
+            stream.writeStream.outputMode("append")
+            .queryName("inc_dedup_ckpt")
+            .option("checkpointLocation", ckpt)
+            .foreachBatch(body)
+            .start()
+        )
+
+    q = start()
+    try:
+        deadline = _time.time() + 60
+        while _time.time() < deadline:
+            done = sum(
+                p.numInputRows > 0 for p in (q.recentProgress or [])
+            )
+            if done >= 2:
+                break
+            _time.sleep(0.2)
+        q.stop()
+        q.awaitTermination(30)
+        q2 = start()
+        try:
+            q2.processAllAvailable()
+        finally:
+            q2.stop()
+        got = {
+            r.doc_id: (r.verdict, r.matched_base_id)
+            for r in sink.read(spark).collect()
+        }
+        want = {
+            r.doc_id: (r.verdict, r.matched_base_id)
+            for r in incremental_dedup_decisions(base, incoming).collect()
+        }
+        assert got == want
+    finally:
+        shutil.rmtree(chunk_dir, ignore_errors=True)
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def test_streaming_restart_from_checkpoint_equals_batch(spark, rides_df):
     """Fault-tolerance form of the golden invariant: the sliding-window
     stream killed mid-replay and RESTARTED from its checkpoint must
