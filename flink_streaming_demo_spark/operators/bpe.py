@@ -131,7 +131,7 @@ def sql_bpe_ctes(
     """DuckDB twin: CTE chain ``vocab0, pairs1, win1, vocab1 ..`` unrolling
     the merge iterations over the same delimited-string representation.
     Select the merge table from ``win1 .. win{n}`` (see sql_bpe_final)."""
-    parts = [f"""vocab0 AS (
+    parts = [f"""vocab0 AS MATERIALIZED (
         SELECT '|' || array_to_string(list_transform(
                    generate_series(1, len(word)),
                    i -> substr(word, i, 1)), '||') || '|' AS s,
@@ -147,7 +147,7 @@ def sql_bpe_ctes(
     )"""]
     for i in range(1, n_merges + 1):
         p = i - 1
-        parts.append(f"""pairs{i} AS (
+        parts.append(f"""pairs{i} AS MATERIALIZED (
         SELECT sym[j] AS pa, sym[j + 1] AS pb, SUM(cnt) AS pair_count
         FROM (
             SELECT string_split(trim(s, '|'), '||') AS sym, cnt
@@ -160,7 +160,7 @@ def sql_bpe_ctes(
         # keeps the downstream cross joins alive; its replace pattern
         # '||||' cannot occur in a valid repr (symbols are non-empty),
         # so it is a no-op, and sql_bpe_final filters it out.
-        parts.append(f"""win{i} AS (
+        parts.append(f"""win{i} AS MATERIALIZED (
         SELECT COALESCE(w.pa, '') AS pa, COALESCE(w.pb, '') AS pb,
                COALESCE(w.pair_count, 0) AS pair_count
         FROM (SELECT 1) AS one{i}
@@ -170,7 +170,7 @@ def sql_bpe_ctes(
             ORDER BY pair_count DESC, pa ASC, pb ASC LIMIT 1
         ) w ON TRUE
     )""")
-        parts.append(f"""vocab{i} AS (
+        parts.append(f"""vocab{i} AS MATERIALIZED (
         SELECT replace(s, '|' || pa || '||' || pb || '|',
                        '|' || pa || pb || '|') AS s, cnt
         FROM vocab{p}, win{i}

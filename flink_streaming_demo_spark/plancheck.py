@@ -30,7 +30,14 @@ def physical_plan_nodes(df: DataFrame) -> list[str]:
         name = node.getClass().getSimpleName()
         # Scala object-style suffix noise ("$anon$1") never appears for
         # plan nodes, but strip the Exec suffix for readability.
-        out.append(name[:-4] if name.endswith("Exec") else name)
+        label = name[:-4] if name.endswith("Exec") else name
+        if "Scan" in name:
+            # pin COLUMN PRUNING: a scan whose projected width grows
+            # (e.g. a refactor drops the narrow select and the scan
+            # starts reading every column) must change the fingerprint,
+            # not just the wall time.
+            label = f"{label}[{node.output().size()}]"
+        out.append(label)
         kids = []
         if name == "AdaptiveSparkPlanExec":
             kids = [node.executedPlan()]
