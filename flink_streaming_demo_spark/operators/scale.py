@@ -190,3 +190,125 @@ def finalize_source_stats(partials: "DataFrame") -> "DataFrame":
         F.round(mean, 6).alias("mean_val"),
         F.round(F.greatest(var, F.lit(0.0)), 6).alias("var_val"),
     )
+
+
+# --- KMV (k-minimum-values) distinct sketch -----------------------------------
+#
+# The mergeable approximate-distinct sketch whose whole trajectory is
+# ENGINE-REPLAYABLE: unlike HLL (register layout and hashing are
+# engine-internal, so events_approx_distinct_users stays rows-only), KMV
+# is "keep the k smallest hash fractions of the key set" — pure order
+# statistics over md5, which DuckDB replays bit-for-bit, so the estimate
+# gets a real hash-checked oracle. Estimator (Bar-Yossef et al. 2002):
+# with v_k the k-th smallest of n >= k distinct uniform draws in (0,1),
+# E[v_k] ~ k/(n+1), so n ~ (k-1)/v_k (the unbiased form); below k
+# distinct keys the sketch IS the key set and the count is exact.
+# Merge is "union the lists, re-take the k smallest" — associative,
+# commutative, idempotent on duplicates (same key -> same hash), which
+# the property test pins: sketch(A) ⊕ sketch(B) == sketch(A ∪ B)
+# EXACTLY, the shape that lets 100 TB of per-partition/per-day partials
+# roll up without rescanning anything.
+
+KMV_K = 256
+# 15 hex digits = 60 bits, exact in BIGINT and in the double mantissa
+_KMV_SCALE = float(16 ** 15)
+
+
+def kmv_fraction(key: Column) -> Column:
+    """md5 of the key's string form -> uniform double in (0, 1).
+    Engine-portable (DuckDB twin: ``CAST(('0x' || substr(md5(x), 1, 15))
+    AS BIGINT) / 16.0^15``)."""
+    return (
+        F.conv(F.substring(F.md5(key.cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        / F.lit(_KMV_SCALE)
+    )
+
+
+def kmv_partial(
+    df: DataFrame,
+    group_cols: list[str],
+    key_col: str,
+    k: int = KMV_K,
+) -> DataFrame:
+    """Per-group sketch state: the SORTED array of the k smallest
+    distinct hash fractions (column ``kmv``). Duplicate keys collapse
+    via the pre-aggregation distinct — the sketch is multiset-blind by
+    construction, not by luck. Scale: one shuffle of the distinct
+    (group, key) pairs, then a PARTITIONED window top-k (sort-based,
+    spillable); the sketch state leaving the stage is <= k doubles per
+    group."""
+    from pyspark.sql import Window
+
+    u = (
+        df.select(*group_cols, kmv_fraction(F.col(key_col)).alias("_u"))
+        .distinct()
+    )
+    w = Window.partitionBy(*group_cols).orderBy("_u")
+    return (
+        u.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .groupBy(*group_cols)
+        .agg(F.array_sort(F.collect_list("_u")).alias("kmv"))
+    )
+
+
+def kmv_merge(
+    a: DataFrame, b: DataFrame, group_cols: list[str], k: int = KMV_K
+) -> DataFrame:
+    """⊕: union two sketch tables, re-take the k smallest per group
+    (array_distinct absorbs keys present in both sides)."""
+    return (
+        a.unionByName(b)
+        .groupBy(*group_cols)
+        .agg(
+            F.slice(
+                F.array_sort(F.array_distinct(F.flatten(F.collect_list("kmv")))),
+                1,
+                k,
+            ).alias("kmv")
+        )
+    )
+
+
+def kmv_estimate(partials: DataFrame, k: int = KMV_K) -> DataFrame:
+    """Read-time view: (group cols, n_sampled, kmv_distinct). Exact when
+    the group held fewer than k distinct keys; otherwise floor((k-1)/v_k)
+    (floor, not round: both engines floor identically, round-half rules
+    differ)."""
+    n = F.size("kmv")
+    vk = F.element_at("kmv", -1)
+    return partials.select(
+        *[c for c in partials.columns if c != "kmv"],
+        n.alias("n_sampled"),
+        F.when(n < k, n.cast("long"))
+        .otherwise(F.floor((F.lit(float(k - 1)) / vk)))
+        .alias("kmv_distinct"),
+    )
+
+
+def sql_kmv_distinct(
+    group_col: str, key_col: str, table: str, k: int = KMV_K
+) -> str:
+    """DuckDB twin of kmv_partial |> kmv_estimate (embed as a full query)."""
+    return f"""
+    WITH du AS (
+        SELECT DISTINCT {group_col},
+               CAST(('0x' || substr(md5(CAST({key_col} AS VARCHAR)), 1, 15))
+                    AS BIGINT) / {_KMV_SCALE!r} AS u
+        FROM {table}
+    ),
+    rk AS (
+        SELECT {group_col}, u,
+               ROW_NUMBER() OVER (PARTITION BY {group_col} ORDER BY u) AS rn
+        FROM du
+    )
+    SELECT {group_col},
+           CAST(COUNT(*) AS INT) AS n_sampled,
+           CASE WHEN COUNT(*) < {k} THEN CAST(COUNT(*) AS BIGINT)
+                ELSE CAST(FLOOR({float(k - 1)!r} / MAX(u)) AS BIGINT)
+           END AS kmv_distinct
+    FROM rk
+    WHERE rn <= {k}
+    GROUP BY {group_col}
+    """

@@ -290,7 +290,9 @@ def events_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     key; the sketch shuffles a constant-size binary per group). Registered
     WITHOUT an oracle twin: sketch estimates are engine-specific, so the
     driver records the weaker rows-only check; the exact variant is
-    oracle-checked in star_distinct_part_supp."""
+    oracle-checked in star_distinct_part_supp, and the hash-checkable
+    approximate sibling (same job, engine-replayable order statistics)
+    is events_kmv_distinct_users."""
     ev = t(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
@@ -1396,4 +1398,35 @@ register(
     WHERE to_type IS NOT NULL
     GROUP BY from_type, to_type
     """,
+)
+
+
+# --- KMV distinct sketch (the hash-checkable approximate distinct) -----------
+
+def events_kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values) approximate distinct users per event_type —
+    the ORACLE-CHECKED sibling of events_approx_distinct_users: HLL's
+    registers are engine-internal (rows-only forever), but KMV is pure
+    order statistics over md5 fractions, so DuckDB replays the estimate
+    bit-for-bit and the driver hash-checks an approximate-distinct
+    operator end to end. Merge/rollup form + the sketch(A) ⊕ sketch(B)
+    == sketch(A ∪ B) property live in operators/scale.py; bounded-error
+    vs exact is pinned in tests/test_scale_utils.py."""
+    from flink_streaming_demo_spark.operators.scale import (
+        kmv_estimate,
+        kmv_partial,
+    )
+
+    ev = t(spark, sf_dir, "events")
+    return kmv_estimate(kmv_partial(ev, ["event_type"], "user_id"))
+
+
+def _kmv_oracle() -> str:
+    from flink_streaming_demo_spark.operators.scale import sql_kmv_distinct
+
+    return sql_kmv_distinct("event_type", "user_id", "events")
+
+
+register(
+    "events_kmv_distinct_users", events_kmv_distinct_users, _kmv_oracle()
 )

@@ -210,11 +210,13 @@ _ROUND7_WINDOW = [
 #      sim_pq_distortion;
 #   5. oldest-first rotation: the 33 queries last driver-checked in r5
 #      (fires already placed above -> 32 here);
-#   6. last two slots: text_bpe_segment_batched (NEW this round — the
-#      batched trainer's apply leg; never-checked churn belongs in the
-#      window) and sample_hash_split (r6-checked and function-scope-
-#      unchanged, but it shares operators/sampling.py with this round's
-#      exact_global_ntile edit — module-level belt-and-braces).
+#   6. last two slots: the round's other NEW queries,
+#      text_bpe_segment_batched (the batched trainer's apply leg) and
+#      events_kmv_distinct_users (KMV sketch — the hash-checkable
+#      approximate-distinct); never-checked churn outranks the
+#      belt-and-braces sampling re-checks that initially held these
+#      slots (sample_hash_split/sample_source_cap are r6-green and
+#      function-scope-unchanged by this round's sampling.py edit).
 # Rotated out the back: everything driver-checked r7 (50 green rows,
 # closures byte-unchanged unless listed above) and the remaining
 # r6-green queries; every one re-proven locally by this round's
@@ -249,8 +251,8 @@ _ROUND8_WINDOW = [
     "events_sessionization", "sim_topk_cosine", "sim_ann_lsh",
     "sim_ivf_topk", "sim_ivf_kmeans", "dedup_embedding_neardup",
     "text_redact_pii",
-    # 6. new-query churn + sampling-module belt-and-braces
-    "text_bpe_segment_batched", "sample_hash_split",
+    # 6. the round's other new queries
+    "text_bpe_segment_batched", "events_kmv_distinct_users",
 ]
 
 

@@ -178,3 +178,60 @@ def test_mergeable_stats_new_key_in_delta(spark):
         ).collect()
     }
     assert got == {"a": (2, 30, 10, 20), "b": (1, 5, 5, 5)}
+
+
+def test_kmv_merge_equals_whole(spark, sf_dir):
+    """sketch(A) ⊕ sketch(B) == sketch(A ∪ B) EXACTLY — the semigroup
+    property that lets per-partition/per-day KMV partials roll up
+    without rescanning. Split events by parity of event_id (users
+    overlap both halves, exercising the duplicate-absorbing
+    array_distinct in the merge)."""
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_id") % 2 == 0)
+    b = ev.filter(F.col("event_id") % 2 == 1)
+    whole = scale.kmv_partial(ev, ["event_type"], "user_id")
+    merged = scale.kmv_merge(
+        scale.kmv_partial(a, ["event_type"], "user_id"),
+        scale.kmv_partial(b, ["event_type"], "user_id"),
+        ["event_type"],
+    )
+    got = {r.event_type: r.kmv for r in merged.collect()}
+    want = {r.event_type: r.kmv for r in whole.collect()}
+    assert got == want
+    # and therefore identical estimates
+    est_m = {
+        tuple(r) for r in scale.kmv_estimate(merged).collect()
+    }
+    est_w = {
+        tuple(r) for r in scale.kmv_estimate(whole).collect()
+    }
+    assert est_m == est_w
+
+
+def test_kmv_estimate_bounded_error_and_exact_below_k(spark, sf_dir):
+    """Estimator contract: groups under k distinct keys are EXACT;
+    groups at n >= k estimate within the sketch's standard error
+    (~1/sqrt(k); assert 4 sigma so the seed-free test can't flake —
+    md5 is fixed, so this is deterministic per dataset anyway)."""
+    ev = load_table(spark, sf_dir, "events")
+    k = 64
+    est = {
+        r.event_type: (r.n_sampled, r.kmv_distinct)
+        for r in scale.kmv_estimate(
+            scale.kmv_partial(ev, ["event_type"], "user_id", k=k), k=k
+        ).collect()
+    }
+    exact = {
+        r.event_type: r.n
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(est) == set(exact)
+    for t, (n_sampled, kd) in est.items():
+        if exact[t] < k:
+            assert (n_sampled, kd) == (exact[t], exact[t]), t
+        else:
+            assert n_sampled == k, t
+            rel = abs(kd - exact[t]) / exact[t]
+            assert rel < 4.0 / (k ** 0.5), (t, kd, exact[t], rel)
