@@ -305,3 +305,48 @@ def streaming_quality_scores(
 
     feats = quality_features(stream)
     return logreg_score(feats, weights).select("doc_id", "score", "pred")
+
+
+def streaming_kmv_distinct(
+    sink,
+    group_cols: list[str],
+    key_col: str,
+    k: int = None,
+):
+    """foreachBatch body maintaining a KMV distinct sketch table over a
+    stream: per micro-batch, sketch the batch (operators/scale.kmv_partial),
+    ⊕-merge with the store's current per-group state, and upsert the merged
+    rows. Because KMV merge is IDEMPOTENT on duplicate keys (same key ->
+    same hash fraction; the union re-takes the k smallest), a micro-batch
+    replayed after a crash re-merges to the identical state — effective
+    exactly-once from the sketch algebra alone, no dedup bookkeeping. The
+    test pins body(b); body(b) == body(b).
+
+    Scale: per trigger the batch sketch is trigger-bounded, and the store
+    read feeding the merge is the upsert sink's partition-pruned scan; the
+    state per group is <= k doubles regardless of stream length — the
+    incremental form of the batch rollup (kmv_merge over per-day partials).
+    """
+    from flink_streaming_demo_spark.operators.scale import (
+        KMV_K,
+        kmv_merge,
+        kmv_partial,
+    )
+
+    if k is None:
+        k = KMV_K
+
+    def body(batch_df: DataFrame, epoch_id: int) -> None:
+        if not batch_df.head(1):
+            return
+        part = kmv_partial(batch_df, group_cols, key_col, k)
+        import os
+
+        if os.path.exists(sink.path):
+            cur = sink.read(batch_df.sparkSession).select(
+                *group_cols, "kmv"
+            )
+            part = kmv_merge(cur, part, group_cols, k)
+        sink.foreach_batch(part, epoch_id)
+
+    return body

@@ -1360,3 +1360,80 @@ def test_streaming_throttle_equals_batch(spark, sf_dir):
         assert got == want
     finally:
         shutil.rmtree(chunk_dir, ignore_errors=True)
+
+
+def test_streaming_kmv_sketch_equals_batch_and_is_replay_idempotent(
+    spark, sf_dir
+):
+    """Chunked replay of the events table through the KMV-maintenance
+    body must converge to the BATCH sketch over the same rows (merge
+    associativity), and re-applying a batch must not change the state
+    (merge idempotence on duplicate keys — the property that makes a
+    crash-replayed trigger harmless without any dedup bookkeeping)."""
+    from flink_streaming_demo_spark.operators.scale import (
+        kmv_estimate,
+        kmv_partial,
+    )
+    from flink_streaming_demo_spark.schemas import load_table
+    from flink_streaming_demo_spark.streaming.pipelines import (
+        streaming_kmv_distinct,
+        write_foreach_batch_stream,
+    )
+    from flink_streaming_demo_spark.streaming.sinks import ParquetUpsertSink
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "user_id"
+    )
+    chunk_dir = replay.write_replay_chunks(
+        ev.withColumn("delivery_ts", F.col("event_id")),
+        n_chunks=4,
+        order_col="delivery_ts",
+    )
+    store = tempfile.mkdtemp(prefix="kmv_") + "/store"
+    sink = ParquetUpsertSink(store, ["event_type"])
+    k = 64
+    body = streaming_kmv_distinct(sink, ["event_type"], "user_id", k=k)
+    try:
+        stream = replay.read_replay_stream(
+            spark,
+            chunk_dir,
+            "event_id long, event_type string, user_id long",
+            max_files_per_trigger=1,
+        )
+        q = write_foreach_batch_stream(stream, body, "kmv_sketch")
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        got = {
+            r.event_type: list(r.kmv) for r in sink.read(spark).collect()
+        }
+        want = {
+            r.event_type: list(r.kmv)
+            for r in kmv_partial(ev, ["event_type"], "user_id", k=k)
+            .collect()
+        }
+        assert got == want
+        # replay idempotence: re-apply an arbitrary chunk's rows
+        body(ev.filter(F.col("event_id") % 4 == 1), epoch_id=99)
+        again = {
+            r.event_type: list(r.kmv) for r in sink.read(spark).collect()
+        }
+        assert again == want
+        # and the derived estimates match the batch read-time view
+        est_stream = {
+            tuple(r)
+            for r in kmv_estimate(
+                sink.read(spark).select("event_type", "kmv"), k=k
+            ).collect()
+        }
+        est_batch = {
+            tuple(r)
+            for r in kmv_estimate(
+                kmv_partial(ev, ["event_type"], "user_id", k=k), k=k
+            ).collect()
+        }
+        assert est_stream == est_batch
+    finally:
+        shutil.rmtree(chunk_dir, ignore_errors=True)
+        shutil.rmtree(store, ignore_errors=True)

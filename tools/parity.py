@@ -85,6 +85,10 @@ def _values_equal(a, b) -> bool:
     if isinstance(a, float) and isinstance(b, float):
         if math.isnan(a) and math.isnan(b):
             return True
+        if a == 0.0 and b == 0.0:
+            # -0.0 == 0.0 under ==, but a byte-level value hash (the
+            # driver's) distinguishes them — be signbit-strict here too
+            return math.copysign(1.0, a) == math.copysign(1.0, b)
         return a == b
     try:
         if pd.isna(a) and pd.isna(b):
