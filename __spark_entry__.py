@@ -16,11 +16,12 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from flink_streaming_demo_spark.plans import registry
+from flink_streaming_demo_spark.session import configure_for_oracle
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query (App 1, total arrival count) on sf0.001."""
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    configure_for_oracle(spark)
     return registry.QUERIES["taxi_total_arrival_count"](
         spark, "/root/testdata/sf0.001"
     )

@@ -124,3 +124,64 @@ def early_fire_counts(
     )
     return fired.unionByName(small.select(*[f.name for f in
                                             FIRE_SCHEMA.fields]))
+
+
+def sql_fire_jump(expanded: str, threshold: int = DEFAULT_THRESHOLD) -> str:
+    """DuckDB CTE chain replaying the fire sequence as an iterated jump
+    over the pane's cumulative sum: fire 0 = first event with cum >= T;
+    fire k+1 = first event with cum >= fire_k + T (the reset-to-zero
+    discards overshoot, so the EMITTED total at fire k IS the jump value
+    s_k); the final row carries the pane total with fire_seq = #partials.
+
+    ``expanded`` names a relation with (cell, w_start, ts, passenger_cnt).
+    Embed after ``WITH RECURSIVE ...`` and select from ``fire_rows``
+    (cell, w_start, cnt, is_final, fire_seq). Shared by the registered
+    oracle (plans/taxi_queries.py) and the hypothesis property test that
+    pins it against the Python replay on arbitrary event sequences.
+    """
+    return f"""ev AS (
+        -- running pane total in event-time order; ties on (ts, cnt) are
+        -- permutation-invariant for the cumulative-sum SEQUENCE, so the
+        -- fire points below are deterministic across engines
+        SELECT cell, w_start,
+               CAST(SUM(passenger_cnt) OVER (
+                   PARTITION BY cell, w_start
+                   ORDER BY ts, passenger_cnt
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        FROM {expanded}
+    ),
+    pane AS (
+        SELECT cell, w_start, MAX(cum) AS total FROM ev GROUP BY cell, w_start
+    ),
+    fires AS (
+        -- fire 0: first event where the pane's running count reaches T
+        SELECT p.cell, p.w_start, 0 AS fire_seq,
+               (SELECT MIN(e.cum) FROM ev e
+                WHERE e.cell = p.cell AND e.w_start = p.w_start
+                  AND e.cum >= {threshold}) AS fire_cum
+        FROM pane p
+        WHERE p.total >= {threshold}
+        UNION ALL
+        -- fire k+1: counter resets to 0 at fire k (overshoot discarded),
+        -- so the next fire is the first cum >= fire_cum + T
+        SELECT cell, w_start, fire_seq + 1, nxt
+        FROM (
+            SELECT f.cell, f.w_start, f.fire_seq,
+                   (SELECT MIN(e.cum) FROM ev e
+                    WHERE e.cell = f.cell AND e.w_start = f.w_start
+                      AND e.cum >= f.fire_cum + {threshold}) AS nxt
+            FROM fires f
+        )
+        WHERE nxt IS NOT NULL
+    ),
+    fire_rows AS (
+        SELECT cell, w_start, fire_cum AS cnt, FALSE AS is_final,
+               CAST(fire_seq AS INT) AS fire_seq
+        FROM fires
+        UNION ALL
+        SELECT p.cell, p.w_start, p.total, TRUE,
+               CAST(COALESCE((SELECT MAX(f.fire_seq) + 1 FROM fires f
+                              WHERE f.cell = p.cell
+                                AND f.w_start = p.w_start), 0) AS INT)
+        FROM pane p
+    )"""

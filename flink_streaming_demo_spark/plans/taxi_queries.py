@@ -126,9 +126,7 @@ def taxi_early_arrival_fires(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _early_fires_oracle() -> str:
-    from flink_streaming_demo_spark.operators.early_fire import (
-        DEFAULT_THRESHOLD as T,
-    )
+    from flink_streaming_demo_spark.operators.early_fire import sql_fire_jump
 
     return f"""
     WITH RECURSIVE rides AS ({_RIDES_SQL}),
@@ -143,50 +141,10 @@ def _early_fires_oracle() -> str:
                    - g.k * INTERVAL '5 minutes' AS w_start
         FROM arrivals, generate_series(0, 2) AS g(k)
     ),
-    ev AS (
-        -- running pane total in event-time order; ties on (ts, cnt) are
-        -- permutation-invariant for the cumulative-sum SEQUENCE, so the
-        -- fire points below are deterministic across engines
-        SELECT cell, w_start,
-               CAST(SUM(passenger_cnt) OVER (
-                   PARTITION BY cell, w_start
-                   ORDER BY ts, passenger_cnt
-                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
-        FROM expanded
-    ),
-    pane AS (
-        SELECT cell, w_start, MAX(cum) AS total FROM ev GROUP BY cell, w_start
-    ),
-    fires AS (
-        -- fire 0: first event where the pane's running count reaches T
-        SELECT p.cell, p.w_start, 0 AS fire_seq,
-               (SELECT MIN(e.cum) FROM ev e
-                WHERE e.cell = p.cell AND e.w_start = p.w_start
-                  AND e.cum >= {T}) AS fire_cum
-        FROM pane p
-        WHERE p.total >= {T}
-        UNION ALL
-        -- fire k+1: counter resets to 0 at fire k (overshoot discarded),
-        -- so the next fire is the first cum >= fire_cum + T
-        SELECT cell, w_start, fire_seq + 1, nxt
-        FROM (
-            SELECT f.cell, f.w_start, f.fire_seq,
-                   (SELECT MIN(e.cum) FROM ev e
-                    WHERE e.cell = f.cell AND e.w_start = f.w_start
-                      AND e.cum >= f.fire_cum + {T}) AS nxt
-            FROM fires f
-        )
-        WHERE nxt IS NOT NULL
-    )
+    {sql_fire_jump('expanded')}
     SELECT cell, w_start + INTERVAL '15 minutes' AS window_end,
-           fire_cum AS cnt, FALSE AS is_final, CAST(fire_seq AS INT) AS fire_seq
-    FROM fires
-    UNION ALL
-    SELECT p.cell, p.w_start + INTERVAL '15 minutes', p.total, TRUE,
-           CAST(COALESCE((SELECT MAX(f.fire_seq) + 1 FROM fires f
-                          WHERE f.cell = p.cell
-                            AND f.w_start = p.w_start), 0) AS INT)
-    FROM pane p
+           cnt, is_final, fire_seq
+    FROM fire_rows
     """
 
 

@@ -404,3 +404,75 @@ def test_throttle_matches_python_model(spark, offsets, gap):
             want.append(i)
             last = off
     assert got == want
+
+
+def _py_fire_replay(events: list[tuple[int, int]], threshold: int):
+    """Reference model of the EarlyCountTrigger (reference:
+    EarlyArrivalCount.scala:117-160): counter accumulates per event in
+    (ts, cnt) order, fires the RUNNING TOTAL when counter >= T, resets
+    the counter to 0 (overshoot discarded); one final row with the pane
+    total and fire_seq = number of partials."""
+    rows = []
+    counter = total = seq = 0
+    for _, cnt in sorted(events):
+        total += cnt
+        counter += cnt
+        if counter >= threshold:
+            rows.append((total, False, seq))
+            seq += 1
+            counter = 0
+    rows.append((total, True, seq))
+    return rows
+
+
+@given(
+    panes=st.lists(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=100),  # ts
+                st.integers(min_value=0, max_value=30),  # passenger_cnt
+            ),
+            min_size=1,
+            max_size=25,
+        ),
+        min_size=1,
+        max_size=4,
+    ),
+    threshold=st.integers(min_value=1, max_value=40),
+)
+@settings(max_examples=60, deadline=None)
+def test_fire_jump_oracle_matches_python_replay(panes, threshold):
+    """The recursive-CTE jump recurrence (operators/early_fire.
+    sql_fire_jump — the registered taxi_early_arrival_fires oracle) must
+    emit EXACTLY the Python trigger replay on arbitrary event sequences:
+    zero-count events, ties, overshoot, multi-pane. Pure DuckDB vs
+    Python — no Spark — so it affords real example counts; this is the
+    independent-proof leg for the r8 oracle upgrade that made the fires
+    query hash-checked."""
+    import duckdb
+
+    from flink_streaming_demo_spark.operators.early_fire import (
+        sql_fire_jump,
+    )
+
+    con = duckdb.connect()
+    values = ", ".join(
+        f"({cell}, TIMESTAMP '2024-01-01 00:00:00', {ts}, {cnt})"
+        for cell, evs in enumerate(panes)
+        for ts, cnt in evs
+    )
+    con.execute(
+        f"CREATE TABLE expanded AS SELECT * FROM (VALUES {values}) "
+        "t(cell, w_start, ts, passenger_cnt)"
+    )
+    got = {}
+    for cell, cnt, is_final, seq in con.execute(
+        f"WITH RECURSIVE {sql_fire_jump('expanded', threshold)} "
+        "SELECT cell, cnt, is_final, fire_seq FROM fire_rows "
+        "ORDER BY cell, fire_seq"
+    ).fetchall():
+        got.setdefault(cell, []).append((cnt, is_final, seq))
+    for cell, evs in enumerate(panes):
+        assert got[cell] == _py_fire_replay(evs, threshold), (
+            cell, evs, threshold,
+        )
