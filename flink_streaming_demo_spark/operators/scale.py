@@ -258,16 +258,22 @@ def kmv_merge(
 ) -> DataFrame:
     """⊕: union two sketch tables, re-take the k smallest per group
     (array_distinct absorbs keys present in both sides)."""
-    return (
-        a.unionByName(b)
-        .groupBy(*group_cols)
-        .agg(
-            F.slice(
-                F.array_sort(F.array_distinct(F.flatten(F.collect_list("kmv")))),
-                1,
-                k,
-            ).alias("kmv")
-        )
+    return kmv_rollup(a.unionByName(b), group_cols, k)
+
+
+def kmv_rollup(
+    partials: DataFrame, group_cols: list[str], k: int = KMV_K
+) -> DataFrame:
+    """n-ary ⊕ in one grouped pass: collapse finer-grained partials
+    (e.g. per (type, day)) up to ``group_cols`` by unioning the lists
+    and re-taking the k smallest — the incremental-view rollup that
+    never rescans the base data."""
+    return partials.groupBy(*group_cols).agg(
+        F.slice(
+            F.array_sort(F.array_distinct(F.flatten(F.collect_list("kmv")))),
+            1,
+            k,
+        ).alias("kmv")
     )
 
 

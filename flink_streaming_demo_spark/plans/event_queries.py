@@ -1430,3 +1430,36 @@ def _kmv_oracle() -> str:
 register(
     "events_kmv_distinct_users", events_kmv_distinct_users, _kmv_oracle()
 )
+
+
+def events_kmv_rollup_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV rollup: sketch each (event_type, day) partition separately,
+    then ⊕-merge the per-day partials up to event_type and estimate —
+    the incremental-view shape a 100 TB pipeline actually runs (daily
+    partials roll up; history is never rescanned). By merge
+    associativity the result EQUALS the direct per-type sketch, so the
+    oracle is the same order-statistics replay as
+    events_kmv_distinct_users — a hash green here proves the Spark-side
+    MERGE arithmetic (flatten, distinct, re-take k smallest), not just
+    the single-shot sketch."""
+    from flink_streaming_demo_spark.operators.scale import (
+        kmv_estimate,
+        kmv_partial,
+        kmv_rollup,
+    )
+
+    ev = t(spark, sf_dir, "events").withColumn(
+        "day", F.to_date("ts")
+    )
+    daily = kmv_partial(ev, ["event_type", "day"], "user_id")
+    rolled = kmv_rollup(
+        daily.select("event_type", "kmv"), ["event_type"]
+    )
+    return kmv_estimate(rolled)
+
+
+register(
+    "events_kmv_rollup_users",
+    events_kmv_rollup_users,
+    _kmv_oracle(),
+)

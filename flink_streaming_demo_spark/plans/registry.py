@@ -255,6 +255,12 @@ _ROUND8_WINDOW = [
     "text_bpe_segment_batched", "events_kmv_distinct_users",
 ]
 
+# Added after the r8 window was frozen (registers at position 51+, so the
+# driver first checks it in the r9 window, where never-checked churn is
+# top priority): events_kmv_rollup_users — evidence until then is
+# tools/parity.py hash-green at sf0.001 AND sf0.01 the day it landed,
+# plus the kmv merge/rollup property tests in tests/test_scale_utils.py.
+
 
 def _apply_window_order() -> None:
     ordered = {n: QUERIES[n] for n in _ROUND8_WINDOW if n in QUERIES}
