@@ -97,6 +97,7 @@ def main() -> int:
             )
         except Exception as e:  # streaming-only or non-plannable query
             plan_fps[name] = f"err:{type(e).__name__}"
+            plan_nodes[name] = ""  # keep the two maps key-symmetric
         run_once(name)  # warmup: codegen compile + Python worker spin-up
         samples = sorted(run_once(name) for _ in range(n_runs))
         timings[name] = round(samples[0], 3)

@@ -1021,15 +1021,18 @@ def build_incremental_index(
     return bh, bband
 
 
-def _fits_broadcast(df: DataFrame) -> bool:
+def _fits_broadcast(df: DataFrame, scale_factor: int = 1) -> bool:
     """Catalyst-stats gate for an explicit broadcast hint: True iff the
-    optimizer's sizeInBytes estimate for ``df`` is within the session's
-    autoBroadcastJoinThreshold. Plan-time only (no job); estimates are
-    coarse, but the failure mode is symmetric — an over-estimate merely
-    falls back to a shuffle join, an under-estimate is no worse than
-    what Catalyst itself would have picked with the same stats. Inputs
-    with UNKNOWN stats (RDD-backed plans report Long.MaxValue) return
-    False: never force a broadcast nobody can size."""
+    optimizer's sizeInBytes estimate for ``df``, times ``scale_factor``,
+    is within the session's autoBroadcastJoinThreshold. Plan-time only
+    (no job); estimates are coarse, but the failure mode is symmetric —
+    an over-estimate merely falls back to a shuffle join, an
+    under-estimate is no worse than what Catalyst itself would have
+    picked with the same stats. Inputs with UNKNOWN stats (RDD-backed
+    plans report Long.MaxValue) return False: never force a broadcast
+    nobody can size. ``scale_factor`` exists for derived tables whose
+    blowup Catalyst cannot model (explode fan-out): pass the analytic
+    rows×width ratio relative to the measured frame."""
     spark = df.sparkSession
     raw = spark.conf.get(
         "spark.sql.autoBroadcastJoinThreshold", "10485760"
@@ -1044,7 +1047,9 @@ def _fits_broadcast(df: DataFrame) -> bool:
     est = int(
         df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
     )
-    return est <= thresh
+    if est >= (1 << 62):  # unknown stats sentinel: avoid overflow games
+        return False
+    return est * scale_factor <= thresh
 
 
 def incremental_dedup_decisions(
@@ -1088,12 +1093,17 @@ def incremental_dedup_decisions(
         F.explode(lsh_band_keys(F.col("sig"))).alias("band_key"),
     )
     if broadcast_incoming is None:
-        # Gate on BOTH broadcast candidates: iband is ~N_BANDS x ih's
-        # row count plus band_key strings and the full signature array,
-        # so a batch whose hash table squeaks under the threshold can
-        # still carry a far-over-threshold band table — sizing only ih
-        # recreates the executor-OOM risk the gate exists to prevent.
-        broadcast_incoming = _fits_broadcast(ih) and _fits_broadcast(iband)
+        # Gate BOTH broadcast candidates, but size iband ANALYTICALLY
+        # from ih's stats: Catalyst's estimate for the iband plan
+        # (shingle explode -> sig agg -> band-key explode) is
+        # width-ratio-scaled from the leaf and does not model the
+        # explode fan-out, so asking it directly can pass a
+        # far-over-threshold band table (or veto a safe one). The real
+        # blowup is closed-form: N_BANDS rows per doc, each carrying
+        # the band_key string + the full N_HASHES signature array —
+        # ~4x an ih row's bytes — so require ih_est * N_BANDS * 4
+        # under the threshold, which bounds ih AND iband together.
+        broadcast_incoming = _fits_broadcast(ih, scale_factor=N_BANDS * 4)
     hint = F.broadcast if broadcast_incoming else (lambda d: d)
     exact = (
         bh.join(hint(ih), "h")

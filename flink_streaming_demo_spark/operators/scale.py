@@ -234,14 +234,19 @@ def kmv_partial(
     """Per-group sketch state: the SORTED array of the k smallest
     distinct hash fractions (column ``kmv``). Duplicate keys collapse
     via the pre-aggregation distinct — the sketch is multiset-blind by
-    construction, not by luck. Scale: one shuffle of the distinct
-    (group, key) pairs, then a PARTITIONED window top-k (sort-based,
-    spillable); the sketch state leaving the stage is <= k doubles per
-    group."""
+    construction, not by luck. NULL keys are EXCLUDED up front (the
+    ``COUNT(DISTINCT key)`` contract; a NULL hash fraction would
+    otherwise burn a top-k slot under Spark's nulls-first ordering and
+    then vanish in collect_list, silently shrinking the sketch — and
+    DuckDB sorts NULLs last, so the engines would diverge). Scale: one
+    shuffle of the distinct (group, key) pairs, then a PARTITIONED
+    window top-k (sort-based, spillable); the sketch state leaving the
+    stage is <= k doubles per group."""
     from pyspark.sql import Window
 
     u = (
-        df.select(*group_cols, kmv_fraction(F.col(key_col)).alias("_u"))
+        df.filter(F.col(key_col).isNotNull())
+        .select(*group_cols, kmv_fraction(F.col(key_col)).alias("_u"))
         .distinct()
     )
     w = Window.partitionBy(*group_cols).orderBy("_u")
@@ -303,6 +308,7 @@ def sql_kmv_distinct(
                CAST(('0x' || substr(md5(CAST({key_col} AS VARCHAR)), 1, 15))
                     AS BIGINT) / {_KMV_SCALE!r} AS u
         FROM {table}
+        WHERE {key_col} IS NOT NULL
     ),
     rk AS (
         SELECT {group_col}, u,

@@ -323,9 +323,14 @@ def streaming_kmv_distinct(
     test pins body(b); body(b) == body(b).
 
     Scale: per trigger the batch sketch is trigger-bounded, and the store
-    read feeding the merge is the upsert sink's partition-pruned scan; the
-    state per group is <= k doubles regardless of stream length — the
-    incremental form of the batch rollup (kmv_merge over per-day partials).
+    side of the merge is SEMI-JOINED to the batch's group keys before
+    merging, so only touched groups feed the merge and the upsert — the
+    sink's dynamic-partition overwrite then rewrites only the touched
+    buckets, never the whole table (the store scan itself stays a plain
+    parquet read; bucket-level read pruning is the sink's concern on its
+    own merge path). State per group is <= k doubles regardless of
+    stream length — the incremental form of the batch rollup (kmv_merge
+    over per-day partials).
     """
     from flink_streaming_demo_spark.operators.scale import (
         KMV_K,
@@ -339,12 +344,17 @@ def streaming_kmv_distinct(
     def body(batch_df: DataFrame, epoch_id: int) -> None:
         if not batch_df.head(1):
             return
-        part = kmv_partial(batch_df, group_cols, key_col, k)
+        part = kmv_partial(batch_df, group_cols, key_col, k).localCheckpoint()
         import os
 
         if os.path.exists(sink.path):
-            cur = sink.read(batch_df.sparkSession).select(
-                *group_cols, "kmv"
+            from pyspark.sql import functions as F
+
+            touched = part.select(*group_cols).distinct()
+            cur = (
+                sink.read(batch_df.sparkSession)
+                .join(F.broadcast(touched), group_cols, "left_semi")
+                .select(*group_cols, "kmv")
             )
             part = kmv_merge(cur, part, group_cols, k)
         sink.foreach_batch(part, epoch_id)

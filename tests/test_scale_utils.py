@@ -235,3 +235,18 @@ def test_kmv_estimate_bounded_error_and_exact_below_k(spark, sf_dir):
             assert n_sampled == k, t
             rel = abs(kd - exact[t]) / exact[t]
             assert rel < 4.0 / (k ** 0.5), (t, kd, exact[t], rel)
+
+
+def test_kmv_excludes_null_keys_like_count_distinct(spark):
+    """NULL keys must not consume sketch slots or shrink the array (the
+    COUNT(DISTINCT) contract): with k=4 and 6 real keys plus NULLs, the
+    sketch must hold exactly 4 real fractions and estimate from them —
+    a NULL burning slot rn=1 under nulls-first ordering then vanishing
+    in collect_list would yield a k-1 array and a bogus 'exact' count."""
+    rows = [("g", i if i < 6 else None) for i in range(9)]
+    df = spark.createDataFrame(rows, "grp string, key long")
+    part = scale.kmv_partial(df, ["grp"], "key", k=4)
+    (r,) = part.collect()
+    assert len(r.kmv) == 4 and all(v is not None for v in r.kmv)
+    (e,) = scale.kmv_estimate(part, k=4).collect()
+    assert e.n_sampled == 4  # estimator branch, not the exact one
