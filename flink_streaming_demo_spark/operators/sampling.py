@@ -194,6 +194,8 @@ def exact_global_ntile(
     desc: bool = False,
     n_chunks: int = 16,
     out_col: str = "tile",
+    chunk_bounds: str = "range",
+    quantile_rel_err: float = 0.001,
 ) -> DataFrame:
     """``NTILE(tiles) OVER (ORDER BY order_col [DESC], tiebreak_col)``
     with NO single-partition window — bit-identical to the SQL form.
@@ -226,15 +228,18 @@ def exact_global_ntile(
     so they are ranked — never dropped — exactly as the built-in
     ``NTILE`` would rank them.
 
-    Skew caveat: value-range chunking balances work only when the order
-    column is spread across its [min, max] span. A constant or heavily
-    skewed column collapses (almost) every row into one chunk, and the
-    per-chunk row_number degenerates back into a single-task sort —
-    structurally guard-clean but a runtime straggler. Current call
-    sites (RFM scores: counts, recency days, value sums) are
-    well-spread; for a skewed order column switch ``n_chunks`` range
-    boundaries to approxQuantile-based ones before leaning on this at
-    scale.
+    Skew: the default ``chunk_bounds="range"`` balances work only when
+    the order column is spread across its [min, max] span; pass
+    ``chunk_bounds="quantile"`` for skewed distributions — boundaries
+    come from ``approxQuantile`` (one extra pass at plan-build time,
+    n_chunks-1 doubles to the driver) so chunks are near-equal-count
+    regardless of the value distribution. Chunk membership is still a
+    pure monotone expression of the order value (count of boundaries
+    <= o), so equal values share a chunk and the rank stays exact.
+    The one shape neither mode can spread is a single massively-tied
+    value (ties must share a chunk for correctness): that run's
+    row_number is a single-task sort by construction. Current call
+    sites (RFM scores) are well-spread under "range".
     """
     o_raw = F.col(order_col)
     o = (-o_raw if desc else o_raw).cast("double")
@@ -247,21 +252,39 @@ def exact_global_ntile(
     # a dedicated chunk on the matching side so the prefix join ranks
     # them instead of silently dropping them (inner join on NULL).
     null_chunk = F.lit(n_chunks if desc else -1)
+    if chunk_bounds == "quantile":
+        cuts = df.select(o.alias("_gn_o")).approxQuantile(
+            "_gn_o",
+            [i / n_chunks for i in range(1, n_chunks)],
+            quantile_rel_err,
+        )
+        barr = F.array(*[F.lit(float(b)) for b in cuts])
+        value_chunk = F.aggregate(
+            barr,
+            F.lit(0),
+            lambda acc, b: acc + F.when(o >= b, 1).otherwise(0),
+        )
+    elif chunk_bounds == "range":
+        value_chunk = (
+            F.when(
+                F.col("_gn_max") > F.col("_gn_min"),
+                F.least(
+                    F.lit(n_chunks - 1),
+                    F.floor(
+                        (o - F.col("_gn_min"))
+                        / (F.col("_gn_max") - F.col("_gn_min"))
+                        * n_chunks
+                    ),
+                ),
+            )
+            .otherwise(F.lit(0))
+        )
+    else:
+        raise ValueError(f"chunk_bounds must be range|quantile: {chunk_bounds}")
     chunked = df.crossJoin(F.broadcast(bounds)).withColumn(
         "_gn_chunk",
         F.when(o_raw.isNull(), null_chunk)
-        .when(
-            F.col("_gn_max") > F.col("_gn_min"),
-            F.least(
-                F.lit(n_chunks - 1),
-                F.floor(
-                    (o - F.col("_gn_min"))
-                    / (F.col("_gn_max") - F.col("_gn_min"))
-                    * n_chunks
-                ),
-            ),
-        )
-        .otherwise(F.lit(0))
+        .otherwise(value_chunk)
         .cast("int"),
     )
     order_exprs = [

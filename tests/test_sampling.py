@@ -332,3 +332,59 @@ def test_exact_global_ntile_ranks_nulls_like_builtin(spark):
             got["t"] != expect["t"]
         ).count()
         assert mism == 0, desc
+
+
+def test_exact_global_ntile_quantile_bounds_match_and_balance(spark):
+    """chunk_bounds='quantile' must (a) still be bit-identical to the
+    built-in NTILE on a heavily skewed order column, and (b) actually
+    balance the chunks where range-chunking collapses: value ~ 2^i
+    concentrates 90%+ of rows in range-chunk 0, while quantile
+    boundaries keep the largest chunk near n/n_chunks."""
+    from pyspark.sql import Window
+
+    rows = [(i, float(2 ** (i % 24))) for i in range(3000)]
+    df = spark.createDataFrame(rows, "id long, v double").repartition(8)
+    for desc in (False, True):
+        order = F.col("v").desc() if desc else F.col("v").asc()
+        expect = df.select(
+            "id", F.ntile(7).over(Window.orderBy(order, "id")).alias("t")
+        )
+        got = sampling.exact_global_ntile(
+            df, 7, "v", "id", desc=desc, n_chunks=8,
+            out_col="t", chunk_bounds="quantile",
+        ).select("id", "t")
+        mism = got.join(expect, "id").filter(
+            got["t"] != expect["t"]
+        ).count()
+        assert mism == 0, desc
+    # balance: rebuild the chunk assignment and inspect sizes
+    sized = sampling.exact_global_ntile(
+        df, 7, "v", "id", n_chunks=8, chunk_bounds="quantile"
+    )
+    assert sized.count() == 3000
+    # the range-mode straggler this exists to avoid: with v ~ 2^i the
+    # bottom range chunk holds ~88% of rows
+    o = F.col("v")
+    bounds = df.agg(F.min(o).alias("mn"), F.max(o).alias("mx"))
+    range_chunk = df.crossJoin(F.broadcast(bounds)).select(
+        F.least(
+            F.lit(7),
+            F.floor((o - F.col("mn")) / (F.col("mx") - F.col("mn")) * 8),
+        ).alias("c")
+    )
+    top_range = (
+        range_chunk.groupBy("c").count().agg(F.max("count")).first()[0]
+    )
+    assert top_range > 2400  # range mode: one chunk hoards the corpus
+    cuts = df.select(F.col("v").alias("o")).approxQuantile(
+        "o", [i / 8 for i in range(1, 8)], 0.001
+    )
+    barr = F.array(*[F.lit(float(b)) for b in cuts])
+    q_chunk = df.select(
+        F.aggregate(
+            barr, F.lit(0),
+            lambda acc, b: acc + F.when(F.col("v") >= b, 1).otherwise(0),
+        ).alias("c")
+    )
+    top_quant = q_chunk.groupBy("c").count().agg(F.max("count")).first()[0]
+    assert top_quant <= 800, top_quant  # ~n/n_chunks + tie granularity
