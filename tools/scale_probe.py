@@ -80,6 +80,12 @@ PROBE_QUERIES = [
     # set, which grows ~10x under the token-suffix copies, so wall
     # should scale ~linearly in vocab size with a fixed pass count.
     "text_bpe_merges_batched",
+    # round-8: KMV sketch — the probe's 10x events carry 10x DISTINCT
+    # users, so the distinct shuffle scales ~10x while the sketch state
+    # leaving the window stage stays <= k doubles per group; wall should
+    # track the distinct pass, rows (one per event_type) stay flat.
+    "events_kmv_distinct_users",
+    "events_kmv_rollup_users",
 ]
 
 _DOC_SHIFT = 10_000_000
