@@ -226,7 +226,12 @@ def exact_global_ntile(
     NULL order values get their own dedicated chunk placed where
     Spark's ``orderBy`` would sort them (first for asc, last for desc),
     so they are ranked — never dropped — exactly as the built-in
-    ``NTILE`` would rank them.
+    ``NTILE`` would rank them. NaN order values likewise: Spark sorts
+    NaN greater than every non-NaN value (after them for asc, before
+    them for desc), and every F.when comparison on NaN is false, so
+    without a dedicated chunk NaN rows would silently fall into chunk 0;
+    they get the extreme chunk on the opposite side from NULLs, and the
+    min/max bounds exclude NaN so the value chunks stay balanced.
 
     Skew: the default ``chunk_bounds="range"`` balances work only when
     the order column is spread across its [min, max] span; pass
@@ -244,14 +249,18 @@ def exact_global_ntile(
     o_raw = F.col(order_col)
     o = (-o_raw if desc else o_raw).cast("double")
     bounds = df.agg(
-        F.min(o).alias("_gn_min"),
-        F.max(o).alias("_gn_max"),
+        F.min(F.when(~F.isnan(o), o)).alias("_gn_min"),
+        F.max(F.when(~F.isnan(o), o)).alias("_gn_max"),
         F.count(F.lit(1)).alias("_gn_n"),
     )
     # NULLs sort first (asc) / last (desc) in Spark's orderBy; give them
     # a dedicated chunk on the matching side so the prefix join ranks
     # them instead of silently dropping them (inner join on NULL).
+    # NaN sorts greater than every non-NaN value, i.e. on the OPPOSITE
+    # extreme from NULLs in both directions; all NaNs compare equal so
+    # the within-chunk tiebreak ordering matches the built-in sort.
     null_chunk = F.lit(n_chunks if desc else -1)
+    nan_chunk = F.lit(-1 if desc else n_chunks)
     if chunk_bounds == "quantile":
         cuts = df.select(o.alias("_gn_o")).approxQuantile(
             "_gn_o",
@@ -284,6 +293,7 @@ def exact_global_ntile(
     chunked = df.crossJoin(F.broadcast(bounds)).withColumn(
         "_gn_chunk",
         F.when(o_raw.isNull(), null_chunk)
+        .when(F.isnan(o), nan_chunk)
         .otherwise(value_chunk)
         .cast("int"),
     )

@@ -210,7 +210,12 @@ def finalize_source_stats(partials: "DataFrame") -> "DataFrame":
 # roll up without rescanning anything.
 
 KMV_K = 256
-# 15 hex digits = 60 bits, exact in BIGINT and in the double mantissa
+# 15 hex digits = 60 bits: exact in BIGINT, NOT in the double mantissa
+# (53 bits) — the /16^15 division rounds. Engine parity rests on both
+# engines applying identical IEEE-754 round-to-nearest to the same
+# 60-bit integer, not on the quotient being exact; post-rounding
+# collisions between distinct 60-bit values cost at most a negligible
+# distinct-count underestimate (same on both engines).
 _KMV_SCALE = float(16 ** 15)
 
 

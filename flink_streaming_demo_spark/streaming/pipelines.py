@@ -331,6 +331,13 @@ def streaming_kmv_distinct(
     own merge path). State per group is <= k doubles regardless of
     stream length — the incremental form of the batch rollup (kmv_merge
     over per-day partials).
+
+    Requires a STORE-BACKED sink (ParquetUpsertSink): the merge step
+    reads the sink's current state back via ``sink.path``/``sink.read``.
+    A sink without a readable store (e.g. InMemoryUpsertSink) cannot
+    carry sketch state across triggers, so it is rejected up front at
+    pipeline construction rather than failing mid-stream on the first
+    non-empty batch.
     """
     from flink_streaming_demo_spark.operators.scale import (
         KMV_K,
@@ -338,6 +345,13 @@ def streaming_kmv_distinct(
         kmv_partial,
     )
 
+    if not (hasattr(sink, "path") and hasattr(sink, "read")):
+        raise TypeError(
+            "streaming_kmv_distinct needs a store-backed sink exposing "
+            ".path and .read(spark) (ParquetUpsertSink); got "
+            f"{type(sink).__name__} — its state cannot be merged across "
+            "triggers"
+        )
     if k is None:
         k = KMV_K
 

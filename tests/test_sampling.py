@@ -334,6 +334,35 @@ def test_exact_global_ntile_ranks_nulls_like_builtin(spark):
         assert mism == 0, desc
 
 
+def test_exact_global_ntile_ranks_nans_like_builtin(spark):
+    """NaN order values sort GREATER than every non-NaN value in Spark
+    (after them asc, before them desc) — but every F.when comparison on
+    NaN is false, so pre-r9 a NaN row silently fell into chunk 0 and got
+    the wrong tile. NaNs must also be excluded from the min/max chunk
+    bounds (a NaN max poisons the range arithmetic for every row)."""
+    from pyspark.sql import Window
+
+    nan = float("nan")
+    rows = [
+        (0, nan), (1, 3.0), (2, nan), (3, 1.0), (4, 2.0), (5, 1.0),
+        (6, None), (7, 9.0), (8, nan), (9, 0.5),
+    ]
+    df = spark.createDataFrame(rows, "id long, v double").repartition(4)
+    for desc in (False, True):
+        order = F.col("v").desc() if desc else F.col("v").asc()
+        expect = df.select(
+            "id", F.ntile(3).over(Window.orderBy(order, "id")).alias("t")
+        )
+        got = sampling.exact_global_ntile(
+            df, 3, "v", "id", desc=desc, n_chunks=4, out_col="t"
+        ).select("id", "t")
+        assert got.count() == len(rows), "NaN/NULL rows were dropped"
+        mism = got.join(expect, "id").filter(
+            got["t"] != expect["t"]
+        ).count()
+        assert mism == 0, desc
+
+
 def test_exact_global_ntile_quantile_bounds_match_and_balance(spark):
     """chunk_bounds='quantile' must (a) still be bit-identical to the
     built-in NTILE on a heavily skewed order column, and (b) actually

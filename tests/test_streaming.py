@@ -1437,3 +1437,20 @@ def test_streaming_kmv_sketch_equals_batch_and_is_replay_idempotent(
     finally:
         shutil.rmtree(chunk_dir, ignore_errors=True)
         shutil.rmtree(store, ignore_errors=True)
+
+
+def test_streaming_kmv_rejects_storeless_sink_at_construction():
+    """The KMV maintenance body reads the sink's store back each trigger
+    (sink.path / sink.read); a sink without a readable store must be
+    rejected when the pipeline is BUILT, not explode with AttributeError
+    mid-stream on the first non-empty batch (r8 advice)."""
+    import pytest
+
+    from flink_streaming_demo_spark.streaming.pipelines import (
+        streaming_kmv_distinct,
+    )
+
+    with pytest.raises(TypeError, match="store-backed sink"):
+        streaming_kmv_distinct(
+            InMemoryUpsertSink(["event_type"]), ["event_type"], "user_id"
+        )
