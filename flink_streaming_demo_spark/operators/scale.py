@@ -329,3 +329,214 @@ def sql_kmv_distinct(
     WHERE rn <= {k}
     GROUP BY {group_col}
     """
+
+
+# --- Deterministic HLL (engine-replayable HyperLogLog registers) --------------
+#
+# The register-based sibling of the KMV sketch above. Spark's built-in
+# approx_count_distinct is HLL++ with engine-internal hashing and
+# register packing, so it can never be hash-checked against DuckDB
+# (events_approx_distinct_users stays rows-only); THIS implementation
+# derives both the bucket index and the leading-zero run from the md5
+# hex string with pure string/arithmetic expressions that both engines
+# evaluate identically, so the whole sketch trajectory — registers,
+# merge, estimate — replays bit-for-bit in DuckDB and gets a real
+# hash-checked oracle. Estimator per Flajolet et al. 2007 (HyperLogLog):
+# E = alpha_m * m^2 / sum_j 2^(-M_j), with linear counting
+# (E' = m * ln(m / V), V = zero registers) below 2.5m. Large-range
+# correction is omitted: it engages near 2^32/30 distinct keys per
+# group, far beyond any per-group cardinality the estimator is used for
+# here, and p=8's +-6.5% error would dominate long before.
+#
+# Determinism across engines, term by term:
+# * bucket/rho: substr/regexp_replace/CASE over the md5 hex — exact.
+# * harmonic sum: each 2^(61-rho) term is an INTEGER (rho in [1, 61]);
+#   summed exactly (Spark DECIMAL(38,0), DuckDB HUGEINT) — no float
+#   accumulation order to diverge. The one cast to DOUBLE rounds the
+#   same exact integer on both engines.
+# * estimate: a single division of two identical doubles, then FLOOR
+#   (round-half rules differ between engines; floor does not). The
+#   linear-counting branch's ln() is the only libm call — a 1-ulp libm
+#   divergence flips the floor only when m*ln(m/V) sits within ~1e-10
+#   of an integer, which m=256 and integer V make irrational (never
+#   exactly integral for V in [1, 255]).
+#
+# Scale shape: register state is <= m (bucket, rho) smallint pairs per
+# group, built by one MAX aggregation over (group, bucket) — partial
+# (map-side) aggregation collapses each input split to <= m rows per
+# group before the shuffle, and merge/rollup is the same MAX, so per-day
+# partials roll up without rescanning history (mirrors kmv_rollup).
+
+HLL_P = 8
+HLL_M = 1 << HLL_P  # 256 registers; relative error ~ 1.04/sqrt(m) = 6.5%
+_HLL_ALPHA = 0.7213 / (1.0 + 1.079 / HLL_M)
+# numerator alpha * m^2 * 2^61 precomputed in Python: one double literal
+# embedded verbatim in BOTH engines' expressions
+_HLL_NUM = _HLL_ALPHA * HLL_M * HLL_M * float(2**61)
+_HLL_LC_CUT = 2.5 * HLL_M
+
+
+def hll_bucket_rho(key: Column) -> tuple[Column, Column]:
+    """(bucket, rho) from md5(key): bucket = first 2 hex digits (8
+    bits); rho = 1 + number of leading zero bits in the NEXT 60 bits
+    (15 hex digits), computed by stripping leading '0' hex digits (4
+    zero bits each) and classifying the first surviving nibble — string
+    ops both engines replay exactly, unlike float log2 tricks."""
+    h = F.md5(key.cast("string"))
+    bucket = F.conv(F.substring(h, 1, 2), 16, 10).cast("int")
+    h15 = F.substring(h, 3, 15)
+    stripped = F.regexp_replace(h15, "^0+", "")
+    first = F.substring(stripped, 1, 1)
+    nibble_lz = (
+        F.when(first.isin("8", "9", "a", "b", "c", "d", "e", "f"), 0)
+        .when(first.isin("4", "5", "6", "7"), 1)
+        .when(first.isin("2", "3"), 2)
+        .otherwise(3)
+    )
+    rho = (
+        F.when(F.length(stripped) == 0, F.lit(61))
+        .otherwise(
+            (F.lit(15) - F.length(stripped)) * 4 + nibble_lz + 1
+        )
+        .cast("int")
+    )
+    return bucket, rho
+
+
+def hll_partial(
+    df: DataFrame, group_cols: list[str], key_col: str
+) -> DataFrame:
+    """Per-group register state: (group_cols..., bucket, rho) with
+    rho = MAX over the group's keys hashing to that bucket. Duplicate
+    keys are idempotent under MAX by construction (same key -> same
+    (bucket, rho)), so no pre-distinct pass is needed — one partial-agg
+    friendly MAX straight off the scan. NULL keys are excluded (the
+    COUNT(DISTINCT key) contract, same as kmv_partial)."""
+    bucket, rho = hll_bucket_rho(F.col(key_col))
+    return (
+        df.filter(F.col(key_col).isNotNull())
+        .select(*group_cols, bucket.alias("bucket"), rho.alias("rho"))
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def hll_rollup(partials: DataFrame, group_cols: list[str]) -> DataFrame:
+    """n-ary ⊕ in one grouped pass: registers merge by per-bucket MAX.
+    Collapses finer-grained partials (e.g. per (type, day)) up to
+    ``group_cols`` — associative, commutative, idempotent, so
+    sketch(A) ⊕ sketch(B) == sketch(A ∪ B) EXACTLY."""
+    return partials.groupBy(*group_cols, "bucket").agg(
+        F.max("rho").alias("rho")
+    )
+
+
+def hll_merge(
+    a: DataFrame, b: DataFrame, group_cols: list[str]
+) -> DataFrame:
+    """Binary ⊕: union two register tables, re-take the per-bucket MAX."""
+    return hll_rollup(a.unionByName(b), group_cols)
+
+
+def hll_estimate(
+    registers: DataFrame, group_cols: list[str]
+) -> DataFrame:
+    """Read-time view over a register table: (group_cols...,
+    n_registers, hll_distinct). Harmonic sum is computed over EXACT
+    integer terms 2^(61-rho) in DECIMAL(38,0) (absent buckets
+    contribute rho=0 -> 2^61 each, added in closed form), then one
+    cast to double, one division, and the linear-counting branch below
+    2.5m — see the block comment above for why every step is
+    engine-deterministic."""
+    m = HLL_M
+    term = F.expr("shiftleft(CAST(1 AS BIGINT), 61 - rho)").cast(
+        "decimal(38,0)"
+    )
+    agg = registers.groupBy(*group_cols).agg(
+        F.sum(term).alias("_present_sum"),
+        F.count(F.lit(1)).alias("_n_present"),
+    )
+    total = (
+        F.col("_present_sum")
+        + (F.lit(m) - F.col("_n_present"))
+        * F.lit(2**61).cast("decimal(38,0)")
+    ).cast("double")
+    e_raw = F.lit(_HLL_NUM) / total
+    v = F.lit(m) - F.col("_n_present")  # zero registers
+    e = F.when(
+        (e_raw <= F.lit(_HLL_LC_CUT)) & (v > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / v),
+    ).otherwise(e_raw)
+    return agg.select(
+        *group_cols,
+        F.col("_n_present").cast("int").alias("n_registers"),
+        F.floor(e).cast("long").alias("hll_distinct"),
+    )
+
+
+def sql_hll_registers(group_col: str, key_col: str, table: str) -> str:
+    """DuckDB twin of hll_partial (a CTE body: SELECT group, bucket,
+    rho registers)."""
+    return f"""
+        SELECT {group_col},
+               CAST(('0x' || substr(h, 1, 2)) AS BIGINT) AS bucket,
+               MAX(CASE WHEN stripped = '' THEN 61
+                        ELSE (15 - length(stripped)) * 4
+                             + CASE WHEN substr(stripped, 1, 1) IN
+                                        ('8','9','a','b','c','d','e','f')
+                                    THEN 0
+                                    WHEN substr(stripped, 1, 1) IN
+                                        ('4','5','6','7') THEN 1
+                                    WHEN substr(stripped, 1, 1) IN
+                                        ('2','3') THEN 2
+                                    ELSE 3 END + 1
+                   END) AS rho
+        FROM (
+            SELECT {group_col}, h,
+                   regexp_replace(substr(h, 3, 15), '^0+', '') AS stripped
+            FROM (
+                SELECT {group_col},
+                       md5(CAST({key_col} AS VARCHAR)) AS h
+                FROM {table}
+                WHERE {key_col} IS NOT NULL
+            )
+        )
+        GROUP BY {group_col}, CAST(('0x' || substr(h, 1, 2)) AS BIGINT)
+    """
+
+
+def sql_hll_estimate_from_registers(
+    group_col: str, registers_cte: str
+) -> str:
+    """DuckDB twin of hll_estimate over a named registers CTE."""
+    m = HLL_M
+    return f"""
+        SELECT {group_col},
+               CAST(n_present AS INT) AS n_registers,
+               CAST(FLOOR(
+                   CASE WHEN {_HLL_NUM!r} / total_d <= {_HLL_LC_CUT!r}
+                             AND ({m} - n_present) > 0
+                        THEN {float(m)!r} * LN({float(m)!r} / ({m} - n_present))
+                        ELSE {_HLL_NUM!r} / total_d
+                   END) AS BIGINT) AS hll_distinct
+        FROM (
+            SELECT {group_col},
+                   COUNT(*) AS n_present,
+                   CAST(SUM(CAST(1 AS BIGINT) << (61 - rho))
+                        + CAST({m} - COUNT(*) AS HUGEINT)
+                          * (CAST(1 AS BIGINT) << 61)
+                        AS DOUBLE) AS total_d
+            FROM {registers_cte}
+            GROUP BY {group_col}
+        )
+    """
+
+
+def sql_hll_distinct(group_col: str, key_col: str, table: str) -> str:
+    """DuckDB twin of hll_partial |> hll_estimate (a full query)."""
+    return f"""
+    WITH hll_regs AS (
+        {sql_hll_registers(group_col, key_col, table)}
+    )
+    {sql_hll_estimate_from_registers(group_col, "hll_regs")}
+    """

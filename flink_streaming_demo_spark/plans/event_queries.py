@@ -1405,11 +1405,13 @@ register(
 
 def events_kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV (k-minimum-values) approximate distinct users per event_type —
-    the ORACLE-CHECKED sibling of events_approx_distinct_users: HLL's
-    registers are engine-internal (rows-only forever), but KMV is pure
-    order statistics over md5 fractions, so DuckDB replays the estimate
-    bit-for-bit and the driver hash-checks an approximate-distinct
-    operator end to end. Merge/rollup form + the sketch(A) ⊕ sketch(B)
+    an ORACLE-CHECKED sibling of events_approx_distinct_users: the
+    BUILT-IN approx_count_distinct's HLL++ registers are engine-internal
+    (that query stays rows-only), but KMV is pure order statistics over
+    md5 fractions, so DuckDB replays the estimate bit-for-bit and the
+    driver hash-checks an approximate-distinct operator end to end.
+    (events_hll_distinct_users is the register-sketch counterpart: a
+    hand-rolled md5-based HyperLogLog whose trajectory also replays.) Merge/rollup form + the sketch(A) ⊕ sketch(B)
     == sketch(A ∪ B) property live in operators/scale.py; bounded-error
     vs exact is pinned in tests/test_scale_utils.py."""
     from flink_streaming_demo_spark.operators.scale import (
@@ -1462,4 +1464,69 @@ register(
     "events_kmv_rollup_users",
     events_kmv_rollup_users,
     _kmv_oracle(),
+)
+
+
+def events_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic HyperLogLog distinct users per event_type — the
+    REGISTER-sketch counterpart of events_kmv_distinct_users: bucket
+    index and leading-zero run both derive from the md5 hex string via
+    string/arithmetic expressions DuckDB evaluates identically, and the
+    harmonic sum is exact-integer (DECIMAL/HUGEINT), so the estimate
+    hash-checks end to end where the built-in HLL++
+    (events_approx_distinct_users) must stay rows-only. State per group
+    is <= 256 (bucket, max-rho) pairs built by one partial-agg-friendly
+    MAX — the mergeable shape per-day partials roll up through
+    (events_hll_rollup_users). Bounded error vs exact and the
+    sketch(A) ⊕ sketch(B) == sketch(A ∪ B) merge law are pinned in
+    tests/test_scale_utils.py."""
+    from flink_streaming_demo_spark.operators.scale import (
+        hll_estimate,
+        hll_partial,
+    )
+
+    ev = t(spark, sf_dir, "events")
+    return hll_estimate(
+        hll_partial(ev, ["event_type"], "user_id"), ["event_type"]
+    )
+
+
+def _hll_oracle() -> str:
+    from flink_streaming_demo_spark.operators.scale import sql_hll_distinct
+
+    return sql_hll_distinct("event_type", "user_id", "events")
+
+
+register(
+    "events_hll_distinct_users", events_hll_distinct_users, _hll_oracle()
+)
+
+
+def events_hll_rollup_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL rollup: build per-(event_type, day) register partials, merge
+    them up to event_type by per-bucket MAX, then estimate — the
+    incremental-view shape (daily partials roll up; history is never
+    rescanned). Register merge is associative/commutative/idempotent,
+    so the result EQUALS the direct per-type sketch and the oracle is
+    the same register replay as events_hll_distinct_users — a hash
+    green here proves the Spark-side MERGE (grouped MAX over partials),
+    not just the single-shot sketch."""
+    from flink_streaming_demo_spark.operators.scale import (
+        hll_estimate,
+        hll_partial,
+        hll_rollup,
+    )
+
+    ev = t(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    daily = hll_partial(ev, ["event_type", "day"], "user_id")
+    rolled = hll_rollup(
+        daily.select("event_type", "bucket", "rho"), ["event_type"]
+    )
+    return hll_estimate(rolled, ["event_type"])
+
+
+register(
+    "events_hll_rollup_users",
+    events_hll_rollup_users,
+    _hll_oracle(),
 )

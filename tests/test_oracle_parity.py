@@ -74,6 +74,7 @@ def test_shuffle_partition_count_invariance(spark, sf_dir):
     names = [
         "events_user_rfm",            # exact_global_ntile chunk ranks
         "events_kmv_distinct_users",  # order-statistics sketch
+        "events_hll_rollup_users",    # register-merge sketch rollup
         "taxi_early_arrival_fires",   # applyInPandas replay groups
         "text_bpe_merges_batched",    # iterative trainer w/ checkpoints
         "sample_weighted_topk",       # two-level salted top-k

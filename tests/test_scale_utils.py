@@ -250,3 +250,78 @@ def test_kmv_excludes_null_keys_like_count_distinct(spark):
     assert len(r.kmv) == 4 and all(v is not None for v in r.kmv)
     (e,) = scale.kmv_estimate(part, k=4).collect()
     assert e.n_sampled == 4  # estimator branch, not the exact one
+
+
+def test_hll_merge_equals_whole_and_is_idempotent(spark, sf_dir):
+    """Register sketches obey sketch(A) ⊕ sketch(B) == sketch(A ∪ B)
+    EXACTLY (per-bucket MAX is associative/commutative), and re-merging
+    a partial with itself is a no-op (idempotence — the property that
+    makes a crash-replayed micro-batch harmless). Split events by
+    event_id parity so users overlap both halves."""
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_id") % 2 == 0)
+    b = ev.filter(F.col("event_id") % 2 == 1)
+    whole = scale.hll_partial(ev, ["event_type"], "user_id")
+    pa = scale.hll_partial(a, ["event_type"], "user_id")
+    merged = scale.hll_merge(
+        pa, scale.hll_partial(b, ["event_type"], "user_id"), ["event_type"]
+    )
+    key = lambda df: {  # noqa: E731
+        (r.event_type, r.bucket): r.rho for r in df.collect()
+    }
+    assert key(merged) == key(whole)
+    again = scale.hll_merge(pa, pa, ["event_type"])
+    assert key(again) == key(pa)
+    # and therefore identical estimates
+    est = lambda df: {  # noqa: E731
+        tuple(r) for r in scale.hll_estimate(df, ["event_type"]).collect()
+    }
+    assert est(merged) == est(whole)
+
+
+def test_hll_estimate_bounded_error(spark, sf_dir):
+    """Estimator contract: within ~4 sigma of exact for m=256 registers
+    (sigma = 1.04/sqrt(256) = 6.5%; md5 is fixed so this is
+    deterministic per dataset, the margin just keeps the test
+    dataset-portable). Exercised on both grouping shapes: per
+    event_type (small cardinality -> linear-counting branch) and the
+    global ALL-rows group via a constant group column."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "one", F.lit("all")
+    )
+    for grp in (["event_type"], ["one"]):
+        est = {
+            tuple(r[c] for c in grp): r.hll_distinct
+            for r in scale.hll_estimate(
+                scale.hll_partial(ev, grp, "user_id"), grp
+            ).collect()
+        }
+        exact = {
+            tuple(r[c] for c in grp): r.n
+            for r in ev.groupBy(*grp)
+            .agg(F.countDistinct("user_id").alias("n"))
+            .collect()
+        }
+        assert set(est) == set(exact)
+        for g, n in exact.items():
+            rel = abs(est[g] - n) / n
+            assert rel < 4 * 1.04 / (scale.HLL_M ** 0.5), (g, est[g], n)
+
+
+def test_hll_excludes_null_keys_and_caps_state(spark):
+    """NULL keys are excluded (COUNT(DISTINCT) contract) and register
+    state never exceeds HLL_M rows per group no matter how many keys
+    hash in — the constant-state scale claim."""
+    rows = [("g", i if i % 3 else None) for i in range(3000)]
+    df = spark.createDataFrame(rows, "grp string, key long")
+    part = scale.hll_partial(df, ["grp"], "key")
+    regs = part.collect()
+    assert 0 < len(regs) <= scale.HLL_M
+    assert all(1 <= r.rho <= 61 and 0 <= r.bucket < scale.HLL_M
+               for r in regs)
+    # NULL-only input -> no registers at all, not a bogus group row
+    empty = scale.hll_partial(
+        spark.createDataFrame([("g", None)], "grp string, key long"),
+        ["grp"], "key",
+    )
+    assert empty.count() == 0

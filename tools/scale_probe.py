@@ -86,6 +86,14 @@ PROBE_QUERIES = [
     # track the distinct pass, rows (one per event_type) stay flat.
     "events_kmv_distinct_users",
     "events_kmv_rollup_users",
+    # round-9: deterministic HLL — unlike KMV there is NO distinct
+    # pre-pass: one MAX aggregation straight off the scan, partial
+    # (map-side) aggregation collapses each split to <= m register rows
+    # per group before the shuffle, so shuffled bytes should stay
+    # near-FLAT under 10x input (the register table is cardinality-
+    # bounded) while KMV's distinct shuffle grows ~10x.
+    "events_hll_distinct_users",
+    "events_hll_rollup_users",
 ]
 
 _DOC_SHIFT = 10_000_000
