@@ -90,6 +90,23 @@ def main() -> int:
 
     from flink_streaming_demo_spark.plancheck import plan_fingerprint
 
+    def cpu_calibration_sec() -> float:
+        """Fixed-work single-thread CPU loop (200k chained sha256 of a
+        32-byte digest). Pure compute, no allocation growth, no I/O —
+        its wall time moves with the box's effective per-core speed
+        (co-tenant load, frequency scaling), giving every round's bench
+        an absolute yardstick: if this number shifts round-over-round,
+        a uniform wall-time shift is the BOX, not the code (the r8→r9
+        +65% ambiguity this field exists to kill)."""
+        import hashlib
+
+        t0 = time.perf_counter()
+        h = b"x" * 32
+        for _ in range(200_000):
+            h = hashlib.sha256(h).digest()
+        return time.perf_counter() - t0
+
+    calib_before = round(cpu_calibration_sec(), 4)
     load_before = [round(x, 2) for x in os.getloadavg()]
     timings: dict[str, float] = {}
     spread: dict[str, float] = {}
@@ -116,6 +133,7 @@ def main() -> int:
         timings[name] = round(samples[0], 3)
         spread[name] = round(samples[-1] - samples[0], 3)
     load_after = [round(x, 2) for x in os.getloadavg()]
+    calib_after = round(cpu_calibration_sec(), 4)
 
     total = round(sum(timings.values()), 3)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
@@ -135,6 +153,9 @@ def main() -> int:
         "protocol": f"best_of_{n_runs}_after_warmup",
         "loadavg_1_5_15_before": load_before,
         "loadavg_1_5_15_after": load_after,
+        # absolute box-speed yardstick (see cpu_calibration_sec)
+        "calib_sha256_200k_sec": [calib_before, calib_after],
+        "cpus": len(os.sched_getaffinity(0)),
         "details": (
             "bench_details_all.json" if bench_all else "bench_details.json"
         ),
@@ -159,7 +180,10 @@ def main() -> int:
     # Hard guard on the r8 failure mode: the recorder keeps only the
     # last ~2000 chars of stdout, so the one JSON line must stay well
     # under that even with Spark progress-bar noise preceding it.
-    assert len(line) < 1700, f"bench stdout line too long: {len(line)}"
+    # A real raise, not `assert` — assert is stripped under -O, which
+    # would silently reopen the failure mode in optimized runs.
+    if len(line) >= 1700:
+        raise RuntimeError(f"bench stdout line too long: {len(line)}")
     print(line)
     return 0
 
