@@ -260,10 +260,83 @@ _ROUND8_WINDOW = [
 # top priority): events_kmv_rollup_users — evidence until then is
 # tools/parity.py hash-green at sf0.001 AND sf0.01 the day it landed,
 # plus the kmv merge/rollup property tests in tests/test_scale_utils.py.
+#
+# PROCESS NOTE (r9 post-mortem): round 9 never added a _ROUND9_WINDOW, so
+# the driver re-checked the frozen r8 window byte-for-byte and the three
+# sketch queries above stayed driver-unchecked. Two guards now prevent a
+# repeat: (a) _apply_window_order auto-selects the HIGHEST-numbered
+# _ROUND<N>_WINDOW defined in this module — a new window takes effect the
+# moment it is written, and forgetting to write one is caught by (b)
+# tests/test_registry_window.py, which asserts the active window's head
+# covers every never-driver-checked registered query (per the committed
+# CORRECTNESS_r*.json union — the same computation as tools/coverage.py).
+
+
+# ROUND-10 WINDOW, priority order per the r9 verdict's #1:
+#   1. the three never-driver-checked sketch queries (their only
+#      correctness evidence so far is tools/parity.py at sf0.01 plus the
+#      judge's independent parity run — both hash-green, but no driver row);
+#   2. round-10 churn: events_hll_lc_users (NEW — a planted-cardinality
+#      HLL query that provably takes the linear-counting branch, verdict
+#      #4) and dedup_embedding_neardup (its registered closure changes
+#      this round while settling the r9 wall-time residual, verdict #3);
+#   3. oldest-first rotation: 45 of the 48 queries last driver-checked in
+#      round 6 — now FOUR rounds stale, the oldest evidence in the
+#      surface — in r6 registration order.
+# Deferred to r11 (the 3 r6-checked queries that don't fit; first in line
+# next round, strongest alternative evidence chosen): embedding_stats and
+# label_centroid_distance (single-pass projections whose closure churn
+# since r6 is append-only operator-module growth, re-proven by every
+# full-surface parity sweep since) and events_approx_distinct_users (its
+# driver check is rows-only by design — built-in HLL++ registers are
+# engine-internal — so a driver row adds the least evidence; its
+# deterministic replacements events_kmv_* / events_hll_* are all in this
+# window with full hash checks).
+_ROUND10_WINDOW = [
+    # 1. never driver-checked
+    "events_hll_distinct_users", "events_hll_rollup_users",
+    "events_kmv_rollup_users",
+    # 2. round-10 churn
+    "events_hll_lc_users", "dedup_embedding_neardup",
+    # 3. last checked r6 — four rounds stale (45), registration order
+    "tpch_q2_min_cost_supplier", "tpch_q4_order_priority",
+    "tpch_q9_product_profit", "tpch_q11_important_stock",
+    "tpch_q12_ship_speed", "tpch_q16_parts_supplier",
+    "tpch_q20_excess_supply", "tpch_q21_waiting_orders",
+    "star_customers_without_orders",
+    "tpch_q22_global_sales_opportunity",
+    "dedup_exact_groups", "dedup_exact_survivors", "dedup_minhash_lsh",
+    "dedup_ngram_jaccard", "doc_simhash", "text_quality_scores",
+    "text_token_counts", "lang_id_scores", "doc_fingerprints",
+    "dedup_clusters", "pipeline_clean_corpus", "multimodal_features",
+    "dedup_simhash", "dedup_simhash64", "doc_winnow_fingerprints",
+    "dedup_winnow_pairs", "tfidf_top_terms", "text_chunk_documents",
+    "decon_eval_overlap", "taxi_end_events", "taxi_cell_centers",
+    "taxi_total_arrival_count", "taxi_sliding_arrival_count",
+    "taxi_trip_etl", "events_hourly_counts", "events_asof_latest_order",
+    "events_pivot_type_counts", "events_user_type_arrays",
+    "events_value_stats", "events_json_props", "sample_hash_split",
+    "sample_source_cap", "sample_pack_bins", "sample_stratified",
+    "source_length_quantiles",
+]
+
+
+def _active_window() -> list[str]:
+    """The highest-numbered _ROUND<N>_WINDOW defined in this module.
+
+    Selecting by max(N) instead of naming a specific list makes 'wrote a
+    new window but forgot to wire it' impossible — the r9 failure mode."""
+    rounds = {
+        int(name.split("_")[1][5:]): value
+        for name, value in globals().items()
+        if name.startswith("_ROUND") and name.endswith("_WINDOW")
+    }
+    return rounds[max(rounds)]
 
 
 def _apply_window_order() -> None:
-    ordered = {n: QUERIES[n] for n in _ROUND8_WINDOW if n in QUERIES}
+    window = _active_window()
+    ordered = {n: QUERIES[n] for n in window if n in QUERIES}
     ordered.update({n: f for n, f in QUERIES.items() if n not in ordered})
     QUERIES.clear()
     QUERIES.update(ordered)

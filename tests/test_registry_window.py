@@ -1,0 +1,78 @@
+"""Guards for the driver-window rotation policy (plans/registry.py).
+
+Round 9's process miss: a new round window was never written, so the
+driver silently re-checked the previous round's 50 queries and the
+round's additions got no driver row. These tests make both halves of
+that failure mode loud:
+
+* forgetting to WRITE a window — the never-driver-checked set (per the
+  committed CORRECTNESS_r*.json union, the same computation as
+  tools/coverage.py) must sit inside the first 50 registered names,
+  which is exactly the slice the driver checks;
+* writing a window but not WIRING it — _apply_window_order auto-selects
+  the highest-numbered _ROUND<N>_WINDOW, and the applied order is
+  asserted to match that selection.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+DRIVER_SLOTS = 50
+
+
+def _driver_checked_names() -> set[str]:
+    names: set[str] = set()
+    for path in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")):
+        with open(path) as f:
+            names.update(json.load(f))
+    return names
+
+
+def test_never_checked_queries_lead_the_window():
+    from flink_streaming_demo_spark.plans import registry
+
+    registered = list(registry.QUERIES)
+    never = set(registered) - _driver_checked_names()
+    head = set(registered[:DRIVER_SLOTS])
+    missed = never - head
+    assert not missed, (
+        f"{len(missed)} never-driver-checked queries are OUTSIDE the "
+        f"first {DRIVER_SLOTS} registered names (the driver's window): "
+        f"{sorted(missed)}. Add them to the front of the active "
+        f"_ROUND<N>_WINDOW in plans/registry.py."
+    )
+
+
+def test_active_window_is_highest_round_and_applied():
+    from flink_streaming_demo_spark.plans import registry
+
+    windows = {
+        int(m.group(1)): getattr(registry, name)
+        for name in dir(registry)
+        if (m := re.fullmatch(r"_ROUND(\d+)_WINDOW", name))
+    }
+    assert windows, "no _ROUND<N>_WINDOW defined"
+    newest = windows[max(windows)]
+    assert registry._active_window() is newest
+    # the applied registration order must start with the active window
+    # (restricted to names that are actually registered)
+    expected_head = [n for n in newest if n in registry.QUERIES]
+    assert list(registry.QUERIES)[: len(expected_head)] == expected_head
+
+
+def test_window_names_resolve_and_are_unique():
+    from flink_streaming_demo_spark.plans import registry
+
+    window = registry._active_window()
+    assert len(window) == len(set(window)), "duplicate names in window"
+    assert len(window) <= DRIVER_SLOTS, (
+        f"window has {len(window)} names but the driver only checks "
+        f"{DRIVER_SLOTS}; the tail would silently get no row"
+    )
+    unknown = [n for n in window if n not in registry.QUERIES]
+    assert not unknown, f"window names not registered (typo?): {unknown}"
