@@ -438,16 +438,17 @@ def hll_merge(
     return hll_rollup(a.unionByName(b), group_cols)
 
 
-def hll_estimate(
+def hll_estimate_detail(
     registers: DataFrame, group_cols: list[str]
 ) -> DataFrame:
-    """Read-time view over a register table: (group_cols...,
-    n_registers, hll_distinct). Harmonic sum is computed over EXACT
-    integer terms 2^(61-rho) in DECIMAL(38,0) (absent buckets
-    contribute rho=0 -> 2^61 each, added in closed form), then one
-    cast to double, one division, and the linear-counting branch below
-    2.5m — see the block comment above for why every step is
-    engine-deterministic."""
+    """hll_estimate plus the branch indicator: (group_cols...,
+    n_registers, hll_distinct, lc_branch). ``lc_branch`` is TRUE when
+    the estimate came from the linear-counting branch (raw estimate
+    <= 2.5m AND at least one zero register) — exposing it as a result
+    column makes WHICH branch produced each row part of the
+    hash-checked contract, so a driver green on a fixture known to sit
+    in the LC regime proves the ln() path executed (not just that both
+    engines agreed on some number)."""
     m = HLL_M
     term = F.expr("shiftleft(CAST(1 AS BIGINT), 61 - rho)").cast(
         "decimal(38,0)"
@@ -463,15 +464,30 @@ def hll_estimate(
     ).cast("double")
     e_raw = F.lit(_HLL_NUM) / total
     v = F.lit(m) - F.col("_n_present")  # zero registers
+    lc = (e_raw <= F.lit(_HLL_LC_CUT)) & (v > 0)
     e = F.when(
-        (e_raw <= F.lit(_HLL_LC_CUT)) & (v > 0),
-        F.lit(float(m)) * F.log(F.lit(float(m)) / v),
+        lc, F.lit(float(m)) * F.log(F.lit(float(m)) / v)
     ).otherwise(e_raw)
     return agg.select(
         *group_cols,
         F.col("_n_present").cast("int").alias("n_registers"),
         F.floor(e).cast("long").alias("hll_distinct"),
+        lc.alias("lc_branch"),
     )
+
+
+def hll_estimate(
+    registers: DataFrame, group_cols: list[str]
+) -> DataFrame:
+    """Read-time view over a register table: (group_cols...,
+    n_registers, hll_distinct). Harmonic sum is computed over EXACT
+    integer terms 2^(61-rho) in DECIMAL(38,0) (absent buckets
+    contribute rho=0 -> 2^61 each, added in closed form), then one
+    cast to double, one division, and the linear-counting branch below
+    2.5m — see the block comment above for why every step is
+    engine-deterministic. (hll_estimate_detail carries the shared
+    implementation and additionally exposes the branch indicator.)"""
+    return hll_estimate_detail(registers, group_cols).drop("lc_branch")
 
 
 def sql_hll_registers(group_col: str, key_col: str, table: str) -> str:
@@ -506,19 +522,26 @@ def sql_hll_registers(group_col: str, key_col: str, table: str) -> str:
 
 
 def sql_hll_estimate_from_registers(
-    group_col: str, registers_cte: str
+    group_col: str, registers_cte: str, detail: bool = False
 ) -> str:
-    """DuckDB twin of hll_estimate over a named registers CTE."""
+    """DuckDB twin of hll_estimate over a named registers CTE;
+    ``detail=True`` additionally emits the lc_branch indicator
+    (hll_estimate_detail's twin). The branch predicate reuses the same
+    float literals embedded verbatim on both engines."""
     m = HLL_M
+    lc_pred = (
+        f"{_HLL_NUM!r} / total_d <= {_HLL_LC_CUT!r}"
+        f" AND ({m} - n_present) > 0"
+    )
+    lc_col = f",\n               ({lc_pred}) AS lc_branch" if detail else ""
     return f"""
         SELECT {group_col},
                CAST(n_present AS INT) AS n_registers,
                CAST(FLOOR(
-                   CASE WHEN {_HLL_NUM!r} / total_d <= {_HLL_LC_CUT!r}
-                             AND ({m} - n_present) > 0
+                   CASE WHEN {lc_pred}
                         THEN {float(m)!r} * LN({float(m)!r} / ({m} - n_present))
                         ELSE {_HLL_NUM!r} / total_d
-                   END) AS BIGINT) AS hll_distinct
+                   END) AS BIGINT) AS hll_distinct{lc_col}
         FROM (
             SELECT {group_col},
                    COUNT(*) AS n_present,

@@ -1530,3 +1530,80 @@ register(
     events_hll_rollup_users,
     _hll_oracle(),
 )
+
+
+def events_hll_lc_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Planted-cardinality HLL fixture that PROVABLY exercises the
+    linear-counting branch — the ``ln()``-based small-range estimator
+    (E' = m*ln(m/V)), the one libm call in the deterministic sketch
+    (operators/scale.py hll_estimate_detail). Two planted tiers over the
+    events table, sketched in one pass:
+
+      * tier 'lc':       key = user_id # (event_id % 2) — ≈2 keys/user,
+        ~300 distinct per event_type at sf0.01, firmly below the
+        2.5·m = 640 cut with many zero registers;
+      * tier 'near_cut': key = user_id # (event_id % 4) — ~600 distinct,
+        pressing against the cut from below, so the branch predicate
+        itself (raw-estimate <= 640 AND V > 0) is evaluated where it
+        actually matters.
+
+    The result carries ``lc_branch`` as a hash-checked column, so a
+    driver green doesn't just say both engines agreed on a number — it
+    pins WHICH branch produced every row (tests/test_scale_utils.py
+    additionally asserts tier 'lc' rows all took the LC branch). The
+    planted key is NULL-propagating concat on both engines (Spark
+    F.concat ≡ DuckDB ||), and event_id is non-negative so pmod ≡ %."""
+    from flink_streaming_demo_spark.operators.scale import (
+        hll_estimate_detail,
+        hll_partial,
+    )
+
+    ev = t(spark, sf_dir, "events")
+
+    def keyed(mod: int, tier: str) -> DataFrame:
+        key = F.concat(
+            F.col("user_id").cast("string"),
+            F.lit("#"),
+            F.pmod(F.col("event_id"), F.lit(mod)).cast("string"),
+        )
+        return ev.select(
+            F.lit(tier).alias("tier"),
+            F.col("event_type"),
+            key.alias("lc_key"),
+        )
+
+    stacked = keyed(2, "lc").unionByName(keyed(4, "near_cut"))
+    regs = hll_partial(stacked, ["tier", "event_type"], "lc_key")
+    return hll_estimate_detail(regs, ["tier", "event_type"])
+
+
+def _hll_lc_oracle() -> str:
+    from flink_streaming_demo_spark.operators.scale import (
+        sql_hll_estimate_from_registers,
+        sql_hll_registers,
+    )
+
+    def keyed(mod: int, tier: str) -> str:
+        return f"""
+            SELECT '{tier}' AS tier, event_type,
+                   CAST(user_id AS VARCHAR) || '#'
+                       || CAST(event_id % {mod} AS VARCHAR) AS lc_key
+            FROM events
+        """
+
+    registers = sql_hll_registers(
+        "tier, event_type", "lc_key", "keyed"
+    )
+    return f"""
+    WITH keyed AS (
+        {keyed(2, "lc")}
+        UNION ALL
+        {keyed(4, "near_cut")}
+    ), hll_regs AS (
+        {registers}
+    )
+    {sql_hll_estimate_from_registers("tier, event_type", "hll_regs", detail=True)}
+    """
+
+
+register("events_hll_lc_users", events_hll_lc_users, _hll_lc_oracle())

@@ -325,3 +325,62 @@ def test_hll_excludes_null_keys_and_caps_state(spark):
         ["grp"], "key",
     )
     assert empty.count() == 0
+
+
+def test_hll_lc_branch_fixture_takes_linear_counting(spark, sf_dir):
+    """The planted-cardinality fixture (events_hll_lc_users) must
+    actually exercise the linear-counting branch — the one libm (ln)
+    call in the sketch: every 'lc'-tier row reports lc_branch=True, and
+    the estimate sits within the sketch's small-range error of the true
+    planted cardinality. sf0.001: ~30 keys/type (2 per user), m=256."""
+    from flink_streaming_demo_spark.plans.event_queries import (
+        events_hll_lc_users,
+    )
+
+    rows = events_hll_lc_users(spark, sf_dir).collect()
+    assert rows, "fixture produced no groups"
+    lc_rows = [r for r in rows if r.tier == "lc"]
+    assert lc_rows and all(r.lc_branch for r in lc_rows)
+    ev = load_table(spark, sf_dir, "events")
+    truth = {
+        r.event_type: r.n
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.countDistinct(
+                F.concat(
+                    F.col("user_id").cast("string"),
+                    F.lit("#"),
+                    F.pmod("event_id", F.lit(2)).cast("string"),
+                )
+            ).alias("n")
+        )
+        .collect()
+    }
+    for r in lc_rows:
+        # LC error at V zero-registers is ~sqrt(m)-scale; 15% covers it
+        # comfortably at these planted cardinalities without being loose
+        # enough to pass on a broken branch (raw HLL at n<<m overshoots
+        # by far more).
+        assert abs(r.hll_distinct - truth[r.event_type]) <= max(
+            6, 0.15 * truth[r.event_type]
+        )
+
+
+def test_hll_lc_branch_indicator_false_above_cut(spark, sf_dir):
+    """Negative control for the branch indicator: a high-cardinality key
+    (event_id over ONE global group — 1000 distinct at sf0.001, raw
+    estimate far above the 2.5*m = 640 cut; per-event_type would only be
+    200/group, still LC) must report lc_branch=False, proving the
+    indicator discriminates rather than being constant-true."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "g", F.lit("all")
+    )
+    est = scale.hll_estimate_detail(
+        scale.hll_partial(ev, ["g"], "event_id"), ["g"]
+    ).collect()
+    assert est and all(not r.lc_branch for r in est)
+    # and hll_estimate is detail minus the indicator column
+    slim = scale.hll_estimate(
+        scale.hll_partial(ev, ["g"], "event_id"), ["g"]
+    )
+    assert slim.columns == ["g", "n_registers", "hll_distinct"]
