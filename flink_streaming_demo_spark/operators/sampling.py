@@ -228,10 +228,12 @@ def exact_global_ntile(
     so they are ranked — never dropped — exactly as the built-in
     ``NTILE`` would rank them. NaN order values likewise: Spark sorts
     NaN greater than every non-NaN value (after them for asc, before
-    them for desc), and every F.when comparison on NaN is false, so
-    without a dedicated chunk NaN rows would silently fall into chunk 0;
-    they get the extreme chunk on the opposite side from NULLs, and the
-    min/max bounds exclude NaN so the value chunks stay balanced.
+    them for desc) and COMPARES NaN greater than every numeric in
+    expressions too, so before the dedicated chunk existed, a NaN in
+    the data made ``_gn_max`` NaN — poisoning the range arithmetic for
+    every row — and NaN rows themselves landed past every boundary,
+    mis-chunked; routing NaNs to the extreme chunk on the opposite side
+    from NULLs and excluding NaN from the min/max bounds fixes both.
 
     Skew: the default ``chunk_bounds="range"`` balances work only when
     the order column is spread across its [min, max] span; pass

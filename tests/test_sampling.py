@@ -335,11 +335,12 @@ def test_exact_global_ntile_ranks_nulls_like_builtin(spark):
 
 
 def test_exact_global_ntile_ranks_nans_like_builtin(spark):
-    """NaN order values sort GREATER than every non-NaN value in Spark
-    (after them asc, before them desc) — but every F.when comparison on
-    NaN is false, so pre-r9 a NaN row silently fell into chunk 0 and got
-    the wrong tile. NaNs must also be excluded from the min/max chunk
-    bounds (a NaN max poisons the range arithmetic for every row)."""
+    """NaN order values both SORT and COMPARE greater than every
+    non-NaN value in Spark — so pre-r9 a NaN in the data made _gn_max
+    NaN (poisoning the range arithmetic for every row) and NaN rows
+    themselves compared past every chunk boundary and were mis-chunked.
+    The dedicated NaN chunk plus NaN-excluded min/max bounds fix both;
+    this pins the tiles against the built-in NTILE."""
     from pyspark.sql import Window
 
     nan = float("nan")
