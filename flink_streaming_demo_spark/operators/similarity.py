@@ -261,6 +261,20 @@ def embedding_neardup_pairs(
         from flink_streaming_demo_spark.operators.dedup import drop_viral_keys
 
         sides = drop_viral_keys(sides, "bk", max_bucket)
+    # FAN-OUT vs AQE (round-10 root cause of a 2.4x wall regression):
+    # AQE coalesces shuffle reads by MAP-OUTPUT bytes, and the band rows
+    # are tiny (id + short key), so both the band-join read and the
+    # pair-dedup read collapse to ~1 partition — but the join FANS OUT
+    # (output pairs >> input rows), so the entire exact rerank then runs
+    # on one core. Pinning both exchanges with an explicit
+    # repartition(N, keys) keeps them out of AQE coalescing (Spark
+    # honors user-specified partition counts), restoring rerank
+    # parallelism: sf0.1 best-of-3 2.32 s -> 0.96 s, identical output.
+    # At real scale the pin is harmless — P is the session's tuned
+    # shuffle parallelism, and band bytes there are large enough that
+    # coalescing wouldn't have triggered anyway.
+    p = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    sides = sides.repartition(p, "bk")
     a = sides.alias("a").hint("shuffle_hash")
     b = sides.alias("b").hint("shuffle_hash")
     cand_ids = (
@@ -273,6 +287,7 @@ def embedding_neardup_pairs(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
         )
+        .repartition(p, "id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
     vecs = df.select(
