@@ -374,3 +374,74 @@ def streaming_kmv_distinct(
         sink.foreach_batch(part, epoch_id)
 
     return body
+
+
+def streaming_hll_distinct(
+    sink,
+    group_cols: list[str],
+    key_col: str,
+):
+    """foreachBatch body maintaining a deterministic-HLL register table
+    over a stream — the register-sketch sibling of streaming_kmv_distinct:
+    per micro-batch, build the batch's registers
+    (operators/scale.hll_partial), ⊕-merge with the store's current
+    per-group registers (union + per-(group, bucket) MAX), and upsert the
+    merged rows under key (group_cols..., bucket). MAX is idempotent, so
+    a crash-replayed micro-batch re-merges to the identical register
+    table — effective exactly-once from the sketch algebra alone — and
+    last-write-wins upsert is correct because merged rho >= stored rho
+    by construction.
+
+    Scale shape mirrors the KMV body: the batch's registers are
+    trigger-bounded (<= m rows per touched group), the store side is
+    SEMI-JOINED to the batch's group keys before merging (only touched
+    groups feed the merge), and the sink's dynamic-partition overwrite
+    rewrites only touched buckets. State per group is <= m = 256
+    (bucket, rho) smallint pairs regardless of stream length; estimates
+    come from the read-time view operators/scale.hll_estimate over
+    ``sink.read(spark)`` — the store IS the mergeable sketch, so batch
+    partials (hll_rollup) and the streaming store compose freely.
+
+    Requires a STORE-BACKED sink (ParquetUpsertSink) whose key is
+    exactly (group_cols..., bucket); both are checked at construction so
+    a mis-keyed sink fails fast instead of silently collapsing registers
+    (key without bucket) or duplicating them (extra key columns).
+    """
+    from flink_streaming_demo_spark.operators.scale import (
+        hll_merge,
+        hll_partial,
+    )
+
+    if not (hasattr(sink, "path") and hasattr(sink, "read")):
+        raise TypeError(
+            "streaming_hll_distinct needs a store-backed sink exposing "
+            ".path and .read(spark) (ParquetUpsertSink); got "
+            f"{type(sink).__name__} — its state cannot be merged across "
+            "triggers"
+        )
+    expected_key = [*group_cols, "bucket"]
+    if getattr(sink, "key_cols", expected_key) != expected_key:
+        raise ValueError(
+            f"sink key_cols must be {expected_key} (one upsert row per "
+            f"register), got {sink.key_cols}"
+        )
+
+    def body(batch_df: DataFrame, epoch_id: int) -> None:
+        if not batch_df.head(1):
+            return
+        part = hll_partial(batch_df, group_cols, key_col).localCheckpoint()
+        import os
+
+        if os.path.exists(sink.path):
+            from pyspark.sql import functions as F
+
+            touched = part.select(*group_cols).distinct()
+            cur = (
+                sink.read(batch_df.sparkSession)
+                .join(F.broadcast(touched), group_cols, "left_semi")
+                .select(*group_cols, "bucket", "rho")
+            )
+            part = hll_merge(cur, part, group_cols)
+        sink.foreach_batch(part, epoch_id)
+
+    return body

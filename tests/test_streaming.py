@@ -1454,3 +1454,102 @@ def test_streaming_kmv_rejects_storeless_sink_at_construction():
         streaming_kmv_distinct(
             InMemoryUpsertSink(["event_type"]), ["event_type"], "user_id"
         )
+
+
+def test_streaming_hll_sketch_equals_batch_and_is_replay_idempotent(
+    spark, sf_dir
+):
+    """Chunked replay of the events table through the HLL-maintenance
+    body must converge to the BATCH register table over the same rows
+    (per-bucket MAX is associative/commutative), and re-applying a
+    chunk must not change the state (MAX idempotence — the property
+    that makes a crash-replayed trigger harmless). Derived estimates
+    from the store must equal the batch read-time view."""
+    from flink_streaming_demo_spark.operators.scale import (
+        hll_estimate,
+        hll_partial,
+    )
+    from flink_streaming_demo_spark.schemas import load_table
+    from flink_streaming_demo_spark.streaming.pipelines import (
+        streaming_hll_distinct,
+        write_foreach_batch_stream,
+    )
+    from flink_streaming_demo_spark.streaming.sinks import ParquetUpsertSink
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "user_id"
+    )
+    chunk_dir = replay.write_replay_chunks(
+        ev.withColumn("delivery_ts", F.col("event_id")),
+        n_chunks=4,
+        order_col="delivery_ts",
+    )
+    store = tempfile.mkdtemp(prefix="hll_") + "/store"
+    sink = ParquetUpsertSink(store, ["event_type", "bucket"])
+    body = streaming_hll_distinct(sink, ["event_type"], "user_id")
+    try:
+        stream = replay.read_replay_stream(
+            spark,
+            chunk_dir,
+            "event_id long, event_type string, user_id long",
+            max_files_per_trigger=1,
+        )
+        q = write_foreach_batch_stream(stream, body, "hll_sketch")
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+        def regs(df):
+            return {
+                (r.event_type, r.bucket): r.rho
+                for r in df.select("event_type", "bucket", "rho").collect()
+            }
+
+        want = regs(hll_partial(ev, ["event_type"], "user_id"))
+        assert regs(sink.read(spark)) == want
+        # replay idempotence: re-apply an arbitrary chunk's rows
+        body(ev.filter(F.col("event_id") % 4 == 1), epoch_id=99)
+        assert regs(sink.read(spark)) == want
+        # derived estimates equal the batch read-time view
+        est_stream = {
+            tuple(r)
+            for r in hll_estimate(
+                sink.read(spark).select("event_type", "bucket", "rho"),
+                ["event_type"],
+            ).collect()
+        }
+        est_batch = {
+            tuple(r)
+            for r in hll_estimate(
+                hll_partial(ev, ["event_type"], "user_id"), ["event_type"]
+            ).collect()
+        }
+        assert est_stream == est_batch
+    finally:
+        shutil.rmtree(chunk_dir, ignore_errors=True)
+        shutil.rmtree(store, ignore_errors=True)
+
+
+def test_streaming_hll_rejects_bad_sinks_at_construction():
+    """Storeless sinks AND mis-keyed store sinks must fail when the
+    pipeline is BUILT: a key without `bucket` would collapse all of a
+    group's registers into one upsert row (silently wrong estimates),
+    which is worse than the crash the storeless case would give."""
+    import pytest
+
+    from flink_streaming_demo_spark.streaming.pipelines import (
+        streaming_hll_distinct,
+    )
+    from flink_streaming_demo_spark.streaming.sinks import ParquetUpsertSink
+
+    with pytest.raises(TypeError, match="store-backed sink"):
+        streaming_hll_distinct(
+            InMemoryUpsertSink(["event_type"]), ["event_type"], "user_id"
+        )
+    with pytest.raises(ValueError, match="key_cols"):
+        streaming_hll_distinct(
+            ParquetUpsertSink("/tmp/never-created", ["event_type"]),
+            ["event_type"],
+            "user_id",
+        )
