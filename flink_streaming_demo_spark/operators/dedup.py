@@ -342,8 +342,16 @@ def ngram_jaccard_pairs(
     # into the candidate path with no extra shuffle on the big side.
     sh = drop_viral_keys(sh_all, "shingle", max_shingle_df)
     counts = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+    # shuffle_hash, not the default sort-merge: both sides are the same
+    # narrow (id, shingle) frame, and sorting 2x N rows by a long text
+    # key costs more than building a per-partition hash map of one side
+    # (sf0.1: full query 7.5 s -> 4.3 s, identical output). The build
+    # side stays bounded at scale — rows are narrow, partitions are the
+    # session's tuned shuffle parallelism, and the viral-shingle cap
+    # above bounds any single key's bucket; AQE skew-split also applies
+    # to shuffle-hash joins.
+    a = sh.alias("a").hint("shuffle_hash")
+    b = sh.alias("b").hint("shuffle_hash")
     shared = (
         a.join(
             b,

@@ -603,6 +603,17 @@ def semantic_dedup(
         from flink_streaming_demo_spark.operators.dedup import drop_viral_keys
 
         assigned = drop_viral_keys(assigned, "centroid_id", max_cluster)
+    # Same FAN-OUT vs AQE pin as embedding_neardup_pairs: the assigned
+    # rows are small (map-output KBs), so AQE coalesces the self-join's
+    # shuffle read to ~1 partition while the join fans out to
+    # sum(cluster^2) pairs — the whole cosine stage then runs one-core.
+    # An explicit repartition(N, centroid_id) satisfies the join's
+    # distribution requirement AND is exempt from AQE coalescing
+    # (sf0.1: 2.52 s -> 0.65 s, identical output).
+    assigned = assigned.repartition(
+        int(corpus.sparkSession.conf.get("spark.sql.shuffle.partitions")),
+        "centroid_id",
+    )
     a = assigned.select(
         F.col("centroid_id"),
         F.col(id_col).alias("id_a"),
