@@ -190,6 +190,22 @@ def main() -> int:
     print(f"never driver-checked: {len(never)}")
     for name in never:
         print(f"  ? {name}")
+
+    # Age view: how many rounds ago each query's latest driver row was
+    # recorded — the input the next round's window rotation is built
+    # from (never-checked first, then oldest-first). "Current round" =
+    # max round seen across all CORRECTNESS files.
+    if latest:
+        cur = max(r for r, _ in latest.values())
+        by_age: dict[int, list[str]] = {}
+        for name in QUERIES:
+            if name in latest:
+                by_age.setdefault(cur - latest[name][0], []).append(name)
+        print("age (rounds since last driver row):")
+        for age in sorted(by_age, reverse=True):
+            names = by_age[age]
+            label = ", ".join(names) if age >= 2 else f"{len(names)} queries"
+            print(f"  {age} rounds: {len(names):3d}  {label if age >= 2 else label}")
     return 1 if red else 0
 
 
