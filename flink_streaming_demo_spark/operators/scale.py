@@ -563,3 +563,317 @@ def sql_hll_distinct(group_col: str, key_col: str, table: str) -> str:
     )
     {sql_hll_estimate_from_registers(group_col, "hll_regs")}
     """
+
+
+# --- Deterministic Bloom filter (mergeable set-membership sketch) ------------
+#
+# Third member of the engine-replayable sketch family (KMV above: distinct
+# order statistics; HLL above: distinct registers; Bloom: SET MEMBERSHIP).
+# The 100 TB use is decontamination / blocklisting: a benchmark, canary, or
+# banned-key set sketched into m bits is BROADCASTABLE (m/63 BIGINT words
+# per group, ~8 KB at the default 4096 bits) where the exact key set would
+# need a shuffle join; probes are then map-side. One-sided error: a present
+# key is ALWAYS reported maybe-present (no false negatives — the property
+# decontamination needs: you never miss a real hit), an absent key is
+# maybe-present with p ~ (1 - e^(-k*n/m))^k.
+#
+# Engine determinism, same recipe as the HLL: bit positions come from
+# md5("<j>:<key>") hex via conv/CAST (exact 60-bit integers, mod m), words
+# pack 63 bits per BIGINT — bit 63 (the sign bit) is deliberately unused
+# because DuckDB raises on 1::BIGINT << 63 while Spark wraps negative, the
+# one place the two engines' shift semantics diverge. bit_or is
+# associative/commutative/idempotent, so partial -> rollup -> merge follow
+# the exact algebra of kmv_*/hll_* and sketch(A) ⊕ sketch(B) ==
+# sketch(A ∪ B) bit-for-bit.
+
+BLOOM_M_BITS = 4096   # bits per group sketch (64.5 words; ~8 KB serialized)
+BLOOM_K = 5           # hash probes per key
+_BLOOM_WORD_BITS = 63  # bits packed per BIGINT word (sign bit unused)
+
+
+def _sketch_pos(key: Column, j: int, modulus: int) -> Column:
+    """j-th deterministic position of ``key`` in [0, modulus): 60 bits of
+    md5("<j>:<key>") taken exactly on both engines (conv of 15 hex digits
+    fits BIGINT), reduced mod ``modulus``. Shared by Bloom and CMS."""
+    h = F.md5(F.concat(F.lit(f"{j}:"), key.cast("string")))
+    return F.conv(F.substring(h, 1, 15), 16, 10).cast("bigint") % F.lit(
+        modulus
+    )
+
+
+def bloom_partial(
+    df: DataFrame,
+    group_cols: list[str],
+    key_col: str,
+    m_bits: int = BLOOM_M_BITS,
+    k: int = BLOOM_K,
+) -> DataFrame:
+    """Per-group Bloom bit table: (group_cols..., word, bits) where bits
+    OR-accumulates the k probe positions of every non-NULL key. Duplicate
+    keys are idempotent under OR; one partial-agg-friendly bit_or pass —
+    map-side combine collapses each split to <= m/63 rows per group
+    before the shuffle, the same scale shape as hll_partial's MAX."""
+    wb = _BLOOM_WORD_BITS
+    pos = F.explode(
+        F.array(
+            *[_sketch_pos(F.col(key_col), j, m_bits) for j in range(k)]
+        )
+    ).alias("pos")
+    return (
+        df.filter(F.col(key_col).isNotNull())
+        .select(*group_cols, pos)
+        .select(
+            *group_cols,
+            F.expr(f"pos DIV {wb}").alias("word"),
+            F.expr(
+                f"shiftleft(CAST(1 AS BIGINT), CAST(pos % {wb} AS INT))"
+            ).alias("mask"),
+        )
+        .groupBy(*group_cols, "word")
+        .agg(F.bit_or("mask").alias("bits"))
+    )
+
+
+def bloom_rollup(partials: DataFrame, group_cols: list[str]) -> DataFrame:
+    """n-ary ⊕: word tables merge by per-word bit_or — associative,
+    commutative, idempotent, so finer partials (per day, per source)
+    collapse to coarser sketches without rescanning history."""
+    return partials.groupBy(*group_cols, "word").agg(
+        F.bit_or("bits").alias("bits")
+    )
+
+
+def bloom_merge(
+    a: DataFrame, b: DataFrame, group_cols: list[str]
+) -> DataFrame:
+    """Binary ⊕: union two word tables, re-OR per word."""
+    return bloom_rollup(a.unionByName(b), group_cols)
+
+
+def bloom_maybe_contains(
+    sketch: DataFrame,
+    probes: DataFrame,
+    group_cols: list[str],
+    key_col: str,
+    m_bits: int = BLOOM_M_BITS,
+    k: int = BLOOM_K,
+) -> DataFrame:
+    """Membership probe: returns ``probes``'s (group_cols..., key_col)
+    rows plus ``maybe_member`` — TRUE iff ALL k probe bits are set. The
+    sketch side is broadcast (<= m/63 rows per group by construction),
+    so the probe is a map-side join over the (large) probe set: the
+    broadcast-the-small-set shape that replaces a shuffle semi-join at
+    scale."""
+    wb = _BLOOM_WORD_BITS
+    probe_rows = probes.select(
+        *group_cols,
+        F.col(key_col),
+        F.posexplode(
+            F.array(
+                *[_sketch_pos(F.col(key_col), j, m_bits) for j in range(k)]
+            )
+        ).alias("_j", "pos"),
+    ).select(
+        *group_cols,
+        key_col,
+        F.expr(f"pos DIV {wb}").alias("word"),
+        F.expr(
+            f"shiftleft(CAST(1 AS BIGINT), CAST(pos % {wb} AS INT))"
+        ).alias("mask"),
+    )
+    joined = probe_rows.join(
+        F.broadcast(sketch), [*group_cols, "word"], "left"
+    )
+    hit = (
+        F.col("bits").isNotNull()
+        & (F.expr("bits & mask") == F.col("mask"))
+    ).cast("int")
+    return joined.groupBy(*group_cols, key_col).agg(
+        (F.sum(hit) == F.lit(k)).alias("maybe_member")
+    )
+
+
+def sql_bloom_bits(
+    group_col: str,
+    key_col: str,
+    table: str,
+    m_bits: int = BLOOM_M_BITS,
+    k: int = BLOOM_K,
+) -> str:
+    """DuckDB twin of bloom_partial (a CTE body)."""
+    wb = _BLOOM_WORD_BITS
+    return f"""
+        SELECT {group_col}, pos // {wb} AS word,
+               bit_or(CAST(1 AS BIGINT)
+                      << CAST(pos % {wb} AS INTEGER)) AS bits
+        FROM (
+            SELECT {group_col},
+                   CAST(('0x' || substr(md5(j::VARCHAR || ':'
+                        || CAST({key_col} AS VARCHAR)), 1, 15))
+                        AS BIGINT) % {m_bits} AS pos
+            FROM {table}, generate_series(0, {k - 1}) t(j)
+            WHERE {key_col} IS NOT NULL
+        )
+        GROUP BY {group_col}, pos // {wb}
+    """
+
+
+def sql_bloom_maybe_contains(
+    group_col: str,
+    key_col: str,
+    probes_cte: str,
+    sketch_cte: str,
+    m_bits: int = BLOOM_M_BITS,
+    k: int = BLOOM_K,
+) -> str:
+    """DuckDB twin of bloom_maybe_contains over named CTEs."""
+    wb = _BLOOM_WORD_BITS
+    return f"""
+        SELECT {group_col}, {key_col},
+               (SUM(CASE WHEN s.bits IS NOT NULL
+                          AND (s.bits & p.mask) = p.mask
+                         THEN 1 ELSE 0 END) = {k}) AS maybe_member
+        FROM (
+            SELECT {group_col}, {key_col}, pos // {wb} AS word,
+                   CAST(1 AS BIGINT)
+                       << CAST(pos % {wb} AS INTEGER) AS mask
+            FROM (
+                SELECT {group_col}, {key_col},
+                       CAST(('0x' || substr(md5(j::VARCHAR || ':'
+                            || CAST({key_col} AS VARCHAR)), 1, 15))
+                            AS BIGINT) % {m_bits} AS pos
+                FROM {probes_cte}, generate_series(0, {k - 1}) t(j)
+            )
+        ) p
+        LEFT JOIN {sketch_cte} s USING ({group_col}, word)
+        GROUP BY {group_col}, {key_col}
+    """
+
+
+# --- Deterministic Count-Min Sketch (mergeable frequency sketch) -------------
+#
+# Fourth family member: FREQUENCY. depth x width counter grid; each key
+# increments one counter per row (position = row-salted hash), estimate =
+# MIN over the key's depth counters. One-sided error: est >= true count
+# always; overestimate <= 2N/width with prob 1 - 2^-depth (Cormode &
+# Muthukrishnan 2005). Counters are plain SUMs, so partials merge by
+# addition — the same partial/rollup/estimate algebra as KMV/HLL/Bloom,
+# and the state per group is <= depth*width longs regardless of input.
+# The 100 TB use: per-key frequency (heavy hitters, throttling thresholds,
+# negative-sampling weights) where exact per-key counts would shuffle the
+# full key space; the sketch is groupBy'd on (row, col) — a FIXED key
+# domain — so the shuffle is bounded by depth*width, not by keys.
+
+CMS_DEPTH = 4
+CMS_WIDTH = 512
+
+
+def cms_partial(
+    df: DataFrame,
+    group_cols: list[str],
+    key_col: str,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """Per-group counter grid: (group_cols..., row, col, cnt). One
+    explode(depth) + one partial-agg SUM; map-side combine bounds the
+    shuffle at depth*width rows per group per split."""
+    rc = F.posexplode(
+        F.array(
+            *[_sketch_pos(F.col(key_col), j, width) for j in range(depth)]
+        )
+    ).alias("row", "col")
+    return (
+        df.filter(F.col(key_col).isNotNull())
+        .select(*group_cols, rc)
+        .groupBy(*group_cols, "row", "col")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+
+
+def cms_rollup(partials: DataFrame, group_cols: list[str]) -> DataFrame:
+    """n-ary ⊕: counters merge by per-(row, col) SUM."""
+    return partials.groupBy(*group_cols, "row", "col").agg(
+        F.sum("cnt").alias("cnt")
+    )
+
+
+def cms_merge(a: DataFrame, b: DataFrame, group_cols: list[str]) -> DataFrame:
+    return cms_rollup(a.unionByName(b), group_cols)
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    probes: DataFrame,
+    group_cols: list[str],
+    key_col: str,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """Point-query estimates: ``probes``'s (group_cols..., key_col) rows
+    plus ``cms_count`` = MIN over the key's depth counters (absent
+    counter cell -> 0). Sketch broadcast: <= depth*width rows/group."""
+    probe_rows = probes.select(
+        *group_cols,
+        F.col(key_col),
+        F.posexplode(
+            F.array(
+                *[_sketch_pos(F.col(key_col), j, width) for j in range(depth)]
+            )
+        ).alias("row", "col"),
+    )
+    joined = probe_rows.join(
+        F.broadcast(sketch), [*group_cols, "row", "col"], "left"
+    )
+    return joined.groupBy(*group_cols, key_col).agg(
+        F.min(F.coalesce(F.col("cnt"), F.lit(0).cast("bigint"))).alias(
+            "cms_count"
+        )
+    )
+
+
+def sql_cms_counters(
+    group_col: str,
+    key_col: str,
+    table: str,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> str:
+    """DuckDB twin of cms_partial (a CTE body)."""
+    return f"""
+        SELECT {group_col}, j AS row, pos AS col,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM (
+            SELECT {group_col}, j,
+                   CAST(('0x' || substr(md5(j::VARCHAR || ':'
+                        || CAST({key_col} AS VARCHAR)), 1, 15))
+                        AS BIGINT) % {width} AS pos
+            FROM {table}, generate_series(0, {depth - 1}) t(j)
+            WHERE {key_col} IS NOT NULL
+        )
+        GROUP BY {group_col}, j, pos
+    """
+
+
+def sql_cms_estimate(
+    group_col: str,
+    key_col: str,
+    probes_cte: str,
+    sketch_cte: str,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> str:
+    """DuckDB twin of cms_estimate over named CTEs."""
+    return f"""
+        SELECT {group_col}, {key_col},
+               MIN(COALESCE(s.cnt, 0)) AS cms_count
+        FROM (
+            SELECT {group_col}, {key_col}, j AS row,
+                   CAST(('0x' || substr(md5(j::VARCHAR || ':'
+                        || CAST({key_col} AS VARCHAR)), 1, 15))
+                        AS BIGINT) % {width} AS col
+            FROM {probes_cte}, generate_series(0, {depth - 1}) t(j)
+        ) p
+        LEFT JOIN {sketch_cte} s USING ({group_col}, row, col)
+        GROUP BY {group_col}, {key_col}
+    """

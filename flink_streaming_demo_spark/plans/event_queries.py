@@ -1607,3 +1607,266 @@ def _hll_lc_oracle() -> str:
 
 
 register("events_hll_lc_users", events_hll_lc_users, _hll_lc_oracle())
+
+
+# --- Bloom / CMS sketches (set membership + frequency, mergeable) ------------
+
+def _bloom_candidates(ev: DataFrame) -> DataFrame:
+    """Deterministic probe set for the Bloom fixtures: every 7th user id.
+    Some of these users exist in any given event_type's audience and some
+    don't, so probes exercise both the all-bits-set and missing-bit
+    paths."""
+    return (
+        ev.select(F.col("user_id"))
+        .filter(F.col("user_id") % 7 == 0)
+        .distinct()
+    )
+
+
+def events_bloom_flagged_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom set-membership audit: per event_type, sketch the type's user
+    audience into a Bloom filter (operators/scale.bloom_partial — the
+    broadcastable replacement for a shuffle semi-join at 100 TB), probe a
+    fixed candidate-user set against it, and report the probable-member
+    count next to the EXACT member count from a distinct join. Bloom has
+    no false negatives, so n_maybe >= n_exact row by row — both counts in
+    one hash-checked result makes the one-sided-error contract itself
+    part of the driver check. The sketch is <= 66 BIGINT words per group
+    (4096 bits); probes are a broadcast join, map-side."""
+    from flink_streaming_demo_spark.operators.scale import (
+        bloom_maybe_contains,
+        bloom_partial,
+    )
+
+    ev = t(spark, sf_dir, "events")
+    sketch = bloom_partial(ev, ["event_type"], "user_id")
+    cands = _bloom_candidates(ev)
+    types = ev.select("event_type").distinct()
+    probes = types.crossJoin(cands)
+    probed = bloom_maybe_contains(
+        sketch, probes, ["event_type"], "user_id"
+    )
+    exact = (
+        ev.select("event_type", "user_id")
+        .distinct()
+        .join(cands, "user_id", "left_semi")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_exact"))
+    )
+    maybe = probed.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_candidates"),
+        F.sum(F.col("maybe_member").cast("bigint")).alias("n_maybe"),
+    )
+    return maybe.join(exact, "event_type", "left").select(
+        "event_type",
+        "n_candidates",
+        "n_maybe",
+        F.coalesce("n_exact", F.lit(0).cast("bigint")).alias("n_exact"),
+    )
+
+
+def _bloom_oracle() -> str:
+    from flink_streaming_demo_spark.operators.scale import (
+        sql_bloom_bits,
+        sql_bloom_maybe_contains,
+    )
+
+    sketch = sql_bloom_bits("event_type", "user_id", "events")
+    probe = sql_bloom_maybe_contains(
+        "event_type", "user_id", "probes", "sketch"
+    )
+    return f"""
+    WITH cands AS (
+        SELECT DISTINCT user_id FROM events WHERE user_id % 7 = 0
+    ), probes AS (
+        SELECT event_type, user_id
+        FROM (SELECT DISTINCT event_type FROM events), cands
+    ), sketch AS (
+        {sketch}
+    ), probed AS (
+        {probe}
+    ), maybe AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_candidates,
+               CAST(SUM(CASE WHEN maybe_member THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_maybe
+        FROM probed GROUP BY event_type
+    ), exact AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_exact
+        FROM (SELECT DISTINCT event_type, user_id FROM events)
+        WHERE user_id IN (SELECT user_id FROM cands)
+        GROUP BY event_type
+    )
+    SELECT m.event_type, m.n_candidates, m.n_maybe,
+           COALESCE(e.n_exact, CAST(0 AS BIGINT)) AS n_exact
+    FROM maybe m LEFT JOIN exact e USING (event_type)
+    """
+
+
+register(
+    "events_bloom_flagged_users",
+    events_bloom_flagged_users,
+    _bloom_oracle(),
+)
+
+
+def events_bloom_rollup_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom rollup: sketch each (event_type, day) partition separately,
+    OR-merge the per-day word tables up to event_type (bloom_rollup),
+    then probe — the incremental-view shape (daily partials roll up;
+    history is never rescanned). bit_or is associative/commutative/
+    idempotent, so the merged sketch is BYTE-equal to the direct
+    per-type sketch and the oracle replays the direct build — a hash
+    green proves the Spark-side merge arithmetic, mirroring
+    events_kmv_rollup_users / events_hll_rollup_users."""
+    from flink_streaming_demo_spark.operators.scale import (
+        bloom_maybe_contains,
+        bloom_partial,
+        bloom_rollup,
+    )
+
+    ev = t(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    daily = bloom_partial(ev, ["event_type", "day"], "user_id")
+    sketch = bloom_rollup(
+        daily.select("event_type", "word", "bits"), ["event_type"]
+    )
+    cands = _bloom_candidates(ev)
+    probes = ev.select("event_type").distinct().crossJoin(cands)
+    probed = bloom_maybe_contains(
+        sketch, probes, ["event_type"], "user_id"
+    )
+    return probed.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_candidates"),
+        F.sum(F.col("maybe_member").cast("bigint")).alias("n_maybe"),
+    )
+
+
+def _bloom_rollup_oracle() -> str:
+    from flink_streaming_demo_spark.operators.scale import (
+        sql_bloom_bits,
+        sql_bloom_maybe_contains,
+    )
+
+    # direct sketch, not the daily rollup: idempotent-OR associativity
+    # makes the merged sketch byte-equal, which is the claim under test
+    return f"""
+    WITH cands AS (
+        SELECT DISTINCT user_id FROM events WHERE user_id % 7 = 0
+    ), probes AS (
+        SELECT event_type, user_id
+        FROM (SELECT DISTINCT event_type FROM events), cands
+    ), sketch AS (
+        {sql_bloom_bits("event_type", "user_id", "events")}
+    ), probed AS (
+        {sql_bloom_maybe_contains("event_type", "user_id", "probes", "sketch")}
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_candidates,
+           CAST(SUM(CASE WHEN maybe_member THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_maybe
+    FROM probed GROUP BY event_type
+    """
+
+
+register(
+    "events_bloom_rollup_users",
+    events_bloom_rollup_users,
+    _bloom_rollup_oracle(),
+)
+
+
+def events_cms_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min frequency estimates: per event_type, sketch per-user
+    event counts into a depth x width counter grid
+    (operators/scale.cms_partial — the shuffle is bounded by the FIXED
+    (row, col) domain, never by the key space), then point-query every
+    distinct (event_type, user) and report the estimate next to the
+    EXACT count. CMS never under-counts, so cms_count >= n_exact row by
+    row — like the Bloom fixture, the one-sided-error contract is part
+    of the hash-checked result. 100 TB shape: exact per-key counts
+    shuffle the full key space; the sketch shuffles <= depth*width rows
+    per group and merges by SUM (events_cms_rollup_users)."""
+    from flink_streaming_demo_spark.operators.scale import (
+        cms_estimate,
+        cms_partial,
+    )
+
+    ev = t(spark, sf_dir, "events")
+    sketch = cms_partial(ev, ["event_type"], "user_id")
+    probes = ev.select("event_type", "user_id").distinct()
+    est = cms_estimate(sketch, probes, ["event_type"], "user_id")
+    exact = ev.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_exact")
+    )
+    return est.join(exact, ["event_type", "user_id"]).select(
+        "event_type", "user_id", "cms_count", "n_exact"
+    )
+
+
+def _cms_oracle(include_exact: bool) -> str:
+    from flink_streaming_demo_spark.operators.scale import (
+        sql_cms_counters,
+        sql_cms_estimate,
+    )
+
+    exact_cols = ", e.n_exact" if include_exact else ""
+    exact_join = (
+        """
+        JOIN (SELECT event_type, user_id,
+                     CAST(COUNT(*) AS BIGINT) AS n_exact
+              FROM events WHERE user_id IS NOT NULL
+              GROUP BY event_type, user_id) e
+        USING (event_type, user_id)
+        """
+        if include_exact
+        else ""
+    )
+    return f"""
+    WITH sketch AS (
+        {sql_cms_counters("event_type", "user_id", "events")}
+    ), probes AS (
+        SELECT DISTINCT event_type, user_id FROM events
+        WHERE user_id IS NOT NULL
+    ), est AS (
+        {sql_cms_estimate("event_type", "user_id", "probes", "sketch")}
+    )
+    SELECT est.event_type, est.user_id, est.cms_count{exact_cols}
+    FROM est {exact_join}
+    """
+
+
+register(
+    "events_cms_user_counts",
+    events_cms_user_counts,
+    _cms_oracle(include_exact=True),
+)
+
+
+def events_cms_rollup_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CMS rollup: sketch each (event_type, day) partition separately,
+    SUM-merge the per-day counter grids up to event_type (cms_rollup),
+    then point-query — counters are plain sums, so the merged grid
+    EQUALS the direct per-type sketch and the oracle replays the direct
+    build; a hash green proves the Spark-side merge arithmetic. Fourth
+    instance of the partial/rollup/estimate sketch pattern (KMV, HLL,
+    Bloom, CMS)."""
+    from flink_streaming_demo_spark.operators.scale import (
+        cms_estimate,
+        cms_partial,
+        cms_rollup,
+    )
+
+    ev = t(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    daily = cms_partial(ev, ["event_type", "day"], "user_id")
+    sketch = cms_rollup(
+        daily.select("event_type", "row", "col", "cnt"), ["event_type"]
+    )
+    probes = ev.select("event_type", "user_id").distinct()
+    return cms_estimate(sketch, probes, ["event_type"], "user_id")
+
+
+register(
+    "events_cms_rollup_users",
+    events_cms_rollup_users,
+    _cms_oracle(include_exact=False),
+)

@@ -334,6 +334,17 @@ _ROUND10_WINDOW = [
 ]
 
 
+# Added after the r10 window was frozen (register at position 51+, so
+# the driver first checks them in the r11 window, where never-checked
+# churn is top priority — together with the 6 deferred r6 re-greens
+# listed above): events_bloom_flagged_users, events_bloom_rollup_users,
+# events_cms_user_counts, events_cms_rollup_users — the Bloom
+# (set-membership) and Count-Min (frequency) members of the
+# deterministic sketch family. Evidence until then: tools/parity.py
+# hash-green at sf0.001 AND sf0.01 the day they landed, plus the merge-
+# law / one-sided-error property tests in tests/test_scale_utils.py.
+
+
 def _active_window() -> list[str]:
     """The highest-numbered _ROUND<N>_WINDOW defined in this module.
 

@@ -384,3 +384,96 @@ def test_hll_lc_branch_indicator_false_above_cut(spark, sf_dir):
         scale.hll_partial(ev, ["g"], "event_id"), ["g"]
     )
     assert slim.columns == ["g", "n_registers", "hll_distinct"]
+
+
+def test_bloom_merge_equals_whole_and_no_false_negatives(spark, sf_dir):
+    """Bloom sketch algebra: sketch(A) ⊕ sketch(B) == sketch(A ∪ B)
+    bit-for-bit (bit_or associativity), merge is idempotent, and every
+    key that IS in the set probes maybe_member=True (the no-false-
+    negatives contract decontamination relies on)."""
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_id") % 2 == 0)
+    b = ev.filter(F.col("event_id") % 2 == 1)
+    whole = scale.bloom_partial(ev, ["event_type"], "user_id")
+    pa = scale.bloom_partial(a, ["event_type"], "user_id")
+    merged = scale.bloom_merge(
+        pa,
+        scale.bloom_partial(b, ["event_type"], "user_id"),
+        ["event_type"],
+    )
+
+    def bits(df):
+        return {
+            (r.event_type, r.word): r.bits for r in df.collect()
+        }
+
+    assert bits(merged) == bits(whole)
+    again = scale.bloom_merge(pa, pa, ["event_type"])
+    assert bits(again) == bits(pa)
+    # no false negatives: probe every actually-present (type, user)
+    present = ev.select("event_type", "user_id").distinct()
+    probed = scale.bloom_maybe_contains(
+        whole, present, ["event_type"], "user_id"
+    )
+    assert probed.filter(~F.col("maybe_member")).count() == 0
+
+
+def test_bloom_absent_keys_mostly_rejected(spark, sf_dir):
+    """The other half of the contract: keys far outside the sketched set
+    should mostly probe False (false-positive rate ~ (1-e^(-kn/m))^k —
+    well under 10% at n<=200 per group, m=4096, k=5). 'Mostly' is pinned
+    loosely (< 25%) so the test detects a degenerate always-True sketch
+    without flaking on hash luck."""
+    ev = load_table(spark, sf_dir, "events")
+    sketch = scale.bloom_partial(ev, ["event_type"], "user_id")
+    absent = (
+        ev.select("event_type")
+        .distinct()
+        .crossJoin(
+            ev.select(
+                (F.col("user_id") + 1_000_000).alias("user_id")
+            ).distinct()
+        )
+    )
+    probed = scale.bloom_maybe_contains(
+        sketch, absent, ["event_type"], "user_id"
+    )
+    n = probed.count()
+    fp = probed.filter(F.col("maybe_member")).count()
+    assert n > 0 and fp / n < 0.25, (fp, n)
+
+
+def test_cms_merge_equals_whole_and_never_undercounts(spark, sf_dir):
+    """CMS algebra: per-(row, col) SUM merge of split sketches equals
+    the whole-input sketch exactly, and every point estimate >= the true
+    count (one-sided error), <= the group's total rows (sanity cap)."""
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_id") % 2 == 0)
+    b = ev.filter(F.col("event_id") % 2 == 1)
+    whole = scale.cms_partial(ev, ["event_type"], "user_id")
+    merged = scale.cms_merge(
+        scale.cms_partial(a, ["event_type"], "user_id"),
+        scale.cms_partial(b, ["event_type"], "user_id"),
+        ["event_type"],
+    )
+
+    def grid(df):
+        return {
+            (r.event_type, r.row, r.col): r.cnt for r in df.collect()
+        }
+
+    assert grid(merged) == grid(whole)
+    probes = ev.select("event_type", "user_id").distinct()
+    est = scale.cms_estimate(whole, probes, ["event_type"], "user_id")
+    exact = ev.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).alias("n_exact")
+    )
+    totals = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_all"))
+    joined = est.join(exact, ["event_type", "user_id"]).join(
+        totals, "event_type"
+    )
+    bad = joined.filter(
+        (F.col("cms_count") < F.col("n_exact"))
+        | (F.col("cms_count") > F.col("n_all"))
+    )
+    assert bad.count() == 0
