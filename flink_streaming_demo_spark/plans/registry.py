@@ -285,33 +285,45 @@ _ROUND8_WINDOW = [
 #      verdict #3 — outputs parity-identical, but churn gets a row);
 #      dedup_ngram_jaccard + pipeline_clean_corpus carry the
 #      operators/dedup.py shuffle-hash churn and are ALREADY in the r6
-#      block below;
-#   3. oldest-first rotation: 42 of the 48 queries last driver-checked in
+#      block below; the four NEW sketch queries (events_bloom_flagged/
+#      rollup_users, events_cms_user/rollup_users — Bloom membership and
+#      Count-Min frequency, completing the KMV/HLL sketch family) are in
+#      because never-checked outranks re-greens (the r9 lesson);
+#   3. oldest-first rotation: 38 of the 48 queries last driver-checked in
 #      round 6 — now FOUR rounds stale, the oldest evidence in the
 #      surface — in r6 registration order.
-# Deferred to r11 (the 6 r6-checked queries that don't fit; first in line
-# next round, strongest alternative evidence chosen): embedding_stats and
-# label_centroid_distance (single-pass projections whose closure churn
-# since r6 is append-only operator-module growth, re-proven by every
-# full-surface parity sweep since); events_approx_distinct_users (its
-# driver check is rows-only by design — built-in HLL++ registers are
-# engine-internal — so a driver row adds the least evidence; its
-# deterministic replacements events_kmv_* / events_hll_* are all in this
-# window with full hash checks); dedup_exact_survivors (sibling
-# dedup_exact_groups in-window, same module, function unchanged);
-# doc_winnow_fingerprints (sibling dedup_winnow_pairs in-window shares
-# the winnow expression builder); events_user_type_arrays (single
-# collect_list projection; its event_queries siblings
-# events_pivot_type_counts / events_value_stats / events_json_props are
-# all in-window).
+# Deferred to r11 (the 10 r6-checked queries that don't fit; first in
+# line next round, strongest alternative evidence chosen):
+# embedding_stats and label_centroid_distance (single-pass projections
+# whose closure churn since r6 is append-only operator-module growth,
+# re-proven by every full-surface parity sweep since);
+# events_approx_distinct_users (its driver check is rows-only by design
+# — built-in HLL++ registers are engine-internal — so a driver row adds
+# the least evidence; its deterministic replacements events_kmv_* /
+# events_hll_* are all in this window with full hash checks);
+# dedup_exact_survivors (sibling dedup_exact_groups in-window, same
+# module, function unchanged); doc_winnow_fingerprints (sibling
+# dedup_winnow_pairs in-window shares the winnow expression builder);
+# events_user_type_arrays (single collect_list projection; its
+# event_queries siblings events_pivot_type_counts / events_value_stats /
+# events_json_props are all in-window); doc_simhash (siblings
+# dedup_simhash / dedup_simhash64 in-window share the simhash
+# expressions); lang_id_scores + doc_fingerprints (pure expression
+# projections, function-scope unchanged since r6, text-module siblings
+# in-window); sample_hash_split (md5-expression split, unchanged since
+# r6; sampling siblings sample_source_cap / sample_pack_bins /
+# sample_stratified in-window).
 _ROUND10_WINDOW = [
-    # 1. never driver-checked
+    # 1. never driver-checked (pre-round sketch backlog + this round's
+    #    new sketch queries)
     "events_hll_distinct_users", "events_hll_rollup_users",
     "events_kmv_rollup_users",
+    "events_bloom_flagged_users", "events_bloom_rollup_users",
+    "events_cms_user_counts", "events_cms_rollup_users",
     # 2. round-10 churn
     "events_hll_lc_users", "dedup_embedding_neardup", "dedup_semantic",
     "pipeline_embedding_dedup", "pipeline_joint_curation",
-    # 3. last checked r6 — four rounds stale (42), registration order
+    # 3. last checked r6 — four rounds stale (38), registration order
     "tpch_q2_min_cost_supplier", "tpch_q4_order_priority",
     "tpch_q9_product_profit", "tpch_q11_important_stock",
     "tpch_q12_ship_speed", "tpch_q16_parts_supplier",
@@ -319,8 +331,8 @@ _ROUND10_WINDOW = [
     "star_customers_without_orders",
     "tpch_q22_global_sales_opportunity",
     "dedup_exact_groups", "dedup_minhash_lsh",
-    "dedup_ngram_jaccard", "doc_simhash", "text_quality_scores",
-    "text_token_counts", "lang_id_scores", "doc_fingerprints",
+    "dedup_ngram_jaccard", "text_quality_scores",
+    "text_token_counts",
     "dedup_clusters", "pipeline_clean_corpus", "multimodal_features",
     "dedup_simhash", "dedup_simhash64",
     "dedup_winnow_pairs", "tfidf_top_terms", "text_chunk_documents",
@@ -328,21 +340,10 @@ _ROUND10_WINDOW = [
     "taxi_total_arrival_count", "taxi_sliding_arrival_count",
     "taxi_trip_etl", "events_hourly_counts", "events_asof_latest_order",
     "events_pivot_type_counts",
-    "events_value_stats", "events_json_props", "sample_hash_split",
+    "events_value_stats", "events_json_props",
     "sample_source_cap", "sample_pack_bins", "sample_stratified",
     "source_length_quantiles",
 ]
-
-
-# Added after the r10 window was frozen (register at position 51+, so
-# the driver first checks them in the r11 window, where never-checked
-# churn is top priority — together with the 6 deferred r6 re-greens
-# listed above): events_bloom_flagged_users, events_bloom_rollup_users,
-# events_cms_user_counts, events_cms_rollup_users — the Bloom
-# (set-membership) and Count-Min (frequency) members of the
-# deterministic sketch family. Evidence until then: tools/parity.py
-# hash-green at sf0.001 AND sf0.01 the day they landed, plus the merge-
-# law / one-sided-error property tests in tests/test_scale_utils.py.
 
 
 def _active_window() -> list[str]:
