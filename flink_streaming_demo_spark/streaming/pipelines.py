@@ -345,22 +345,80 @@ def streaming_kmv_distinct(
         kmv_partial,
     )
 
+    if k is None:
+        k = KMV_K
+    return _streaming_sketch_maintenance(
+        sink,
+        group_cols,
+        partial_fn=lambda b: kmv_partial(b, group_cols, key_col, k),
+        merge_fn=lambda cur, part: kmv_merge(cur, part, group_cols, k),
+        state_cols=("kmv",),
+        sketch_name="streaming_kmv_distinct",
+    )
+
+
+def _streaming_sketch_maintenance(
+    sink,
+    group_cols: list[str],
+    partial_fn,
+    merge_fn,
+    state_cols: tuple[str, ...],
+    sketch_name: str,
+    expected_key: list[str] | None = None,
+    epoch_guard: bool = False,
+):
+    """Shared skeleton of the streaming sketch maintainers (KMV, HLL,
+    Bloom, CMS). All four sketches are semigroups whose merge is
+    idempotent on replayed input, so ONE maintenance shape serves them
+    all: per non-empty micro-batch, build the batch's sketch partial,
+    semi-join the store to the batch's group keys (only touched groups
+    feed the merge — O(touched) per trigger, the r8 fix), ⊕-merge, and
+    upsert. Crash-replay safety falls out of merge idempotence; no dedup
+    bookkeeping exists anywhere in the path.
+
+    ``state_cols``: the sketch's state columns in the store beyond
+    group_cols. ``expected_key``: when the sketch keeps MULTIPLE state
+    rows per group (HLL registers, Bloom words, CMS counters), the
+    sink's upsert key must be exactly group_cols + the state's row
+    identity — checked at construction, because a mis-keyed sink would
+    silently collapse state rows into one.
+
+    ``epoch_guard``: for the one NON-idempotent merge (CMS: counters SUM,
+    so re-merging a replayed epoch double-counts), the body records each
+    applied epoch id as a marker directory next to the store and skips a
+    re-delivered epoch. The marker is written AFTER the upsert, so the
+    residual unsafe window is a crash between upsert completion and
+    marker creation — strictly narrower than no guard, and the same
+    exactness class as any SUM-based streaming aggregate over a
+    non-transactional sink (a production deployment would commit state
+    and marker atomically via a transactional table format). The
+    idempotent sketches skip the guard: their replay safety is
+    algebraic, with no window at all."""
     if not (hasattr(sink, "path") and hasattr(sink, "read")):
         raise TypeError(
-            "streaming_kmv_distinct needs a store-backed sink exposing "
+            f"{sketch_name} needs a store-backed sink exposing "
             ".path and .read(spark) (ParquetUpsertSink); got "
             f"{type(sink).__name__} — its state cannot be merged across "
             "triggers"
         )
-    if k is None:
-        k = KMV_K
+    if (
+        expected_key is not None
+        and getattr(sink, "key_cols", expected_key) != expected_key
+    ):
+        raise ValueError(
+            f"sink key_cols must be {expected_key} (one upsert row per "
+            f"sketch state row), got {sink.key_cols}"
+        )
 
     def body(batch_df: DataFrame, epoch_id: int) -> None:
-        if not batch_df.head(1):
-            return
-        part = kmv_partial(batch_df, group_cols, key_col, k).localCheckpoint()
         import os
 
+        marker = os.path.join(f"{sink.path}_epochs", f"epoch={epoch_id}")
+        if epoch_guard and os.path.exists(marker):
+            return
+        if not batch_df.head(1):
+            return
+        part = partial_fn(batch_df).localCheckpoint()
         if os.path.exists(sink.path):
             from pyspark.sql import functions as F
 
@@ -368,10 +426,12 @@ def streaming_kmv_distinct(
             cur = (
                 sink.read(batch_df.sparkSession)
                 .join(F.broadcast(touched), group_cols, "left_semi")
-                .select(*group_cols, "kmv")
+                .select(*group_cols, *state_cols)
             )
-            part = kmv_merge(cur, part, group_cols, k)
+            part = merge_fn(cur, part)
         sink.foreach_batch(part, epoch_id)
+        if epoch_guard:
+            os.makedirs(marker, exist_ok=True)
 
     return body
 
@@ -412,36 +472,74 @@ def streaming_hll_distinct(
         hll_partial,
     )
 
-    if not (hasattr(sink, "path") and hasattr(sink, "read")):
-        raise TypeError(
-            "streaming_hll_distinct needs a store-backed sink exposing "
-            ".path and .read(spark) (ParquetUpsertSink); got "
-            f"{type(sink).__name__} — its state cannot be merged across "
-            "triggers"
-        )
-    expected_key = [*group_cols, "bucket"]
-    if getattr(sink, "key_cols", expected_key) != expected_key:
-        raise ValueError(
-            f"sink key_cols must be {expected_key} (one upsert row per "
-            f"register), got {sink.key_cols}"
-        )
+    return _streaming_sketch_maintenance(
+        sink,
+        group_cols,
+        partial_fn=lambda b: hll_partial(b, group_cols, key_col),
+        merge_fn=lambda cur, part: hll_merge(cur, part, group_cols),
+        state_cols=("bucket", "rho"),
+        sketch_name="streaming_hll_distinct",
+        expected_key=[*group_cols, "bucket"],
+    )
 
-    def body(batch_df: DataFrame, epoch_id: int) -> None:
-        if not batch_df.head(1):
-            return
-        part = hll_partial(batch_df, group_cols, key_col).localCheckpoint()
-        import os
 
-        if os.path.exists(sink.path):
-            from pyspark.sql import functions as F
+def streaming_bloom_membership(
+    sink,
+    group_cols: list[str],
+    key_col: str,
+):
+    """foreachBatch body maintaining a Bloom word table over a stream —
+    membership blocklists/benchmark sets that GROW as data streams in
+    (new canaries, new banned keys). Per micro-batch: OR the batch's
+    probe bits into the store under key (group_cols..., word); bit_or
+    idempotence gives crash-replay safety, and last-write-wins upsert is
+    correct because merged bits ⊇ stored bits. Probes against the live
+    store via operators/scale.bloom_maybe_contains keep the one-sided
+    no-false-negatives contract at every trigger boundary."""
+    from flink_streaming_demo_spark.operators.scale import (
+        bloom_merge,
+        bloom_partial,
+    )
 
-            touched = part.select(*group_cols).distinct()
-            cur = (
-                sink.read(batch_df.sparkSession)
-                .join(F.broadcast(touched), group_cols, "left_semi")
-                .select(*group_cols, "bucket", "rho")
-            )
-            part = hll_merge(cur, part, group_cols)
-        sink.foreach_batch(part, epoch_id)
+    return _streaming_sketch_maintenance(
+        sink,
+        group_cols,
+        partial_fn=lambda b: bloom_partial(b, group_cols, key_col),
+        merge_fn=lambda cur, part: bloom_merge(cur, part, group_cols),
+        state_cols=("word", "bits"),
+        sketch_name="streaming_bloom_membership",
+        expected_key=[*group_cols, "word"],
+    )
 
-    return body
+
+def streaming_cms_counts(
+    sink,
+    group_cols: list[str],
+    key_col: str,
+):
+    """foreachBatch body maintaining a Count-Min counter grid over a
+    stream — running per-key frequency estimates (heavy hitters,
+    throttle thresholds) with state bounded at depth*width longs per
+    group regardless of stream length or key cardinality. Counters merge
+    by SUM, which is NOT idempotent, so this maintainer runs with the
+    epoch guard: a re-delivered epoch id is skipped instead of re-merged
+    (see _streaming_sketch_maintenance for the exactness class and the
+    residual window). Tests pin sequential-chunk convergence to the
+    batch grid AND that a same-epoch replay leaves the store unchanged
+    while a new epoch with the same rows double-counts (proving the
+    guard keys on the epoch, not the data)."""
+    from flink_streaming_demo_spark.operators.scale import (
+        cms_merge,
+        cms_partial,
+    )
+
+    return _streaming_sketch_maintenance(
+        sink,
+        group_cols,
+        partial_fn=lambda b: cms_partial(b, group_cols, key_col),
+        merge_fn=lambda cur, part: cms_merge(cur, part, group_cols),
+        state_cols=("row", "col", "cnt"),
+        sketch_name="streaming_cms_counts",
+        expected_key=[*group_cols, "row", "col"],
+        epoch_guard=True,
+    )

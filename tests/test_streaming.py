@@ -1553,3 +1553,104 @@ def test_streaming_hll_rejects_bad_sinks_at_construction():
             ["event_type"],
             "user_id",
         )
+
+
+def test_streaming_bloom_converges_and_replays_idempotently(spark, sf_dir):
+    """Chunked replay through the Bloom maintainer must converge to the
+    batch word table (bit_or associativity) and re-applying a chunk must
+    not change it (OR idempotence)."""
+    from flink_streaming_demo_spark.operators.scale import bloom_partial
+    from flink_streaming_demo_spark.schemas import load_table
+    from flink_streaming_demo_spark.streaming.pipelines import (
+        streaming_bloom_membership,
+        write_foreach_batch_stream,
+    )
+    from flink_streaming_demo_spark.streaming.sinks import ParquetUpsertSink
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "user_id"
+    )
+    chunk_dir = replay.write_replay_chunks(
+        ev.withColumn("delivery_ts", F.col("event_id")),
+        n_chunks=4,
+        order_col="delivery_ts",
+    )
+    store = tempfile.mkdtemp(prefix="bloomstream_") + "/store"
+    sink = ParquetUpsertSink(store, ["event_type", "word"])
+    body = streaming_bloom_membership(sink, ["event_type"], "user_id")
+    try:
+        stream = replay.read_replay_stream(
+            spark,
+            chunk_dir,
+            "event_id long, event_type string, user_id long",
+            max_files_per_trigger=1,
+        )
+        q = write_foreach_batch_stream(stream, body, "bloom_sketch")
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+        def bits(df):
+            return {
+                (r.event_type, r.word): r.bits
+                for r in df.select("event_type", "word", "bits").collect()
+            }
+
+        want = bits(bloom_partial(ev, ["event_type"], "user_id"))
+        assert bits(sink.read(spark)) == want
+        body(ev.filter(F.col("event_id") % 4 == 1), epoch_id=99)
+        assert bits(sink.read(spark)) == want
+    finally:
+        shutil.rmtree(chunk_dir, ignore_errors=True)
+        shutil.rmtree(store, ignore_errors=True)
+
+
+def test_streaming_cms_converges_and_epoch_guard_blocks_replay(
+    spark, sf_dir
+):
+    """Sequential chunks through the CMS maintainer converge to the
+    batch counter grid. SUM-merge is NOT idempotent, so the epoch guard
+    carries replay safety: re-delivering an ALREADY-APPLIED epoch id
+    leaves the store unchanged, while the same rows under a NEW epoch id
+    double-count — proving the guard keys on the epoch, not the data."""
+    from flink_streaming_demo_spark.operators.scale import cms_partial
+    from flink_streaming_demo_spark.schemas import load_table
+    from flink_streaming_demo_spark.streaming.pipelines import (
+        streaming_cms_counts,
+    )
+    from flink_streaming_demo_spark.streaming.sinks import ParquetUpsertSink
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "user_id"
+    )
+    store = tempfile.mkdtemp(prefix="cmsstream_") + "/store"
+    sink = ParquetUpsertSink(store, ["event_type", "row", "col"])
+    body = streaming_cms_counts(sink, ["event_type"], "user_id")
+    try:
+        chunks = [ev.filter(F.col("event_id") % 3 == i) for i in range(3)]
+        for epoch, chunk in enumerate(chunks):
+            body(chunk, epoch_id=epoch)
+
+        def grid(df):
+            return {
+                (r.event_type, r.row, r.col): r.cnt
+                for r in df.select(
+                    "event_type", "row", "col", "cnt"
+                ).collect()
+            }
+
+        want = grid(cms_partial(ev, ["event_type"], "user_id"))
+        assert grid(sink.read(spark)) == want
+        # replayed epoch: skipped, store unchanged
+        body(chunks[1], epoch_id=1)
+        assert grid(sink.read(spark)) == want
+        # same rows, NEW epoch: merged again (counts grow) — the guard
+        # is keyed on the epoch id, not on batch content
+        body(chunks[1], epoch_id=77)
+        grown = grid(sink.read(spark))
+        assert grown != want
+        assert all(grown[k] >= v for k, v in want.items())
+    finally:
+        shutil.rmtree(store, ignore_errors=True)
+        shutil.rmtree(f"{store}_epochs", ignore_errors=True)
