@@ -877,3 +877,244 @@ def sql_cms_estimate(
         LEFT JOIN {sketch_cte} s USING ({group_col}, row, col)
         GROUP BY {group_col}, {key_col}
     """
+
+
+# --- Bloom-pruned semi join (map-side sketch filter) -------------------------
+#
+# The join-acceleration face of the Bloom sketch: the sketched key set's
+# word table is <= m/63 BIGINT words (~66 longs at the default 4096 bits),
+# small enough to COLLECT AT PLAN-BUILD TIME and embed as a literal array
+# expression — the membership test then runs inside the scan stage (pure
+# column arithmetic inside whole-stage codegen, zero shuffle), and only
+# maybe-members reach the exact verification semi-join. No false negatives
+# ⇒ the final result EQUALS the plain semi-join exactly; false positives
+# only cost verify-join input. This is the scan-probe shape for 100 TB
+# against a small key set: the alternative (shuffle semi-join of the full
+# scan) moves the big side; this moves ~66 longs. (The bounded driver-side
+# collect follows the approxQuantile precedent in operators/sampling.py —
+# a plan-build-time action over a provably tiny frame.)
+
+
+def bloom_filter_expr(
+    sketch: DataFrame,
+    key: Column,
+    m_bits: int = BLOOM_M_BITS,
+    k: int = BLOOM_K,
+) -> Column:
+    """Boolean Column: does ``key`` probe maybe-present in the (global,
+    ungrouped) Bloom ``sketch``? Collects the word table (<= m_bits/63
+    rows by construction) and embeds it as a literal array, making the
+    predicate map-side. NULL keys yield NULL (filter-false), matching
+    semi-join semantics."""
+    from functools import reduce
+
+    wb = _BLOOM_WORD_BITS
+    n_words = (m_bits + wb - 1) // wb
+    words = {r["word"]: r["bits"] for r in sketch.collect()}
+    arr = F.array(
+        *[
+            F.lit(int(words.get(w, 0))).cast("bigint")
+            for w in range(n_words)
+        ]
+    )
+    conds = []
+    for j in range(k):
+        pos = _sketch_pos(key, j, m_bits)
+        word = F.floor(pos / wb).cast("int")  # pos >= 0: floor == div
+        bit = (pos % wb).cast("int")
+        mask = F.call_function(
+            "shiftleft", F.lit(1).cast("bigint"), bit
+        )
+        elem = F.element_at(arr, word + F.lit(1))
+        conds.append(elem.bitwiseAND(mask) == mask)
+    return reduce(lambda a, b: a & b, conds)
+
+
+def bloom_pruned_semi_join(
+    big: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    m_bits: int = BLOOM_M_BITS,
+    k: int = BLOOM_K,
+) -> DataFrame:
+    """``big`` semi-joined to ``keys``'s key set, accelerated by a
+    map-side Bloom pre-filter: sketch the key set, prune ``big`` in the
+    scan stage via bloom_filter_expr, then exactly verify the survivors
+    with a broadcast semi-join (the key set is small — that is the
+    operator's premise; were it not, the verify join would shuffle only
+    the pruned survivors). Result is row-identical to
+    ``big.join(keys, key_col, "left_semi")`` — the sketch buys scan-side
+    pruning, never approximation."""
+    sketch = bloom_partial(keys, [], key_col, m_bits, k)
+    pred = bloom_filter_expr(sketch, F.col(key_col), m_bits, k)
+    verified_keys = keys.select(key_col).distinct()
+    return big.filter(pred).join(
+        F.broadcast(verified_keys), key_col, "left_semi"
+    )
+
+
+# --- Deterministic fixed-boundary histogram (mergeable quantile sketch) ------
+#
+# Fifth family member: QUANTILES. Streaming-quantile sketches (t-digest,
+# KLL, GK) are merge-order-sensitive — their state depends on the order
+# partials combine, so no cross-engine hash check can pin them. A
+# fixed-boundary histogram gives up adaptivity to keep the algebra exact:
+# bins are declared up front (lo, hi, n_bins), counts merge by SUM
+# (associative/commutative — same shuffle-bounded shape as CMS: the
+# groupBy domain is the FIXED bin space, never the value space), and
+# quantiles interpolate linearly inside the covering bin at read time.
+# Error is bounded by one bin width; values outside [lo, hi) clamp into
+# the edge bins (their mass is counted, the clamp is visible in the edge
+# counts). The 100 TB use: per-source length/score/latency quantiles
+# without a global sort — the exact competitor (exact_global_ntile /
+# source_length_quantiles) ranks the full data; this reads d=n_bins longs
+# per group.
+
+HIST_N_BINS = 64
+
+
+def hist_partial(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    lo: float,
+    hi: float,
+    n_bins: int = HIST_N_BINS,
+) -> DataFrame:
+    """Per-group bin counts: (group_cols..., bin, cnt). NULL values are
+    excluded (the aggregate contract); out-of-range values clamp to the
+    edge bins. One partial-agg-friendly COUNT over the fixed bin
+    domain."""
+    width = (hi - lo) / n_bins
+    v = F.col(value_col).cast("double")
+    b = F.least(
+        F.greatest(
+            F.floor((v - F.lit(float(lo))) / F.lit(width)), F.lit(0)
+        ),
+        F.lit(n_bins - 1),
+    ).cast("int")
+    return (
+        df.filter(v.isNotNull())
+        .select(*group_cols, b.alias("bin"))
+        .groupBy(*group_cols, "bin")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+
+
+def hist_rollup(partials: DataFrame, group_cols: list[str]) -> DataFrame:
+    """n-ary ⊕: bin counts merge by per-bin SUM."""
+    return partials.groupBy(*group_cols, "bin").agg(
+        F.sum("cnt").alias("cnt")
+    )
+
+
+def hist_merge(a: DataFrame, b: DataFrame, group_cols: list[str]) -> DataFrame:
+    return hist_rollup(a.unionByName(b), group_cols)
+
+
+def hist_quantiles(
+    sketch: DataFrame,
+    group_cols: list[str],
+    qs: list[float],
+    lo: float,
+    hi: float,
+    n_bins: int = HIST_N_BINS,
+) -> DataFrame:
+    """Read-time quantile view: one row per (group, q) with the linear
+    interpolation inside the covering bin:
+    est = lo + (bin + (target − cum_before)/cnt) · width, target = q·n.
+    The covering bin is the first with cum >= target (ties resolved by
+    the strict cum_before < target), found by a cumulative-sum window
+    over the <= n_bins rows per group — every arithmetic step is written
+    identically in the SQL twin, so estimates hash-check."""
+    from pyspark.sql import Window
+
+    width = (hi - lo) / n_bins
+    w = Window.partitionBy(*group_cols).orderBy("bin")
+    cum = sketch.withColumn("cum", F.sum("cnt").over(w)).withColumn(
+        "cum_before", F.col("cum") - F.col("cnt")
+    )
+    totals = sketch.groupBy(*group_cols).agg(F.sum("cnt").alias("n"))
+    qdf = totals.select(
+        *group_cols,
+        "n",
+        F.explode(
+            F.array(*[F.lit(float(q)) for q in qs])
+        ).alias("q"),
+    ).withColumn("target", F.col("q") * F.col("n").cast("double"))
+    joined = qdf.join(cum, group_cols).filter(
+        (F.col("cum").cast("double") >= F.col("target"))
+        & (F.col("cum_before").cast("double") < F.col("target"))
+    )
+    est = F.lit(float(lo)) + (
+        F.col("bin").cast("double")
+        + (F.col("target") - F.col("cum_before").cast("double"))
+        / F.col("cnt").cast("double")
+    ) * F.lit(width)
+    return joined.select(
+        *group_cols,
+        "q",
+        F.round(est, 6).alias("hist_quantile"),
+        F.col("n"),
+    )
+
+
+def sql_hist_counts(
+    group_col: str,
+    value_col: str,
+    table: str,
+    lo: float,
+    hi: float,
+    n_bins: int = HIST_N_BINS,
+) -> str:
+    """DuckDB twin of hist_partial (a CTE body)."""
+    width = (hi - lo) / n_bins
+    return f"""
+        SELECT {group_col},
+               CAST(LEAST(GREATEST(FLOOR((CAST({value_col} AS DOUBLE)
+                        - {float(lo)!r}) / {width!r}), 0),
+                    {n_bins - 1}) AS INT) AS bin,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM {table}
+        WHERE {value_col} IS NOT NULL
+        GROUP BY 1, 2
+    """
+
+
+def sql_hist_quantiles(
+    group_col: str,
+    sketch_cte: str,
+    qs: list[float],
+    lo: float,
+    hi: float,
+    n_bins: int = HIST_N_BINS,
+) -> str:
+    """DuckDB twin of hist_quantiles over a named sketch CTE."""
+    width = (hi - lo) / n_bins
+    q_values = ", ".join(f"({float(q)!r})" for q in qs)
+    return f"""
+        SELECT {group_col}, q,
+               ROUND({float(lo)!r} + (CAST(bin AS DOUBLE)
+                   + (target - CAST(cum_before AS DOUBLE))
+                     / CAST(cnt AS DOUBLE)) * {width!r}, 6)
+                   AS hist_quantile,
+               n
+        FROM (
+            SELECT {group_col}, bin, cnt,
+                   SUM(cnt) OVER (PARTITION BY {group_col}
+                                  ORDER BY bin) AS cum,
+                   SUM(cnt) OVER (PARTITION BY {group_col}
+                                  ORDER BY bin) - cnt AS cum_before
+            FROM {sketch_cte}
+        ) c
+        JOIN (
+            -- CAST: DuckDB SUM(BIGINT) is HUGEINT, which pandas reads as
+            -- object/float — an invisible dtype-class red vs Spark's BIGINT
+            SELECT {group_col}, n, q, q * CAST(n AS DOUBLE) AS target
+            FROM (SELECT {group_col}, CAST(SUM(cnt) AS BIGINT) AS n
+                  FROM {sketch_cte} GROUP BY {group_col}),
+                 (VALUES {q_values}) qv(q)
+        ) t USING ({group_col})
+        WHERE CAST(cum AS DOUBLE) >= target
+          AND CAST(cum_before AS DOUBLE) < target
+    """

@@ -1870,3 +1870,104 @@ register(
     events_cms_rollup_users,
     _cms_oracle(include_exact=False),
 )
+
+
+def events_bloom_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-ACCELERATED exact semi-join: per event_type, count events
+    (and sum value) from 'flagged' users — users with at least one
+    purchase and user_id % 5 == 0 — where the flagged-set membership
+    filter runs as a MAP-SIDE Bloom expression in the scan stage
+    (operators/scale.bloom_pruned_semi_join embeds the ~66-word sketch
+    as a literal array) before an exact broadcast verify. Bloom has no
+    false negatives, so the result is row-identical to the plain
+    semi-join — which is exactly what the oracle computes: the driver
+    green proves the accelerated path is EXACT, not approximate. At
+    100 TB the plain path shuffles the scan; this path moves 66 longs."""
+    from flink_streaming_demo_spark.operators.scale import (
+        bloom_pruned_semi_join,
+    )
+
+    ev = t(spark, sf_dir, "events")
+    flagged = (
+        ev.filter(
+            (F.col("event_type") == "purchase")
+            & (F.col("user_id") % 5 == 0)
+        )
+        .select("user_id")
+        .distinct()
+    )
+    hits = bloom_pruned_semi_join(ev, flagged, "user_id")
+    return hits.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+
+
+register(
+    "events_bloom_pruned_join",
+    events_bloom_pruned_join,
+    """
+    WITH flagged AS (
+        SELECT DISTINCT user_id FROM events
+        WHERE event_type = 'purchase' AND user_id % 5 = 0
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 2) AS total_value
+    FROM events
+    WHERE user_id IN (SELECT user_id FROM flagged)
+    GROUP BY event_type
+    """,
+)
+
+
+HIST_LO, HIST_HI = 0.0, 512.0
+HIST_QS = (0.5, 0.9, 0.99)
+
+
+def events_hist_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-histogram quantiles: p50/p90/p99 of events.value per
+    event_type from the fixed-boundary histogram sketch
+    (operators/scale.hist_partial + hist_quantiles — the quantile member
+    of the KMV/HLL/Bloom/CMS family). Built through the per-day
+    partial -> SUM-rollup path, so a hash green proves the merge
+    arithmetic AND the interpolation; error is bounded by one bin width
+    (8.0 here), and the exact competitor (a global sort) never runs —
+    the read side touches <= 64 longs per group."""
+    from flink_streaming_demo_spark.operators.scale import (
+        hist_partial,
+        hist_quantiles,
+        hist_rollup,
+    )
+
+    ev = t(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    daily = hist_partial(
+        ev, ["event_type", "day"], "value", HIST_LO, HIST_HI
+    )
+    sketch = hist_rollup(
+        daily.select("event_type", "bin", "cnt"), ["event_type"]
+    )
+    return hist_quantiles(
+        sketch, ["event_type"], list(HIST_QS), HIST_LO, HIST_HI
+    )
+
+
+def _hist_oracle() -> str:
+    from flink_streaming_demo_spark.operators.scale import (
+        sql_hist_counts,
+        sql_hist_quantiles,
+    )
+
+    return f"""
+    WITH sketch AS (
+        {sql_hist_counts("event_type", "value", "events", HIST_LO, HIST_HI)}
+    )
+    {sql_hist_quantiles("event_type", "sketch", list(HIST_QS), HIST_LO, HIST_HI)}
+    """
+
+
+register(
+    "events_hist_value_quantiles",
+    events_hist_value_quantiles,
+    _hist_oracle(),
+)

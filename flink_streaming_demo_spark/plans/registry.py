@@ -289,10 +289,10 @@ _ROUND8_WINDOW = [
 #      rollup_users, events_cms_user/rollup_users — Bloom membership and
 #      Count-Min frequency, completing the KMV/HLL sketch family) are in
 #      because never-checked outranks re-greens (the r9 lesson);
-#   3. oldest-first rotation: 38 of the 48 queries last driver-checked in
+#   3. oldest-first rotation: 36 of the 48 queries last driver-checked in
 #      round 6 — now FOUR rounds stale, the oldest evidence in the
 #      surface — in r6 registration order.
-# Deferred to r11 (the 10 r6-checked queries that don't fit; first in
+# Deferred to r11 (the 12 r6-checked queries that don't fit; first in
 # line next round, strongest alternative evidence chosen):
 # embedding_stats and label_centroid_distance (single-pass projections
 # whose closure churn since r6 is append-only operator-module growth,
@@ -312,7 +312,9 @@ _ROUND8_WINDOW = [
 # projections, function-scope unchanged since r6, text-module siblings
 # in-window); sample_hash_split (md5-expression split, unchanged since
 # r6; sampling siblings sample_source_cap / sample_pack_bins /
-# sample_stratified in-window).
+# sample_stratified in-window); tfidf_top_terms + decon_eval_overlap
+# (explode/agg over the same token/shingle expressions their in-window
+# siblings text_quality_scores / dedup_ngram_jaccard exercise).
 _ROUND10_WINDOW = [
     # 1. never driver-checked (pre-round sketch backlog + this round's
     #    new sketch queries)
@@ -320,6 +322,7 @@ _ROUND10_WINDOW = [
     "events_kmv_rollup_users",
     "events_bloom_flagged_users", "events_bloom_rollup_users",
     "events_cms_user_counts", "events_cms_rollup_users",
+    "events_bloom_pruned_join", "events_hist_value_quantiles",
     # 2. round-10 churn
     "events_hll_lc_users", "dedup_embedding_neardup", "dedup_semantic",
     "pipeline_embedding_dedup", "pipeline_joint_curation",
@@ -335,8 +338,8 @@ _ROUND10_WINDOW = [
     "text_token_counts",
     "dedup_clusters", "pipeline_clean_corpus", "multimodal_features",
     "dedup_simhash", "dedup_simhash64",
-    "dedup_winnow_pairs", "tfidf_top_terms", "text_chunk_documents",
-    "decon_eval_overlap", "taxi_end_events", "taxi_cell_centers",
+    "dedup_winnow_pairs", "text_chunk_documents",
+    "taxi_end_events", "taxi_cell_centers",
     "taxi_total_arrival_count", "taxi_sliding_arrival_count",
     "taxi_trip_etl", "events_hourly_counts", "events_asof_latest_order",
     "events_pivot_type_counts",

@@ -477,3 +477,75 @@ def test_cms_merge_equals_whole_and_never_undercounts(spark, sf_dir):
         | (F.col("cms_count") > F.col("n_all"))
     )
     assert bad.count() == 0
+
+
+def test_hist_merge_equals_whole_and_quantiles_within_bin_width(
+    spark, sf_dir
+):
+    """Histogram algebra: per-bin SUM merge of split sketches equals the
+    whole-input sketch, and each interpolated quantile sits within one
+    bin width of the exact percentile (the sketch's error bound)."""
+    lo, hi, n_bins = 0.0, 512.0, 64
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_id") % 2 == 0)
+    b = ev.filter(F.col("event_id") % 2 == 1)
+    whole = scale.hist_partial(ev, ["event_type"], "value", lo, hi, n_bins)
+    merged = scale.hist_merge(
+        scale.hist_partial(a, ["event_type"], "value", lo, hi, n_bins),
+        scale.hist_partial(b, ["event_type"], "value", lo, hi, n_bins),
+        ["event_type"],
+    )
+
+    def grid(df):
+        return {(r.event_type, r.bin): r.cnt for r in df.collect()}
+
+    assert grid(merged) == grid(whole)
+    qs = [0.5, 0.9]
+    est = {
+        (r.event_type, r.q): r.hist_quantile
+        for r in scale.hist_quantiles(
+            whole, ["event_type"], qs, lo, hi, n_bins
+        ).collect()
+    }
+    exact = {
+        (r.event_type, q): v
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.expr(
+                "percentile(value, array(0.5, 0.9))"
+            ).alias("p")
+        )
+        .collect()
+        for q, v in zip(qs, r.p)
+    }
+    width = (hi - lo) / n_bins
+    assert set(est) == set(exact)
+    for key, got in est.items():
+        assert abs(got - exact[key]) <= width, (key, got, exact[key])
+
+
+def test_bloom_pruned_semi_join_is_exact_and_prunes(spark, sf_dir):
+    """The accelerated semi-join must be ROW-IDENTICAL to the plain
+    semi-join (no false negatives + exact verify), and the map-side
+    Bloom predicate must actually prune (pass-count well under the
+    table size for a small key set)."""
+    ev = load_table(spark, sf_dir, "events")
+    keys = (
+        ev.filter(
+            (F.col("event_type") == "purchase")
+            & (F.col("user_id") % 5 == 0)
+        )
+        .select("user_id")
+        .distinct()
+    )
+    got = scale.bloom_pruned_semi_join(ev, keys, "user_id")
+    want = ev.join(keys, "user_id", "left_semi")
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+    sketch = scale.bloom_partial(keys, [], "user_id")
+    pred = scale.bloom_filter_expr(sketch, F.col("user_id"))
+    n_all = ev.count()
+    n_pass = ev.filter(pred).count()
+    n_true = want.count()
+    assert n_true <= n_pass < n_all * 0.8, (n_true, n_pass, n_all)
