@@ -543,3 +543,40 @@ def streaming_cms_counts(
         expected_key=[*group_cols, "row", "col"],
         epoch_guard=True,
     )
+
+
+def streaming_hist_counts(
+    sink,
+    group_cols: list[str],
+    value_col: str,
+    lo: float,
+    hi: float,
+    n_bins: int | None = None,
+):
+    """foreachBatch body maintaining a fixed-boundary histogram over a
+    stream — running per-group quantiles (read via
+    operators/scale.hist_quantiles over ``sink.read(spark)``) with state
+    bounded at n_bins longs per group. Bin counts merge by SUM, so like
+    the CMS maintainer it runs with the epoch guard (a re-delivered
+    epoch id is skipped); bins are declared up front, which is what
+    makes the sketch engine-deterministic where adaptive quantile
+    sketches (t-digest/KLL) are merge-order-sensitive."""
+    from flink_streaming_demo_spark.operators.scale import (
+        HIST_N_BINS,
+        hist_merge,
+        hist_partial,
+    )
+
+    bins = HIST_N_BINS if n_bins is None else n_bins
+    return _streaming_sketch_maintenance(
+        sink,
+        group_cols,
+        partial_fn=lambda b: hist_partial(
+            b, group_cols, value_col, lo, hi, bins
+        ),
+        merge_fn=lambda cur, part: hist_merge(cur, part, group_cols),
+        state_cols=("bin", "cnt"),
+        sketch_name="streaming_hist_counts",
+        expected_key=[*group_cols, "bin"],
+        epoch_guard=True,
+    )

@@ -1654,3 +1654,56 @@ def test_streaming_cms_converges_and_epoch_guard_blocks_replay(
     finally:
         shutil.rmtree(store, ignore_errors=True)
         shutil.rmtree(f"{store}_epochs", ignore_errors=True)
+
+
+def test_streaming_hist_converges_to_batch_grid(spark, sf_dir):
+    """Sequential chunks through the histogram maintainer converge to
+    the batch bin grid, and quantiles read from the store equal the
+    batch read-time view."""
+    from flink_streaming_demo_spark.operators.scale import (
+        hist_partial,
+        hist_quantiles,
+    )
+    from flink_streaming_demo_spark.schemas import load_table
+    from flink_streaming_demo_spark.streaming.pipelines import (
+        streaming_hist_counts,
+    )
+    from flink_streaming_demo_spark.streaming.sinks import ParquetUpsertSink
+
+    lo, hi = 0.0, 512.0
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    store = tempfile.mkdtemp(prefix="histstream_") + "/store"
+    sink = ParquetUpsertSink(store, ["event_type", "bin"])
+    body = streaming_hist_counts(sink, ["event_type"], "value", lo, hi)
+    try:
+        for epoch in range(3):
+            body(ev.filter(F.col("event_id") % 3 == epoch), epoch_id=epoch)
+
+        def grid(df):
+            return {
+                (r.event_type, r.bin): r.cnt
+                for r in df.select("event_type", "bin", "cnt").collect()
+            }
+
+        want = grid(hist_partial(ev, ["event_type"], "value", lo, hi))
+        assert grid(sink.read(spark)) == want
+        est_stream = {
+            (r.event_type, r.q): r.hist_quantile
+            for r in hist_quantiles(
+                sink.read(spark).select("event_type", "bin", "cnt"),
+                ["event_type"], [0.5, 0.9], lo, hi,
+            ).collect()
+        }
+        est_batch = {
+            (r.event_type, r.q): r.hist_quantile
+            for r in hist_quantiles(
+                hist_partial(ev, ["event_type"], "value", lo, hi),
+                ["event_type"], [0.5, 0.9], lo, hi,
+            ).collect()
+        }
+        assert est_stream == est_batch
+    finally:
+        shutil.rmtree(store, ignore_errors=True)
+        shutil.rmtree(f"{store}_epochs", ignore_errors=True)
