@@ -94,6 +94,17 @@ PROBE_QUERIES = [
     # bounded) while KMV's distinct shuffle grows ~10x.
     "events_hll_distinct_users",
     "events_hll_rollup_users",
+    # round-10: the rest of the sketch family. Bloom/CMS/histogram all
+    # aggregate over FIXED domains (words, (row, col) counters, bins), so
+    # their sketch-side shuffles must stay near-flat under 10x input; the
+    # probe stages scale with the probe SET (10x distinct users for
+    # bloom_flagged/cms; flat bin reads for hist). bloom_pruned_join's
+    # scan doubles as the map-side-filter demonstration: its shuffle is
+    # the verify join + final agg only, never the scan.
+    "events_bloom_flagged_users",
+    "events_cms_user_counts",
+    "events_hist_value_quantiles",
+    "events_bloom_pruned_join",
 ]
 
 _DOC_SHIFT = 10_000_000
@@ -253,10 +264,10 @@ def _probe_callables() -> dict:
     return qs
 
 
-def probe(spark, sf_dir: str) -> dict[str, dict]:
+def probe(spark, sf_dir: str, only: list[str] | None = None) -> dict[str, dict]:
     qs = _probe_callables()
     out: dict[str, dict] = {}
-    for name in PROBE_QUERIES:
+    for name in (only or PROBE_QUERIES):
         # Full materialization via the noop sink (bench.py convention),
         # NOT .count(): under count, Catalyst's redundant-join elimination
         # legitimately deletes left joins against unique-keyed aggregates
@@ -291,6 +302,10 @@ def main() -> int:
     ap.add_argument("--base", default="/root/testdata/sf0.1")
     ap.add_argument("--out", default="/tmp/spark_graft_scale/sf1.0x")
     ap.add_argument("--mult", type=int, default=10)
+    ap.add_argument(
+        "--only", nargs="*", default=None,
+        help="probe only these query names (default: full PROBE_QUERIES)",
+    )
     args = ap.parse_args()
 
     from flink_streaming_demo_spark.session import get_spark
@@ -311,9 +326,9 @@ def main() -> int:
     generate(spark, args.base, args.out, args.mult)
 
     print(f"probing {args.base} ...", file=sys.stderr)
-    small = probe(spark, args.base)
+    small = probe(spark, args.base, args.only)
     print(f"probing {args.out} (x{args.mult}) ...", file=sys.stderr)
-    big = probe(spark, args.out)
+    big = probe(spark, args.out, args.only)
 
     report = {
         "base": args.base,
@@ -331,7 +346,7 @@ def main() -> int:
                     big[name]["rows"] / max(small[name]["rows"], 1), 2
                 ),
             }
-            for name in PROBE_QUERIES
+            for name in small  # probed names (respects --only)
         },
     }
     print(json.dumps(report))
