@@ -56,3 +56,11 @@ def test_bench_emits_valid_json_line():
     assert d["unit"] == "sec" and d["value"] > 0
     assert set(d["queries"]) >= {"tpch_q1_pricing_summary",
                                  "pipeline_clean_corpus"}
+
+
+def test_sketch_rollups_example_runs():
+    r = _run("examples/sketch_rollups.py")
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "KMV / HLL distinct from per-day partials" in r.stdout
+    assert "hist_quantile" in r.stdout
+    assert "maybe_member" in r.stdout
