@@ -1042,7 +1042,12 @@ def hist_quantiles(
             F.array(*[F.lit(float(q)) for q in qs])
         ).alias("q"),
     ).withColumn("target", F.col("q") * F.col("n").cast("double"))
-    joined = qdf.join(cum, group_cols).filter(
+    # empty group_cols (one global histogram): join([], ...) matches no
+    # rows in Spark — the group-free equi-join is a cross join
+    paired = (
+        qdf.join(cum, group_cols) if group_cols else qdf.crossJoin(cum)
+    )
+    joined = paired.filter(
         (F.col("cum").cast("double") >= F.col("target"))
         & (F.col("cum_before").cast("double") < F.col("target"))
     )

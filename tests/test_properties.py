@@ -476,3 +476,139 @@ def test_fire_jump_oracle_matches_python_replay(panes, threshold):
         assert got[cell] == _py_fire_replay(evs, threshold), (
             cell, evs, threshold,
         )
+
+
+def _md5_pos(key, j: int, modulus: int) -> int:
+    """Python model of operators/scale._sketch_pos: 60 bits of
+    md5('<j>:<key>') mod modulus."""
+    import hashlib
+
+    h = hashlib.md5(f"{j}:{key}".encode()).hexdigest()
+    return int(h[:15], 16) % modulus
+
+
+@given(
+    keys=st.lists(st.integers(min_value=0, max_value=10**6), min_size=1,
+                  max_size=60),
+    probes=st.lists(st.integers(min_value=0, max_value=10**6), min_size=1,
+                    max_size=30),
+)
+@settings(**_SETTINGS)
+def test_bloom_matches_python_bit_model(spark, keys, probes):
+    """The Spark Bloom expressions must equal an independent Python model
+    of the same arithmetic (word table AND membership verdicts) — not
+    just DuckDB, which shares the SQL-ish formulation; this model shares
+    only the spec. Includes both present probes (must be True) and
+    arbitrary probes (must match the model bit-for-bit)."""
+    from flink_streaming_demo_spark.operators import scale
+
+    m_bits, k, wb = 512, 5, 63
+    words: dict[int, int] = {}
+    for key in set(keys):
+        for j in range(k):
+            pos = _md5_pos(key, j, m_bits)
+            words[pos // wb] = words.get(pos // wb, 0) | (1 << (pos % wb))
+
+    def model_member(key) -> bool:
+        return all(
+            words.get(
+                _md5_pos(key, j, m_bits) // wb, 0
+            ) >> (_md5_pos(key, j, m_bits) % wb) & 1
+            for j in range(k)
+        )
+
+    df = spark.createDataFrame([(k_,) for k_ in keys], "key long")
+    sketch = scale.bloom_partial(df, [], "key", m_bits=m_bits, k=k)
+    got_words = {r.word: r.bits for r in sketch.collect()}
+    assert got_words == words
+    probe_df = spark.createDataFrame(
+        [(p,) for p in set(probes) | set(keys)], "key long"
+    )
+    got = {
+        r.key: r.maybe_member
+        for r in scale.bloom_maybe_contains(
+            sketch, probe_df, [], "key", m_bits=m_bits, k=k
+        ).collect()
+    }
+    assert got == {p: model_member(p) for p in set(probes) | set(keys)}
+
+
+@given(
+    keys=st.lists(st.integers(min_value=0, max_value=100), min_size=1,
+                  max_size=80),
+)
+@settings(**_SETTINGS)
+def test_cms_matches_python_counter_model(spark, keys):
+    """CMS grid and point estimates vs a plain-Python model of the same
+    row-salted hashing; and est >= exact from collections.Counter."""
+    from collections import Counter
+
+    from flink_streaming_demo_spark.operators import scale
+
+    depth, width = 3, 32
+    grid: dict[tuple[int, int], int] = {}
+    for key in keys:
+        for j in range(depth):
+            c = _md5_pos(key, j, width)
+            grid[(j, c)] = grid.get((j, c), 0) + 1
+
+    def model_est(key) -> int:
+        return min(
+            grid.get((j, _md5_pos(key, j, width)), 0) for j in range(depth)
+        )
+
+    df = spark.createDataFrame([(k_,) for k_ in keys], "key long")
+    sketch = scale.cms_partial(df, [], "key", depth=depth, width=width)
+    assert {(r.row, r.col): r.cnt for r in sketch.collect()} == grid
+    probe_df = spark.createDataFrame(
+        [(p,) for p in set(keys)], "key long"
+    )
+    got = {
+        r.key: r.cms_count
+        for r in scale.cms_estimate(
+            sketch, probe_df, [], "key", depth=depth, width=width
+        ).collect()
+    }
+    exact = Counter(keys)
+    for p in set(keys):
+        assert got[p] == model_est(p)
+        assert got[p] >= exact[p]
+
+
+@given(
+    values=st.lists(
+        st.floats(min_value=-10.0, max_value=600.0, allow_nan=False),
+        min_size=2, max_size=80,
+    ),
+    q=st.sampled_from([0.25, 0.5, 0.9, 0.99]),
+)
+@settings(**_SETTINGS)
+def test_hist_quantile_matches_python_model(spark, values, q):
+    """Histogram bins and interpolated quantile vs a plain-Python model
+    of the identical clamp/floor/cumulative arithmetic (covers values
+    outside [lo, hi) clamping into edge bins)."""
+    from flink_streaming_demo_spark.operators import scale
+
+    lo, hi, n_bins = 0.0, 512.0, 16
+    width = (hi - lo) / n_bins
+    bins: dict[int, int] = {}
+    for v in values:
+        b = min(max(int((v - lo) // width), 0), n_bins - 1)
+        bins[b] = bins.get(b, 0) + 1
+    n = len(values)
+    target = q * n
+    cum = 0
+    model = None
+    for b in sorted(bins):
+        before, cum = cum, cum + bins[b]
+        if cum >= target and before < target:
+            model = round(
+                lo + (b + (target - before) / bins[b]) * width, 6
+            )
+            break
+
+    df = spark.createDataFrame([(float(v),) for v in values], "v double")
+    sketch = scale.hist_partial(df, [], "v", lo, hi, n_bins)
+    assert {(r.bin): r.cnt for r in sketch.collect()} == bins
+    got = scale.hist_quantiles(sketch, [], [q], lo, hi, n_bins).collect()
+    assert len(got) == 1 and got[0].hist_quantile == model
