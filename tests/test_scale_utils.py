@@ -549,3 +549,47 @@ def test_bloom_pruned_semi_join_is_exact_and_prunes(spark, sf_dir):
     n_pass = ev.filter(pred).count()
     n_true = want.count()
     assert n_true <= n_pass < n_all * 0.8, (n_true, n_pass, n_all)
+
+
+def test_sketches_on_empty_input(spark):
+    """Empty-input contracts across the sketch family: empty data gives
+    empty sketches and empty estimates; probes against an EMPTY sketch
+    answer the identity of each algebra (Bloom: nothing is a member;
+    CMS: every count is 0) instead of erroring; the map-side Bloom
+    expression built from an empty sketch rejects every row."""
+    empty = spark.createDataFrame([], "g string, key long, v double")
+    probes = spark.createDataFrame([("a", 1)], "g string, key long")
+    assert (
+        scale.hll_estimate(
+            scale.hll_partial(empty, ["g"], "key"), ["g"]
+        ).count()
+        == 0
+    )
+    assert scale.kmv_estimate(
+        scale.kmv_partial(empty, ["g"], "key")
+    ).count() == 0
+    bl = scale.bloom_maybe_contains(
+        scale.bloom_partial(empty, ["g"], "key"), probes, ["g"], "key"
+    ).collect()
+    assert [r.maybe_member for r in bl] == [False]
+    cm = scale.cms_estimate(
+        scale.cms_partial(empty, ["g"], "key"), probes, ["g"], "key"
+    ).collect()
+    assert [r.cms_count for r in cm] == [0]
+    assert (
+        scale.hist_quantiles(
+            scale.hist_partial(empty, ["g"], "v", 0.0, 10.0),
+            ["g"], [0.5], 0.0, 10.0,
+        ).count()
+        == 0
+    )
+    pred = scale.bloom_filter_expr(
+        scale.bloom_partial(empty, [], "key"), F.col("key")
+    )
+    assert probes.filter(pred).count() == 0
+    assert (
+        scale.bloom_pruned_semi_join(
+            probes, empty.select("key"), "key"
+        ).count()
+        == 0
+    )
