@@ -28,7 +28,10 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return dict(registry.QUERIES)
+    # ordered_queries, not the raw dict: driver order (window first) is
+    # re-derived at call time, immune to plans-module import-order
+    # effects (see registry.ordered_queries docstring)
+    return registry.ordered_queries()
 
 
 def oracle_sql() -> dict[str, str]:

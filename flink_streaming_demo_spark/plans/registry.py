@@ -362,10 +362,26 @@ def _active_window() -> list[str]:
     return rounds[max(rounds)]
 
 
-def _apply_window_order() -> None:
+def ordered_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """The registration dict in DRIVER order: active window first, then
+    everything else in registration order. Computed at ACCESS time, not
+    only at import time: if a consumer imports a plans module directly
+    (tests do), that module's ``from registry import register`` runs this
+    module's body mid-import, and Python hands ``_load_all`` back the
+    PARTIALLY-initialized plans module from sys.modules — its
+    registrations then land after the import-time ordering and would
+    push window queries out of the driver's first-50 slice. Re-deriving
+    the order here (after a completing ``_load_all``) is immune to that
+    import-order corruption; __spark_entry__.queries() calls this."""
+    _load_all()
     window = _active_window()
     ordered = {n: QUERIES[n] for n in window if n in QUERIES}
     ordered.update({n: f for n, f in QUERIES.items() if n not in ordered})
+    return ordered
+
+
+def _apply_window_order() -> None:
+    ordered = ordered_queries()
     QUERIES.clear()
     QUERIES.update(ordered)
 

@@ -36,7 +36,7 @@ def _driver_checked_names() -> set[str]:
 def test_never_checked_queries_lead_the_window():
     from flink_streaming_demo_spark.plans import registry
 
-    registered = list(registry.QUERIES)
+    registered = list(registry.ordered_queries())
     never = set(registered) - _driver_checked_names()
     head = set(registered[:DRIVER_SLOTS])
     missed = never - head
@@ -59,10 +59,12 @@ def test_active_window_is_highest_round_and_applied():
     assert windows, "no _ROUND<N>_WINDOW defined"
     newest = windows[max(windows)]
     assert registry._active_window() is newest
-    # the applied registration order must start with the active window
+    # the DRIVER-visible order must start with the active window
     # (restricted to names that are actually registered)
     expected_head = [n for n in newest if n in registry.QUERIES]
-    assert list(registry.QUERIES)[: len(expected_head)] == expected_head
+    assert list(registry.ordered_queries())[: len(expected_head)] == (
+        expected_head
+    )
 
 
 def test_window_names_resolve_and_are_unique():
@@ -76,3 +78,32 @@ def test_window_names_resolve_and_are_unique():
     )
     unknown = [n for n in window if n not in registry.QUERIES]
     assert not unknown, f"window names not registered (typo?): {unknown}"
+
+
+def test_order_survives_plans_module_imported_first():
+    """Regression for the circular-import ordering corruption: importing
+    a plans module BEFORE the registry runs the registry body mid-import,
+    and the partially-initialized plans module's registrations then land
+    AFTER the import-time window ordering — silently pushing window
+    queries out of the driver's first-50 slice. ordered_queries() (what
+    __spark_entry__.queries() serves) must be immune. Subprocess pins the
+    exact import order."""
+    import subprocess
+    import sys
+
+    code = (
+        "import sys; sys.path.insert(0, %r)\n"
+        "import flink_streaming_demo_spark.plans.event_queries\n"
+        "import __spark_entry__ as e\n"
+        "from flink_streaming_demo_spark.plans import registry\n"
+        "names = list(e.queries())\n"
+        "window = [n for n in registry._active_window() if n in names]\n"
+        "assert names[:len(window)] == window, names[:10]\n"
+        "print('OK', len(names))\n"
+    ) % REPO
+    r = subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert r.stdout.startswith("OK")
