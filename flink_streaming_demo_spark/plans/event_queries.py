@@ -121,6 +121,71 @@ register(
 )
 
 
+def events_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The NATIVE session-window operator (`F.session_window`) as a batch
+    query — the same gap-merge semantics as `events_sessionization` but
+    computed by Spark's built-in session aggregation (one hash-partial +
+    merge on user_id, no sort-window pass), which is also the exact code
+    `streaming_session_counts` runs under readStream (streaming/pipelines.py).
+
+    Boundary contract (probed, pinned by tests/test_event_queries.py): an
+    event exactly `gap` after the previous one MERGES into the session
+    (window merge condition is start <= end, inclusive), so the oracle's
+    new-session predicate is `diff > 1800`, and session_end is
+    last event ts + gap — not last event ts as in `events_sessionization`."""
+    ev = t(spark, sf_dir, "events")
+    agg = ev.groupBy(
+        F.session_window(F.col("ts"), "30 minutes"), F.col("user_id")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("session_value"),
+    )
+    return agg.select(
+        F.col("user_id"),
+        F.col("session_window.start").alias("session_start"),
+        F.col("session_window.end").alias("session_end"),
+        F.col("n_events"),
+        F.col("session_value"),
+    )
+
+
+register(
+    "events_session_windows",
+    events_session_windows,
+    """
+    WITH gaps AS (
+        SELECT
+            user_id,
+            event_id,
+            CAST(ts AS TIMESTAMP) AS ts,
+            value,
+            CAST(epoch(CAST(ts AS TIMESTAMP))
+                 - epoch(LAG(CAST(ts AS TIMESTAMP), 1) OVER w) > 1800
+                 AS INT) AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+    ),
+    sess AS (
+        SELECT
+            *,
+            SUM(COALESCE(new_session, 1)) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+            ) AS session_seq
+        FROM gaps
+    )
+    SELECT
+        user_id,
+        MIN(ts) AS session_start,
+        MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+        COUNT(*) AS n_events,
+        ROUND(SUM(value), 2) AS session_value
+    FROM sess
+    GROUP BY user_id, session_seq
+    """,
+)
+
+
 # --- As-of join --------------------------------------------------------------
 
 def events_asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -323,8 +323,10 @@ _ROUND10_WINDOW = [
     "events_bloom_flagged_users", "events_bloom_rollup_users",
     "events_cms_user_counts", "events_cms_rollup_users",
     "events_bloom_pruned_join", "events_hist_value_quantiles",
-    # 2. round-10 churn
-    "events_hll_lc_users", "dedup_embedding_neardup", "dedup_semantic",
+    # 2. round-10 churn (new queries this round go here: first-ever
+    #    driver rows outrank stale-rotation re-greens)
+    "events_hll_lc_users", "events_session_windows",
+    "dedup_embedding_neardup", "dedup_semantic",
     "pipeline_embedding_dedup", "pipeline_joint_curation",
     # 3. last checked r6 — four rounds stale (38), registration order
     "tpch_q2_min_cost_supplier", "tpch_q4_order_priority",
@@ -345,7 +347,6 @@ _ROUND10_WINDOW = [
     "events_pivot_type_counts",
     "events_value_stats", "events_json_props",
     "sample_source_cap", "sample_pack_bins", "sample_stratified",
-    "source_length_quantiles",
 ]
 
 

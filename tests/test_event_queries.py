@@ -247,3 +247,41 @@ def test_approx_distinct_users_bounded_error(spark, sf_dir):
         assert r.n_events == e.n_events, et
         rel = abs(r.approx_users - e.exact_users) / max(e.exact_users, 1)
         assert rel <= 0.05, (et, r.approx_users, e.exact_users, rel)
+
+
+def test_session_window_inclusive_gap_boundary(spark, monkeypatch):
+    """Pins the native session_window merge contract the oracle encodes:
+    an event exactly `gap` (30 min) after the previous one MERGES into
+    the session (inclusive boundary), one past the gap starts a new
+    session, and session_end is last-event ts + gap."""
+    b = datetime(2024, 1, 1)
+    rows = [
+        # user 1: 0, +30m (exact boundary -> merge), +60m (merge again)
+        (1, 1, "view", b, 1.0),
+        (1, 2, "view", b + timedelta(minutes=30), 1.0),
+        (1, 3, "view", b + timedelta(minutes=60), 1.0),
+        # user 2: 0, +30m+1s -> two sessions
+        (2, 4, "view", b, 1.0),
+        (2, 5, "view", b + timedelta(minutes=30, seconds=1), 1.0),
+    ]
+
+    def fake_t(spark_, sf_dir_, name_):
+        assert name_ == "events"
+        return spark.createDataFrame(
+            rows,
+            "user_id long, event_id long, event_type string,"
+            " ts timestamp, value double",
+        )
+
+    monkeypatch.setattr(EQ, "t", fake_t)
+    got = sorted(
+        EQ.events_session_windows(spark, "ignored").collect(),
+        key=lambda r: (r.user_id, r.session_start),
+    )
+    assert [(r.user_id, r.n_events) for r in got] == [(1, 3), (2, 1), (2, 1)]
+    u1 = got[0]
+    assert u1.session_start == b
+    assert u1.session_end == b + timedelta(minutes=90)  # last ts + gap
+    u2a, u2b = got[1], got[2]
+    assert u2a.session_end == b + timedelta(minutes=30)
+    assert u2b.session_start == b + timedelta(minutes=30, seconds=1)
