@@ -331,6 +331,130 @@ def sql_kmv_distinct(
     """
 
 
+def kmv_set_ops(
+    partials: DataFrame, group_col: str, k: int = KMV_K
+) -> DataFrame:
+    """KMV multiset algebra (Beyer et al., SIGMOD 2007) over a sketch
+    table: for every unordered pair of groups, estimate |A ∪ B|,
+    |A ∩ B| and Jaccard FROM THE SKETCHES ALONE — no rescan of the base
+    data, the whole point of keeping mergeable per-group sketches at
+    100 TB.
+
+    Per pair: the union sketch ``u`` is the k smallest of
+    ``kmv_a ∪ kmv_b`` (an element of ``u`` that belongs to A is
+    necessarily in A's own sketch — A ⊆ A∪B makes A's k-th-smallest
+    threshold no smaller than the union's — so sketch membership tests
+    are exact); ``k_int`` counts union-sketch elements present in BOTH
+    sketches. Estimators: union = (k-1)/v_k (exact when |u| < k),
+    intersection = k_int · union / |u| via exact BIGINT arithmetic
+    (``div``; both engines truncate positives identically, no float in
+    the product), Jaccard = k_int / |u|. The pair join is over GROUPS
+    (one sketch row each), not base rows — a broadcast nested-loop over
+    G sketch rows costs G², independent of data volume."""
+    a = partials.select(
+        F.col(group_col).alias("type_a"), F.col("kmv").alias("kmv_a")
+    )
+    b = partials.select(
+        F.col(group_col).alias("type_b"), F.col("kmv").alias("kmv_b")
+    )
+    pairs = a.join(F.broadcast(b), F.col("type_a") < F.col("type_b"))
+    calc = pairs.select(
+        "type_a",
+        "type_b",
+        F.slice(
+            F.array_sort(F.array_distinct(F.concat("kmv_a", "kmv_b"))),
+            1,
+            k,
+        ).alias("u"),
+        F.size(
+            F.array_intersect(
+                F.array_intersect(
+                    F.slice(
+                        F.array_sort(
+                            F.array_distinct(F.concat("kmv_a", "kmv_b"))
+                        ),
+                        1,
+                        k,
+                    ),
+                    "kmv_a",
+                ),
+                "kmv_b",
+            )
+        ).alias("k_int"),
+    ).select(
+        "type_a",
+        "type_b",
+        F.size("u").alias("n_u"),
+        F.element_at("u", -1).alias("vk"),
+        "k_int",
+    )
+    union_est = F.when(
+        F.col("n_u") < k, F.col("n_u").cast("long")
+    ).otherwise(F.floor(F.lit(float(k - 1)) / F.col("vk")))
+    return calc.select(
+        "type_a",
+        "type_b",
+        union_est.alias("union_distinct"),
+        F.when(F.col("n_u") < k, F.col("k_int").cast("long"))
+        .otherwise(
+            F.expr(
+                f"CAST(k_int AS BIGINT) * "
+                f"CAST(FLOOR({float(k - 1)!r} / vk) AS BIGINT) div {k}"
+            )
+        )
+        .alias("intersect_distinct"),
+        F.round(
+            F.col("k_int").cast("double") / F.col("n_u"), 6
+        ).alias("jaccard"),
+    )
+
+
+def sql_kmv_set_ops(
+    group_col: str, key_col: str, table: str, k: int = KMV_K
+) -> str:
+    """DuckDB twin of kmv_partial |> kmv_set_ops (embed as a full query)."""
+    return f"""
+    WITH du AS (
+        SELECT DISTINCT {group_col},
+               CAST(('0x' || substr(md5(CAST({key_col} AS VARCHAR)), 1, 15))
+                    AS BIGINT) / {_KMV_SCALE!r} AS u
+        FROM {table}
+        WHERE {key_col} IS NOT NULL
+    ),
+    rk AS (
+        SELECT {group_col}, u,
+               ROW_NUMBER() OVER (PARTITION BY {group_col} ORDER BY u) AS rn
+        FROM du
+    ),
+    sk AS (
+        SELECT {group_col}, list(u ORDER BY u) AS kmv
+        FROM rk WHERE rn <= {k} GROUP BY {group_col}
+    ),
+    pairs AS (
+        SELECT a.{group_col} AS type_a, b.{group_col} AS type_b,
+               a.kmv AS kmv_a, b.kmv AS kmv_b,
+               list_slice(list_sort(list_distinct(
+                   list_concat(a.kmv, b.kmv))), 1, {k}) AS u
+        FROM sk a JOIN sk b ON a.{group_col} < b.{group_col}
+    ),
+    calc AS (
+        SELECT type_a, type_b, len(u) AS n_u, u[-1] AS vk,
+               len(list_intersect(list_intersect(u, kmv_a), kmv_b)) AS k_int
+        FROM pairs
+    )
+    SELECT type_a, type_b,
+           CASE WHEN n_u < {k} THEN CAST(n_u AS BIGINT)
+                ELSE CAST(FLOOR({float(k - 1)!r} / vk) AS BIGINT)
+           END AS union_distinct,
+           CASE WHEN n_u < {k} THEN CAST(k_int AS BIGINT)
+                ELSE (CAST(k_int AS BIGINT)
+                      * CAST(FLOOR({float(k - 1)!r} / vk) AS BIGINT)) // {k}
+           END AS intersect_distinct,
+           ROUND(CAST(k_int AS DOUBLE) / n_u, 6) AS jaccard
+    FROM calc
+    """
+
+
 # --- Deterministic HLL (engine-replayable HyperLogLog registers) --------------
 #
 # The register-based sibling of the KMV sketch above. Spark's built-in

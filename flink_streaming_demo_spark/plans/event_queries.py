@@ -1532,6 +1532,38 @@ register(
 )
 
 
+def events_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV set algebra across event types: estimated |A ∪ B|, |A ∩ B|
+    and Jaccard for every unordered pair of event_type user-sets,
+    computed FROM THE PER-TYPE SKETCHES ALONE (Beyer et al., SIGMOD
+    2007) — the audience-overlap question ("how many users both click
+    and purchase?") answered without rescanning the base table, which
+    at 100 TB is the difference between reading 10 sketch rows and
+    re-shuffling every (type, user) pair. Estimator details and the
+    exactness cases live in operators/scale.py:kmv_set_ops; the oracle
+    replays the identical order statistics + BIGINT arithmetic."""
+    from flink_streaming_demo_spark.operators.scale import (
+        kmv_partial,
+        kmv_set_ops,
+    )
+
+    ev = t(spark, sf_dir, "events")
+    return kmv_set_ops(
+        kmv_partial(ev, ["event_type"], "user_id"), "event_type"
+    )
+
+
+def _kmv_set_ops_oracle() -> str:
+    from flink_streaming_demo_spark.operators.scale import sql_kmv_set_ops
+
+    return sql_kmv_set_ops("event_type", "user_id", "events")
+
+
+register(
+    "events_kmv_set_ops", events_kmv_set_ops, _kmv_set_ops_oracle()
+)
+
+
 def events_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic HyperLogLog distinct users per event_type — the
     REGISTER-sketch counterpart of events_kmv_distinct_users: bucket

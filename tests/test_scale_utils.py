@@ -593,3 +593,68 @@ def test_sketches_on_empty_input(spark):
         ).count()
         == 0
     )
+
+
+def test_kmv_set_ops_bounded_error(spark, sf_dir):
+    """Pairwise union/intersection/Jaccard from sketches track the exact
+    values. Error model (Beyer et al. 2007): union inherits the KMV
+    standard error (~1/sqrt(k)); k_int is a hypergeometric sample of k
+    union elements, adding ~sqrt(J(1-J)/k) to the Jaccard — assert
+    4-sigma-ish combined bounds (deterministic per dataset: md5 seed)."""
+    ev = load_table(spark, sf_dir, "events")
+    est = {
+        (r.type_a, r.type_b): r
+        for r in scale.kmv_set_ops(
+            scale.kmv_partial(ev, ["event_type"], "user_id"),
+            "event_type",
+        ).collect()
+    }
+    users = ev.select("event_type", "user_id").distinct().collect()
+    by_type: dict[str, set] = {}
+    for r in users:
+        by_type.setdefault(r.event_type, set()).add(r.user_id)
+    types = sorted(by_type)
+    k = scale.KMV_K
+    n_pairs = 0
+    for i, ta in enumerate(types):
+        for tb in types[i + 1:]:
+            n_pairs += 1
+            a, b = by_type[ta], by_type[tb]
+            got = est[(ta, tb)]
+            exact_u, exact_i = len(a | b), len(a & b)
+            if exact_u < k:
+                assert got.union_distinct == exact_u
+                assert got.intersect_distinct == exact_i
+            else:
+                assert (
+                    abs(got.union_distinct - exact_u) / exact_u
+                    < 4.0 / k ** 0.5
+                ), (ta, tb, got.union_distinct, exact_u)
+                j = exact_i / exact_u
+                sigma = (j * (1 - j) / k) ** 0.5 + 1.0 / k ** 0.5
+                assert abs(got.jaccard - j) < 4 * sigma + 1e-9, (
+                    ta, tb, got.jaccard, j,
+                )
+                assert (
+                    abs(got.intersect_distinct - exact_i)
+                    <= 4 * sigma * exact_u + exact_u * 4.0 / k ** 0.5 + 1
+                ), (ta, tb, got.intersect_distinct, exact_i)
+    assert est.keys() == {
+        (ta, tb) for i, ta in enumerate(types) for tb in types[i + 1:]
+    } and n_pairs == len(est)
+
+
+def test_kmv_set_ops_exact_below_k(spark):
+    """When the pair's union fits in the sketch (|A ∪ B| < k) every
+    output is exact, including Jaccard as k_int/n_u (not k_int/k)."""
+    rows = [("a", i) for i in range(30)] + [("b", i) for i in range(20, 60)]
+    df = spark.createDataFrame(rows, "event_type string, user_id long")
+    out = scale.kmv_set_ops(
+        scale.kmv_partial(df, ["event_type"], "user_id"), "event_type"
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.type_a, r.type_b) == ("a", "b")
+    assert r.union_distinct == 60
+    assert r.intersect_distinct == 10
+    assert abs(r.jaccard - round(10 / 60, 6)) < 1e-12
