@@ -81,6 +81,44 @@ register(
 )
 
 
+def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining (contrastive-training staple): per query
+    vector, the top-5 most-similar corpus vectors with a DIFFERENT
+    label — nearest-boundary negatives. Same broadcast-queries x
+    corpus-scan shape as sim_topk_cosine; the label predicate runs
+    before ranking (operators/similarity.py:hard_negatives)."""
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    return SIM.hard_negatives(queries, emb, k=TOP_K)
+
+
+register(
+    "sim_hard_negatives",
+    sim_hard_negatives,
+    f"""
+    WITH scored AS (
+        SELECT
+            q.vec_id AS query_id,
+            c.vec_id AS neighbor_id,
+            c.label AS neighbor_label,
+            ROUND({SIM.sql_cosine('q.embedding', 'c.embedding', DIMS)}, 6)
+                AS score
+        FROM embeddings q
+        JOIN embeddings c ON q.label <> c.label
+        WHERE q.vec_id < {N_QUERIES}
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC
+        ) AS rank
+        FROM scored
+    )
+    SELECT query_id, rank, neighbor_id, neighbor_label, score
+    FROM ranked WHERE rank <= {TOP_K}
+    """,
+)
+
+
 # --- LSH-bucketed ANN (the scale path) ---------------------------------------
 
 LSH_BITS = 4

@@ -408,3 +408,38 @@ def test_pq_train_seeds_full_codebook_on_offset_ids(spark):
     subs = SIM.subvectors(emb0.filter(F.col("vec_id") < 4), m=2, dsub=4)
     for r in subs.collect():
         assert seeds[(r.su, int(r.vec_id))] == r.svec
+
+
+def test_hard_negatives_excludes_same_label_and_ranks(spark, sf_dir):
+    """Every returned neighbor carries a label different from its
+    query's, ranks are dense 1..k in descending-score order, and each
+    returned (query, neighbor) score is >= the best same-scan cosine of
+    any EXCLUDED same-label vector ranked below — i.e. the operator
+    returns the top of the negative pool, not an arbitrary subset."""
+    from flink_streaming_demo_spark.schemas import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    labels = {r.vec_id: r.label for r in emb.collect()}
+    got = SIM.hard_negatives(queries, emb, k=5).collect()
+    by_q: dict[int, list] = {}
+    for r in got:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert set(by_q) == {0, 1, 2, 3, 4}
+    for qid, rows in by_q.items():
+        rows.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+        assert all(r.neighbor_label != labels[qid] for r in rows)
+        assert all(r.neighbor_label == labels[r.neighbor_id] for r in rows)
+        scores = [r.score for r in rows]
+        assert scores == sorted(scores, reverse=True)
+    # cross-check rank-1 against plain top-k restricted to other labels
+    full = SIM.brute_force_topk(queries, emb, k=len(labels)).collect()
+    for qid, rows in by_q.items():
+        pool = [
+            r for r in full
+            if r.query_id == qid and labels[r.neighbor_id] != labels[qid]
+        ]
+        best = max(pool, key=lambda r: (r.score, -r.neighbor_id))
+        assert rows[0].neighbor_id == best.neighbor_id
+        assert abs(rows[0].score - best.score) < 1e-9
