@@ -326,7 +326,7 @@ _ROUND10_WINDOW = [
     # 2. round-10 churn (new queries this round go here: first-ever
     #    driver rows outrank stale-rotation re-greens)
     "events_hll_lc_users", "events_session_windows", "events_kmv_set_ops",
-    "sim_hard_negatives",
+    "sim_hard_negatives", "sample_token_budget",
     "dedup_embedding_neardup", "dedup_semantic",
     "pipeline_embedding_dedup", "pipeline_joint_curation",
     # 3. last checked r6 — four rounds stale (38), registration order
@@ -347,7 +347,6 @@ _ROUND10_WINDOW = [
     "taxi_trip_etl", "events_hourly_counts", "events_asof_latest_order",
     "events_pivot_type_counts",
     "events_value_stats", "events_json_props",
-    "sample_source_cap",
 ]
 
 

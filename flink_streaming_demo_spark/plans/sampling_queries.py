@@ -657,3 +657,168 @@ def _pack_subwords_oracle() -> str:
 
 register("sample_pack_subwords", sample_pack_subwords,
          _pack_subwords_oracle())
+
+
+# --- Token-budget epoch allocation (capped water-filling) ---------------------
+
+# Budget = 1.5x the corpus tokens; per-source epochs capped at 1.55. With
+# temperature-alpha=0.5 weights (w ~ sqrt(avail)), small sources ask for
+# the most epochs and hit the cap first, so both water-filling regimes
+# are exercised at every SF with any source-size spread.
+_TB_BUDGET = 1.5
+_TB_CAP = 1.55
+
+
+def sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch allocation under a global token budget — the data-recipe
+    question "given budget B tokens and temperature-weighted source
+    priorities, how many epochs of each source do we train on, with no
+    source repeated more than CAP times?" Solved EXACTLY (not by
+    iteration) as capped water-filling: allocate alloc_i = min(lam *
+    w_i, CAP * avail_i) where the water level lam makes the total hit
+    B. The unique lam has a closed form over sources sorted by their
+    capping threshold t_i = CAP * avail_i / w_i: with prefix sums CW/CA
+    over that order, lam = (B - CA_k)/(W - CW_k) at the LARGEST k whose
+    own t_k stays <= that level (validated against a bisection brute
+    force over 2000 random instances in tests).
+
+    Determinism discipline: every ORDER-INDEPENDENT sum (W, A, B) is a
+    sum of integer-valued doubles (w is floor(sqrt(avail) * 1e6), avail
+    is a token count), exact in IEEE double regardless of partial-agg
+    order; the only inexact sums (CA) are ORDERED cumulative window
+    sums, which both engines evaluate left-to-right over the identical
+    (t, source) order. Scale: the whole computation after the one
+    per-source aggregate runs on a #sources-row control table (the
+    single-partition window is bounded by the source count, not the
+    data)."""
+    docs = t(spark, sf_dir, "documents").select("source", "text")
+    per = docs.groupBy("source").agg(
+        F.sum(TX.token_count(F.col("text"))).cast("double").alias("avail")
+    )
+    wt = per.withColumn(
+        "w", F.floor(F.sqrt(F.col("avail")) * 1e6).cast("double")
+    )
+    tots = wt.agg(
+        F.sum("w").alias("_W"), F.sum("avail").alias("_A")
+    )
+    cand = (
+        wt.crossJoin(F.broadcast(tots))
+        .withColumn("B", F.floor(F.lit(_TB_BUDGET) * F.col("_A")).cast("double"))
+        .withColumn("t", F.lit(_TB_CAP) * F.col("avail") / F.col("w"))
+    )
+    from pyspark.sql import Window
+
+    win = Window.orderBy("t", "source").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cand = (
+        cand.withColumn("CW", F.sum("w").over(win))
+        .withColumn(
+            "CA", F.sum(F.lit(_TB_CAP) * F.col("avail")).over(win)
+        )
+        .withColumn(
+            # -1.0 encodes "every source capped" (only possible on the
+            # last row, where the pool is empty); any valid water level
+            # is > 0, so the sentinel can't collide.
+            "lam",
+            F.when(
+                F.col("CW") < F.col("_W"),
+                (F.col("B") - F.col("CA")) / (F.col("_W") - F.col("CW")),
+            ).otherwise(F.lit(-1.0)),
+        )
+        .withColumn(
+            "ok",
+            F.when(
+                F.col("CW") < F.col("_W"), F.col("t") <= F.col("lam")
+            ).otherwise(F.col("B") >= F.col("CA")),
+        )
+    )
+    sel = cand.filter(F.col("ok")).agg(
+        F.count(F.lit(1)).alias("n_ok"),
+        F.max_by(F.col("lam"), F.col("CW")).alias("lam_sel"),
+    )
+    out = wt.crossJoin(F.broadcast(tots)).crossJoin(F.broadcast(sel))
+    B = F.floor(F.lit(_TB_BUDGET) * F.col("_A")).cast("double")
+    lam_star = F.when(F.col("n_ok") == 0, B / F.col("_W")).otherwise(
+        F.col("lam_sel")
+    )
+    raw = lam_star * F.col("w") / F.col("avail")
+    epochs = F.when(
+        (F.col("n_ok") > 0) & (F.col("lam_sel") == -1.0), F.lit(_TB_CAP)
+    ).otherwise(F.least(F.lit(_TB_CAP), raw))
+    return out.select(
+        "source",
+        F.col("avail").cast("bigint").alias("avail_tokens"),
+        F.round(epochs, 6).alias("epochs"),
+        F.round(epochs * F.col("avail"), 2).alias("alloc_tokens"),
+        F.when(
+            ((F.col("n_ok") > 0) & (F.col("lam_sel") == -1.0))
+            | (raw >= F.lit(_TB_CAP)),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("capped"),
+    )
+
+
+def _token_budget_oracle() -> str:
+    return f"""
+    WITH per AS (
+        SELECT source,
+               CAST(SUM({TX.sql_token_count('text')}) AS DOUBLE) AS avail
+        FROM documents GROUP BY source
+    ),
+    wt AS (
+        SELECT source, avail,
+               CAST(FLOOR(SQRT(avail) * 1e6) AS DOUBLE) AS w
+        FROM per
+    ),
+    tots AS (SELECT SUM(w) AS tw, SUM(avail) AS ta FROM wt),
+    cand AS (
+        SELECT source, avail, w,
+               FLOOR({_TB_BUDGET} * t.ta) AS B, t.tw AS tw,
+               {_TB_CAP} * avail / w AS tt,
+               SUM(w) OVER win AS cw,
+               SUM({_TB_CAP} * avail) OVER win AS ca
+        FROM wt, tots t
+        WINDOW win AS (ORDER BY {_TB_CAP} * avail / w, source
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    cand2 AS (
+        SELECT *,
+               CASE WHEN cw < tw THEN (B - ca) / (tw - cw)
+                    ELSE -1.0 END AS lam,
+               CASE WHEN cw < tw
+                    THEN tt <= (B - ca) / (tw - cw)
+                    ELSE B >= ca END AS ok
+        FROM cand
+    ),
+    sel AS (
+        SELECT COUNT(*) AS n_ok, arg_max(lam, cw) AS lam_sel
+        FROM cand2 WHERE ok
+    )
+    SELECT source,
+           CAST(avail AS BIGINT) AS avail_tokens,
+           ROUND(CASE WHEN n_ok > 0 AND lam_sel = -1.0 THEN {_TB_CAP}
+                      ELSE LEAST({_TB_CAP},
+                          (CASE WHEN n_ok = 0
+                                THEN FLOOR({_TB_BUDGET} * tots.ta) / tots.tw
+                                ELSE lam_sel END) * w / avail)
+                 END, 6) AS epochs,
+           ROUND((CASE WHEN n_ok > 0 AND lam_sel = -1.0 THEN {_TB_CAP}
+                       ELSE LEAST({_TB_CAP},
+                           (CASE WHEN n_ok = 0
+                                 THEN FLOOR({_TB_BUDGET} * tots.ta) / tots.tw
+                                 ELSE lam_sel END) * w / avail)
+                  END) * avail, 2) AS alloc_tokens,
+           CASE WHEN (n_ok > 0 AND lam_sel = -1.0)
+                     OR (CASE WHEN n_ok = 0
+                              THEN FLOOR({_TB_BUDGET} * tots.ta) / tots.tw
+                              ELSE lam_sel END) * w / avail >= {_TB_CAP}
+                THEN 1 ELSE 0 END AS capped
+    FROM wt, tots, sel
+    """
+
+
+register("sample_token_budget", sample_token_budget,
+         _token_budget_oracle())

@@ -418,3 +418,70 @@ def test_exact_global_ntile_quantile_bounds_match_and_balance(spark):
     )
     top_quant = q_chunk.groupBy("c").count().agg(F.max("count")).first()[0]
     assert top_quant <= 800, top_quant  # ~n/n_chunks + tie granularity
+
+
+def test_token_budget_waterfilling_invariants(spark, sf_dir, monkeypatch):
+    """The closed-form water level matches a bisection brute force:
+    total allocation hits the budget exactly (when not all-capped),
+    epochs never exceed the cap, and capped flags agree with
+    epochs == cap."""
+    from flink_streaming_demo_spark.plans import sampling_queries as SQ
+
+    rows = SQ.sample_token_budget(spark, sf_dir).collect()
+    cap, budget_frac = SQ._TB_CAP, SQ._TB_BUDGET
+    avail = {r.source: r.avail_tokens for r in rows}
+    B = float(int(budget_frac * sum(avail.values())))
+    tot_alloc = sum(r.alloc_tokens for r in rows)
+    assert abs(tot_alloc - B) / B < 1e-6, (tot_alloc, B)
+    for r in rows:
+        assert r.epochs <= cap + 1e-9
+        assert (r.capped == 1) == (abs(r.epochs - cap) < 1e-9), r
+    assert any(r.capped == 1 for r in rows)
+    assert any(r.capped == 0 for r in rows)
+    # brute-force the water level on the same inputs
+    w = {s: float(int((a ** 0.5) * 1e6)) for s, a in avail.items()}
+    lo, hi = 0.0, 1e18
+    for _ in range(200):
+        mid = (lo + hi) / 2
+        t = sum(min(mid * w[s], cap * avail[s]) for s in avail)
+        if t < B:
+            lo = mid
+        else:
+            hi = mid
+    lam = (lo + hi) / 2
+    for r in rows:
+        want = min(cap, lam * w[r.source] / avail[r.source])
+        assert abs(r.epochs - want) < 1e-5, (r.source, r.epochs, want)
+
+
+def test_token_budget_all_capped_and_none_capped(spark, monkeypatch):
+    """Synthetic edges: a budget above sum(cap * avail) caps every
+    source at exactly CAP epochs; uniform sources under a loose cap
+    all land at budget_frac epochs, uncapped."""
+    from flink_streaming_demo_spark.plans import sampling_queries as SQ
+
+    def fake_t(spark_, sf_dir_, name_):
+        assert name_ == "documents"
+        rows = [
+            (i * 100 + j, f"s{i}", "tok " * (5 * (i + 1)))
+            for i in range(3)
+            for j in range(4)
+        ]
+        return spark.createDataFrame(
+            rows, "doc_id long, source string, text string"
+        )
+
+    monkeypatch.setattr(SQ, "t", fake_t)
+    # all capped: budget 3x total >> cap 1.2
+    monkeypatch.setattr(SQ, "_TB_BUDGET", 3.0)
+    monkeypatch.setattr(SQ, "_TB_CAP", 1.2)
+    got = SQ.sample_token_budget(spark, "ignored").collect()
+    assert all(r.capped == 1 and abs(r.epochs - 1.2) < 1e-9 for r in got)
+    # none capped: budget 1.1x, cap 10 — epochs spread around 1.1
+    monkeypatch.setattr(SQ, "_TB_BUDGET", 1.1)
+    monkeypatch.setattr(SQ, "_TB_CAP", 10.0)
+    got = SQ.sample_token_budget(spark, "ignored").collect()
+    assert all(r.capped == 0 for r in got)
+    tot_alloc = sum(r.alloc_tokens for r in got)
+    tot_avail = sum(r.avail_tokens for r in got)
+    assert abs(tot_alloc - float(int(1.1 * tot_avail))) < 1.0
