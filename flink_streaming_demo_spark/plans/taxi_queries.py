@@ -422,3 +422,110 @@ register(
     FROM xy
     """,
 )
+
+
+def hilbert_index(df: DataFrame, bits: int = _Z_BITS) -> DataFrame:
+    """Append ``h_value``: the Hilbert-curve index of (x_idx, y_idx) on
+    the 2^bits x 2^bits grid — the stronger locality cousin of the
+    z-value (consecutive h_values are ALWAYS 4-adjacent cells; z-order
+    takes long diagonal jumps at power-of-two seams, so a z-range scan
+    over-reads at those seams where an h-range never does; pinned by
+    tests). Standard xy2d bit walk (quadrant digit + rotate/reflect),
+    unrolled over `bits` rounds of pure integer CASE/AND/XOR arithmetic
+    — per-row expressions, no Python, identical tree on both engines."""
+    out = df.withColumn("_hx", F.col("x_idx").cast("bigint")) \
+        .withColumn("_hy", F.col("y_idx").cast("bigint")) \
+        .withColumn("h_value", F.lit(0).cast("bigint"))
+    for i in range(bits):
+        s = 1 << (bits - 1 - i)
+        rx = (F.col("_hx").bitwiseAND(F.lit(s)) != 0).cast("bigint")
+        ry = (F.col("_hy").bitwiseAND(F.lit(s)) != 0).cast("bigint")
+        flip_x = F.when(rx == 1, F.lit(s - 1) - F.col("_hx")).otherwise(
+            F.col("_hx")
+        )
+        flip_y = F.when(rx == 1, F.lit(s - 1) - F.col("_hy")).otherwise(
+            F.col("_hy")
+        )
+        out = out.select(
+            *[c for c in out.columns if c not in ("_hx", "_hy", "h_value")],
+            (
+                F.col("h_value")
+                + F.lit(s * s) * (F.lit(3) * rx).bitwiseXOR(ry)
+            ).alias("h_value"),
+            # ry == 0: reflect when rx == 1, then swap x/y; else unchanged
+            F.when(ry == 0, flip_y).otherwise(F.col("_hx")).alias("_hx"),
+            F.when(ry == 0, flip_x).otherwise(F.col("_hy")).alias("_hy"),
+        )
+    return out.drop("_hx", "_hy")
+
+
+def _sql_hilbert(bits: int = _Z_BITS) -> str:
+    """DuckDB twin of hilbert_index as a chain of CTEs h0..h<bits> over a
+    CTE named ``xy`` with columns (cell, x_idx, y_idx)."""
+    parts = [
+        "h0 AS (SELECT cell, x_idx, y_idx,"
+        " CAST(x_idx AS BIGINT) AS hx, CAST(y_idx AS BIGINT) AS hy,"
+        " CAST(0 AS BIGINT) AS hd FROM xy)"
+    ]
+    for i in range(bits):
+        s = 1 << (bits - 1 - i)
+        rx = f"(CASE WHEN (hx & {s}) != 0 THEN 1 ELSE 0 END)"
+        ry = f"(CASE WHEN (hy & {s}) != 0 THEN 1 ELSE 0 END)"
+        parts.append(
+            f"h{i + 1} AS (SELECT cell, x_idx, y_idx,"
+            f" CASE WHEN {ry} = 0 THEN"
+            f" (CASE WHEN {rx} = 1 THEN {s - 1} - hy ELSE hy END)"
+            f" ELSE hx END AS hx,"
+            f" CASE WHEN {ry} = 0 THEN"
+            f" (CASE WHEN {rx} = 1 THEN {s - 1} - hx ELSE hx END)"
+            f" ELSE hy END AS hy,"
+            f" hd + {s * s} * xor(3 * {rx}, {ry}) AS hd"
+            f" FROM h{i})"
+        )
+    return ",\n    ".join(parts)
+
+
+def layout_hilbert_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert-curve layout key for every observed grid cell — the
+    locality-optimal alternative to layout_zorder_cells for the same
+    file-clustering decision: sort/partition cell-keyed files by
+    h_value and any lat/lon box prunes to fewer, more-contiguous
+    h-ranges than z-ranges (no power-of-two seam jumps). Same observed-
+    cell distinct as the z-order query; the index itself is pure
+    integer expressions (hilbert_index)."""
+    cells = taxi_apps.arrival_events(
+        synthetic_taxi_rides(spark, sf_dir)
+    ).select("cell").distinct()
+    x = F.col("cell") % F.lit(geo.CELL_CNT_X)
+    y = (F.col("cell") - x) / F.lit(geo.CELL_CNT_X)
+    out = cells.select(
+        "cell",
+        x.cast("int").alias("x_idx"),
+        y.cast("int").alias("y_idx"),
+    )
+    return hilbert_index(out)
+
+
+register(
+    "layout_hilbert_cells",
+    layout_hilbert_cells,
+    f"""
+    WITH rides AS ({_RIDES_SQL}),
+    arrivals AS (
+        SELECT {geo.sql_grid_cell('lon', 'lat')} AS cell
+        FROM rides
+        WHERE NOT is_start AND {geo.sql_is_in_nyc('lon', 'lat')}
+    ),
+    cells AS (SELECT DISTINCT cell FROM arrivals),
+    xy AS (
+        SELECT cell,
+               CAST(cell % {geo.CELL_CNT_X} AS INT) AS x_idx,
+               CAST((cell - cell % {geo.CELL_CNT_X}) / {geo.CELL_CNT_X}
+                    AS INT) AS y_idx
+        FROM cells
+    ),
+    {_sql_hilbert()}
+    SELECT cell, x_idx, y_idx, hd AS h_value
+    FROM h{_Z_BITS}
+    """,
+)

@@ -54,3 +54,58 @@ def test_zorder_roundtrip_and_locality(spark, sf_dir):
             y |= ((r.z_value >> (2 * b + 1)) & 1) << b
         assert (x, y) == (r.x_idx, r.y_idx), r
         assert r.cell == r.x_idx + 250 * r.y_idx
+
+
+def _xy2d_ref(n_side: int, x: int, y: int) -> int:
+    """Independent reference: the classic Wikipedia xy2d bit walk."""
+    d = 0
+    s = n_side // 2
+    while s > 0:
+        rx = 1 if (x & s) > 0 else 0
+        ry = 1 if (y & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x = s - 1 - x
+                y = s - 1 - y
+            x, y = y, x
+        s //= 2
+    return d
+
+
+def test_hilbert_bijection_adjacency_and_reference(spark):
+    """On the full 32x32 grid (bits=5): h_value is a bijection onto
+    0..1023, consecutive h_values are ALWAYS Manhattan-distance-1
+    neighbors (the locality property z-order lacks at seams), and every
+    value matches the independent Wikipedia xy2d reference."""
+    from flink_streaming_demo_spark.plans.taxi_queries import hilbert_index
+
+    side = 32
+    grid = spark.createDataFrame(
+        [(x + side * y, x, y) for x in range(side) for y in range(side)],
+        "cell int, x_idx int, y_idx int",
+    )
+    rows = hilbert_index(grid, bits=5).collect()
+    assert len(rows) == side * side
+    by_h = {}
+    for r in rows:
+        assert r.h_value == _xy2d_ref(side, r.x_idx, r.y_idx), r
+        by_h[r.h_value] = (r.x_idx, r.y_idx)
+    assert sorted(by_h) == list(range(side * side))
+    for h in range(side * side - 1):
+        (x0, y0), (x1, y1) = by_h[h], by_h[h + 1]
+        assert abs(x0 - x1) + abs(y0 - y1) == 1, (h, by_h[h], by_h[h + 1])
+
+
+def test_hilbert_query_matches_reference_on_sf(spark, sf_dir):
+    """The registered query's 512x512 (bits=9) index agrees with the
+    independent reference on every observed cell."""
+    from flink_streaming_demo_spark.plans.taxi_queries import (
+        layout_hilbert_cells,
+    )
+
+    rows = layout_hilbert_cells(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.h_value == _xy2d_ref(512, r.x_idx, r.y_idx), r
+        assert r.cell == r.x_idx + 250 * r.y_idx
