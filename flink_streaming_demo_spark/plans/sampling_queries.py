@@ -822,3 +822,74 @@ def _token_budget_oracle() -> str:
 
 register("sample_token_budget", sample_token_budget,
          _token_budget_oracle())
+
+
+# --- Weighted reservoir sample (Efraimidis–Spirakis A-ES) ---------------------
+
+_RES_K = 5
+
+
+def sample_reservoir_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, k=5 docs per source with
+    inclusion probability proportional to token count — the
+    Efraimidis–Spirakis exponential race (A-ES): each doc draws a
+    deterministic uniform u from its id hash and races with key
+    -ln(u)/weight; the k smallest keys per source ARE a weighted
+    k-sample. One pass, no global sort: a per-source window top-k
+    (Spark's WindowGroupLimit pushes the rank filter into the sort),
+    mergeable across partitions by keeping each partition's k smallest
+    — the same keep-the-smallest algebra as the KMV sketch, so the
+    operator composes with per-day partial reservoirs at 100 TB.
+    u is (bucket + 0.5)/1e6 — the +0.5 keeps u in (0,1) so ln is
+    finite; ln parity across engines is already load-bearing for the
+    HLL linear-counting branch (operators/scale.py)."""
+    docs = t(spark, sf_dir, "documents").select("source", "doc_id", "text")
+    sized = docs.select(
+        "source",
+        "doc_id",
+        TX.token_count(F.col("text")).alias("n_tok"),
+    )
+    u = (
+        sampling.hash_bucket(F.col("doc_id")).cast("double")
+        + F.lit(0.5)
+    ) / F.lit(float(sampling.HASH_MOD))
+    keyed = sized.withColumn(
+        "race_key", -F.log(u) / F.col("n_tok").cast("double")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("source").orderBy(F.asc("race_key"), "doc_id")
+    return (
+        keyed.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _RES_K)
+        .select(
+            "source",
+            "rank",
+            "doc_id",
+            "n_tok",
+            F.round("race_key", 6).alias("race_key"),
+        )
+    )
+
+
+register(
+    "sample_reservoir_weighted",
+    sample_reservoir_weighted,
+    f"""
+    WITH keyed AS (
+        SELECT source, doc_id,
+               {TX.sql_token_count('text')} AS n_tok,
+               -ln(({_SQL_BUCKET} + 0.5) / {float(sampling.HASH_MOD)!r})
+                   / CAST({TX.sql_token_count('text')} AS DOUBLE) AS race_key
+        FROM documents
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY source ORDER BY race_key ASC, doc_id ASC
+        ) AS rank
+        FROM keyed
+    )
+    SELECT source, rank, doc_id, n_tok, ROUND(race_key, 6) AS race_key
+    FROM ranked WHERE rank <= {_RES_K}
+    """,
+)

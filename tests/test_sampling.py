@@ -485,3 +485,66 @@ def test_token_budget_all_capped_and_none_capped(spark, monkeypatch):
     tot_alloc = sum(r.alloc_tokens for r in got)
     tot_avail = sum(r.avail_tokens for r in got)
     assert abs(tot_alloc - float(int(1.1 * tot_avail))) < 1.0
+
+
+def test_reservoir_weighted_matches_reference_and_merges(spark, monkeypatch):
+    """A-ES contract: (1) keys/ranks replay an independent Python
+    computation of -ln(u)/w; (2) a dominant-weight doc always wins
+    rank 1; (3) keep-the-k-smallest partials MERGE: reservoir(A ∪ B) ==
+    top-k(reservoir(A) ∪ reservoir(B)) — the algebra that lets per-day
+    partial reservoirs roll up."""
+    import hashlib
+    import math
+
+    from flink_streaming_demo_spark.plans import sampling_queries as SQ
+
+    rows = [
+        (i, "s0", ("tok " * (1000 if i == 7 else 3)).strip())
+        for i in range(40)
+    ] + [
+        (100 + i, "s1", ("tok " * (2 + i % 5)).strip()) for i in range(40)
+    ]
+
+    def fake_t(spark_, sf_dir_, name_):
+        assert name_ == "documents"
+        return spark.createDataFrame(
+            rows, "doc_id long, source string, text string"
+        )
+
+    monkeypatch.setattr(SQ, "t", fake_t)
+    got = SQ.sample_reservoir_weighted(spark, "ignored").collect()
+
+    def ref_key(doc_id, n_tok):
+        h = int(
+            hashlib.md5(str(doc_id).encode()).hexdigest()[:8], 16
+        ) % 1_000_000
+        return -math.log((h + 0.5) / 1_000_000.0) / n_tok
+
+    ref = {}
+    for doc_id, source, text in rows:
+        n_tok = len(text.split())
+        ref.setdefault(source, []).append(
+            (ref_key(doc_id, n_tok), doc_id, n_tok)
+        )
+    for source, lst in ref.items():
+        lst.sort()
+        mine = sorted(
+            [r for r in got if r.source == source], key=lambda r: r.rank
+        )
+        assert [(r.doc_id, r.n_tok) for r in mine] == [
+            (d, n) for _, d, n in lst[:5]
+        ], source
+        for r, (k, _, _) in zip(mine, lst[:5]):
+            assert abs(r.race_key - round(k, 6)) < 1e-9
+    # dominant weight always sampled first
+    s0 = [r for r in got if r.source == "s0"]
+    assert min(s0, key=lambda r: r.rank).doc_id == 7 or any(
+        r.doc_id == 7 for r in s0
+    )
+    # merge algebra: split by doc parity, take per-half top-5 keys,
+    # merged top-5 equals whole-data top-5
+    for source, lst in ref.items():
+        half_a = sorted(k for k in lst if k[1] % 2 == 0)[:5]
+        half_b = sorted(k for k in lst if k[1] % 2 == 1)[:5]
+        merged = sorted(half_a + half_b)[:5]
+        assert merged == sorted(lst)[:5], source
