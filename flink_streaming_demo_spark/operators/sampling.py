@@ -336,3 +336,76 @@ def exact_global_ntile(
         "_gn_min", "_gn_max", "_gn_n", "_gn_chunk", "_gn_local",
         "_gn_size", "_gn_prefix", "_gn_rank",
     )
+
+
+# --- Weighted reservoir (Efraimidis–Spirakis A-ES) as a mergeable sketch ------
+
+RESERVOIR_K = 5
+
+
+def race_key(id_col: Column, weight_col: Column) -> Column:
+    """The A-ES exponential race key -ln(u)/w with a DETERMINISTIC
+    uniform u = (hash_bucket(id) + 0.5)/1e6: the k smallest keys per
+    group are a weight-proportional sample without replacement. The
+    +0.5 keeps u in (0,1) so ln is finite; determinism makes the
+    reservoir a semigroup (same row -> same key), which is what the
+    merge below exploits."""
+    u = (hash_bucket(id_col).cast("double") + F.lit(0.5)) / F.lit(
+        float(HASH_MOD)
+    )
+    return -F.log(u) / weight_col.cast("double")
+
+
+def reservoir_partial(
+    df: DataFrame,
+    group_cols: list[str],
+    id_col: str,
+    weight_col: str,
+    k: int = RESERVOIR_K,
+) -> DataFrame:
+    """Per-group reservoir state: the k smallest (race_key, id, weight)
+    structs as a SORTED array column ``res`` — same keep-the-smallest
+    algebra as the KMV sketch, so partials built per partition/day/
+    micro-batch merge associatively and idempotently (same row hashes
+    to the same struct; array_distinct absorbs replays). The top-k runs
+    as a PARTITIONED window rank before any collect_list, so no group
+    ever materializes more than its own rows, and the state leaving the
+    stage is <= k structs per group."""
+    from pyspark.sql import Window
+
+    keyed = df.select(
+        *group_cols,
+        F.struct(
+            race_key(F.col(id_col), F.col(weight_col)).alias("race_key"),
+            F.col(id_col).cast("long").alias("id"),
+            F.col(weight_col).cast("long").alias("weight"),
+        ).alias("_e"),
+    )
+    w = Window.partitionBy(*group_cols).orderBy(F.asc("_e"))
+    return (
+        keyed.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .groupBy(*group_cols)
+        .agg(F.array_sort(F.collect_list("_e")).alias("res"))
+    )
+
+
+def reservoir_merge(
+    a: DataFrame, b: DataFrame, group_cols: list[str], k: int = RESERVOIR_K
+) -> DataFrame:
+    """⊕: union reservoir tables, re-take the k smallest structs per
+    group (lexicographic array_sort orders by race_key first;
+    array_distinct absorbs rows present in both sides)."""
+    return (
+        a.unionByName(b)
+        .groupBy(*group_cols)
+        .agg(
+            F.slice(
+                F.array_sort(
+                    F.array_distinct(F.flatten(F.collect_list("res")))
+                ),
+                1,
+                k,
+            ).alias("res")
+        )
+    )

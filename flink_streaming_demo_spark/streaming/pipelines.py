@@ -580,3 +580,42 @@ def streaming_hist_counts(
         expected_key=[*group_cols, "bin"],
         epoch_guard=True,
     )
+
+
+def streaming_reservoir_weighted(
+    sink,
+    group_cols: list[str],
+    id_col: str,
+    weight_col: str,
+    k: int = None,
+):
+    """foreachBatch body maintaining a weighted reservoir sample
+    (Efraimidis–Spirakis A-ES, operators/sampling.reservoir_partial)
+    over a stream: per micro-batch, race-key the batch rows, keep the k
+    smallest per group, ⊕-merge with the store's reservoir. The race
+    key is deterministic in the row id, so the merge is IDEMPOTENT on
+    replayed batches — crash-replay lands on identical state with no
+    dedup bookkeeping, the same algebraic exactly-once as the KMV
+    maintainer. State per group is <= k structs forever; the sample
+    remains exactly weight-proportional over the whole history because
+    keep-the-smallest over merges equals one global top-k."""
+    from flink_streaming_demo_spark.operators.sampling import (
+        RESERVOIR_K,
+        reservoir_merge,
+        reservoir_partial,
+    )
+
+    if k is None:
+        k = RESERVOIR_K
+    return _streaming_sketch_maintenance(
+        sink,
+        group_cols,
+        partial_fn=lambda b: reservoir_partial(
+            b, group_cols, id_col, weight_col, k
+        ),
+        merge_fn=lambda cur, part: reservoir_merge(
+            cur, part, group_cols, k
+        ),
+        state_cols=("res",),
+        sketch_name="streaming_reservoir_weighted",
+    )

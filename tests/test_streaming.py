@@ -1707,3 +1707,81 @@ def test_streaming_hist_converges_to_batch_grid(spark, sf_dir):
     finally:
         shutil.rmtree(store, ignore_errors=True)
         shutil.rmtree(f"{store}_epochs", ignore_errors=True)
+
+
+def test_streaming_reservoir_equals_batch_and_is_replay_idempotent(
+    spark, sf_dir
+):
+    """Chunked replay through the weighted-reservoir maintenance body
+    converges to the batch reservoir over the same rows (keep-the-
+    k-smallest associativity), and re-applying a chunk leaves the state
+    unchanged (deterministic race keys + array_distinct)."""
+    from flink_streaming_demo_spark.operators.sampling import (
+        reservoir_partial,
+    )
+    from flink_streaming_demo_spark.schemas import load_table
+    from flink_streaming_demo_spark.streaming.pipelines import (
+        streaming_reservoir_weighted,
+        write_foreach_batch_stream,
+    )
+    from flink_streaming_demo_spark.streaming.sinks import ParquetUpsertSink
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "user_id"
+    ).withColumn("wgt", F.col("user_id") % 7 + 1)
+    chunk_dir = replay.write_replay_chunks(
+        ev.withColumn("delivery_ts", F.col("event_id")),
+        n_chunks=4,
+        order_col="delivery_ts",
+    )
+    store = tempfile.mkdtemp(prefix="res_") + "/store"
+    sink = ParquetUpsertSink(store, ["event_type"])
+    body = streaming_reservoir_weighted(
+        sink, ["event_type"], "event_id", "wgt", k=8
+    )
+    try:
+        stream = replay.read_replay_stream(
+            spark,
+            chunk_dir,
+            "event_id long, event_type string, user_id long, wgt long",
+            max_files_per_trigger=1,
+        )
+        q = write_foreach_batch_stream(stream, body, "res_sketch")
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        got = {
+            r.event_type: [tuple(e) for e in r.res]
+            for r in sink.read(spark).collect()
+        }
+        want = {
+            r.event_type: [tuple(e) for e in r.res]
+            for r in reservoir_partial(
+                ev, ["event_type"], "event_id", "wgt", k=8
+            ).collect()
+        }
+        assert got == want
+        assert all(len(v) == 8 for v in got.values())
+        body(ev.filter(F.col("event_id") % 4 == 1), epoch_id=99)
+        again = {
+            r.event_type: [tuple(e) for e in r.res]
+            for r in sink.read(spark).collect()
+        }
+        assert again == want
+    finally:
+        shutil.rmtree(chunk_dir, ignore_errors=True)
+        shutil.rmtree(store, ignore_errors=True)
+
+
+def test_streaming_reservoir_rejects_storeless_sink_at_construction():
+    from flink_streaming_demo_spark.streaming.pipelines import (
+        streaming_reservoir_weighted,
+    )
+    from flink_streaming_demo_spark.streaming.sinks import InMemoryUpsertSink
+
+    with pytest.raises(TypeError, match="store-backed"):
+        streaming_reservoir_weighted(
+            InMemoryUpsertSink(["event_type"]), ["event_type"],
+            "event_id", "wgt",
+        )
