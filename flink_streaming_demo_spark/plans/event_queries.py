@@ -2068,3 +2068,29 @@ register(
     events_hist_value_quantiles,
     _hist_oracle(),
 )
+
+
+def events_salted_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-phase aggregation IN the driver-checked surface:
+    per-user event counts via operators/scale.salted_count — partial
+    count per (user, salt) spreads any hot user over 8 reducers, final
+    sum moves 8 rows per user. The oracle is the PLAIN group-by count:
+    salting must be invisible in the result, which is exactly the
+    contract a skew mitigation has to prove before it's safe to deploy
+    at a 100 TB shuffle. (events_key_skew_report is the diagnostic that
+    decides when to reach for this form.)"""
+    from flink_streaming_demo_spark.operators.scale import salted_count
+
+    ev = t(spark, sf_dir, "events")
+    return salted_count(ev, "user_id", n_salts=8)
+
+
+register(
+    "events_salted_user_counts",
+    events_salted_user_counts,
+    """
+    SELECT user_id, COUNT(*) AS cnt
+    FROM events
+    GROUP BY user_id
+    """,
+)

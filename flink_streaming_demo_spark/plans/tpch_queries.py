@@ -674,3 +674,38 @@ register(
     WHERE o_orderkey < 200
     """,
 )
+
+
+def star_salted_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe equi-join IN the driver-checked surface: orders joined
+    to customer through operators/scale.salted_join (shuffle key becomes
+    (custkey, salt), hot customers split over 8 reducers; the dim side
+    replicates 8x), then the per-mktsegment order count. The oracle is
+    the PLAIN join + group-by: the mitigation must be result-invisible,
+    which is the deploy bar for salting a skewed 100 TB fact-dim join
+    that sits above the broadcast threshold."""
+    from flink_streaming_demo_spark.operators.scale import salted_join
+
+    orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = (
+        t(spark, sf_dir, "customer")
+        .select(
+            F.col("c_custkey").alias("o_custkey"), F.col("c_mktsegment")
+        )
+    )
+    return (
+        salted_join(orders, cust, "o_custkey", n_salts=8)
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+register(
+    "star_salted_join_counts",
+    star_salted_join_counts,
+    """
+    SELECT c.c_mktsegment, COUNT(*) AS n_orders
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
