@@ -481,7 +481,9 @@ register(
 INTERVAL_HORIZON = "5 minutes"
 
 
-def error_after_click(clicks: DataFrame, errors: DataFrame) -> DataFrame:
+def error_after_click(
+    clicks: DataFrame, errors: DataFrame, how: str = "inner"
+) -> DataFrame:
     """Interval join: every (click, error) pair of the same user where
     the error lands in (click_ts, click_ts + 5 minutes]. The join SURVEY
     §2.10 says the reference's two-event design invites but never does —
@@ -514,6 +516,7 @@ def error_after_click(clicks: DataFrame, errors: DataFrame) -> DataFrame:
                 F.col("error_ts")
                 <= F.col("click_ts") + F.expr(f"INTERVAL {INTERVAL_HORIZON}")
             ),
+            how,
         )
         .select(
             "user_id",

@@ -197,6 +197,31 @@ def streaming_error_after_click(
     )
 
 
+def streaming_error_after_click_outer(
+    clicks: DataFrame,
+    errors: DataFrame,
+    watermark_delay: str = "60 seconds",
+) -> DataFrame:
+    """LEFT-OUTER stream-stream interval join: matched (click, error)
+    pairs emit as they are found, and a click with NO in-horizon error
+    emits once — with NULL error columns — when the watermark passes
+    click_ts + horizon and its join state is evicted. That NULL-on-
+    eviction emission is the semantics corner the inner form never
+    exercises: the engine must prove absence, not just presence, and it
+    can only do so when the watermark guarantees no matching error can
+    still arrive. Same bounded state as the inner join (both buffers
+    evict on the watermark + range condition)."""
+    from flink_streaming_demo_spark.plans.event_queries import (
+        error_after_click,
+    )
+
+    return error_after_click(
+        clicks.withWatermark("ts", watermark_delay),
+        errors.withWatermark("ts", watermark_delay),
+        how="leftOuter",
+    )
+
+
 def streaming_enrich_with_static(
     events: DataFrame,
     dim: DataFrame,

@@ -1785,3 +1785,86 @@ def test_streaming_reservoir_rejects_storeless_sink_at_construction():
             InMemoryUpsertSink(["event_type"]), ["event_type"],
             "event_id", "wgt",
         )
+
+
+def test_streaming_outer_interval_join_emits_nulls_on_eviction(spark):
+    """Left-outer stream-stream interval join: matched pairs equal the
+    batch inner join; a click with no in-horizon error emits ONCE with
+    NULL error columns after the watermark passes click_ts + horizon
+    (state eviction proves absence). A far-future sentinel click drives
+    the watermark past every real click's horizon; the sentinel itself
+    stays in state (the watermark can never pass it) and is excluded."""
+    from flink_streaming_demo_spark.plans.event_queries import (
+        error_after_click,
+    )
+    from flink_streaming_demo_spark.streaming.pipelines import (
+        streaming_error_after_click_outer,
+    )
+
+    schema = "event_id long, ts timestamp, user_id long, event_type string"
+    base = datetime(2024, 3, 1, 9, 0, 0)
+    rows = []
+    eid = 0
+    for u in range(3):
+        t0 = base + timedelta(minutes=10 * u)
+        rows += [
+            (eid, t0, u, "click"),
+            (eid + 1, t0 + timedelta(minutes=1), u, "error"),
+            (eid + 2, t0 + timedelta(minutes=6), u, "error"),
+        ]
+        eid += 3
+    # user 7: click whose only error is OUTSIDE the horizon -> NULL row
+    rows += [
+        (eid, base, 7, "click"),
+        (eid + 1, base + timedelta(minutes=6), 7, "error"),
+    ]
+    # user 8: click with no errors at all -> NULL row
+    rows += [(eid + 2, base + timedelta(minutes=2), 8, "click")]
+    # sentinel: far-future click advances the watermark past everything
+    rows += [(999, base + timedelta(days=2), 99, "click")]
+    df = spark.createDataFrame(rows, schema)
+    chunk_dir = replay.write_replay_chunks(df, n_chunks=4, order_col="ts")
+    try:
+        clicks = replay.read_replay_stream(spark, chunk_dir, schema).filter(
+            F.col("event_type") == "click"
+        )
+        errors = replay.read_replay_stream(spark, chunk_dir, schema).filter(
+            F.col("event_type") == "error"
+        )
+        q = (
+            streaming_error_after_click_outer(clicks, errors)
+            .writeStream.format("memory")
+            .queryName("oj_t")
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        out = [r for r in spark.table("oj_t").collect() if r.user_id != 99]
+        matched = {
+            (r.user_id, r.click_id, r.error_id, r.micros_after)
+            for r in out
+            if r.error_id is not None
+        }
+        want = {
+            (r.user_id, r.click_id, r.error_id, r.micros_after)
+            for r in error_after_click(
+                df.filter(F.col("event_type") == "click"),
+                df.filter(F.col("event_type") == "error"),
+            ).collect()
+        }
+        assert matched == want and len(want) == 3  # 1 in-horizon x 3 users
+        nulls = {
+            r.user_id: r
+            for r in out
+            if r.error_id is None
+        }
+        assert set(nulls) == {7, 8}
+        for r in nulls.values():
+            assert r.micros_after is None
+        # exactly once per unmatched click
+        assert len([r for r in out if r.error_id is None]) == 2
+    finally:
+        shutil.rmtree(chunk_dir, ignore_errors=True)
