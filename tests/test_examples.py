@@ -64,3 +64,10 @@ def test_sketch_rollups_example_runs():
     assert "KMV / HLL distinct from per-day partials" in r.stdout
     assert "hist_quantile" in r.stdout
     assert "maybe_member" in r.stdout
+
+
+def test_data_recipe_example_runs():
+    r = _run("examples/data_recipe.py")
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "sources at the repeat cap" in r.stdout
+    assert "weighted reservoir" in r.stdout
