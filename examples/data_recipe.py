@@ -64,7 +64,7 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> int:
     print("== md5 train/val/test split (adding data never relabels) ==")
     sample_hash_split(spark, sf_dir).groupBy("split").agg(
         F.sum("n_docs").alias("n_docs"),
-        F.sum("tokens").alias("tokens"),
+        F.sum("total_tokens").alias("tokens"),
     ).orderBy("split").show(truncate=False)
 
     spark.stop()
