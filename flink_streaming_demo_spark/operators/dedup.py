@@ -383,6 +383,77 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    min_tokens: int = SHINGLE_N,
+    max_shingle_df: int = MAX_SHINGLE_DF,
+) -> DataFrame:
+    """Exact n-gram CONTAINMENT for candidate pairs — the asymmetric
+    cousin of ngram_jaccard_pairs for the doc-inside-doc case Jaccard
+    systematically misses: a quote or chunk fully embedded in a much
+    longer document has containment(small in big) ≈ 1 while Jaccard ≈
+    |small|/|big| ≈ 0, so a Jaccard-thresholded dedup keeps the
+    duplicate. Reported as max-containment n_shared / min(|A|, |B|)
+    with the Jaccard alongside — a pair with high containment but low
+    Jaccard is precisely the subset-duplicate signature. Identical
+    candidate plan to the Jaccard pass (stop-shingle cap, shuffle_hash
+    self equi-join, per-pair counts); at 100 TB run on LSH survivors."""
+    sh_all = (
+        df.select(F.col(id_col), F.col(text_col))
+        .filter(F.size(tokens(F.col(text_col))) >= min_tokens)
+        .select(
+            F.col(id_col),
+            F.explode(shingles(F.col(text_col))).alias("shingle"),
+        )
+    )
+    sh = drop_viral_keys(sh_all, "shingle", max_shingle_df)
+    counts = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a").hint("shuffle_hash")
+    b = sh.alias("b").hint("shuffle_hash")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    ca = counts.select(
+        F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a")
+    )
+    cb = counts.select(
+        F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b")
+    )
+    containment = F.round(
+        F.col("n_shared").cast("double")
+        / F.least("n_a", "n_b").cast("double"),
+        6,
+    )
+    jac = F.round(
+        F.col("n_shared").cast("double")
+        / (F.col("n_a") + F.col("n_b") - F.col("n_shared")).cast("double"),
+        6,
+    )
+    return (
+        shared.join(ca, "id_a")
+        .join(cb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            containment.alias("containment"),
+            jac.alias("jaccard"),
+        )
+        .filter(F.col("containment") >= threshold)
+    )
+
+
 # --- ANSI-SQL twins ----------------------------------------------------------
 
 def sql_shingles(text: str, n: int = SHINGLE_N) -> str:

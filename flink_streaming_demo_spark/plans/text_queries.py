@@ -2681,3 +2681,86 @@ register(
     GROUP BY g.doc_id
     """,
 )
+
+
+# --- Containment dedup (doc-inside-doc) --------------------------------------
+
+def _chunk_leg(docs: DataFrame) -> DataFrame:
+    """Plant subset-duplicates: the first 2/5 of each >= 20-token doc as
+    a new doc (id + 3_000_000). Containment(chunk in parent) ~ 1 while
+    Jaccard ~ 0.4 — the pair class a Jaccard threshold misses."""
+    parts = F.split(F.col("text"), " ")
+    return (
+        docs.filter(F.size(parts) >= 20)
+        .select(
+            (F.col("doc_id") + F.lit(3_000_000)).alias("doc_id"),
+            F.array_join(
+                F.slice(parts, 1, F.expr("size(split(text, ' ')) * 2 div 5")),
+                " ",
+            ).alias("text"),
+        )
+    )
+
+
+_SQL_CHUNK_LEG = """
+        SELECT doc_id + 3000000 AS doc_id,
+               array_to_string(
+                   string_split(text, ' ')[1:(len(string_split(text, ' ')) * 2 // 5)],
+                   ' ') AS text
+        FROM documents
+        WHERE len(string_split(text, ' ')) >= 20
+"""
+
+
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment dedup over documents plus planted prefix chunks:
+    every (parent, chunk) pair must surface with containment ~ 1 even
+    though its Jaccard (~0.4) is far below any usable Jaccard
+    threshold — the doc-inside-doc duplicate class
+    (operators/dedup.py:ngram_containment_pairs)."""
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.unionAll(_chunk_leg(docs))
+    return dedup.ngram_containment_pairs(corpus, threshold=0.8)
+
+
+register(
+    "dedup_containment",
+    dedup_containment,
+    f"""
+    WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL{_SQL_CHUNK_LEG}
+    ),
+    sh_all AS (
+        SELECT doc_id, unnest({dedup.sql_shingles('text')}) AS shingle
+        FROM corpus
+        WHERE len(string_split(text, ' ')) >= {dedup.SHINGLE_N}
+    ),
+    sh AS (
+        SELECT doc_id, shingle FROM sh_all
+        QUALIFY COUNT(*) OVER (PARTITION BY shingle)
+                <= {dedup.MAX_SHINGLE_DF}
+    ),
+    counts AS (
+        SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+    ),
+    shared AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
+        FROM sh a
+        JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT
+        id_a,
+        id_b,
+        ROUND(CAST(n_shared AS DOUBLE)
+              / CAST(LEAST(ca.n_sh, cb.n_sh) AS DOUBLE), 6) AS containment,
+        ROUND(CAST(n_shared AS DOUBLE)
+              / CAST(ca.n_sh + cb.n_sh - n_shared AS DOUBLE), 6) AS jaccard
+    FROM shared
+    JOIN counts ca ON ca.doc_id = id_a
+    JOIN counts cb ON cb.doc_id = id_b
+    WHERE CAST(n_shared AS DOUBLE)
+          / CAST(LEAST(ca.n_sh, cb.n_sh) AS DOUBLE) >= 0.8
+    """,
+)

@@ -524,3 +524,31 @@ def test_incremental_dedup_broadcast_gate(spark):
         assert _fits_broadcast(on_disk)
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_containment_catches_subset_pairs_jaccard_misses(spark):
+    """A chunk fully embedded in a longer doc must surface with
+    containment ~ 1 while its Jaccard sits far below a usable
+    threshold; two unrelated docs must not pair at all."""
+    from flink_streaming_demo_spark.operators.dedup import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    base = " ".join(f"w{i}" for i in range(60))
+    chunk = " ".join(f"w{i}" for i in range(20))      # 1/3 prefix
+    other = " ".join(f"z{i}" for i in range(50))
+    df = spark.createDataFrame(
+        [(1, base), (2, chunk), (3, other)], "doc_id long, text string"
+    )
+    got = {
+        (r.id_a, r.id_b): r
+        for r in ngram_containment_pairs(df, threshold=0.8).collect()
+    }
+    assert set(got) == {(1, 2)}
+    r = got[(1, 2)]
+    assert r.containment == 1.0
+    assert r.jaccard < 0.5
+    # the same pair is invisible to a 0.5-Jaccard dedup
+    jac = ngram_jaccard_pairs(df, threshold=0.5).collect()
+    assert not jac
