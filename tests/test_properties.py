@@ -612,3 +612,49 @@ def test_hist_quantile_matches_python_model(spark, values, q):
     assert {(r.bin): r.cnt for r in sketch.collect()} == bins
     got = scale.hist_quantiles(sketch, [], [q], lo, hi, n_bins).collect()
     assert len(got) == 1 and got[0].hist_quantile == model
+
+
+def _kmv_model(keys: set, k: int) -> list[float]:
+    import hashlib
+
+    fr = sorted(
+        int(hashlib.md5(str(x).encode()).hexdigest()[:15], 16) / 16.0 ** 15
+        for x in keys
+    )
+    return fr[:k]
+
+
+@given(
+    a=st.sets(st.integers(min_value=0, max_value=10_000), max_size=60),
+    b=st.sets(st.integers(min_value=0, max_value=10_000), max_size=60),
+    k=st.sampled_from([4, 8, 16]),
+)
+@settings(**_SETTINGS)
+def test_kmv_set_ops_matches_python_model(spark, a, b, k):
+    """kmv_set_ops replays a pure-Python model of the Beyer et al.
+    estimator exactly (union sketch, membership counts, integer-div
+    intersection) on arbitrary small key sets — including the exact
+    regime (|A ∪ B| < k), the estimated regime, and empty sides."""
+    from flink_streaming_demo_spark.operators import scale
+
+    if not a or not b:
+        return
+    rows = [("a", x) for x in a] + [("b", x) for x in b]
+    df = spark.createDataFrame(rows, "g string, key long")
+    got = scale.kmv_set_ops(
+        scale.kmv_partial(df, ["g"], "key", k=k), "g", k=k
+    ).collect()
+    assert len(got) == 1
+    r = got[0]
+    sk_a, sk_b = _kmv_model(a, k), _kmv_model(b, k)
+    u = sorted(set(sk_a) | set(sk_b))[:k]
+    k_int = sum(1 for x in u if x in sk_a and x in sk_b)
+    if len(u) < k:
+        want_union = len(u)
+        want_inter = k_int
+    else:
+        want_union = int((k - 1) / u[-1])
+        want_inter = (k_int * want_union) // k
+    assert r.union_distinct == want_union
+    assert r.intersect_distinct == want_inter
+    assert abs(r.jaccard - round(k_int / len(u), 6)) < 1e-12
