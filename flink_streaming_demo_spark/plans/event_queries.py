@@ -2097,3 +2097,134 @@ register(
     GROUP BY user_id
     """,
 )
+
+
+def events_psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index of events.value per event_type vs the
+    GLOBAL value distribution — the dataset-shift monitor a 100 TB
+    pipeline runs per source/segment before mixing: PSI = sum over
+    fixed bins of (p_b - q_b) * ln(p_b / q_b), with additive 0.5
+    smoothing so empty bins contribute finitely (p = (cnt + 0.5) /
+    (n + B/2)). Built on the SAME fixed-boundary histogram sketch as
+    events_hist_value_quantiles, so at scale the monitor reads <= 64
+    longs per group from maintained partials, never the base table.
+
+    Determinism discipline: the only order-sensitive float reduction
+    (the 64-term PSI sum) runs as a SEQUENTIAL fold over the bin-sorted
+    term array (F.aggregate here, list_reduce over list(... ORDER BY
+    bin) in the oracle) — identical addition order on both engines,
+    where a plain SUM would be partial-agg-order-dependent in the last
+    ulp. Conventional read: PSI < 0.1 stable, > 0.25 shifted."""
+    from flink_streaming_demo_spark.operators.scale import (
+        HIST_N_BINS,
+        hist_partial,
+    )
+
+    ev = t(spark, sf_dir, "events")
+    per = hist_partial(ev, ["event_type"], "value", HIST_LO, HIST_HI)
+    glob = per.groupBy("bin").agg(F.sum("cnt").alias("gcnt"))
+    types = per.groupBy("event_type").agg(F.sum("cnt").alias("n_t"))
+    n_g = per.agg(F.sum("cnt").alias("n_g"))
+    bins = spark.range(HIST_N_BINS).select(
+        F.col("id").cast("int").alias("bin")
+    )
+    half_b = float(HIST_N_BINS) / 2.0
+    dense = (
+        types.crossJoin(F.broadcast(bins))
+        .join(per, ["event_type", "bin"], "left")
+        .join(F.broadcast(glob), "bin", "left")
+        .crossJoin(F.broadcast(n_g))
+        .select(
+            "event_type",
+            "bin",
+            "n_t",
+            F.coalesce("cnt", F.lit(0)).alias("cnt"),
+            F.coalesce("gcnt", F.lit(0)).alias("gcnt"),
+            "n_g",
+        )
+    )
+    p = (F.col("cnt") + F.lit(0.5)) / (
+        F.col("n_t").cast("double") + F.lit(half_b)
+    )
+    q = (F.col("gcnt") + F.lit(0.5)) / (
+        F.col("n_g").cast("double") + F.lit(half_b)
+    )
+    terms = dense.select(
+        "event_type",
+        "n_t",
+        F.struct(F.col("bin"), ((p - q) * F.log(p / q)).alias("term")).alias(
+            "_e"
+        ),
+    )
+    psi = F.aggregate(
+        F.array_sort(F.collect_list("_e")),
+        F.lit(0.0),
+        lambda acc, x: acc + x["term"],
+    )
+    return terms.groupBy("event_type", "n_t").agg(
+        F.round(psi, 6).alias("psi")
+    ).select(
+        "event_type",
+        F.col("n_t").alias("n_events"),
+        "psi",
+        F.when(F.col("psi") > 0.25, F.lit("shifted"))
+        .when(F.col("psi") > 0.1, F.lit("drifting"))
+        .otherwise(F.lit("stable"))
+        .alias("verdict"),
+    )
+
+
+def _psi_oracle() -> str:
+    from flink_streaming_demo_spark.operators.scale import (
+        HIST_N_BINS,
+        sql_hist_counts,
+    )
+
+    half_b = float(HIST_N_BINS) / 2.0
+    return f"""
+    WITH per AS (
+        {sql_hist_counts("event_type", "value", "events", HIST_LO, HIST_HI)}
+    ),
+    gdist AS (SELECT bin, SUM(cnt) AS gcnt FROM per GROUP BY bin),
+    types AS (SELECT event_type, SUM(cnt) AS n_t FROM per GROUP BY event_type),
+    ng AS (SELECT SUM(cnt) AS n_g FROM per),
+    bins AS (SELECT UNNEST(generate_series(0, {HIST_N_BINS - 1})) AS bin),
+    dense AS (
+        SELECT t.event_type, b.bin, t.n_t,
+               COALESCE(p.cnt, 0) AS cnt,
+               COALESCE(g.gcnt, 0) AS gcnt,
+               ng.n_g
+        FROM types t
+        CROSS JOIN bins b
+        LEFT JOIN per p ON p.event_type = t.event_type AND p.bin = b.bin
+        LEFT JOIN gdist g ON g.bin = b.bin
+        CROSS JOIN ng
+    ),
+    terms AS (
+        SELECT event_type, n_t,
+               bin,
+               ((cnt + 0.5) / (CAST(n_t AS DOUBLE) + {half_b!r})
+                - (gcnt + 0.5) / (CAST(n_g AS DOUBLE) + {half_b!r}))
+               * ln(((cnt + 0.5) / (CAST(n_t AS DOUBLE) + {half_b!r}))
+                    / ((gcnt + 0.5) / (CAST(n_g AS DOUBLE) + {half_b!r})))
+                   AS term
+        FROM dense
+    ),
+    folded AS (
+        SELECT event_type, n_t,
+               ROUND(list_reduce(list(term ORDER BY bin),
+                                 (a, b) -> a + b), 6) AS psi
+        FROM terms
+        GROUP BY event_type, n_t
+    )
+    SELECT event_type,
+           CAST(n_t AS BIGINT) AS n_events,
+           psi,
+           CASE WHEN psi > 0.25 THEN 'shifted'
+                WHEN psi > 0.1 THEN 'drifting'
+                ELSE 'stable' END AS verdict
+    FROM folded
+    """
+
+
+register("events_psi_value_drift", events_psi_value_drift, _psi_oracle())

@@ -285,3 +285,39 @@ def test_session_window_inclusive_gap_boundary(spark, monkeypatch):
     u2a, u2b = got[1], got[2]
     assert u2a.session_end == b + timedelta(minutes=30)
     assert u2b.session_start == b + timedelta(minutes=30, seconds=1)
+
+
+def test_psi_flags_planted_shift_and_not_identical(spark, monkeypatch):
+    """A type whose values sit in a disjoint range from the bulk must
+    read 'shifted' (PSI >> 0.25); a type distributed like the global
+    mix stays near 0 ('stable'); PSI is always >= 0."""
+    rows = []
+    eid = 0
+    # bulk: two types with the same spread of values across [0, 512)
+    for t_name in ("click", "view"):
+        for i in range(400):
+            rows.append((eid, t_name, 100 + (i * 37) % 300 + 0.5))
+            eid += 1
+    # shifted: all mass in the top bins (small cohort, so the bulk
+    # types still mirror the global mix closely)
+    for i in range(24):
+        rows.append((eid, "error", 480.0 + (i % 30)))
+        eid += 1
+
+    def fake_t(spark_, sf_dir_, name_):
+        assert name_ == "events"
+        return spark.createDataFrame(
+            rows, "event_id long, event_type string, value double"
+        )
+
+    monkeypatch.setattr(EQ, "t", fake_t)
+    got = {r.event_type: r for r in
+           EQ.events_psi_value_drift(spark, "ignored").collect()}
+    assert got["error"].verdict == "shifted"
+    assert got["error"].psi > 1.0
+    # click/view each mirror the global mix (error's 100 rows perturb
+    # it only mildly) — they must not read as shifted
+    assert got["click"].verdict in ("stable", "drifting")
+    assert got["click"].psi < 0.25
+    assert all(r.psi >= 0 for r in got.values())
+    assert got["click"].n_events == 400 and got["error"].n_events == 24
