@@ -329,7 +329,7 @@ _ROUND10_WINDOW = [
     "sim_hard_negatives", "sample_token_budget", "layout_hilbert_cells",
     "sample_reservoir_weighted", "events_salted_user_counts",
     "star_salted_join_counts", "dedup_containment",
-    "events_psi_value_drift",
+    "events_psi_value_drift", "sim_ann_recall",
     "dedup_embedding_neardup", "dedup_semantic",
     "pipeline_embedding_dedup", "pipeline_joint_curation",
     # 3. last checked r6 — four rounds stale (38), registration order
@@ -346,7 +346,7 @@ _ROUND10_WINDOW = [
     "dedup_simhash", "dedup_simhash64",
     "dedup_winnow_pairs", "text_chunk_documents",
     "taxi_end_events", "taxi_cell_centers",
-    "taxi_total_arrival_count", "taxi_sliding_arrival_count",
+    "taxi_total_arrival_count",
 ]
 
 

@@ -1158,3 +1158,63 @@ def _joint_curation_oracle() -> str:
 
 register("pipeline_joint_curation", pipeline_joint_curation,
          _joint_curation_oracle())
+
+
+# --- ANN recall report (approximation quality as a checked query) -------------
+
+def sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the LSH-bucketed ANN against the exact brute-force
+    top-k, per query — the approximation-quality metric an ANN
+    deployment monitors, promoted into the hash-checked surface so a
+    recall regression (from a signature change, a bucketing bug, a
+    plane-constant drift) fails the driver the same way a wrong join
+    would. Composes the two registered pipelines; the oracle composes
+    their registered SQL verbatim (registry.ORACLE_SQL), so both sides
+    stay definitionally in sync with the queries they grade."""
+    exact = sim_topk_cosine(spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
+    approx = sim_ann_lsh(spark, sf_dir).select("query_id", "neighbor_id")
+    hits = exact.join(approx, ["query_id", "neighbor_id"]).groupBy(
+        "query_id"
+    ).agg(F.count(F.lit(1)).alias("n_hits"))
+    return (
+        exact.groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_hits", F.lit(0)).cast("bigint").alias("n_hits"),
+            F.round(
+                F.coalesce("n_hits", F.lit(0)).cast("double")
+                / F.col("n_exact").cast("double"),
+                6,
+            ).alias("recall"),
+        )
+    )
+
+
+def _ann_recall_oracle() -> str:
+    from flink_streaming_demo_spark.plans.registry import ORACLE_SQL
+
+    return f"""
+    WITH exact_q AS ({ORACLE_SQL["sim_topk_cosine"]}),
+    approx_q AS ({ORACLE_SQL["sim_ann_lsh"]}),
+    hits AS (
+        SELECT e.query_id, COUNT(*) AS n_hits
+        FROM exact_q e
+        JOIN approx_q a
+          ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+        GROUP BY e.query_id
+    )
+    SELECT e.query_id,
+           CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+           ROUND(CAST(COALESCE(h.n_hits, 0) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS recall
+    FROM exact_q e
+    LEFT JOIN hits h ON h.query_id = e.query_id
+    GROUP BY e.query_id, h.n_hits
+    """
+
+
+register("sim_ann_recall", sim_ann_recall, _ann_recall_oracle())
