@@ -2228,3 +2228,113 @@ def _psi_oracle() -> str:
 
 
 register("events_psi_value_drift", events_psi_value_drift, _psi_oracle())
+
+
+def events_lateness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-lateness profile of a simulated out-of-order arrival of
+    the event stream — the observability query behind every watermark
+    delay choice (reference: TaxiRideSource.scala:53-277 serves events
+    shuffled within maxServingDelay; SURVEY §2.2 S2). Arrival order is
+    simulated deterministically (delay_s = md5(event_id) % 600), the
+    watermark is discretized per arrival minute (wm at minute m = max
+    event time arrived in minutes < m — the batch analogue of
+    per-micro-batch watermark advance), and each event's lateness is
+    measured against the watermark of its own arrival minute. The
+    per-type profile (late fraction, magnitudes, would-be-dropped count
+    at a 60 s allowed-lateness) is exactly what picks
+    ``withWatermark``'s delay in streaming/pipelines.py.
+
+    Scale: the only full-width pass is the per-minute partial MAX
+    (map-side combine); the minute->watermark cummax runs over one row
+    per minute (tiny) and is broadcast back, so the plan is two narrow
+    scans + one broadcast join regardless of input size. All arithmetic
+    is integer micros (no float drift); `div` is used on both engines
+    so the second-floor is engine-identical."""
+    ev = t(spark, sf_dir, "events").select(
+        "event_type",
+        F.unix_micros("ts").alias("ets_us"),
+        (
+            F.unix_micros("ts")
+            + (
+                F.conv(
+                    F.substring(
+                        F.md5(F.col("event_id").cast("string")), 1, 4
+                    ),
+                    16,
+                    10,
+                ).cast("bigint")
+                % 600
+            )
+            * F.lit(1000000)
+        ).alias("arr_us"),
+    ).withColumn("arr_min", F.expr("arr_us div 60000000"))
+    mins = ev.groupBy("arr_min").agg(F.max("ets_us").alias("m_max_us"))
+    # one row per arrival minute: the unpartitioned cummax is over a
+    # minutes-long table, not the events
+    w = Window.orderBy("arr_min").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    wm = mins.select("arr_min", F.max("m_max_us").over(w).alias("wm_us"))
+    late = ev.join(F.broadcast(wm), "arr_min").select(
+        "event_type",
+        F.coalesce(F.col("wm_us") > F.col("ets_us"), F.lit(False)).alias(
+            "is_late"
+        ),
+        F.greatest(
+            F.lit(0).cast("bigint"),
+            F.expr("coalesce(wm_us - ets_us, 0) div 1000000"),
+        ).alias("late_s"),
+    )
+    return late.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("is_late").cast("int")).cast("bigint").alias("n_late"),
+        F.max("late_s").alias("max_late_s"),
+        F.round(
+            F.sum("late_s").cast("double") / F.count(F.lit(1)), 6
+        ).alias("avg_late_s"),
+        F.sum((F.col("late_s") > 60).cast("int"))
+        .cast("bigint")
+        .alias("n_dropped_60s"),
+    )
+
+
+register(
+    "events_lateness_profile",
+    events_lateness_profile,
+    """
+    WITH ev AS (
+        SELECT event_type,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS ets_us,
+               epoch_us(CAST(ts AS TIMESTAMP))
+               + (CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 4))
+                       AS BIGINT) % 600) * 1000000 AS arr_us
+        FROM events
+    ),
+    mins AS (
+        SELECT arr_us // 60000000 AS arr_min, MAX(ets_us) AS m_max_us
+        FROM ev GROUP BY arr_us // 60000000
+    ),
+    wm AS (
+        SELECT arr_min,
+               MAX(m_max_us) OVER (ORDER BY arr_min
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS wm_us
+        FROM mins
+    ),
+    late AS (
+        SELECT e.event_type,
+               COALESCE(w.wm_us > e.ets_us, FALSE) AS is_late,
+               GREATEST(CAST(0 AS BIGINT),
+                        COALESCE(w.wm_us - e.ets_us, 0) // 1000000) AS late_s
+        FROM ev e JOIN wm w ON e.arr_us // 60000000 = w.arr_min
+    )
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CASE WHEN is_late THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+           MAX(late_s) AS max_late_s,
+           ROUND(CAST(SUM(late_s) AS DOUBLE) / COUNT(*), 6) AS avg_late_s,
+           CAST(SUM(CASE WHEN late_s > 60 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dropped_60s
+    FROM late
+    GROUP BY event_type
+    """,
+)

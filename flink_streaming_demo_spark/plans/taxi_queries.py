@@ -6,7 +6,7 @@ the driver's order-insensitive value-hash matches.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from flink_streaming_demo_spark.functions import geo
@@ -527,5 +527,194 @@ register(
     {_sql_hilbert()}
     SELECT cell, x_idx, y_idx, hd AS h_value
     FROM h{_Z_BITS}
+    """,
+)
+
+
+def zorder_index(df: DataFrame, bits: int = _Z_BITS) -> DataFrame:
+    """Append ``z_value``: the Morton interleave of (x_idx, y_idx) —
+    the same bit expression layout_zorder_cells inlines, packaged as a
+    composable helper for queries that need several layout keys side by
+    side."""
+    z = F.lit(0).cast("bigint")
+    for b in range(bits):
+        z = z + (
+            F.shiftleft(F.shiftright(F.col("x_idx"), b) % 2, 2 * b)
+            + F.shiftleft(F.shiftright(F.col("y_idx"), b) % 2, 2 * b + 1)
+        ).cast("bigint")
+    return df.withColumn("z_value", z)
+
+
+# File-skipping simulation: cells per file, and the lat/lon box probe
+# (in cell-index space) whose zone-map pruning each layout is scored on.
+FILE_CELLS = 16
+_BOX_X_LO, _BOX_X_HI = geo.CELL_CNT_X // 4, geo.CELL_CNT_X // 2
+_BOX_Y_LO, _BOX_Y_HI = geo.CELL_CNT_Y // 4, geo.CELL_CNT_Y // 2
+
+
+def layout_skipping_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map file-skipping effectiveness of three data layouts for
+    the SAME spatial box predicate — the measurement that justifies
+    layout_zorder_cells/layout_hilbert_cells at 100 TB. Observed cells
+    are packed FILE_CELLS-per-file in each layout's sort order
+    (row-major cell id, Morton z, Hilbert h); each simulated file keeps
+    min/max zone maps on (x_idx, y_idx); a file is READ iff its zone
+    ranges overlap the box (exactly parquet row-group pruning).
+    Output per layout: file count, files read, cells scanned vs cells
+    actually matching, and the read fraction — locality-preserving
+    curves (z, h) should read far fewer files than row-major for the
+    same answer.
+
+    Scale: the distinct observed-cell pass is the only full-width scan;
+    everything after runs on one row per cell (and then per file). The
+    per-layout ROW_NUMBER partitions by layout, so no global single-
+    partition window over big data — at 100 TB the cell universe is
+    bounded by the grid (100k), not the input."""
+    cells = taxi_apps.arrival_events(
+        synthetic_taxi_rides(spark, sf_dir)
+    ).select("cell").distinct()
+    x = F.col("cell") % F.lit(geo.CELL_CNT_X)
+    y = (F.col("cell") - x) / F.lit(geo.CELL_CNT_X)
+    xy = cells.select(
+        "cell",
+        x.cast("int").alias("x_idx"),
+        y.cast("int").alias("y_idx"),
+    )
+    keyed = hilbert_index(zorder_index(xy))
+    melted = keyed.select(
+        "x_idx",
+        "y_idx",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("rowmajor").alias("layout"),
+                    F.col("cell").cast("bigint").alias("k"),
+                ),
+                F.struct(
+                    F.lit("zorder").alias("layout"),
+                    F.col("z_value").alias("k"),
+                ),
+                F.struct(
+                    F.lit("hilbert").alias("layout"),
+                    F.col("h_value").alias("k"),
+                ),
+            )
+        ).alias("lk"),
+    ).select("x_idx", "y_idx", "lk.layout", "lk.k")
+    rn = F.row_number().over(
+        Window.partitionBy("layout").orderBy("k")
+    )
+    in_box = (
+        F.col("x_idx").between(_BOX_X_LO, _BOX_X_HI)
+        & F.col("y_idx").between(_BOX_Y_LO, _BOX_Y_HI)
+    ).cast("int")
+    files = (
+        melted.withColumn("rn", rn)
+        .withColumn("file_id", F.expr(f"(rn - 1) div {FILE_CELLS}"))
+        .groupBy("layout", "file_id")
+        .agg(
+            F.min("x_idx").alias("min_x"),
+            F.max("x_idx").alias("max_x"),
+            F.min("y_idx").alias("min_y"),
+            F.max("y_idx").alias("max_y"),
+            F.count(F.lit(1)).alias("n_cells"),
+            F.sum(in_box).alias("n_match"),
+        )
+    )
+    is_read = (
+        (F.col("max_x") >= _BOX_X_LO)
+        & (F.col("min_x") <= _BOX_X_HI)
+        & (F.col("max_y") >= _BOX_Y_LO)
+        & (F.col("min_y") <= _BOX_Y_HI)
+    )
+    return (
+        files.withColumn("is_read", is_read)
+        .groupBy("layout")
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum(F.col("is_read").cast("int"))
+            .cast("bigint")
+            .alias("files_read"),
+            F.sum(
+                F.when(F.col("is_read"), F.col("n_cells")).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("cells_read"),
+            F.sum("n_match").cast("bigint").alias("cells_matching"),
+            F.round(
+                F.sum(F.col("is_read").cast("int")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("read_frac"),
+        )
+    )
+
+
+register(
+    "layout_skipping_stats",
+    layout_skipping_stats,
+    f"""
+    WITH rides AS ({_RIDES_SQL}),
+    arrivals AS (
+        SELECT {geo.sql_grid_cell('lon', 'lat')} AS cell
+        FROM rides
+        WHERE NOT is_start AND {geo.sql_is_in_nyc('lon', 'lat')}
+    ),
+    cells AS (SELECT DISTINCT cell FROM arrivals),
+    xy AS (
+        SELECT cell,
+               CAST(cell % {geo.CELL_CNT_X} AS INT) AS x_idx,
+               CAST((cell - cell % {geo.CELL_CNT_X}) / {geo.CELL_CNT_X}
+                    AS INT) AS y_idx
+        FROM cells
+    ),
+    {_sql_hilbert()},
+    keyed AS (
+        SELECT xy.cell, xy.x_idx, xy.y_idx,
+               {_sql_zorder('xy.x_idx', 'xy.y_idx')} AS z_value,
+               h.hd AS h_value
+        FROM xy JOIN h{_Z_BITS} h USING (cell)
+    ),
+    melted AS (
+        SELECT x_idx, y_idx, 'rowmajor' AS layout,
+               CAST(cell AS BIGINT) AS k FROM keyed
+        UNION ALL
+        SELECT x_idx, y_idx, 'zorder', z_value FROM keyed
+        UNION ALL
+        SELECT x_idx, y_idx, 'hilbert', h_value FROM keyed
+    ),
+    numbered AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY layout ORDER BY k) AS rn
+        FROM melted
+    ),
+    files AS (
+        SELECT layout, (rn - 1) // {FILE_CELLS} AS file_id,
+               MIN(x_idx) AS min_x, MAX(x_idx) AS max_x,
+               MIN(y_idx) AS min_y, MAX(y_idx) AS max_y,
+               COUNT(*) AS n_cells,
+               SUM(CASE WHEN x_idx BETWEEN {_BOX_X_LO} AND {_BOX_X_HI}
+                         AND y_idx BETWEEN {_BOX_Y_LO} AND {_BOX_Y_HI}
+                        THEN 1 ELSE 0 END) AS n_match
+        FROM numbered
+        GROUP BY layout, (rn - 1) // {FILE_CELLS}
+    ),
+    flagged AS (
+        SELECT *,
+               (max_x >= {_BOX_X_LO} AND min_x <= {_BOX_X_HI}
+                AND max_y >= {_BOX_Y_LO} AND min_y <= {_BOX_Y_HI})
+                   AS is_read
+        FROM files
+    )
+    SELECT layout,
+           COUNT(*) AS n_files,
+           CAST(SUM(CASE WHEN is_read THEN 1 ELSE 0 END) AS BIGINT)
+               AS files_read,
+           CAST(SUM(CASE WHEN is_read THEN n_cells ELSE 0 END) AS BIGINT)
+               AS cells_read,
+           CAST(SUM(n_match) AS BIGINT) AS cells_matching,
+           ROUND(CAST(SUM(CASE WHEN is_read THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS read_frac
+    FROM flagged
+    GROUP BY layout
     """,
 )

@@ -2764,3 +2764,195 @@ register(
           / CAST(LEAST(ca.n_sh, cb.n_sh) AS DOUBLE) >= 0.8
     """,
 )
+
+
+# --- Cross-source near-dup overlap matrix -------------------------------------
+
+def dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup overlap matrix BY SOURCE PAIR: every MinHash-LSH pair
+    from the planted corpus attributed to its (source, source) cell —
+    the curation signal that decides which sources to drop or
+    down-weight when two crawls substantially overlap (a large
+    n_pairs off-diagonal cell means cross-source duplication; the
+    diagonal is within-source boilerplate). Aggregates are all
+    order-insensitive (counts, min/max of the already-rounded
+    signature-agreement estimate) so the cell values are
+    engine-deterministic.
+
+    Scale: the pair list is post-LSH (banded equi-join output, orders
+    of magnitude below the corpus); the source attach is a join of
+    that small pair list against a two-column (doc_id, source)
+    projection — AQE picks the broadcast side; no new wide shuffle is
+    introduced beyond what the pair finder already does."""
+    docs = t(spark, sf_dir, "documents").select("doc_id", "source")
+    exact = docs.filter(F.col("doc_id") % EXACT_MOD == 0).select(
+        (F.col("doc_id") + EXACT_OFFSET).alias("doc_id"), "source"
+    )
+    near = docs.filter(F.col("doc_id") % NEAR_MOD == 0).select(
+        (F.col("doc_id") + NEAR_OFFSET).alias("doc_id"), "source"
+    )
+    srcs = docs.unionAll(exact).unionAll(near)
+    pairs = dedup.minhash_lsh_pairs(
+        _planted_corpus(spark, sf_dir), threshold=0.5
+    )
+    tagged = (
+        pairs.join(
+            srcs.withColumnRenamed("doc_id", "id_a").withColumnRenamed(
+                "source", "src_1"
+            ),
+            "id_a",
+        )
+        .join(
+            srcs.withColumnRenamed("doc_id", "id_b").withColumnRenamed(
+                "source", "src_2"
+            ),
+            "id_b",
+        )
+        .select(
+            F.least("src_1", "src_2").alias("src_a"),
+            F.greatest("src_1", "src_2").alias("src_b"),
+            "est_jaccard",
+        )
+    )
+    return tagged.groupBy("src_a", "src_b").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum((F.col("est_jaccard") >= 0.99).cast("int"))
+        .cast("bigint")
+        .alias("n_exactish"),
+        F.min("est_jaccard").alias("min_est"),
+        F.max("est_jaccard").alias("max_est"),
+    )
+
+
+def _cross_source_oracle() -> str:
+    from flink_streaming_demo_spark.plans.registry import ORACLE_SQL
+
+    return f"""
+    WITH src AS (
+        SELECT doc_id, source FROM documents
+        UNION ALL
+        SELECT doc_id + {EXACT_OFFSET} AS doc_id, source
+        FROM documents WHERE doc_id % {EXACT_MOD} = 0
+        UNION ALL
+        SELECT doc_id + {NEAR_OFFSET} AS doc_id, source
+        FROM documents WHERE doc_id % {NEAR_MOD} = 0
+    ),
+    tagged AS (
+        SELECT LEAST(sa.source, sb.source) AS src_a,
+               GREATEST(sa.source, sb.source) AS src_b,
+               p.est_jaccard
+        FROM ( {ORACLE_SQL["dedup_minhash_lsh"]} ) p
+        JOIN src sa ON sa.doc_id = p.id_a
+        JOIN src sb ON sb.doc_id = p.id_b
+    )
+    SELECT src_a, src_b,
+           COUNT(*) AS n_pairs,
+           CAST(SUM(CASE WHEN est_jaccard >= 0.99 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_exactish,
+           MIN(est_jaccard) AS min_est,
+           MAX(est_jaccard) AS max_est
+    FROM tagged
+    GROUP BY src_a, src_b
+    """
+
+
+register(
+    "dedup_cross_source_matrix",
+    dedup_cross_source_matrix,
+    _cross_source_oracle(),
+)
+
+
+# --- Quality-aware survivor policy --------------------------------------------
+
+def dedup_best_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware survivor selection per near-dup cluster: instead
+    of dedup_clusters' min-id policy, keep the member with the MOST
+    tokens (ties broken by lowest doc_id) — the curation policy that
+    keeps the longest/most complete variant of a duplicated document.
+    Output is one row per multi-member cluster with both policies'
+    picks side by side; `policy_differs` proves the argmax is not
+    vacuously the min id (the planted near-copies are longer than
+    their originals, so it genuinely differs there).
+
+    Scale: cluster labels come from the proven CC iteration over the
+    post-LSH pair list; the scoring join is label-list (small) against
+    a two-column token-count projection, and the per-cluster argmax is
+    a window over cluster-partitioned data — key count = cluster
+    count, no global window."""
+    corpus = _planted_corpus(spark, sf_dir)
+    pairs = dedup.minhash_lsh_pairs(corpus, threshold=0.5)
+    labels = dedup.dedup_clusters(corpus, pairs)
+    scored = labels.join(corpus, "doc_id").select(
+        "doc_id",
+        "cluster_id",
+        TX.token_count(F.col("text")).alias("n_tokens"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("n_tokens"), F.asc("doc_id")
+    )
+    best = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("best_id"),
+            F.col("n_tokens").alias("best_tokens"),
+        )
+    )
+    stats = scored.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.min("doc_id").alias("minid_id"),
+    )
+    return (
+        best.join(stats, "cluster_id")
+        .filter(F.col("n_members") > 1)
+        .select(
+            "cluster_id",
+            "best_id",
+            "best_tokens",
+            "n_members",
+            "minid_id",
+            (F.col("best_id") != F.col("minid_id")).alias(
+                "policy_differs"
+            ),
+        )
+    )
+
+
+def _best_survivors_oracle() -> str:
+    from flink_streaming_demo_spark.plans.registry import ORACLE_SQL
+
+    return f"""
+    WITH corpus AS ({_PLANTED_SQL}),
+    scored AS (
+        SELECT l.doc_id, l.cluster_id,
+               {TX.sql_token_count('c.text')} AS n_tokens
+        FROM ( {ORACLE_SQL["dedup_clusters"]} ) l
+        JOIN corpus c ON c.doc_id = l.doc_id
+    ),
+    best AS (
+        SELECT cluster_id, doc_id AS best_id, n_tokens AS best_tokens
+        FROM scored
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY cluster_id
+                                   ORDER BY n_tokens DESC, doc_id) = 1
+    ),
+    stats AS (
+        SELECT cluster_id, COUNT(*) AS n_members, MIN(doc_id) AS minid_id
+        FROM scored GROUP BY cluster_id
+    )
+    SELECT b.cluster_id, b.best_id, b.best_tokens,
+           s.n_members, s.minid_id,
+           (b.best_id != s.minid_id) AS policy_differs
+    FROM best b JOIN stats s USING (cluster_id)
+    WHERE s.n_members > 1
+    """
+
+
+register(
+    "dedup_best_survivors",
+    dedup_best_survivors,
+    _best_survivors_oracle(),
+)

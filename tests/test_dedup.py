@@ -552,3 +552,47 @@ def test_containment_catches_subset_pairs_jaccard_misses(spark):
     # the same pair is invisible to a 0.5-Jaccard dedup
     jac = ngram_jaccard_pairs(df, threshold=0.5).collect()
     assert not jac
+
+
+def test_best_survivors_prefers_longest_member(spark, sf_dir):
+    """Quality-argmax survivor policy: for every planted near-dup
+    cluster (original + tail-extended near copy) the policy must keep
+    the LONGER near copy — provably different from the min-id policy —
+    while exact-copy clusters (identical token counts) fall back to the
+    min-id tie-break, making the two policies agree there."""
+    from flink_streaming_demo_spark.plans.text_queries import (
+        NEAR_OFFSET,
+        dedup_best_survivors,
+    )
+
+    rows = dedup_best_survivors(spark, sf_dir).collect()
+    assert rows
+    near = [r for r in rows if r["best_id"] >= NEAR_OFFSET]
+    assert near, "near-copy clusters must exist in the planted corpus"
+    for r in near:
+        assert r["policy_differs"], r
+        assert r["best_tokens"] >= 3  # tail adds three tokens
+    ties = [r for r in rows if not r["policy_differs"]]
+    for r in ties:
+        assert r["best_id"] == r["minid_id"]
+
+
+def test_cross_source_matrix_accounts_every_pair(spark, sf_dir):
+    """The source-pair matrix is a partition of the LSH pair list:
+    cell counts must sum to the total number of near-dup pairs, and
+    every cell must be canonically ordered (src_a <= src_b)."""
+    from flink_streaming_demo_spark.operators import dedup as D
+    from flink_streaming_demo_spark.plans.text_queries import (
+        _planted_corpus,
+        dedup_cross_source_matrix,
+    )
+
+    total = D.minhash_lsh_pairs(
+        _planted_corpus(spark, sf_dir), threshold=0.5
+    ).count()
+    rows = dedup_cross_source_matrix(spark, sf_dir).collect()
+    assert sum(r["n_pairs"] for r in rows) == total
+    for r in rows:
+        assert r["src_a"] <= r["src_b"]
+        assert 0 <= r["n_exactish"] <= r["n_pairs"]
+        assert r["min_est"] <= r["max_est"]

@@ -321,3 +321,25 @@ def test_psi_flags_planted_shift_and_not_identical(spark, monkeypatch):
     assert got["click"].psi < 0.25
     assert all(r.psi >= 0 for r in got.values())
     assert got["click"].n_events == 400 and got["error"].n_events == 24
+
+
+def test_lateness_profile_bounds_and_presence(spark, sf_dir):
+    """The simulated out-of-order arrival (md5 jitter <= 599 s) bounds
+    every event's watermark lateness by the max delay: wm at an event's
+    arrival minute only reflects events that ARRIVED earlier, whose
+    event times trail their arrival by at most 599 s. The jitter must
+    also actually produce late events (a profile of all-zeros would
+    mean the simulation is vacuous), and the would-be-dropped count at
+    a 60 s allowed lateness can never exceed the late count."""
+    from flink_streaming_demo_spark.plans.event_queries import (
+        events_lateness_profile,
+    )
+
+    rows = events_lateness_profile(spark, sf_dir).collect()
+    assert rows, "profile must cover the observed event types"
+    assert sum(r["n_late"] for r in rows) > 0
+    for r in rows:
+        assert 0 <= r["n_late"] <= r["n_events"]
+        assert 0 <= r["max_late_s"] <= 599
+        assert r["n_dropped_60s"] <= r["n_late"]
+        assert 0.0 <= r["avg_late_s"] <= r["max_late_s"] + 1e-9

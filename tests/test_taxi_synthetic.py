@@ -109,3 +109,52 @@ def test_hilbert_query_matches_reference_on_sf(spark, sf_dir):
     for r in rows:
         assert r.h_value == _xy2d_ref(512, r.x_idx, r.y_idx), r
         assert r.cell == r.x_idx + 250 * r.y_idx
+
+
+def test_layout_skipping_stats_invariants(spark, sf_dir):
+    """Zone-map simulation bookkeeping: every layout packs the SAME cell
+    universe (file cell-counts sum to the universe), the matching-cell
+    count is layout-invariant (the answer doesn't depend on file order),
+    no layout reads fewer cells than actually match (zone maps never
+    false-negative), and read_frac is consistent with the file counts."""
+    from flink_streaming_demo_spark.plans.taxi_queries import (
+        FILE_CELLS,
+        layout_skipping_stats,
+    )
+
+    rows = {
+        r["layout"]: r
+        for r in layout_skipping_stats(spark, sf_dir).collect()
+    }
+    assert set(rows) == {"rowmajor", "zorder", "hilbert"}
+    matching = {r["cells_matching"] for r in rows.values()}
+    assert len(matching) == 1, "matching cells must be layout-invariant"
+    for r in rows.values():
+        assert r["cells_read"] >= r["cells_matching"]
+        assert r["files_read"] <= r["n_files"]
+        assert r["cells_read"] <= r["files_read"] * FILE_CELLS
+        assert abs(
+            r["read_frac"] - r["files_read"] / r["n_files"]
+        ) < 1e-6
+
+
+def test_zorder_index_helper_matches_query_expression(spark, sf_dir):
+    """zorder_index (the composable helper) and layout_zorder_cells (the
+    inlined expression) must produce identical z-values per cell."""
+    from pyspark.sql import functions as F
+
+    from flink_streaming_demo_spark.plans.taxi_queries import (
+        layout_zorder_cells,
+        zorder_index,
+    )
+
+    q = layout_zorder_cells(spark, sf_dir)
+    h = zorder_index(q.select("cell", "x_idx", "y_idx")).withColumnRenamed(
+        "z_value", "z_helper"
+    )
+    diff = (
+        q.join(h, ["cell", "x_idx", "y_idx"])
+        .filter(F.col("z_value") != F.col("z_helper"))
+        .count()
+    )
+    assert diff == 0
