@@ -110,3 +110,61 @@ def documents_as_media(docs: DataFrame) -> DataFrame:
             F.lit("source"), F.col("source"), F.lit("lang"), F.col("lang")
         ).alias("meta"),
     )
+
+
+FRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_no", T.LongType(), False),
+        T.StructField("frame_ts_ms", T.LongType(), False),
+        T.StructField("frame_hash", T.StringType(), False),
+    ]
+)
+
+
+def _fake_frame_count(n_bytes: int) -> int:
+    """STUB duration probe: a real container would read the stream header
+    (pyav) for duration/fps; the deterministic fake derives a 1-5 frame
+    sample count from the payload size so the fan-out plumbing is
+    end-to-end testable and oracle-checkable."""
+    return 1 + n_bytes % 5
+
+
+def frame_index(media: DataFrame) -> DataFrame:
+    """Video frame sampling through ``mapInPandas``: one video row fans
+    out to N frame rows (frame number, timestamp, content-derived frame
+    hash) — the 1->N Arrow batch shape real frame extraction uses
+    (extract_features is the 1->1 shape). Decode is the documented stub
+    (sample_frames raises without pyav); the fake frame hash is
+    md5(content_hash ':' frame_no) so every emitted cell is
+    deterministic and the whole fan-out hash-checks against a
+    generate_series oracle.
+
+    Scale: the type filter prunes before the Python boundary, batches
+    stay Arrow-sized, and the fan-out is bounded (<= 5 rows/video here;
+    real samplers bound it by sample rate) — no shuffle anywhere."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in FRAMES_SCHEMA.fields]
+        for pdf in it:
+            rows = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                raw = p if p is not None else b""
+                chash = hashlib.md5(raw).hexdigest()
+                for fno in range(_fake_frame_count(len(raw))):
+                    rows.append(
+                        (
+                            mid,
+                            fno,
+                            fno * 1000,
+                            hashlib.md5(
+                                f"{chash}:{fno}".encode()
+                            ).hexdigest(),
+                        )
+                    )
+            if rows:
+                yield pd.DataFrame(rows, columns=cols)
+
+    return media.filter(F.col("media_type") == "video").mapInPandas(
+        batches, FRAMES_SCHEMA
+    )

@@ -2956,3 +2956,38 @@ register(
     dedup_best_survivors,
     _best_survivors_oracle(),
 )
+
+
+def multimodal_frame_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sample index through the 1->N Arrow fan-out path
+    (operators/multimodal.frame_index); every emitted frame row is
+    deterministic, so the whole mapInPandas fan-out is hash-checked."""
+    docs = t(spark, sf_dir, "documents")
+    media = multimodal.documents_as_media(docs)
+    return multimodal.frame_index(media)
+
+
+register(
+    "multimodal_frame_index",
+    multimodal_frame_index,
+    """
+    WITH media AS (
+        SELECT doc_id AS media_id,
+               octet_length(encode(text)) AS n_bytes,
+               md5(text) AS content_hash
+        FROM documents
+        WHERE CAST(doc_id % 3 AS INT) = 2
+    ),
+    frames AS (
+        SELECT media_id, content_hash,
+               unnest(generate_series(0, n_bytes % 5)) AS frame_no
+        FROM media
+    )
+    SELECT media_id,
+           CAST(frame_no AS BIGINT) AS frame_no,
+           CAST(frame_no * 1000 AS BIGINT) AS frame_ts_ms,
+           md5(content_hash || ':' || CAST(frame_no AS VARCHAR))
+               AS frame_hash
+    FROM frames
+    """,
+)

@@ -53,3 +53,36 @@ def test_documents_as_media_adapter(spark, sf_dir):
     assert row.media_type == "image"  # 0 % 3
     assert isinstance(row.payload, (bytes, bytearray))
     assert row.meta["lang"] is not None
+
+
+def test_frame_index_fanout_contract(spark, sf_dir):
+    """1->N fan-out plumbing: only video rows fan out, the frame count
+    per media is exactly the deterministic fake duration (1 + bytes%5),
+    frame numbers are dense from 0, and frame hashes are unique."""
+    from pyspark.sql import functions as F
+
+    from flink_streaming_demo_spark.operators.multimodal import (
+        documents_as_media,
+        frame_index,
+    )
+    from flink_streaming_demo_spark.schemas import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = documents_as_media(docs)
+    frames = frame_index(media)
+    per = frames.groupBy("media_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("frame_no").alias("lo"),
+        F.max("frame_no").alias("hi"),
+    )
+    videos = media.filter(F.col("media_type") == "video").select(
+        "media_id", F.length("payload").alias("n_bytes")
+    )
+    joined = per.join(videos, "media_id", "full").collect()
+    assert joined, "corpus must contain video-typed media"
+    for r in joined:
+        assert r["n_bytes"] is not None, "fan-out emitted a non-video row"
+        assert r["n"] == 1 + r["n_bytes"] % 5
+        assert r["lo"] == 0 and r["hi"] == r["n"] - 1
+    total = frames.count()
+    assert frames.select("frame_hash").distinct().count() == total
