@@ -228,6 +228,20 @@ _UNPARTITIONED_WINDOW_ALLOWED = {
         "trailing-week baseline over the per-DAY aggregate: same "
         "distinct-days bound as events_daily_moving_avg"
     ),
+    "sample_token_budget": (
+        "cumulative prefix sums over the per-SOURCE control table in "
+        "capping-threshold order: rows = distinct sources (a recipe has "
+        "tens of sources at any corpus size), and the ordered cumsum IS "
+        "the closed-form water-level selection; the full-width pass is "
+        "the partitioned per-source token aggregate"
+    ),
+    "events_lateness_profile": (
+        "watermark cummax over the per-ARRIVAL-MINUTE aggregate: rows = "
+        "distinct minutes (~526k/year regardless of event volume), and "
+        "the cumulative max over ordered minutes IS the watermark's "
+        "definition; the full-width passes (per-minute MAX, final "
+        "profile) are partitioned aggregations"
+    ),
 }
 
 
