@@ -2991,3 +2991,80 @@ register(
     FROM frames
     """,
 )
+
+
+def text_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram for the trained quality classifier: bucket
+    the logreg scores into deciles and compare mean predicted
+    probability vs the empirical positive rate per bucket (plus the
+    per-bucket Brier contribution) — the calibration check that decides
+    whether the score can be used as a keep-PROBABILITY (soft
+    weighting) or only as a ranking.
+
+    Determinism discipline: scores are round-6 by the training
+    contract, so ROUND(score*1e6) is an exact integer — all sums here
+    run over integer-valued micro-units (score micros, 0/1e6 labels,
+    squared-micro Brier terms bounded well inside BIGINT), making every
+    aggregate order-insensitive and engine-exact; division back to
+    probability space happens once per BUCKET, not per row. Scale: one
+    pass over the scored corpus, 10-key groupBy."""
+    scored = text_quality_logreg(spark, sf_dir)
+    micro = F.round(F.col("score") * 1e6, 0).cast("bigint")
+    y_micro = F.round(F.col("y") * 1e6, 0).cast("bigint")
+    bucket = F.least(
+        F.lit(9), F.floor(F.col("score") * 10).cast("int")
+    )
+    per = scored.select(
+        bucket.alias("bucket"),
+        micro.alias("p_micro"),
+        y_micro.alias("y_micro"),
+        ((micro - y_micro) * (micro - y_micro)).alias("sq_micro"),
+    )
+    n = F.count(F.lit(1))
+    return per.groupBy("bucket").agg(
+        n.alias("n_docs"),
+        F.round(F.sum("p_micro") / (n * F.lit(1e6)), 6).alias(
+            "mean_score"
+        ),
+        F.round(F.sum("y_micro") / (n * F.lit(1e6)), 6).alias(
+            "frac_pos"
+        ),
+        F.round(
+            (F.sum("p_micro") - F.sum("y_micro")) / (n * F.lit(1e6)), 6
+        ).alias("gap"),
+        F.round(F.sum("sq_micro") / (n * F.lit(1e12)), 6).alias(
+            "brier"
+        ),
+    )
+
+
+def _calibration_oracle() -> str:
+    from flink_streaming_demo_spark.plans.registry import ORACLE_SQL
+
+    return f"""
+    WITH per AS (
+        SELECT LEAST(9, CAST(FLOOR(score * 10) AS INT)) AS bucket,
+               CAST(ROUND(score * 1e6, 0) AS BIGINT) AS p_micro,
+               CAST(ROUND(y * 1e6, 0) AS BIGINT) AS y_micro
+        FROM ( {ORACLE_SQL["text_quality_logreg"]} )
+    )
+    SELECT bucket,
+           COUNT(*) AS n_docs,
+           ROUND(CAST(SUM(p_micro) AS DOUBLE) / (COUNT(*) * 1e6), 6)
+               AS mean_score,
+           ROUND(CAST(SUM(y_micro) AS DOUBLE) / (COUNT(*) * 1e6), 6)
+               AS frac_pos,
+           ROUND(CAST(SUM(p_micro) - SUM(y_micro) AS DOUBLE)
+                 / (COUNT(*) * 1e6), 6) AS gap,
+           ROUND(CAST(SUM((p_micro - y_micro) * (p_micro - y_micro))
+                      AS DOUBLE) / (COUNT(*) * 1e12), 6) AS brier
+    FROM per
+    GROUP BY bucket
+    """
+
+
+register(
+    "text_quality_calibration",
+    text_quality_calibration,
+    _calibration_oracle(),
+)

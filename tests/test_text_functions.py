@@ -489,3 +489,26 @@ def test_new_operators_degenerate_inputs(spark):
         emb.filter("vec_id = 0"), emb, cb, k=2, m=2, dsub=2
     ).collect()
     assert len(top) == 2
+
+
+def test_quality_calibration_partitions_scored_corpus(spark, sf_dir):
+    """The reliability diagram is a partition of the scored corpus:
+    bucket doc counts sum to the corpus size, every probability-space
+    cell stays in [0, 1], gap == mean_score - frac_pos, and the Brier
+    contribution per bucket is bounded by the worst bucket gap
+    possible (<= 1)."""
+    from flink_streaming_demo_spark.plans.text_queries import (
+        text_quality_calibration,
+    )
+    from flink_streaming_demo_spark.schemas import load_table
+
+    rows = text_quality_calibration(spark, sf_dir).collect()
+    assert rows
+    total = sum(r["n_docs"] for r in rows)
+    assert total == load_table(spark, sf_dir, "documents").count()
+    for r in rows:
+        assert 0 <= r["bucket"] <= 9
+        assert 0.0 <= r["mean_score"] <= 1.0
+        assert 0.0 <= r["frac_pos"] <= 1.0
+        assert abs(r["gap"] - (r["mean_score"] - r["frac_pos"])) < 2e-6
+        assert 0.0 <= r["brier"] <= 1.0
