@@ -1218,3 +1218,60 @@ def _ann_recall_oracle() -> str:
 
 
 register("sim_ann_recall", sim_ann_recall, _ann_recall_oracle())
+
+
+def sim_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the IVF (nprobe centroid-bucketed) ANN tier against
+    the exact brute-force top-k, per query — sim_ann_recall's sibling
+    for the trained-index tier, so BOTH approximate tiers carry a
+    driver-checked quality grade (an IVF recall drop from a k-means
+    seeding or nprobe-selection change fails the driver like a wrong
+    join would). Composes the two registered pipelines; the oracle
+    composes their registered SQL verbatim."""
+    exact = sim_topk_cosine(spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
+    approx = sim_ivf_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    hits = exact.join(approx, ["query_id", "neighbor_id"]).groupBy(
+        "query_id"
+    ).agg(F.count(F.lit(1)).alias("n_hits"))
+    return (
+        exact.groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_hits", F.lit(0)).cast("bigint").alias("n_hits"),
+            F.round(
+                F.coalesce("n_hits", F.lit(0)).cast("double")
+                / F.col("n_exact").cast("double"),
+                6,
+            ).alias("recall"),
+        )
+    )
+
+
+def _ivf_recall_oracle() -> str:
+    from flink_streaming_demo_spark.plans.registry import ORACLE_SQL
+
+    return f"""
+    WITH exact_q AS ({ORACLE_SQL["sim_topk_cosine"]}),
+    approx_q AS ({ORACLE_SQL["sim_ivf_topk"]}),
+    hits AS (
+        SELECT e.query_id, COUNT(*) AS n_hits
+        FROM exact_q e
+        JOIN approx_q a
+          ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+        GROUP BY e.query_id
+    )
+    SELECT e.query_id,
+           CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+           ROUND(CAST(COALESCE(h.n_hits, 0) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS recall
+    FROM exact_q e
+    LEFT JOIN hits h ON h.query_id = e.query_id
+    GROUP BY e.query_id, h.n_hits
+    """
+
+
+register("sim_ivf_recall", sim_ivf_recall, _ivf_recall_oracle())

@@ -443,3 +443,28 @@ def test_hard_negatives_excludes_same_label_and_ranks(spark, sf_dir):
         best = max(pool, key=lambda r: (r.score, -r.neighbor_id))
         assert rows[0].neighbor_id == best.neighbor_id
         assert abs(rows[0].score - best.score) < 1e-9
+
+
+def test_recall_queries_grade_both_ann_tiers(spark, sf_dir):
+    """Both approximate tiers carry a recall grade vs the same exact
+    top-k: per-query recall in [0, 1], hits never exceed k, and every
+    exact query id is graded (missing ids would silently inflate
+    average recall)."""
+    from flink_streaming_demo_spark.plans.vector_queries import (
+        sim_ann_recall,
+        sim_ivf_recall,
+        sim_topk_cosine,
+    )
+
+    n_queries = (
+        sim_topk_cosine(spark, sf_dir)
+        .select("query_id")
+        .distinct()
+        .count()
+    )
+    for fn in (sim_ann_recall, sim_ivf_recall):
+        rows = fn(spark, sf_dir).collect()
+        assert len(rows) == n_queries, fn.__name__
+        for r in rows:
+            assert 0.0 <= r["recall"] <= 1.0
+            assert 0 <= r["n_hits"] <= 5
