@@ -2249,52 +2249,29 @@ def events_lateness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     per minute (tiny) and is broadcast back, so the plan is two narrow
     scans + one broadcast join regardless of input size. All arithmetic
     is integer micros (no float drift); `div` is used on both engines
-    so the second-floor is engine-identical."""
-    ev = t(spark, sf_dir, "events").select(
-        "event_type",
-        F.unix_micros("ts").alias("ets_us"),
-        (
-            F.unix_micros("ts")
-            + (
-                F.conv(
-                    F.substring(
-                        F.md5(F.col("event_id").cast("string")), 1, 4
-                    ),
-                    16,
-                    10,
-                ).cast("bigint")
-                % 600
-            )
-            * F.lit(1000000)
-        ).alias("arr_us"),
+    so the second-floor is engine-identical. Composes operators/
+    lateness (with_md5_arrival -> epoch watermark -> integer profile) —
+    the same primitives the streaming monitor maintains incrementally
+    (streaming/pipelines.streaming_lateness_monitor), so batch profile
+    and streaming store are definitionally comparable."""
+    from flink_streaming_demo_spark.operators import lateness as L
+
+    ev = L.with_md5_arrival(
+        t(spark, sf_dir, "events").select("event_id", "event_type", "ts")
     ).withColumn("arr_min", F.expr("arr_us div 60000000"))
-    mins = ev.groupBy("arr_min").agg(F.max("ets_us").alias("m_max_us"))
-    # one row per arrival minute: the unpartitioned cummax is over a
-    # minutes-long table, not the events
-    w = Window.orderBy("arr_min").rowsBetween(
-        Window.unboundedPreceding, -1
+    late = L.lateness_vs_epoch_watermark(
+        ev.select("event_type", "ets_us", "arr_min"), "arr_min"
     )
-    wm = mins.select("arr_min", F.max("m_max_us").over(w).alias("wm_us"))
-    late = ev.join(F.broadcast(wm), "arr_min").select(
+    prof = L.lateness_profile_ints(late)
+    return prof.select(
         "event_type",
-        F.coalesce(F.col("wm_us") > F.col("ets_us"), F.lit(False)).alias(
-            "is_late"
-        ),
-        F.greatest(
-            F.lit(0).cast("bigint"),
-            F.expr("coalesce(wm_us - ets_us, 0) div 1000000"),
-        ).alias("late_s"),
-    )
-    return late.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n_events"),
-        F.sum(F.col("is_late").cast("int")).cast("bigint").alias("n_late"),
-        F.max("late_s").alias("max_late_s"),
+        "n_events",
+        "n_late",
+        "max_late_s",
         F.round(
-            F.sum("late_s").cast("double") / F.count(F.lit(1)), 6
+            F.col("sum_late_s").cast("double") / F.col("n_events"), 6
         ).alias("avg_late_s"),
-        F.sum((F.col("late_s") > 60).cast("int"))
-        .cast("bigint")
-        .alias("n_dropped_60s"),
+        "n_dropped_60s",
     )
 
 

@@ -644,3 +644,79 @@ def streaming_reservoir_weighted(
         state_cols=("res",),
         sketch_name="streaming_reservoir_weighted",
     )
+
+
+def streaming_lateness_monitor(sink):
+    """foreachBatch body maintaining the watermark-lateness profile
+    (operators/lateness) incrementally over an out-of-order replay: per
+    micro-batch, measure every event against the watermark carried over
+    from PRIOR batches (max event time seen before this batch — exactly
+    the per-epoch discretization of the batch query, with epoch =
+    micro-batch), fold the batch's exact-integer profile into the
+    per-type store by ⊕-merge (SUM/SUM/MAX/SUM/SUM), then advance the
+    stored watermark. When the replay chunks equal the batch query's
+    epochs, streaming store == batch profile EXACTLY (integer algebra,
+    no floats) — the equivalence the test pins.
+
+    Replay safety: the profile merge is SUM-based (non-idempotent), so
+    the body carries the same epoch-marker guard as the CMS maintainer
+    — a re-delivered epoch id is skipped; the marker lands after the
+    watermark write, and a production deployment would commit profile,
+    watermark, and marker in one transactional table commit. The
+    watermark itself lives in a 1-row parquet next to the store
+    (``<path>_wm``): reading it is O(1), writing it rewrites one tiny
+    file per trigger."""
+    import os
+
+    from flink_streaming_demo_spark.operators import lateness as L
+
+    if not (hasattr(sink, "path") and hasattr(sink, "read")):
+        raise TypeError(
+            "streaming_lateness_monitor needs a store-backed sink "
+            "exposing .path and .read(spark) (ParquetUpsertSink); got "
+            f"{type(sink).__name__} — its watermark cannot be carried "
+            "across triggers"
+        )
+
+    def body(batch_df: DataFrame, epoch_id: int) -> None:
+        marker = os.path.join(f"{sink.path}_epochs", f"epoch={epoch_id}")
+        if os.path.exists(marker):
+            return
+        if not batch_df.head(1):
+            return
+        spark = batch_df.sparkSession
+        wm_path = f"{sink.path}_wm"
+        wm_us = None
+        if os.path.exists(wm_path):
+            wm_us = spark.read.parquet(wm_path).agg(
+                F.max("wm_us")
+            ).first()[0]
+        ev = batch_df.withColumn("ets_us", F.unix_micros("ts"))
+        late = L.lateness_vs_fixed_watermark(ev, wm_us)
+        part = L.lateness_profile_ints(late).localCheckpoint()
+        if os.path.exists(sink.path):
+            touched = part.select("event_type").distinct()
+            cur = (
+                sink.read(spark)
+                .join(F.broadcast(touched), ["event_type"], "left_semi")
+                .select(
+                    "event_type",
+                    "n_events",
+                    "n_late",
+                    "max_late_s",
+                    "sum_late_s",
+                    "n_dropped_60s",
+                )
+            )
+            part = L.merge_profiles(cur, part)
+        sink.foreach_batch(part, epoch_id)
+        batch_max = ev.agg(F.max("ets_us")).first()[0]
+        new_wm = max(
+            v for v in (wm_us, batch_max) if v is not None
+        )
+        spark.createDataFrame(
+            [(int(new_wm),)], "wm_us bigint"
+        ).coalesce(1).write.mode("overwrite").parquet(wm_path)
+        os.makedirs(marker, exist_ok=True)
+
+    return body

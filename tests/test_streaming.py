@@ -1868,3 +1868,100 @@ def test_streaming_outer_interval_join_emits_nulls_on_eviction(spark):
         assert len([r for r in out if r.error_id is None]) == 2
     finally:
         shutil.rmtree(chunk_dir, ignore_errors=True)
+
+
+def test_streaming_lateness_monitor_equals_batch_and_skips_replayed_epoch(
+    spark, sf_dir
+):
+    """Replaying the events table in ARRIVAL order (md5 jitter) through
+    the lateness-monitor body must land on EXACTLY the batch profile
+    computed with epochs == the replay chunks (integer algebra, so
+    equality is exact, not approximate), and a re-delivered epoch id
+    must be skipped by the marker guard (the SUM merge is
+    non-idempotent)."""
+    from flink_streaming_demo_spark.operators import lateness as L
+    from flink_streaming_demo_spark.schemas import load_table
+    from flink_streaming_demo_spark.streaming.pipelines import (
+        streaming_lateness_monitor,
+        write_foreach_batch_stream,
+    )
+    from flink_streaming_demo_spark.streaming.sinks import ParquetUpsertSink
+
+    n_chunks = 6
+    # a WIDE jitter (1 day) so plenty of arrivals cross the coarse
+    # 6-chunk boundaries — the monitor itself is delay-agnostic
+    ev = L.with_md5_arrival(
+        load_table(spark, sf_dir, "events").select(
+            "event_id", "event_type", "ts"
+        ),
+        max_delay_s=86_400,
+    ).select("event_id", "event_type", "ts", "ets_us", "arr_us")
+    chunk_dir = replay.write_replay_chunks(
+        ev, n_chunks=n_chunks, order_col="arr_us"
+    )
+    # batch twin with epochs == the replay chunks (same assignment
+    # expression as write_replay_chunks)
+    key = F.col("arr_us").cast("double")
+    lo, hi = ev.agg(F.min(key), F.max(key)).first()
+    chunked = ev.withColumn(
+        "_chunk",
+        F.least(
+            F.lit(n_chunks - 1),
+            F.floor((key - F.lit(lo)) / F.lit(hi - lo) * n_chunks),
+        ).cast("int"),
+    )
+    want = {
+        r.event_type: (
+            r.n_events, r.n_late, r.max_late_s, r.sum_late_s,
+            r.n_dropped_60s,
+        )
+        for r in L.lateness_profile_ints(
+            L.lateness_vs_epoch_watermark(
+                chunked.select("event_type", "ets_us", "_chunk"), "_chunk"
+            )
+        ).collect()
+    }
+    store = tempfile.mkdtemp(prefix="lateness_") + "/store"
+    sink = ParquetUpsertSink(store, ["event_type"])
+    body = streaming_lateness_monitor(sink)
+    stream = replay.read_replay_stream(
+        spark,
+        chunk_dir,
+        "event_id long, event_type string, ts timestamp, "
+        "ets_us long, arr_us long",
+        max_files_per_trigger=1,
+    )
+    q = write_foreach_batch_stream(stream, body, "lateness_monitor")
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    def snapshot():
+        return {
+            r.event_type: (
+                r.n_events, r.n_late, r.max_late_s, r.sum_late_s,
+                r.n_dropped_60s,
+            )
+            for r in sink.read(spark).collect()
+        }
+
+    got = snapshot()
+    assert got == want
+    # the simulation must actually produce late events for the test to
+    # mean anything
+    assert sum(v[1] for v in want.values()) > 0
+    # replayed epoch id -> marker guard skips the non-idempotent merge
+    body(chunked.filter(F.col("_chunk") == 0).drop("_chunk"), epoch_id=0)
+    assert snapshot() == got
+    shutil.rmtree(chunk_dir, ignore_errors=True)
+
+
+def test_streaming_lateness_monitor_rejects_storeless_sink():
+    from flink_streaming_demo_spark.streaming.pipelines import (
+        streaming_lateness_monitor,
+    )
+    from flink_streaming_demo_spark.streaming.sinks import InMemoryUpsertSink
+
+    with pytest.raises(TypeError, match="store-backed"):
+        streaming_lateness_monitor(InMemoryUpsertSink(["event_type"]))
