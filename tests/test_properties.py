@@ -658,3 +658,81 @@ def test_kmv_set_ops_matches_python_model(spark, a, b, k):
     assert r.union_distinct == want_union
     assert r.intersect_distinct == want_inter
     assert abs(r.jaccard - round(k_int / len(u), 6)) < 1e-12
+
+
+def _py_lateness_profile(
+    events: list[tuple[str, int, int]], epochs: list[int]
+) -> dict[str, tuple[int, int, int, int, int]]:
+    """Reference model for operators/lateness: events = (type, ets_us,
+    epoch); wm at epoch e = max ets over strictly earlier epochs."""
+    from flink_streaming_demo_spark.operators.lateness import (
+        DROP_THRESHOLD_S,
+    )
+
+    out: dict[str, list[int]] = {}
+    for typ, ets, ep in events:
+        earlier = [e2 for (_, e2, p2) in events if p2 < ep]
+        wm = max(earlier) if earlier else None
+        late_s = max(0, (wm - ets) // 1_000_000) if wm is not None else 0
+        is_late = wm is not None and wm > ets
+        agg = out.setdefault(typ, [0, 0, 0, 0, 0])
+        agg[0] += 1
+        agg[1] += 1 if is_late else 0
+        agg[2] = max(agg[2], late_s)
+        agg[3] += late_s
+        agg[4] += 1 if late_s > DROP_THRESHOLD_S else 0
+    return {t: tuple(v) for t, v in out.items()}
+
+
+@given(
+    events=st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b"]),
+            st.integers(min_value=0, max_value=400_000_000),
+            st.integers(min_value=0, max_value=4),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(**_SETTINGS)
+def test_lateness_epoch_profile_and_merge_match_model(spark, events):
+    """The per-epoch lateness profile must match the Python model, and
+    folding per-epoch partials through merge_profiles (the streaming
+    maintainer's algebra) must land on the same result as the one-shot
+    profile — associativity of the SUM/MAX merge over epoch order."""
+    from flink_streaming_demo_spark.operators import lateness as L
+
+    df = spark.createDataFrame(
+        [(t, e, p) for (t, e, p) in events],
+        "event_type string, ets_us long, epoch int",
+    )
+    late = L.lateness_vs_epoch_watermark(df, "epoch")
+    got = {
+        r.event_type: (
+            r.n_events, r.n_late, r.max_late_s, r.sum_late_s,
+            r.n_dropped_60s,
+        )
+        for r in L.lateness_profile_ints(late).collect()
+    }
+    assert got == _py_lateness_profile(events, sorted({p for *_, p in events}))
+    # streaming algebra: fold epoch partials in order with the
+    # store-carried watermark, exactly what the monitor body does
+    acc = None
+    wm = None
+    for ep in sorted({p for *_, p in events}):
+        batch = df.filter(F.col("epoch") == ep)
+        part = L.lateness_profile_ints(
+            L.lateness_vs_fixed_watermark(batch, wm)
+        )
+        acc = part if acc is None else L.merge_profiles(acc, part)
+        batch_max = batch.agg(F.max("ets_us")).first()[0]
+        wm = batch_max if wm is None else max(wm, batch_max)
+    folded = {
+        r.event_type: (
+            r.n_events, r.n_late, r.max_late_s, r.sum_late_s,
+            r.n_dropped_60s,
+        )
+        for r in acc.collect()
+    }
+    assert folded == got
