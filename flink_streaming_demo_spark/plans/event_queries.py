@@ -2315,3 +2315,76 @@ register(
     GROUP BY event_type
     """,
 )
+
+
+def events_sequence_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CEP-style sequence-pattern matching (the MATCH_RECOGNIZE /
+    Flink-CEP capability) expressed Spark-first: per user, the
+    event-time-ordered type sequence is folded to a compact symbol
+    string (one initial per event — initials are unique across the
+    five types) and patterns run as REGEXES over that string, entirely
+    JVM-side. Two classic patterns: conversions = 'c[^cp]*p' (a click
+    followed by a purchase with no intervening click/purchase — CEP
+    skip-till-next-match semantics), error bursts = 'ee+' (maximal
+    runs of 2+ consecutive errors). Both engines count non-overlapping
+    leftmost matches, and both patterns are backtracking-free, so the
+    counts are engine-exact.
+
+    Scale: one shuffle on user_id; per-user state is the symbol string
+    (bounded by that user's event count — at 100 TB, compose with
+    session windows first to bound it per session); the regex pass is
+    a map over the aggregated rows. This is the standard key-partition
+    MATCH_RECOGNIZE execution shape."""
+    ev = t(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.substring("event_type", 1, 1).alias("initial"),
+    )
+    seqs = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.concat_ws(
+            "",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct("ts", "event_id", "initial")
+                    )
+                ),
+                lambda s: s["initial"],
+            ),
+        ).alias("seq"),
+    )
+    return seqs.select(
+        "user_id",
+        "n_events",
+        F.regexp_count("seq", F.lit("c[^cp]*p"))
+        .cast("bigint")
+        .alias("n_conversions"),
+        F.regexp_count("seq", F.lit("ee+"))
+        .cast("bigint")
+        .alias("n_error_bursts"),
+    )
+
+
+register(
+    "events_sequence_patterns",
+    events_sequence_patterns,
+    """
+    WITH seqs AS (
+        SELECT user_id,
+               COUNT(*) AS n_events,
+               string_agg(substr(event_type, 1, 1), ''
+                          ORDER BY ts, event_id) AS seq
+        FROM events
+        GROUP BY user_id
+    )
+    SELECT user_id,
+           n_events,
+           CAST(len(regexp_extract_all(seq, 'c[^cp]*p')) AS BIGINT)
+               AS n_conversions,
+           CAST(len(regexp_extract_all(seq, 'ee+')) AS BIGINT)
+               AS n_error_bursts
+    FROM seqs
+    """,
+)

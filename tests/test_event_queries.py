@@ -343,3 +343,38 @@ def test_lateness_profile_bounds_and_presence(spark, sf_dir):
         assert 0 <= r["max_late_s"] <= 599
         assert r["n_dropped_60s"] <= r["n_late"]
         assert 0.0 <= r["avg_late_s"] <= r["max_late_s"] + 1e-9
+
+
+def test_sequence_patterns_match_python_reference(spark, sf_dir):
+    """The regex-over-symbol-string CEP counts must match a plain-Python
+    scan over the same ordered sequences (independent of both engines'
+    regex libraries), and cover every user."""
+    import re
+
+    from flink_streaming_demo_spark.plans.event_queries import (
+        events_sequence_patterns,
+    )
+    from flink_streaming_demo_spark.schemas import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    rows = sorted(
+        ev.collect(), key=lambda r: (r.user_id, r.ts, r.event_id)
+    )
+    seqs: dict[int, str] = {}
+    for r in rows:
+        seqs[r.user_id] = seqs.get(r.user_id, "") + r.event_type[0]
+    got = {
+        r.user_id: (r.n_events, r.n_conversions, r.n_error_bursts)
+        for r in events_sequence_patterns(spark, sf_dir).collect()
+    }
+    assert set(got) == set(seqs)
+    for uid, seq in seqs.items():
+        want = (
+            len(seq),
+            len(re.findall(r"c[^cp]*p", seq)),
+            len(re.findall(r"ee+", seq)),
+        )
+        assert got[uid] == want, uid
+    assert sum(v[1] for v in got.values()) > 0, "no conversions matched"
