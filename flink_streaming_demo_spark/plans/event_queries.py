@@ -2388,3 +2388,95 @@ register(
     FROM seqs
     """,
 )
+
+
+_WM_CANDIDATE_DELAYS = (0, 30, 60, 120, 300, 600)
+
+
+def events_watermark_delay_tradeoff(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The watermark-delay decision table: for each candidate
+    ``withWatermark`` delay, how many events of the simulated
+    out-of-order arrival would be DROPPED (lateness beyond the allowed
+    delay) vs the result latency you pay (the delay itself) — computed
+    in ONE pass over the per-event lateness by exploding the bounded
+    candidate list (6 rows per event pre-aggregation, map-side
+    combined). This is the query you read before picking the delay the
+    streaming pipelines hardcode; events_lateness_profile gives the
+    distribution, this gives the operating points.
+
+    Scale: same two narrow scans + broadcast watermark join as the
+    profile; the explode multiplies rows by a CONSTANT 6 before the
+    partial agg, so shuffle stays 6x the per-type key space, not 6x
+    the data."""
+    from flink_streaming_demo_spark.operators import lateness as L
+
+    ev = L.with_md5_arrival(
+        t(spark, sf_dir, "events").select("event_id", "event_type", "ts")
+    ).withColumn("arr_min", F.expr("arr_us div 60000000"))
+    late = L.lateness_vs_epoch_watermark(
+        ev.select("event_type", "ets_us", "arr_min"), "arr_min"
+    )
+    cand = late.select(
+        "late_s",
+        F.explode(
+            F.array(*[F.lit(d) for d in _WM_CANDIDATE_DELAYS])
+        ).alias("delay_s"),
+    )
+    n = F.count(F.lit(1))
+    return cand.groupBy("delay_s").agg(
+        n.alias("n_events"),
+        F.sum((F.col("late_s") > F.col("delay_s")).cast("int"))
+        .cast("bigint")
+        .alias("n_dropped"),
+        F.round(
+            F.sum((F.col("late_s") > F.col("delay_s")).cast("int"))
+            / n.cast("double"),
+            6,
+        ).alias("drop_frac"),
+    )
+
+
+register(
+    "events_watermark_delay_tradeoff",
+    events_watermark_delay_tradeoff,
+    f"""
+    WITH ev AS (
+        SELECT event_type,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS ets_us,
+               epoch_us(CAST(ts AS TIMESTAMP))
+               + (CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 4))
+                       AS BIGINT) % 600) * 1000000 AS arr_us
+        FROM events
+    ),
+    mins AS (
+        SELECT arr_us // 60000000 AS arr_min, MAX(ets_us) AS m_max_us
+        FROM ev GROUP BY arr_us // 60000000
+    ),
+    wm AS (
+        SELECT arr_min,
+               MAX(m_max_us) OVER (ORDER BY arr_min
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS wm_us
+        FROM mins
+    ),
+    late AS (
+        SELECT GREATEST(CAST(0 AS BIGINT),
+                        COALESCE(w.wm_us - e.ets_us, 0) // 1000000) AS late_s
+        FROM ev e JOIN wm w ON e.arr_us // 60000000 = w.arr_min
+    ),
+    cand AS (
+        SELECT late_s,
+               unnest(ARRAY{list(_WM_CANDIDATE_DELAYS)}) AS delay_s
+        FROM late
+    )
+    SELECT delay_s,
+           COUNT(*) AS n_events,
+           CAST(SUM(CASE WHEN late_s > delay_s THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dropped,
+           ROUND(CAST(SUM(CASE WHEN late_s > delay_s THEN 1 ELSE 0 END)
+                      AS DOUBLE) / COUNT(*), 6) AS drop_frac
+    FROM cand
+    GROUP BY delay_s
+    """,
+)

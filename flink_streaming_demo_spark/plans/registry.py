@@ -334,6 +334,7 @@ _ROUND10_WINDOW = [
     "dedup_cross_source_matrix", "dedup_best_survivors",
     "multimodal_frame_index", "text_quality_calibration",
     "sim_ivf_recall", "events_sequence_patterns",
+    "events_watermark_delay_tradeoff",
     "dedup_embedding_neardup", "dedup_semantic",
     "pipeline_embedding_dedup", "pipeline_joint_curation",
     # 3. last checked r6 — four rounds stale (38), registration order
@@ -345,25 +346,28 @@ _ROUND10_WINDOW = [
     "tpch_q22_global_sales_opportunity",
     "dedup_exact_groups", "dedup_minhash_lsh",
     "dedup_ngram_jaccard", "text_quality_scores",
-    "text_token_counts",
     "pipeline_clean_corpus", "multimodal_features",
 ]
-# Displaced late in round 10 by the eight NEW queries above
+# Displaced late in round 10 by the nine NEW queries above
 # (events_lateness_profile, layout_skipping_stats,
 # dedup_cross_source_matrix, dedup_best_survivors,
 # multimodal_frame_index, text_quality_calibration, sim_ivf_recall,
-# events_sequence_patterns — never-checked outranks re-greens):
-# text_chunk_documents, taxi_end_events, taxi_cell_centers,
-# taxi_total_arrival_count, dedup_winnow_pairs, dedup_simhash64,
-# dedup_simhash, dedup_clusters move to the FRONT of the r11 rotation
-# backlog alongside the twelve r6-stale deferrals listed above
+# events_sequence_patterns, events_watermark_delay_tradeoff —
+# never-checked outranks re-greens): text_chunk_documents,
+# taxi_end_events, taxi_cell_centers, taxi_total_arrival_count,
+# dedup_winnow_pairs, dedup_simhash64, dedup_simhash, dedup_clusters,
+# text_token_counts move to the FRONT of the r11 rotation backlog
+# alongside the twelve r6-stale deferrals listed above
 # (dedup_clusters carries the strongest in-window surrogate:
 # dedup_best_survivors' oracle composes ORACLE_SQL["dedup_clusters"]
-# verbatim, so its green re-proves the CC closure). Compensating
-# evidence for all eight: closures byte-unchanged this round (the
-# plans/operators edits are append-only) and hash-green in this
-# round's 158/158 full-surface parity sweep at sf0.01 plus the
-# round-close sf0.001 sweep (164/164).
+# verbatim, so its green re-proves the CC closure; text_token_counts'
+# token expressions are exercised in-window by text_quality_scores).
+# Compensating evidence for all nine: closures byte-unchanged this
+# round (the plans/operators edits are append-only) and hash-green in
+# this round's 158/158 full-surface parity sweep at sf0.01 plus the
+# round-close sf0.001 sweep (164/164); every late addition was
+# individually parity-checked at BOTH sf0.001 and sf0.01 the day it
+# landed.
 
 
 def _active_window() -> list[str]:

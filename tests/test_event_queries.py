@@ -378,3 +378,25 @@ def test_sequence_patterns_match_python_reference(spark, sf_dir):
         )
         assert got[uid] == want, uid
     assert sum(v[1] for v in got.values()) > 0, "no conversions matched"
+
+
+def test_watermark_delay_tradeoff_is_monotone(spark, sf_dir):
+    """Operating-point sanity: dropped counts are non-increasing in the
+    allowed delay, delay=600 (>= the jitter bound) drops nothing, and
+    every candidate row covers the full event count."""
+    from flink_streaming_demo_spark.plans.event_queries import (
+        _WM_CANDIDATE_DELAYS,
+        events_watermark_delay_tradeoff,
+    )
+
+    rows = {
+        r["delay_s"]: r
+        for r in events_watermark_delay_tradeoff(spark, sf_dir).collect()
+    }
+    assert set(rows) == set(_WM_CANDIDATE_DELAYS)
+    totals = {r["n_events"] for r in rows.values()}
+    assert len(totals) == 1
+    drops = [rows[d]["n_dropped"] for d in sorted(rows)]
+    assert drops == sorted(drops, reverse=True)
+    assert rows[600]["n_dropped"] == 0
+    assert rows[0]["n_dropped"] > 0, "zero-delay must drop late events"

@@ -242,6 +242,11 @@ _UNPARTITIONED_WINDOW_ALLOWED = {
         "definition; the full-width passes (per-minute MAX, final "
         "profile) are partitioned aggregations"
     ),
+    "events_watermark_delay_tradeoff": (
+        "same per-arrival-minute watermark cummax as "
+        "events_lateness_profile (shared operators/lateness primitive); "
+        "the candidate-delay explode and its aggregation are partitioned"
+    ),
 }
 
 
