@@ -71,3 +71,11 @@ def test_data_recipe_example_runs():
     assert r.returncode == 0, r.stderr[-2000:]
     assert "sources at the repeat cap" in r.stdout
     assert "weighted reservoir" in r.stdout
+
+
+def test_watermark_tuning_example_runs():
+    r = _run("examples/watermark_tuning.py")
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "operating points" in r.stdout
+    assert "maintained incrementally" in r.stdout
+    assert "epoch granularity is the only difference" in r.stdout
