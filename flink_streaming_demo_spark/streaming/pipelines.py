@@ -646,7 +646,7 @@ def streaming_reservoir_weighted(
     )
 
 
-def streaming_lateness_monitor(sink):
+def streaming_lateness_monitor(sink, late_dir: str | None = None):
     """foreachBatch body maintaining the watermark-lateness profile
     (operators/lateness) incrementally over an out-of-order replay: per
     micro-batch, measure every event against the watermark carried over
@@ -657,6 +657,13 @@ def streaming_lateness_monitor(sink):
     stored watermark. When the replay chunks equal the batch query's
     epochs, streaming store == batch profile EXACTLY (integer algebra,
     no floats) — the equivalence the test pins.
+
+    ``late_dir``: optional LATE-DATA SIDE OUTPUT (the Flink
+    side-output / dead-letter analogue): each batch's late rows (full
+    payload + their measured late_s) append to an epoch-partitioned
+    parquet channel for reprocessing/backfill instead of being only
+    counted. Appends land under epoch=<id> directories, so a replayed
+    epoch overwrites its own partition — no duplicate late rows.
 
     Replay safety: the profile merge is SUM-based (non-idempotent), so
     the body carries the same epoch-marker guard as the CMS maintainer
@@ -693,6 +700,10 @@ def streaming_lateness_monitor(sink):
             ).first()[0]
         ev = batch_df.withColumn("ets_us", F.unix_micros("ts"))
         late = L.lateness_vs_fixed_watermark(ev, wm_us)
+        if late_dir is not None:
+            late.filter(F.col("is_late")).drop("is_late").write.mode(
+                "overwrite"
+            ).parquet(os.path.join(late_dir, f"epoch={epoch_id}"))
         part = L.lateness_profile_ints(late).localCheckpoint()
         if os.path.exists(sink.path):
             touched = part.select("event_type").distinct()

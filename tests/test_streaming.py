@@ -1910,20 +1910,21 @@ def test_streaming_lateness_monitor_equals_batch_and_skips_replayed_epoch(
             F.floor((key - F.lit(lo)) / F.lit(hi - lo) * n_chunks),
         ).cast("int"),
     )
+    twin_late = L.lateness_vs_epoch_watermark(
+        chunked.select("event_id", "event_type", "ets_us", "_chunk"),
+        "_chunk",
+    )
     want = {
         r.event_type: (
             r.n_events, r.n_late, r.max_late_s, r.sum_late_s,
             r.n_dropped_60s,
         )
-        for r in L.lateness_profile_ints(
-            L.lateness_vs_epoch_watermark(
-                chunked.select("event_type", "ets_us", "_chunk"), "_chunk"
-            )
-        ).collect()
+        for r in L.lateness_profile_ints(twin_late).collect()
     }
     store = tempfile.mkdtemp(prefix="lateness_") + "/store"
+    late_dir = tempfile.mkdtemp(prefix="lateness_side_")
     sink = ParquetUpsertSink(store, ["event_type"])
-    body = streaming_lateness_monitor(sink)
+    body = streaming_lateness_monitor(sink, late_dir=late_dir)
     stream = replay.read_replay_stream(
         spark,
         chunk_dir,
@@ -1951,6 +1952,19 @@ def test_streaming_lateness_monitor_equals_batch_and_skips_replayed_epoch(
     # the simulation must actually produce late events for the test to
     # mean anything
     assert sum(v[1] for v in want.values()) > 0
+    # late-data side output (the Flink side-output analogue): the
+    # dead-letter channel carries exactly the batch twin's late rows
+    side_ids = {
+        r.event_id
+        for r in spark.read.option("basePath", late_dir)
+        .parquet(late_dir)
+        .collect()
+    }
+    twin_ids = {
+        r.event_id
+        for r in twin_late.filter(F.col("is_late")).collect()
+    }
+    assert side_ids == twin_ids and side_ids
     # replayed epoch id -> marker guard skips the non-idempotent merge
     body(chunked.filter(F.col("_chunk") == 0).drop("_chunk"), epoch_id=0)
     assert snapshot() == got
