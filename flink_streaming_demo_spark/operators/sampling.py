@@ -186,18 +186,18 @@ def pack_greedy(
     return out.drop(*drop)
 
 
-def exact_global_ntile(
+def exact_global_rank(
     df: DataFrame,
-    tiles: int,
     order_col: str,
     tiebreak_col: str,
     desc: bool = False,
     n_chunks: int = 16,
-    out_col: str = "tile",
+    out_col: str = "rank",
     chunk_bounds: str = "range",
     quantile_rel_err: float = 0.001,
+    count_col: str | None = None,
 ) -> DataFrame:
-    """``NTILE(tiles) OVER (ORDER BY order_col [DESC], tiebreak_col)``
+    """``ROW_NUMBER() OVER (ORDER BY order_col [DESC], tiebreak_col)``
     with NO single-partition window — bit-identical to the SQL form.
 
     The naive expression is a global sort through one reducer (Spark
@@ -213,20 +213,17 @@ def exact_global_ntile(
        3. the exclusive prefix of chunk sizes (a broadcast self-join on
        the <= n_chunks-row size table — no window at all)
        reconstruct the exact global rank: rank = prefix + local_rank.
-    4. NTILE is then a closed-form expression of (rank, n_rows): the
-       first ``n % tiles`` buckets hold ``n // tiles + 1`` rows, the
-       rest ``n // tiles`` — exactly ANSI NTILE's spill rule.
 
     The chunk id uses a double cast of the order column, which is
     monotone and maps equal values to equal chunks; the WITHIN-chunk
-    sort uses the original (uncast) column plus the tiebreak, so rank —
-    and therefore the tile — is exact even if the double cast collapses
-    adjacent values into one chunk.
+    sort uses the original (uncast) column plus the tiebreak, so the
+    rank is exact even if the double cast collapses adjacent values
+    into one chunk.
 
     NULL order values get their own dedicated chunk placed where
     Spark's ``orderBy`` would sort them (first for asc, last for desc),
     so they are ranked — never dropped — exactly as the built-in
-    ``NTILE`` would rank them. NaN order values likewise: Spark sorts
+    window would rank them. NaN order values likewise: Spark sorts
     NaN greater than every non-NaN value (after them for asc, before
     them for desc) and COMPARES NaN greater than every numeric in
     expressions too, so before the dedicated chunk existed, a NaN in
@@ -245,8 +242,13 @@ def exact_global_ntile(
     <= o), so equal values share a chunk and the rank stays exact.
     The one shape neither mode can spread is a single massively-tied
     value (ties must share a chunk for correctness): that run's
-    row_number is a single-task sort by construction. Current call
-    sites (RFM scores) are well-spread under "range".
+    row_number is a single-task sort by construction.
+
+    ``count_col``: when set, the output also carries the total row
+    count under that name (the bounds agg computes it anyway) —
+    ``exact_global_ntile`` needs it for the tile formula, and callers
+    building position-dependent expressions (epoch sharding, tile
+    math) get it without a second pass.
     """
     o_raw = F.col(order_col)
     o = (-o_raw if desc else o_raw).cast("double")
@@ -319,9 +321,50 @@ def exact_global_ntile(
         .agg(F.coalesce(F.sum("_gn_s2"), F.lit(0)).alias("_gn_prefix"))
     )
     ranked = local.join(F.broadcast(prefixes), "_gn_chunk").withColumn(
-        "_gn_rank", F.col("_gn_prefix") + F.col("_gn_local")
+        out_col, (F.col("_gn_prefix") + F.col("_gn_local")).cast("bigint")
     )
-    n, r = F.col("_gn_n"), F.col("_gn_rank")
+    if count_col is not None:
+        ranked = ranked.withColumn(count_col, F.col("_gn_n"))
+    return ranked.drop(
+        "_gn_min", "_gn_max", "_gn_n", "_gn_chunk", "_gn_local",
+        "_gn_size", "_gn_prefix",
+    )
+
+
+def exact_global_ntile(
+    df: DataFrame,
+    tiles: int,
+    order_col: str,
+    tiebreak_col: str,
+    desc: bool = False,
+    n_chunks: int = 16,
+    out_col: str = "tile",
+    chunk_bounds: str = "range",
+    quantile_rel_err: float = 0.001,
+) -> DataFrame:
+    """``NTILE(tiles) OVER (ORDER BY order_col [DESC], tiebreak_col)``
+    with NO single-partition window — bit-identical to the SQL form.
+
+    Rank decomposition (chunked parallel windows + broadcast prefix
+    table, NULL/NaN dedicated chunks, skew notes): see
+    ``exact_global_rank``, which this wraps. NTILE is then a
+    closed-form expression of (rank, n_rows): the first ``n % tiles``
+    buckets hold ``n // tiles + 1`` rows, the rest ``n // tiles`` —
+    exactly ANSI NTILE's spill rule. Current call sites (RFM scores)
+    are well-spread under the default ``chunk_bounds="range"``.
+    """
+    ranked = exact_global_rank(
+        df,
+        order_col,
+        tiebreak_col,
+        desc=desc,
+        n_chunks=n_chunks,
+        out_col="_gn_rank",
+        chunk_bounds=chunk_bounds,
+        quantile_rel_err=quantile_rel_err,
+        count_col="_gn_total",
+    )
+    n, r = F.col("_gn_total"), F.col("_gn_rank")
     q = (n - n % tiles) / tiles  # n // tiles, exact while n < 2^53
     rem = n % tiles
     big = q + 1  # size of the first `rem` buckets; >= 1 always
@@ -333,8 +376,7 @@ def exact_global_ntile(
         rem + F.floor((r - rem * big - 1) / F.greatest(q, F.lit(1))) + 1
     )
     return ranked.withColumn(out_col, tile.cast("int")).drop(
-        "_gn_min", "_gn_max", "_gn_n", "_gn_chunk", "_gn_local",
-        "_gn_size", "_gn_prefix", "_gn_rank",
+        "_gn_rank", "_gn_total"
     )
 
 

@@ -893,3 +893,196 @@ register(
     FROM ranked WHERE rank <= {_RES_K}
     """,
 )
+
+
+# --- Stable global ids (exact distributed row numbering) ----------------------
+
+def doc_stable_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contiguous stable ids 1..N over the corpus in (n_chars DESC,
+    doc_id) order — the "assign every record a global position" pass a
+    100 TB pipeline needs for resumable serving manifests and
+    fixed-width shard files. The naive ROW_NUMBER() OVER (ORDER BY ...)
+    is a single-reducer global sort; this uses
+    ``sampling.exact_global_rank`` (value-range chunking + parallel
+    per-chunk windows + a broadcast prefix table), so every task ranks
+    its own chunk and the only coordination is one 1-row bounds agg
+    plus a <=16-row size table. Ids depend only on the total order —
+    not on partitioning, sampling, or retries — so a re-run reproduces
+    them bit-for-bit."""
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    return sampling.exact_global_rank(
+        docs, "n_chars", "doc_id", desc=True, out_col="stable_id"
+    ).select("stable_id", "doc_id", "source", "n_chars")
+
+
+register(
+    "doc_stable_ids",
+    doc_stable_ids,
+    """
+    SELECT ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id ASC)
+               AS stable_id,
+           doc_id, source, n_chars
+    FROM documents
+    """,
+)
+
+
+# --- Deterministic epoch shuffle + shard assignment ---------------------------
+
+_N_EPOCHS = 2
+_N_SHARDS = 8
+
+
+def sample_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded per-epoch global shuffle into fixed shard files — the
+    training-data serving order: shuffle_key = md5(epoch || ':' ||
+    doc_id) gives every doc a fresh pseudorandom position each epoch,
+    shard = first-8-hex(key) % n_shards, and pos is the doc's offset
+    within its shard under key order. Everything derives from (epoch,
+    doc_id): any worker, any retry, any engine reproduces the same
+    serving order — the reproducibility property 'ORDER BY rand()'
+    destroys. Scale shape: the key/shard columns are pure map-side
+    expressions; the only shuffle is one hash partition by (epoch,
+    shard) with a WITHIN-shard sort (each shard sorts independently in
+    parallel — no global sort), which is exactly the layout the shard
+    writer wants. Serving materializes ONE epoch at a time (the epoch
+    literal below fans out two to hash-pin that epochs genuinely
+    permute differently)."""
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    epochs = docs.withColumn(
+        "epoch", F.explode(F.sequence(F.lit(0), F.lit(_N_EPOCHS - 1)))
+    )
+    keyed = epochs.withColumn(
+        "shuffle_key",
+        F.md5(
+            F.concat_ws(
+                ":",
+                F.col("epoch").cast("string"),
+                F.col("doc_id").cast("string"),
+            )
+        ),
+    ).withColumn(
+        "shard",
+        (
+            F.conv(F.substring("shuffle_key", 1, 8), 16, 10).cast("long")
+            % F.lit(_N_SHARDS)
+        ).cast("int"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("epoch", "shard").orderBy(
+        "shuffle_key", "doc_id"
+    )
+    return keyed.withColumn("pos", F.row_number().over(w)).select(
+        "epoch", "shard", "pos", "doc_id", "shuffle_key"
+    )
+
+
+register(
+    "sample_epoch_shuffle",
+    sample_epoch_shuffle,
+    f"""
+    WITH fanout AS (
+        SELECT d.doc_id, e.epoch,
+               md5(CAST(e.epoch AS VARCHAR) || ':'
+                   || CAST(d.doc_id AS VARCHAR)) AS shuffle_key
+        FROM documents d
+        CROSS JOIN (SELECT UNNEST(generate_series(0, {_N_EPOCHS - 1}))
+                        AS epoch) e
+    ),
+    sharded AS (
+        SELECT *,
+               CAST(CAST(('0x' || substr(shuffle_key, 1, 8)) AS BIGINT)
+                    % {_N_SHARDS} AS INTEGER) AS shard
+        FROM fanout
+    )
+    SELECT epoch, shard,
+           ROW_NUMBER() OVER (
+               PARTITION BY epoch, shard
+               ORDER BY shuffle_key ASC, doc_id ASC
+           ) AS pos,
+           doc_id, shuffle_key
+    FROM sharded
+    """,
+)
+
+
+# --- Weighted deterministic source interleaving --------------------------------
+
+def sample_interleave_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-proportional round-robin interleaving of sources into one
+    global serving order — the mixture SCHEDULER (vs the mixture
+    ALLOCATOR sample_mixture_rebalance): source s with weight w gets
+    every (k - 0.5)/w slot, so a window of the output stream contains
+    sources in weight proportion (smooth mixing, not block-by-block).
+    Per-source positions come from a parallel partitioned window in
+    deterministic hash order; the global position is
+    ``sampling.exact_global_rank`` over the interleave key — no
+    single-reducer sort anywhere. Weights are a deterministic function
+    of the source name here (1..4 via md5); swap in a mixture table at
+    will. (k - 0.5) is exact in double and the single division rounds
+    identically on any IEEE engine, so the order — and the hash — is
+    engine-portable."""
+    docs = t(spark, sf_dir, "documents").select("doc_id", "source")
+    from pyspark.sql import Window
+
+    w_src = (sampling.hash_bucket(F.col("source")) % 4 + 1).cast("int")
+    win = Window.partitionBy("source").orderBy(
+        sampling.hash_bucket(F.col("doc_id")).asc(), F.col("doc_id").asc()
+    )
+    keyed = (
+        docs.withColumn("weight", w_src)
+        .withColumn("src_pos", F.row_number().over(win))
+        .withColumn(
+            "ikey",
+            (F.col("src_pos").cast("double") - F.lit(0.5))
+            / F.col("weight").cast("double"),
+        )
+    )
+    return (
+        sampling.exact_global_rank(
+            keyed, "ikey", "doc_id", out_col="global_pos"
+        )
+        .select(
+            "global_pos",
+            "doc_id",
+            "source",
+            "src_pos",
+            "weight",
+            F.round("ikey", 6).alias("interleave_key"),
+        )
+    )
+
+
+_SQL_SRC_BUCKET = (
+    "(CAST(('0x' || substr(md5(source), 1, 8)) AS BIGINT)"
+    f" % {sampling.HASH_MOD})"
+)
+
+register(
+    "sample_interleave_sources",
+    sample_interleave_sources,
+    f"""
+    WITH keyed AS (
+        SELECT doc_id, source,
+               CAST({_SQL_SRC_BUCKET} % 4 + 1 AS INTEGER) AS weight,
+               ROW_NUMBER() OVER (
+                   PARTITION BY source
+                   ORDER BY {_SQL_BUCKET} ASC, doc_id ASC
+               ) AS src_pos
+        FROM documents
+    ),
+    ik AS (
+        SELECT *,
+               (CAST(src_pos AS DOUBLE) - 0.5) / CAST(weight AS DOUBLE)
+                   AS ikey
+        FROM keyed
+    )
+    SELECT ROW_NUMBER() OVER (ORDER BY ikey ASC, doc_id ASC)
+               AS global_pos,
+           doc_id, source, src_pos, weight, ROUND(ikey, 6) AS interleave_key
+    FROM ik
+    """,
+)

@@ -548,3 +548,89 @@ def test_reservoir_weighted_matches_reference_and_merges(spark, monkeypatch):
         half_b = sorted(k for k in lst if k[1] % 2 == 1)[:5]
         merged = sorted(half_a + half_b)[:5]
         assert merged == sorted(lst)[:5], source
+
+
+def test_exact_global_rank_matches_builtin(spark):
+    """exact_global_rank is bit-identical to ROW_NUMBER OVER (ORDER BY
+    ...) on the same adversarial shapes the ntile test uses — ties,
+    desc, NULLs, NaNs mixed in one frame — with no single-partition
+    window in its plan, and count_col carries the total row count."""
+    import random
+
+    from pyspark.sql import Window
+
+    rng = random.Random(7452)
+    pool = [1.0, 2.0, 2.0, 5.0, -3.0, float("nan"), None]
+    rows = [(i, rng.choice(pool)) for i in range(83)]
+    df = spark.createDataFrame(rows, "id long, v double").repartition(8)
+    for desc in (False, True):
+        order = F.col("v").desc() if desc else F.col("v").asc()
+        expect = df.select(
+            "id",
+            F.row_number().over(Window.orderBy(order, "id")).alias("r"),
+        )
+        got = sampling.exact_global_rank(
+            df, "v", "id", desc=desc, n_chunks=5, out_col="r",
+            count_col="n",
+        ).select("id", "r", "n")
+        assert got.count() == len(rows), "rows dropped"
+        mism = got.join(expect, "id").filter(
+            got["r"] != expect["r"]
+        ).count()
+        assert mism == 0, desc
+        assert got.select("n").distinct().collect()[0][0] == len(rows)
+        from flink_streaming_demo_spark.plancheck import (
+            iter_unpartitioned_windows,
+        )
+
+        assert not iter_unpartitioned_windows(got), desc
+
+
+def test_epoch_shuffle_epochs_permute_differently(spark, sf_dir):
+    """The epoch-shuffle serving order is (a) a true permutation of the
+    corpus within each epoch and (b) genuinely different between
+    epochs — the property 'same seed every epoch' silently loses."""
+    from flink_streaming_demo_spark.plans.sampling_queries import (
+        sample_epoch_shuffle,
+    )
+
+    out = sample_epoch_shuffle(spark, sf_dir).toPandas()
+    n_docs = out.doc_id.nunique()
+    for epoch, grp in out.groupby("epoch"):
+        # permutation: every doc exactly once per epoch
+        assert len(grp) == n_docs
+        assert grp.doc_id.nunique() == n_docs
+        # contiguous positions within each shard
+        for _, sh in grp.groupby("shard"):
+            assert sorted(sh.pos) == list(range(1, len(sh) + 1))
+    order0 = out[out.epoch == 0].sort_values(["shard", "pos"]).doc_id.tolist()
+    order1 = out[out.epoch == 1].sort_values(["shard", "pos"]).doc_id.tolist()
+    assert order0 != order1, "epochs produced the identical order"
+
+
+def test_interleave_sources_weight_proportional(spark, sf_dir):
+    """In any prefix of the interleaved order, each source's share of
+    slots tracks its weight share (the smooth-mixing contract): after
+    slot k, source s has served ceil-ish k*w_s/W docs, so the deviation
+    from proportionality is bounded by 1 slot per source."""
+    from flink_streaming_demo_spark.plans.sampling_queries import (
+        sample_interleave_sources,
+    )
+
+    out = (
+        sample_interleave_sources(spark, sf_dir)
+        .toPandas()
+        .sort_values("global_pos")
+    )
+    weights = out.drop_duplicates("source").set_index("source").weight
+    total_w = float(weights.sum())
+    # check proportionality at a few prefix depths (before any source
+    # exhausts its docs, interleave error is < 1 per source)
+    per_src = out.groupby("source").size().min()
+    depth = int(per_src * total_w / weights.max() / 2)
+    prefix = out.head(depth)
+    counts = prefix.groupby("source").size()
+    for src, w in weights.items():
+        got = counts.get(src, 0)
+        expect = depth * float(w) / total_w
+        assert abs(got - expect) <= 1.0 + 1e-9, (src, got, expect)
