@@ -1275,3 +1275,150 @@ def _ivf_recall_oracle() -> str:
 
 
 register("sim_ivf_recall", sim_ivf_recall, _ivf_recall_oracle())
+
+
+# --- Distributed covariance / correlation matrix ------------------------------
+
+def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 64x64 covariance + correlation matrix of the embedding
+    columns (upper triangle, 2080 pairs) — the one-pass second-moment
+    profile behind whitening, PCA and redundant-dimension pruning.
+
+    100 TB shape: each row expands to its 2080 upper-triangle products
+    via a pure array expression (no join, no UDF), and ONE partial
+    aggregation collapses them map-side to 2080 groups per task before
+    the only shuffle; the reduce side handles 2080 rows total,
+    independent of N. The per-dim first moments ride along as the
+    diagonal's explode, so the whole matrix is a single pass.
+
+    Determinism discipline: the order-sensitive float reductions (the
+    product sums) are quantized to 1e-6 and summed EXACTLY as
+    DECIMAL(38,0) — order-independent on any engine, same trick as the
+    sketch family's exact-integer harmonic sums — then a single
+    identical double formula (cast, divide, subtract) derives cov/corr
+    on both engines, so the hash matches bit-for-bit where a plain
+    double SUM would be partial-agg-order-dependent in the last ulp
+    across 2080x2 rounded outputs. The 1e6 quantum is deliberate:
+    at grid*1e12 the product's double ulp (~2e-4 at magnitude 1e12)
+    sits close enough to the 1.0 rounding grid that Spark (rounds
+    the shortest decimal repr via BigDecimal) and DuckDB (rounds
+    the binary value) disagree on ~1e-4 of values — at 1e6 the ulp
+    is 1e-10 of the grid and the two rounding notions coincide; the
+    ~1e-8 moment error this coarser quantum adds is invisible at
+    the 6-decimal output rounding."""
+    emb = t(spark, sf_dir, "embeddings")
+    e = emb.select(F.col("embedding").cast("array<double>").alias("e"))
+    pairs = e.select(
+        F.explode(
+            F.expr(
+                f"""flatten(transform(sequence(1, {DIMS}), i ->
+                    transform(sequence(i, {DIMS}), j ->
+                        struct(i AS i, j AS j,
+                               element_at(e, i) * element_at(e, j) AS xy,
+                               element_at(e, i) AS x))))"""
+            )
+        ).alias("p")
+    ).select("p.i", "p.j", "p.xy", "p.x")
+    q = lambda c: F.round(c * F.lit(1e6), 0).cast("decimal(38,0)")
+    sums = pairs.groupBy("i", "j").agg(
+        F.sum(q(F.col("xy"))).alias("sxy"),
+        F.sum(q(F.col("x"))).alias("sx_i"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    # first moment of dim j = the sx of its diagonal pair (j, j)
+    diag = sums.filter(F.col("i") == F.col("j")).select(
+        F.col("j").alias("d"),
+        F.col("sx_i").alias("sx_d"),
+        F.col("sxy").alias("sxx_d"),
+    )
+    n = F.col("n").cast("double")
+    mi = F.col("sx_i").cast("double") / F.lit(1e6) / n
+    mj = F.col("sx_j").cast("double") / F.lit(1e6) / n
+    cov = F.col("sxy").cast("double") / F.lit(1e6) / n - mi * mj
+    vi = F.col("sxx_i").cast("double") / F.lit(1e6) / n - mi * mi
+    vj = F.col("sxx_j").cast("double") / F.lit(1e6) / n - mj * mj
+    joined = (
+        sums.join(
+            F.broadcast(diag).select(
+                F.col("d").alias("i"), F.col("sxx_d").alias("sxx_i")
+            ),
+            "i",
+        )
+        .join(
+            F.broadcast(diag).select(
+                F.col("d").alias("j"),
+                F.col("sx_d").alias("sx_j"),
+                F.col("sxx_d").alias("sxx_j"),
+            ),
+            "j",
+        )
+    )
+    return joined.select(
+        "i",
+        "j",
+        F.col("n").cast("bigint").alias("n_vecs"),
+        F.round(cov, 6).alias("cov"),
+        F.when(
+            (vi > 0) & (vj > 0), F.round(cov / F.sqrt(vi * vj), 6)
+        ).alias("corr"),
+    )
+
+
+register(
+    "embedding_covariance",
+    embedding_covariance,
+    f"""
+    WITH pairs AS (
+        SELECT i.i AS i, j.j AS j,
+               CAST(ROUND(CAST(e.embedding[i.i] AS DOUBLE)
+                          * CAST(e.embedding[j.j] AS DOUBLE) * 1e6, 0)
+                    AS DECIMAL(38,0)) AS xyq,
+               CAST(ROUND(CAST(e.embedding[i.i] AS DOUBLE) * 1e6, 0)
+                    AS DECIMAL(38,0)) AS xq
+        FROM embeddings e
+        CROSS JOIN (SELECT UNNEST(generate_series(1, {DIMS})) AS i) i
+        CROSS JOIN (SELECT UNNEST(generate_series(1, {DIMS})) AS j) j
+        WHERE j.j >= i.i
+    ),
+    sums AS (
+        SELECT i, j, SUM(xyq) AS sxy, SUM(xq) AS sx_i, COUNT(*) AS n
+        FROM pairs GROUP BY i, j
+    ),
+    diag AS (
+        SELECT j AS d, sx_i AS sx_d, sxy AS sxx_d FROM sums WHERE i = j
+    ),
+    joined AS (
+        SELECT s.i, s.j, s.n, s.sxy, s.sx_i,
+               di.sxx_d AS sxx_i,
+               dj.sx_d AS sx_j, dj.sxx_d AS sxx_j
+        FROM sums s
+        JOIN diag di ON di.d = s.i
+        JOIN diag dj ON dj.d = s.j
+    )
+    SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j,
+           CAST(n AS BIGINT) AS n_vecs,
+           ROUND(CAST(sxy AS DOUBLE) / 1e6 / CAST(n AS DOUBLE)
+                 - (CAST(sx_i AS DOUBLE) / 1e6 / CAST(n AS DOUBLE))
+                   * (CAST(sx_j AS DOUBLE) / 1e6 / CAST(n AS DOUBLE)), 6)
+               + 0.0 AS cov,
+           CASE WHEN (CAST(sxx_i AS DOUBLE) / 1e6 / CAST(n AS DOUBLE)
+                      - (CAST(sx_i AS DOUBLE) / 1e6 / CAST(n AS DOUBLE))
+                        * (CAST(sx_i AS DOUBLE) / 1e6 / CAST(n AS DOUBLE))) > 0
+                 AND (CAST(sxx_j AS DOUBLE) / 1e6 / CAST(n AS DOUBLE)
+                      - (CAST(sx_j AS DOUBLE) / 1e6 / CAST(n AS DOUBLE))
+                        * (CAST(sx_j AS DOUBLE) / 1e6 / CAST(n AS DOUBLE))) > 0
+           THEN ROUND(
+               (CAST(sxy AS DOUBLE) / 1e6 / CAST(n AS DOUBLE)
+                - (CAST(sx_i AS DOUBLE) / 1e6 / CAST(n AS DOUBLE))
+                  * (CAST(sx_j AS DOUBLE) / 1e6 / CAST(n AS DOUBLE)))
+               / SQRT((CAST(sxx_i AS DOUBLE) / 1e6 / CAST(n AS DOUBLE)
+                       - (CAST(sx_i AS DOUBLE) / 1e6 / CAST(n AS DOUBLE))
+                         * (CAST(sx_i AS DOUBLE) / 1e6 / CAST(n AS DOUBLE)))
+                      * (CAST(sxx_j AS DOUBLE) / 1e6 / CAST(n AS DOUBLE)
+                         - (CAST(sx_j AS DOUBLE) / 1e6 / CAST(n AS DOUBLE))
+                           * (CAST(sx_j AS DOUBLE) / 1e6 / CAST(n AS DOUBLE)))), 6)
+                + 0.0
+           END AS corr
+    FROM joined
+    """,
+)
