@@ -627,3 +627,335 @@ def _profile_oracle() -> str:
 
 register("system_profile_lineitem", system_profile_lineitem,
          _profile_oracle())
+
+
+# --- Market-basket co-occurrence (frequent pair mining) ------------------------
+
+def star_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Part pairs that co-occur in >= 2 orders, with support counts and
+    lift — the A-priori first pass / co-occurrence mining primitive
+    (recommender candidates, "bought-together" analytics).
+
+    100 TB shape: ONE shuffle groups lineitem by order into a sorted
+    part array (baskets are bounded — TPC-H <= 7 items, <= 17 observed
+    at sf0.1 — so the per-order array is tiny), then the upper-triangle
+    pair expansion is a pure map-side array expression (<= 136 pairs
+    per order, no self-join of the fact table against itself), and the
+    pair counts partial-aggregate map-side before the only other
+    shuffle. Supports attach by equi-join on the compact per-part
+    table; lift = n_pair * N / (n_a * n_b) is one double division —
+    engine-portable. The naive form this replaces (lineitem self-join
+    on orderkey) shuffles the fact table twice and materializes the
+    same pairs as join output instead of a codegen'd expression."""
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    baskets = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("parts")
+    )
+    pairs = baskets.select(
+        F.explode(
+            F.expr(
+                """flatten(transform(parts, (a, ai) ->
+                       transform(slice(parts, ai + 2, size(parts)), b ->
+                           struct(a AS part_a, b AS part_b))))"""
+            )
+        ).alias("p")
+    ).select("p.part_a", "p.part_b")
+    pair_counts = pairs.groupBy("part_a", "part_b").agg(
+        F.count(F.lit(1)).alias("n_pair")
+    ).filter(F.col("n_pair") >= 2)
+    supp = li.groupBy("l_partkey").agg(
+        F.countDistinct("l_orderkey").alias("n_part")
+    )
+    n_orders = li.select(
+        F.countDistinct("l_orderkey").alias("n_orders")
+    )
+    out = (
+        pair_counts.join(
+            supp.select(
+                F.col("l_partkey").alias("part_a"),
+                F.col("n_part").alias("n_a"),
+            ),
+            "part_a",
+        )
+        .join(
+            supp.select(
+                F.col("l_partkey").alias("part_b"),
+                F.col("n_part").alias("n_b"),
+            ),
+            "part_b",
+        )
+        .crossJoin(F.broadcast(n_orders))
+    )
+    lift = (
+        F.col("n_pair").cast("double")
+        * F.col("n_orders").cast("double")
+        / (F.col("n_a").cast("double") * F.col("n_b").cast("double"))
+    )
+    return out.select(
+        "part_a",
+        "part_b",
+        "n_pair",
+        "n_a",
+        "n_b",
+        F.round(lift, 6).alias("lift"),
+    )
+
+
+register(
+    "star_basket_pairs",
+    star_basket_pairs,
+    """
+    WITH items AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    pc AS (
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+               COUNT(*) AS n_pair
+        FROM items a
+        JOIN items b ON a.l_orderkey = b.l_orderkey
+                    AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= 2
+    ),
+    supp AS (
+        SELECT l_partkey, COUNT(DISTINCT l_orderkey) AS n_part
+        FROM lineitem GROUP BY 1
+    ),
+    n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM lineitem)
+    SELECT pc.part_a, pc.part_b, pc.n_pair,
+           sa.n_part AS n_a, sb.n_part AS n_b,
+           ROUND(CAST(pc.n_pair AS DOUBLE) * CAST(n.n_orders AS DOUBLE)
+                 / (CAST(sa.n_part AS DOUBLE) * CAST(sb.n_part AS DOUBLE)),
+                 6) AS lift
+    FROM pc
+    JOIN supp sa ON sa.l_partkey = pc.part_a
+    JOIN supp sb ON sb.l_partkey = pc.part_b
+    CROSS JOIN n
+    """,
+)
+
+
+# --- Running (cumulative) revenue over the time dimension ----------------------
+
+def tpch_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily revenue and its running total over ship dates — the
+    cumulative-metric shape behind burn-up charts and pacing monitors.
+
+    100 TB shape: the fact scan partial-aggregates to one row PER DAY
+    before anything orders anything — the only window runs over the
+    per-day control table, whose size is the calendar (~2.5k days for
+    TPC-H, growing with time, never with volume), so the one-task
+    ordered pass is bounded and allowlisted in the plan guard.
+
+    Determinism discipline: each day's double revenue sum rounds to
+    exact integer CENTS (bigint) first, so the cumulative fold is pure
+    integer arithmetic — immune to the engines' different windowed-sum
+    association (DuckDB segment-tree vs Spark sequential), which over
+    2.5k float addends is exactly where a last-ulp wobble would cross a
+    rounding boundary. The /100.0 back to dollars is one exact-input
+    division, identical on both engines."""
+    li = t(spark, sf_dir, "lineitem")
+    daily = li.groupBy(F.date_trunc("DAY", F.col("l_shipdate")).alias("ship_date")).agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            * 100,
+            0,
+        )
+        .cast("bigint")
+        .alias("cents")
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("ship_date").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return daily.withColumn(
+        "running_cents", F.sum("cents").over(w)
+    ).select(
+        "ship_date",
+        F.round(F.col("cents") / 100.0, 2).alias("daily_revenue"),
+        F.round(F.col("running_cents") / 100.0, 2).alias(
+            "running_revenue"
+        ),
+    )
+
+
+register(
+    "tpch_running_revenue",
+    tpch_running_revenue,
+    """
+    WITH daily AS (
+        SELECT date_trunc('day', CAST(l_shipdate AS TIMESTAMP)) AS ship_date,
+               CAST(ROUND(SUM(l_extendedprice * (1 - l_discount)) * 100,
+                          0) AS BIGINT) AS cents
+        FROM lineitem
+        GROUP BY 1
+    )
+    SELECT ship_date,
+           ROUND(cents / 100.0, 2) AS daily_revenue,
+           ROUND(SUM(cents) OVER (
+                     ORDER BY ship_date
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                 ) / 100.0, 2) AS running_revenue
+    FROM daily
+    """,
+)
+
+
+# --- Data expectations (contract checks an ingest run gates on) ---------------
+
+def system_data_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named data-contract checks across the warehouse — the
+    expectations gate (Deequ/Great-Expectations shape) an ingest run
+    evaluates before certifying a batch: completeness (null counts),
+    uniqueness, referential integrity, range constraints, and a
+    derived-column consistency check. One row per check:
+    (check_name, n_checked, n_violations, passed).
+
+    100 TB shape: every per-table check is one partial-aggregated scan
+    (violations counted map-side as 0/1 sums); the two referential
+    checks are LEFT ANTI joins shuffling only the single key column —
+    counted, never materialized. The union of eight 1-row frames is
+    driver-free; nothing here collects or re-scans."""
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer").select("c_custkey")
+    li = t(spark, sf_dir, "lineitem")
+    ev = t(spark, sf_dir, "events")
+    docs = t(spark, sf_dir, "documents")
+
+    def scan_check(df, name, viol_cond):
+        return df.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_checked"),
+            F.sum(viol_cond.cast("long")).cast("bigint").alias(
+                "n_violations"
+            ),
+        ).select(
+            F.lit(name).alias("check_name"),
+            "n_checked",
+            "n_violations",
+            (F.col("n_violations") == 0).alias("passed"),
+        )
+
+    def ri_check(child, key, parent, pkey, name):
+        viol = child.join(
+            parent, child[key] == parent[pkey], "left_anti"
+        ).agg(F.count(F.lit(1)).cast("bigint").alias("n_violations"))
+        total = child.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_checked")
+        )
+        return viol.crossJoin(F.broadcast(total)).select(
+            F.lit(name).alias("check_name"),
+            "n_checked",
+            "n_violations",
+            (F.col("n_violations") == 0).alias("passed"),
+        )
+
+    unique_ev = ev.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_checked"),
+        (F.count(F.lit(1)) - F.countDistinct("event_id"))
+        .cast("bigint")
+        .alias("n_violations"),
+    ).select(
+        F.lit("events_event_id_unique").alias("check_name"),
+        "n_checked",
+        "n_violations",
+        (F.col("n_violations") == 0).alias("passed"),
+    )
+    frames = [
+        scan_check(
+            orders, "orders_custkey_not_null", F.col("o_custkey").isNull()
+        ),
+        scan_check(
+            li,
+            "lineitem_quantity_in_1_50",
+            ~F.col("l_quantity").between(1, 50),
+        ),
+        scan_check(
+            li,
+            "lineitem_discount_in_0_0.1",
+            ~F.col("l_discount").between(0.0, 0.1),
+        ),
+        unique_ev,
+        scan_check(ev, "events_value_positive", F.col("value") <= 0),
+        scan_check(
+            docs,
+            "documents_n_chars_consistent",
+            F.col("n_chars") != F.length("text"),
+        ),
+        ri_check(
+            orders, "o_custkey", cust, "c_custkey",
+            "orders_custkey_in_customer",
+        ),
+        ri_check(
+            li,
+            "l_orderkey",
+            orders.select("o_orderkey"),
+            "o_orderkey",
+            "lineitem_orderkey_in_orders",
+        ),
+    ]
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
+
+
+register(
+    "system_data_expectations",
+    system_data_expectations,
+    """
+    SELECT 'orders_custkey_not_null' AS check_name,
+           COUNT(*) AS n_checked,
+           CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_violations,
+           SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) = 0
+               AS passed
+    FROM orders
+    UNION ALL
+    SELECT 'lineitem_quantity_in_1_50', COUNT(*),
+           CAST(SUM(CASE WHEN l_quantity NOT BETWEEN 1 AND 50
+                    THEN 1 ELSE 0 END) AS BIGINT),
+           SUM(CASE WHEN l_quantity NOT BETWEEN 1 AND 50
+               THEN 1 ELSE 0 END) = 0
+    FROM lineitem
+    UNION ALL
+    SELECT 'lineitem_discount_in_0_0.1', COUNT(*),
+           CAST(SUM(CASE WHEN l_discount NOT BETWEEN 0.0 AND 0.1
+                    THEN 1 ELSE 0 END) AS BIGINT),
+           SUM(CASE WHEN l_discount NOT BETWEEN 0.0 AND 0.1
+               THEN 1 ELSE 0 END) = 0
+    FROM lineitem
+    UNION ALL
+    SELECT 'events_event_id_unique', COUNT(*),
+           CAST(COUNT(*) - COUNT(DISTINCT event_id) AS BIGINT),
+           COUNT(*) - COUNT(DISTINCT event_id) = 0
+    FROM events
+    UNION ALL
+    SELECT 'events_value_positive', COUNT(*),
+           CAST(SUM(CASE WHEN value <= 0 THEN 1 ELSE 0 END) AS BIGINT),
+           SUM(CASE WHEN value <= 0 THEN 1 ELSE 0 END) = 0
+    FROM events
+    UNION ALL
+    SELECT 'documents_n_chars_consistent', COUNT(*),
+           CAST(SUM(CASE WHEN n_chars != length(text) THEN 1 ELSE 0 END)
+                AS BIGINT),
+           SUM(CASE WHEN n_chars != length(text) THEN 1 ELSE 0 END) = 0
+    FROM documents
+    UNION ALL
+    SELECT 'orders_custkey_in_customer',
+           (SELECT COUNT(*) FROM orders),
+           CAST(COUNT(*) AS BIGINT),
+           COUNT(*) = 0
+    FROM orders o
+    WHERE NOT EXISTS (SELECT 1 FROM customer c
+                      WHERE c.c_custkey = o.o_custkey)
+    UNION ALL
+    SELECT 'lineitem_orderkey_in_orders',
+           (SELECT COUNT(*) FROM lineitem),
+           CAST(COUNT(*) AS BIGINT),
+           COUNT(*) = 0
+    FROM lineitem l
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_orderkey = l.l_orderkey)
+    """,
+)

@@ -247,6 +247,13 @@ _UNPARTITIONED_WINDOW_ALLOWED = {
         "events_lateness_profile (shared operators/lateness primitive); "
         "the candidate-delay explode and its aggregation are partitioned"
     ),
+    "tpch_running_revenue": (
+        "cumulative sum over the per-DAY control table: rows = distinct "
+        "ship dates (the calendar — ~2.5k for TPC-H, grows with time, "
+        "never with volume), and the fact scan partial-aggregates to "
+        "one row per day BEFORE the ordered pass; the fold itself is "
+        "exact integer cents"
+    ),
 }
 
 
