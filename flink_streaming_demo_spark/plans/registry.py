@@ -337,28 +337,32 @@ _ROUND10_WINDOW = [
     "events_watermark_delay_tradeoff",
     "doc_stable_ids", "sample_epoch_shuffle",
     "sample_interleave_sources", "embedding_covariance",
+    "star_basket_pairs", "tpch_running_revenue",
+    "system_data_expectations",
     "dedup_embedding_neardup", "dedup_semantic",
     "pipeline_embedding_dedup", "pipeline_joint_curation",
     # 3. last checked r6 — four rounds stale (38), registration order
-    "tpch_q2_min_cost_supplier", "tpch_q4_order_priority",
     "tpch_q9_product_profit", "tpch_q21_waiting_orders",
-    "star_customers_without_orders",
     "tpch_q22_global_sales_opportunity",
     "dedup_exact_groups", "dedup_minhash_lsh",
     "dedup_ngram_jaccard", "text_quality_scores",
     "pipeline_clean_corpus", "multimodal_features",
 ]
-# Also displaced late in round 10 by the four NEW serving-order /
-# second-moment queries (doc_stable_ids, sample_epoch_shuffle,
-# sample_interleave_sources, embedding_covariance — never-checked
-# outranks re-greens): tpch_q11_important_stock, tpch_q12_ship_speed,
-# tpch_q16_parts_supplier, tpch_q20_excess_supply move to the r11
-# rotation backlog. Compensating evidence: all four byte-unchanged
-# since their r6 green rows and hash-green in this round's full-surface
-# sf0.001 parity sweeps (158/158, 164/164, 170/170); the TPC-H block
-# retains in-window representatives exercising the same join/agg
-# machinery (q2 correlated-min, q9 multi-join profit, q21 double
-# semi/anti join, q22 anti join + scalar subquery).
+# Also displaced late in round 10 by the seven NEW queries
+# (doc_stable_ids, sample_epoch_shuffle, sample_interleave_sources,
+# embedding_covariance, star_basket_pairs, tpch_running_revenue,
+# system_data_expectations — never-checked outranks re-greens):
+# tpch_q2_min_cost_supplier, tpch_q4_order_priority,
+# tpch_q11_important_stock, tpch_q12_ship_speed,
+# tpch_q16_parts_supplier, tpch_q20_excess_supply,
+# star_customers_without_orders move to the r11 rotation backlog.
+# Compensating evidence: all seven byte-unchanged since their r6 green
+# rows and hash-green in this round's full-surface sf0.001 parity
+# sweeps (158/158, 164/164, 170/170); the TPC-H block retains
+# in-window representatives exercising the same join/agg machinery
+# (q9 multi-join profit, q21 double semi/anti join — q4/q20/star's
+# exists/not-exists shapes — q22 anti join + scalar subquery, and
+# system_data_expectations' two fresh LEFT ANTI referential checks).
 # Displaced late in round 10 by the nine NEW queries above
 # (events_lateness_profile, layout_skipping_stats,
 # dedup_cross_source_matrix, dedup_best_survivors,
