@@ -1,0 +1,139 @@
+"""Independent-model tests for the round-10 analytics/contract queries:
+basket-pair mining vs an itertools model, running revenue vs a pandas
+prefix sum, data expectations vs a pandas recomputation. The DuckDB
+oracle twins prove engine parity; these prove the SEMANTICS against a
+second implementation that shares no SQL with either engine.
+"""
+
+from __future__ import annotations
+
+import itertools
+from collections import Counter
+
+import pandas as pd
+
+from flink_streaming_demo_spark.plans.tpch_more import (
+    star_basket_pairs,
+    system_data_expectations,
+    tpch_running_revenue,
+)
+from flink_streaming_demo_spark.schemas import load_table
+
+
+def test_basket_pairs_matches_itertools_model(spark, sf_dir):
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .toPandas()
+    )
+    # model: distinct parts per order, upper-triangle combos, count >= 2
+    pair_counts: Counter = Counter()
+    for _, grp in li.groupby("l_orderkey"):
+        for a, b in itertools.combinations(sorted(set(grp.l_partkey)), 2):
+            pair_counts[(a, b)] += 1
+    expect = {p: c for p, c in pair_counts.items() if c >= 2}
+    supp = li.drop_duplicates().groupby("l_partkey").size()
+    n_orders = li.l_orderkey.nunique()
+
+    got = star_basket_pairs(spark, sf_dir).toPandas()
+    got_pairs = {
+        (r.part_a, r.part_b): r.n_pair for r in got.itertuples()
+    }
+    assert got_pairs == expect
+    for r in got.itertuples():
+        assert r.n_a == supp[r.part_a] and r.n_b == supp[r.part_b]
+        lift = r.n_pair * n_orders / (r.n_a * r.n_b)
+        assert abs(r.lift - round(lift, 6)) < 1e-9
+
+
+def test_running_revenue_matches_pandas_prefix_sum(spark, sf_dir):
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_shipdate", "l_extendedprice", "l_discount")
+        .toPandas()
+    )
+    li["day"] = li.l_shipdate.dt.normalize()
+    li["rev"] = li.l_extendedprice * (1 - li.l_discount)
+    daily = (
+        (li.groupby("day").rev.sum() * 100).round(0).astype("int64")
+    ).sort_index()
+    daily.index.name = "ship_date"
+    running = daily.cumsum()
+
+    got = (
+        tpch_running_revenue(spark, sf_dir)
+        .toPandas()
+        .sort_values("ship_date")
+        .set_index("ship_date")
+    )
+    assert len(got) == len(daily)
+    pd.testing.assert_series_equal(
+        got.daily_revenue,
+        (daily / 100.0).round(2).rename("daily_revenue"),
+        check_freq=False,
+    )
+    pd.testing.assert_series_equal(
+        got.running_revenue,
+        (running / 100.0).round(2).rename("running_revenue"),
+        check_freq=False,
+    )
+
+
+def test_data_expectations_all_pass_and_counts_match(spark, sf_dir):
+    out = (
+        system_data_expectations(spark, sf_dir)
+        .toPandas()
+        .set_index("check_name")
+    )
+    assert len(out) == 8
+    # the driver-generated tables satisfy every contract
+    assert out.passed.all(), out[~out.passed]
+    assert (out.n_violations == 0).all()
+    # n_checked is the full parent-table count, also for the RI checks
+    orders_n = load_table(spark, sf_dir, "orders").count()
+    li_n = load_table(spark, sf_dir, "lineitem").count()
+    assert out.loc["orders_custkey_in_customer", "n_checked"] == orders_n
+    assert out.loc["lineitem_orderkey_in_orders", "n_checked"] == li_n
+    assert out.loc["orders_custkey_not_null", "n_checked"] == orders_n
+
+
+def test_data_expectations_detect_planted_violations(spark, sf_dir):
+    """Same checks over a corrupted copy must flip to failed with exact
+    violation counts — a gate that can't fail is not a gate."""
+    import flink_streaming_demo_spark.plans.tpch_more as M
+    from pyspark.sql import functions as F
+
+    orig = M.t
+    bad_rows = 7
+
+    def corrupting_load(spark_, sf, name):
+        df = orig(spark_, sf, name)
+        if name == "orders":
+            # send 7 orders to a custkey no customer has
+            return df.withColumn(
+                "o_custkey",
+                F.when(
+                    F.col("o_orderkey") % 100 < bad_rows, F.lit(-1)
+                ).otherwise(F.col("o_custkey")),
+            )
+        return df
+
+    M.t = corrupting_load
+    try:
+        out = (
+            system_data_expectations(spark, sf_dir)
+            .toPandas()
+            .set_index("check_name")
+        )
+    finally:
+        M.t = orig
+    ri = out.loc["orders_custkey_in_customer"]
+    assert not ri.passed
+    expected_bad = (
+        orig(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 100 < bad_rows)
+        .count()
+    )
+    assert ri.n_violations == expected_bad
+    # unrelated checks stay green
+    assert out.loc["lineitem_orderkey_in_orders"].passed
