@@ -79,3 +79,11 @@ def test_watermark_tuning_example_runs():
     assert "operating points" in r.stdout
     assert "maintained incrementally" in r.stdout
     assert "epoch granularity is the only difference" in r.stdout
+
+
+def test_serving_order_example_runs():
+    r = _run("examples/serving_order.py")
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "contiguous, no gaps" in r.stdout
+    assert "different position per epoch" in r.stdout
+    assert "off by at most one slot per source" in r.stdout
