@@ -731,3 +731,44 @@ def streaming_lateness_monitor(sink, late_dir: str | None = None):
         os.makedirs(marker, exist_ok=True)
 
     return body
+
+
+def streaming_contract_counts(
+    events: DataFrame,
+    checks: list[tuple[str, "F.Column"]],
+) -> DataFrame:
+    """Streaming data-contract monitor: running
+    (check_name, n_checked, n_violations, passed) counters over the
+    stream — the incremental form of plans/tpch_more's
+    system_data_expectations scan checks, for gating a live ingest
+    instead of a finished batch. ``checks`` is [(name, violation
+    condition)]; each event contributes one (checked, violated) pair
+    per check via a map-side array explode, and ONE update-mode
+    aggregation keeps the totals.
+
+    Scale/state shape: state is exactly len(checks) rows — constant,
+    independent of stream volume and of time (no watermark needed:
+    counters never expire) — and the per-batch work is a map-only
+    expression plus a partial agg that collapses each micro-batch to
+    len(checks) rows before the shuffle. Referential checks are NOT
+    expressible this way (they need the dimension side); gate those at
+    the sink with streaming_enrich_with_static + an is-null counter
+    check, or in the periodic batch pass."""
+    arr = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("check_name"),
+                cond.cast("long").alias("viol"),
+            )
+            for name, cond in checks
+        ]
+    )
+    flat = events.select(F.explode(arr).alias("c")).select("c.*")
+    return (
+        flat.groupBy("check_name")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_checked"),
+            F.sum("viol").cast("bigint").alias("n_violations"),
+        )
+        .withColumn("passed", F.col("n_violations") == 0)
+    )

@@ -1979,3 +1979,58 @@ def test_streaming_lateness_monitor_rejects_storeless_sink():
 
     with pytest.raises(TypeError, match="store-backed"):
         streaming_lateness_monitor(InMemoryUpsertSink(["event_type"]))
+
+
+def test_streaming_contract_counts_equal_batch(spark):
+    """The streaming contract monitor's final counters (complete mode,
+    after all chunks replay) must equal the same checks computed as one
+    batch aggregation — and must actually catch the planted
+    violations."""
+    from flink_streaming_demo_spark.streaming.pipelines import (
+        streaming_contract_counts,
+    )
+
+    schema = "event_id long, ts timestamp, user_id long, value double"
+    base = datetime(2024, 3, 1, 9, 0, 0)
+    rows = []
+    for i in range(60):
+        rows.append(
+            (
+                i,
+                base + timedelta(minutes=i),
+                None if i % 20 == 19 else i % 7,  # 3 null users
+                -1.0 if i % 15 == 14 else float(i + 1),  # 4 bad values
+            )
+        )
+    df = spark.createDataFrame(rows, schema)
+    checks = lambda: [
+        ("value_positive", F.col("value") <= 0),
+        ("user_not_null", F.col("user_id").isNull()),
+    ]
+    chunk_dir = replay.write_replay_chunks(df, n_chunks=4, order_col="ts")
+    try:
+        stream = replay.read_replay_stream(spark, chunk_dir, schema)
+        q = (
+            streaming_contract_counts(stream, checks())
+            .writeStream.format("memory")
+            .queryName("contract_t")
+            .outputMode("complete")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        got = {
+            r.check_name: (r.n_checked, r.n_violations, r.passed)
+            for r in spark.table("contract_t").collect()
+        }
+        want = {
+            r.check_name: (r.n_checked, r.n_violations, r.passed)
+            for r in streaming_contract_counts(df, checks()).collect()
+        }
+        assert got == want
+        assert got["value_positive"] == (60, 4, False)
+        assert got["user_not_null"] == (60, 3, False)
+    finally:
+        shutil.rmtree(chunk_dir, ignore_errors=True)
