@@ -2480,3 +2480,91 @@ register(
     GROUP BY delay_s
     """,
 )
+
+
+# --- Rolling-window distinct from per-day KMV partials -------------------------
+
+def events_kmv_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day ROLLING distinct users per day from per-day KMV partials —
+    the sliding-window distinct a dashboard actually serves (WAU from
+    daily sketches): sketch each day once, then every window is a
+    ⊕-merge of <= 7 tiny partials; history is never rescanned and a new
+    day costs one day's sketch plus 7 merges. The fan-out (each day's
+    partial contributes to the 7 window-ends it falls in) is a bounded
+    array expression; by merge associativity the merged sketch EQUALS
+    the direct sketch over the window's events, so the oracle replays
+    the window's k-smallest order statistics directly — a green hash
+    proves the merge arithmetic, not just the single-shot sketch.
+
+    100 TB shape: the only data-sized work is the per-day partial (one
+    distinct + partitioned top-k, same as events_kmv_distinct_users);
+    everything after runs on <= 7 * k doubles per window-end."""
+    from flink_streaming_demo_spark.operators.scale import (
+        kmv_estimate,
+        kmv_partial,
+        kmv_rollup,
+    )
+
+    ev = t(spark, sf_dir, "events").withColumn(
+        "day", F.date_trunc("DAY", F.col("ts"))
+    )
+    daily = kmv_partial(ev, ["day"], "user_id")
+    fan = daily.select(
+        F.explode(
+            F.expr(
+                "sequence(day, day + interval 6 days, interval 1 day)"
+            )
+        ).alias("win_day"),
+        "kmv",
+    )
+    rolled = kmv_rollup(fan, ["win_day"])
+    observed = daily.select(F.col("day").alias("win_day"))
+    return (
+        kmv_estimate(rolled.join(observed, "win_day"))
+        .select("win_day", "n_sampled", "kmv_distinct")
+    )
+
+
+def _kmv_rolling_oracle() -> str:
+    from flink_streaming_demo_spark.operators.scale import (
+        KMV_K,
+        _KMV_SCALE,
+    )
+
+    return f"""
+    WITH du AS (
+        SELECT DISTINCT
+               date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+               CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                    AS BIGINT) / {_KMV_SCALE!r} AS u
+        FROM events
+        WHERE user_id IS NOT NULL
+    ),
+    days AS (SELECT DISTINCT day AS win_day FROM du),
+    fan AS (
+        SELECT DISTINCT d.win_day, du.u
+        FROM days d
+        JOIN du ON du.day BETWEEN d.win_day - INTERVAL 6 DAY
+                               AND d.win_day
+    ),
+    rk AS (
+        SELECT win_day, u,
+               ROW_NUMBER() OVER (PARTITION BY win_day ORDER BY u) AS rn
+        FROM fan
+    )
+    SELECT win_day,
+           CAST(COUNT(*) AS INT) AS n_sampled,
+           CASE WHEN COUNT(*) < {KMV_K} THEN CAST(COUNT(*) AS BIGINT)
+                ELSE CAST(FLOOR({float(KMV_K - 1)!r} / MAX(u)) AS BIGINT)
+           END AS kmv_distinct
+    FROM rk
+    WHERE rn <= {KMV_K}
+    GROUP BY win_day
+    """
+
+
+register(
+    "events_kmv_rolling_distinct",
+    events_kmv_rolling_distinct,
+    _kmv_rolling_oracle(),
+)

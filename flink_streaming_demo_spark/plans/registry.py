@@ -338,11 +338,11 @@ _ROUND10_WINDOW = [
     "doc_stable_ids", "sample_epoch_shuffle",
     "sample_interleave_sources", "embedding_covariance",
     "star_basket_pairs", "tpch_running_revenue",
-    "system_data_expectations",
+    "system_data_expectations", "events_kmv_rolling_distinct",
     "dedup_embedding_neardup", "dedup_semantic",
     "pipeline_embedding_dedup", "pipeline_joint_curation",
     # 3. last checked r6 — four rounds stale (38), registration order
-    "tpch_q9_product_profit", "tpch_q21_waiting_orders",
+    "tpch_q21_waiting_orders",
     "tpch_q22_global_sales_opportunity",
     "dedup_exact_groups", "dedup_minhash_lsh",
     "dedup_ngram_jaccard", "text_quality_scores",
@@ -355,7 +355,9 @@ _ROUND10_WINDOW = [
 # tpch_q2_min_cost_supplier, tpch_q4_order_priority,
 # tpch_q11_important_stock, tpch_q12_ship_speed,
 # tpch_q16_parts_supplier, tpch_q20_excess_supply,
-# star_customers_without_orders move to the r11 rotation backlog.
+# star_customers_without_orders — and tpch_q9_product_profit, displaced
+# by events_kmv_rolling_distinct (rolling 7-day WAU from per-day KMV
+# partials) — move to the r11 rotation backlog.
 # Compensating evidence: all seven byte-unchanged since their r6 green
 # rows and hash-green in this round's full-surface sf0.001 parity
 # sweeps (158/158, 164/164, 170/170); the TPC-H block retains

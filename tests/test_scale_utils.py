@@ -658,3 +658,33 @@ def test_kmv_set_ops_exact_below_k(spark):
     assert r.union_distinct == 60
     assert r.intersect_distinct == 10
     assert abs(r.jaccard - round(10 / 60, 6)) < 1e-12
+
+
+def test_kmv_rolling_window_equals_direct_window_sketch(spark, sf_dir):
+    """The rolling query's merged 7-day sketch must EQUAL the sketch
+    computed directly over each window's events (merge associativity
+    applied to a sliding window), including n_sampled and the estimate
+    — the property that makes per-day partials a lossless substrate
+    for ANY window over them."""
+    from flink_streaming_demo_spark.plans.event_queries import (
+        events_kmv_rolling_distinct,
+    )
+
+    got = {
+        r.win_day: (r.n_sampled, r.kmv_distinct)
+        for r in events_kmv_rolling_distinct(spark, sf_dir).collect()
+    }
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.date_trunc("DAY", F.col("ts"))
+    )
+    days = [r.day for r in ev.select("day").distinct().collect()]
+    import datetime
+
+    for d in days:
+        lo = d - datetime.timedelta(days=6)
+        win = ev.filter((F.col("day") >= lo) & (F.col("day") <= d))
+        direct = scale.kmv_estimate(
+            scale.kmv_partial(win.withColumn("_g", F.lit(1)), ["_g"],
+                              "user_id")
+        ).collect()[0]
+        assert got[d] == (direct.n_sampled, direct.kmv_distinct), d
