@@ -2568,3 +2568,91 @@ register(
     events_kmv_rolling_distinct,
     _kmv_rolling_oracle(),
 )
+
+
+# --- Funnel stage-transition latency quantiles (histogram sketch) --------------
+
+LAT_LO, LAT_HI = 0.0, 512.0  # hours; 64 bins of 8h
+LAT_QS = (0.5, 0.9, 0.99)
+
+
+def events_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert quantiles per funnel transition (view→click,
+    click→purchase): median/p90/p99 hours, computed on the SAME
+    fixed-boundary histogram sketch as events_hist_value_quantiles —
+    at 100 TB the latency distribution summarizes to <= 64 longs per
+    transition from maintained partials, where an exact per-transition
+    quantile would sort every conversion. Latency = epoch-seconds
+    difference / 3600 (identical arithmetic in the oracle); the funnel
+    itself is the registered events_funnel_stages chain (its oracle SQL
+    is composed verbatim below, so the grader stays definitionally in
+    sync)."""
+    from flink_streaming_demo_spark.operators.scale import (
+        hist_partial,
+        hist_quantiles,
+    )
+
+    f = events_funnel_stages(spark, sf_dir)
+    hours = lambda a, b: (
+        F.col(b).cast("double") - F.col(a).cast("double")
+    ) / F.lit(3600.0)
+    lat = (
+        f.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit("view_to_click").alias("transition"),
+                        hours("t_view", "t_click").alias("lat_h"),
+                    ),
+                    F.struct(
+                        F.lit("click_to_purchase").alias("transition"),
+                        hours("t_click", "t_purchase").alias("lat_h"),
+                    ),
+                )
+            ).alias("x")
+        )
+        .select("x.*")
+        .filter(F.col("lat_h").isNotNull())
+    )
+    sk = hist_partial(lat, ["transition"], "lat_h", LAT_LO, LAT_HI)
+    return hist_quantiles(
+        sk, ["transition"], list(LAT_QS), LAT_LO, LAT_HI
+    )
+
+
+def _funnel_latency_oracle() -> str:
+    from flink_streaming_demo_spark.operators.scale import (
+        sql_hist_counts,
+        sql_hist_quantiles,
+    )
+    from flink_streaming_demo_spark.plans.registry import ORACLE_SQL
+
+    funnel = ORACLE_SQL["events_funnel_stages"]
+    return f"""
+    WITH funnel AS ({funnel}),
+    lat AS (
+        SELECT transition, lat_h
+        FROM (
+            SELECT 'view_to_click' AS transition,
+                   (epoch(t_click) - epoch(t_view)) / 3600.0 AS lat_h
+            FROM funnel
+            UNION ALL
+            SELECT 'click_to_purchase',
+                   (epoch(t_purchase) - epoch(t_click)) / 3600.0
+            FROM funnel
+        )
+        WHERE lat_h IS NOT NULL
+    ),
+    sketch AS (
+        {sql_hist_counts("transition", "lat_h", "lat", LAT_LO, LAT_HI)}
+    )
+    {sql_hist_quantiles("transition", "sketch", list(LAT_QS),
+                        LAT_LO, LAT_HI)}
+    """
+
+
+register(
+    "events_funnel_latency",
+    events_funnel_latency,
+    _funnel_latency_oracle(),
+)

@@ -339,15 +339,23 @@ _ROUND10_WINDOW = [
     "sample_interleave_sources", "embedding_covariance",
     "star_basket_pairs", "tpch_running_revenue",
     "system_data_expectations", "events_kmv_rolling_distinct",
+    "events_funnel_latency", "sample_curriculum_order",
     "dedup_embedding_neardup", "dedup_semantic",
     "pipeline_embedding_dedup", "pipeline_joint_curation",
     # 3. last checked r6 — four rounds stale (38), registration order
     "tpch_q21_waiting_orders",
     "tpch_q22_global_sales_opportunity",
-    "dedup_exact_groups", "dedup_minhash_lsh",
-    "dedup_ngram_jaccard", "text_quality_scores",
+    "dedup_minhash_lsh",
+    "text_quality_scores",
     "pipeline_clean_corpus", "multimodal_features",
 ]
+# And displaced by events_funnel_latency + sample_curriculum_order:
+# dedup_exact_groups and dedup_ngram_jaccard — the weakest marginal
+# re-greens in the r6 block, because in-window pipeline_clean_corpus
+# COMPOSES both closures (exact dedup + the n-gram Jaccard verify stage
+# feed its survivor set), so their machinery still earns a fresh
+# driver row through the composition; both also byte-unchanged and
+# green in every full-surface sweep this round.
 # Also displaced late in round 10 by the seven NEW queries
 # (doc_stable_ids, sample_epoch_shuffle, sample_interleave_sources,
 # embedding_covariance, star_basket_pairs, tpch_running_revenue,

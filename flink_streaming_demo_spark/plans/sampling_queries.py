@@ -1086,3 +1086,53 @@ register(
     FROM ik
     """,
 )
+
+
+# --- Curriculum ordering (easy -> hard tiles, shuffled within tile) ------------
+
+def sample_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum serving order: docs grade easy→hard by length
+    quartile (the classic short-first curriculum proxy), and WITHIN a
+    quartile the order is a seeded md5 shuffle — graded difficulty
+    without intra-tile length bias. Two chunked-rank machines stacked:
+    exact_global_ntile grades the quartile, exact_global_rank turns
+    (tile + shuffle fraction) into the global position — no
+    single-reducer sort anywhere, same as doc_stable_ids. The combined
+    order key tile + bucket/1e6 is exact-in-double (tile <= 4, fraction
+    < 1) and computed identically in the oracle."""
+    docs = t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    tiled = sampling.exact_global_ntile(
+        docs, 4, "n_chars", "doc_id", out_col="tile"
+    )
+    keyed = tiled.withColumn(
+        "ckey",
+        F.col("tile").cast("double")
+        + sampling.hash_bucket(F.col("doc_id")).cast("double")
+        / F.lit(1e6),
+    )
+    return sampling.exact_global_rank(
+        keyed, "ckey", "doc_id", out_col="curriculum_pos"
+    ).select("curriculum_pos", "doc_id", "tile", "n_chars")
+
+
+register(
+    "sample_curriculum_order",
+    sample_curriculum_order,
+    f"""
+    WITH tiled AS (
+        SELECT doc_id, n_chars,
+               CAST(NTILE(4) OVER (ORDER BY n_chars ASC, doc_id ASC)
+                    AS INT) AS tile
+        FROM documents
+    ),
+    keyed AS (
+        SELECT *,
+               CAST(tile AS DOUBLE) + {_SQL_BUCKET} / 1000000.0 AS ckey
+        FROM tiled
+    )
+    SELECT ROW_NUMBER() OVER (ORDER BY ckey ASC, doc_id ASC)
+               AS curriculum_pos,
+           doc_id, tile, n_chars
+    FROM keyed
+    """,
+)
