@@ -340,11 +340,11 @@ _ROUND10_WINDOW = [
     "star_basket_pairs", "tpch_running_revenue",
     "system_data_expectations", "events_kmv_rolling_distinct",
     "events_funnel_latency", "sample_curriculum_order",
+    "embedding_pca_top_component",
     "dedup_embedding_neardup", "dedup_semantic",
     "pipeline_embedding_dedup", "pipeline_joint_curation",
     # 3. last checked r6 — four rounds stale (38), registration order
     "tpch_q21_waiting_orders",
-    "tpch_q22_global_sales_opportunity",
     "dedup_minhash_lsh",
     "text_quality_scores",
     "pipeline_clean_corpus", "multimodal_features",
@@ -355,7 +355,11 @@ _ROUND10_WINDOW = [
 # COMPOSES both closures (exact dedup + the n-gram Jaccard verify stage
 # feed its survivor set), so their machinery still earns a fresh
 # driver row through the composition; both also byte-unchanged and
-# green in every full-surface sweep this round.
+# green in every full-surface sweep this round. And displaced by
+# embedding_pca_top_component: tpch_q22_global_sales_opportunity
+# (byte-unchanged; its anti-join + scalar-subquery machinery is
+# freshly exercised in-window by system_data_expectations' two LEFT
+# ANTI referential checks and q21's not-exists leg).
 # Also displaced late in round 10 by the seven NEW queries
 # (doc_stable_ids, sample_epoch_shuffle, sample_interleave_sources,
 # embedding_covariance, star_basket_pairs, tpch_running_revenue,

@@ -1279,33 +1279,35 @@ register("sim_ivf_recall", sim_ivf_recall, _ivf_recall_oracle())
 
 # --- Distributed covariance / correlation matrix ------------------------------
 
-def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact 64x64 covariance + correlation matrix of the embedding
-    columns (upper triangle, 2080 pairs) — the one-pass second-moment
-    profile behind whitening, PCA and redundant-dimension pruning.
+def _cov_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared second-moment frame for embedding_covariance and the PCA
+    power iteration: one row per upper-triangle pair (i <= j) with
+    (i, j, n, c = raw covariance, vi, vj = raw variances), all doubles
+    derived from EXACT order-free DECIMAL moment sums, so both
+    consumers — and their oracle twins — start from bit-identical
+    values.
 
     100 TB shape: each row expands to its 2080 upper-triangle products
     via a pure array expression (no join, no UDF), and ONE partial
     aggregation collapses them map-side to 2080 groups per task before
     the only shuffle; the reduce side handles 2080 rows total,
-    independent of N. The per-dim first moments ride along as the
-    diagonal's explode, so the whole matrix is a single pass.
+    independent of N. The per-dim first moments ride along on the pair
+    rows, so the whole matrix is a single pass.
 
     Determinism discipline: the order-sensitive float reductions (the
     product sums) are quantized to 1e-6 and summed EXACTLY as
     DECIMAL(38,0) — order-independent on any engine, same trick as the
     sketch family's exact-integer harmonic sums — then a single
-    identical double formula (cast, divide, subtract) derives cov/corr
-    on both engines, so the hash matches bit-for-bit where a plain
-    double SUM would be partial-agg-order-dependent in the last ulp
-    across 2080x2 rounded outputs. The 1e6 quantum is deliberate:
-    at grid*1e12 the product's double ulp (~2e-4 at magnitude 1e12)
-    sits close enough to the 1.0 rounding grid that Spark (rounds
-    the shortest decimal repr via BigDecimal) and DuckDB (rounds
-    the binary value) disagree on ~1e-4 of values — at 1e6 the ulp
-    is 1e-10 of the grid and the two rounding notions coincide; the
-    ~1e-8 moment error this coarser quantum adds is invisible at
-    the 6-decimal output rounding."""
+    identical double formula (cast, divide, subtract) derives the
+    moments on both engines, where a plain double SUM would be
+    partial-agg-order-dependent in the last ulp. The 1e6 quantum is
+    deliberate: at grid*1e12 the product's double ulp (~2e-4 at
+    magnitude 1e12) sits close enough to the 1.0 rounding grid that
+    Spark (rounds the shortest decimal repr via BigDecimal) and DuckDB
+    (rounds the binary value) disagree on ~1e-4 of values — at 1e6 the
+    ulp is 1e-10 of the grid and the two rounding notions coincide; the
+    ~1e-8 moment error this coarser quantum adds is invisible at the
+    6-decimal output rounding."""
     emb = t(spark, sf_dir, "embeddings")
     e = emb.select(F.col("embedding").cast("array<double>").alias("e"))
     pairs = e.select(
@@ -1331,12 +1333,6 @@ def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sx_i").alias("sx_d"),
         F.col("sxy").alias("sxx_d"),
     )
-    n = F.col("n").cast("double")
-    mi = F.col("sx_i").cast("double") / F.lit(1e6) / n
-    mj = F.col("sx_j").cast("double") / F.lit(1e6) / n
-    cov = F.col("sxy").cast("double") / F.lit(1e6) / n - mi * mj
-    vi = F.col("sxx_i").cast("double") / F.lit(1e6) / n - mi * mi
-    vj = F.col("sxx_j").cast("double") / F.lit(1e6) / n - mj * mj
     joined = (
         sums.join(
             F.broadcast(diag).select(
@@ -1353,22 +1349,30 @@ def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
             "j",
         )
     )
+    n = F.col("n").cast("double")
+    mi = F.col("sx_i").cast("double") / F.lit(1e6) / n
+    mj = F.col("sx_j").cast("double") / F.lit(1e6) / n
+    cov = F.col("sxy").cast("double") / F.lit(1e6) / n - mi * mj
+    vi = F.col("sxx_i").cast("double") / F.lit(1e6) / n - mi * mi
+    vj = F.col("sxx_j").cast("double") / F.lit(1e6) / n - mj * mj
     return joined.select(
         "i",
         "j",
         F.col("n").cast("bigint").alias("n_vecs"),
-        F.round(cov, 6).alias("cov"),
-        F.when(
-            (vi > 0) & (vj > 0), F.round(cov / F.sqrt(vi * vj), 6)
-        ).alias("corr"),
+        cov.alias("c"),
+        vi.alias("vi"),
+        vj.alias("vj"),
     )
 
 
-register(
-    "embedding_covariance",
-    embedding_covariance,
-    f"""
-    WITH pairs AS (
+# DuckDB twin of _cov_frame: CTE chain ending in `cov(i, j, n, c, vi,
+# vj)`. MATERIALIZED: cov is multi-referenced downstream (the PCA
+# oracle unions its mirror), and DuckDB re-plans non-materialized CTEs
+# per reference.
+_MI = "(CAST(sx_i AS DOUBLE) / 1e6 / CAST(n AS DOUBLE))"
+_MJ = "(CAST(sx_j AS DOUBLE) / 1e6 / CAST(n AS DOUBLE))"
+_SQL_COV_CTES = f"""
+    pairs AS MATERIALIZED (
         SELECT i.i AS i, j.j AS j,
                CAST(ROUND(CAST(e.embedding[i.i] AS DOUBLE)
                           * CAST(e.embedding[j.j] AS DOUBLE) * 1e6, 0)
@@ -1380,7 +1384,7 @@ register(
         CROSS JOIN (SELECT UNNEST(generate_series(1, {DIMS})) AS j) j
         WHERE j.j >= i.i
     ),
-    sums AS (
+    sums AS MATERIALIZED (
         SELECT i, j, SUM(xyq) AS sxy, SUM(xq) AS sx_i, COUNT(*) AS n
         FROM pairs GROUP BY i, j
     ),
@@ -1394,31 +1398,161 @@ register(
         FROM sums s
         JOIN diag di ON di.d = s.i
         JOIN diag dj ON dj.d = s.j
+    ),
+    cov AS MATERIALIZED (
+        SELECT i, j, n,
+               CAST(sxy AS DOUBLE) / 1e6 / CAST(n AS DOUBLE)
+                   - {_MI} * {_MJ} AS c,
+               CAST(sxx_i AS DOUBLE) / 1e6 / CAST(n AS DOUBLE)
+                   - {_MI} * {_MI} AS vi,
+               CAST(sxx_j AS DOUBLE) / 1e6 / CAST(n AS DOUBLE)
+                   - {_MJ} * {_MJ} AS vj
+        FROM joined
+    )"""
+
+
+def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 64x64 covariance + correlation matrix of the embedding
+    columns (upper triangle, 2080 pairs) — the one-pass second-moment
+    profile behind whitening, PCA and redundant-dimension pruning.
+    Computation, scale shape and float-determinism discipline: see
+    ``_cov_frame`` (shared with embedding_pca_top_component)."""
+    f = _cov_frame(spark, sf_dir)
+    return f.select(
+        "i",
+        "j",
+        "n_vecs",
+        F.round(F.col("c"), 6).alias("cov"),
+        F.when(
+            (F.col("vi") > 0) & (F.col("vj") > 0),
+            F.round(F.col("c") / F.sqrt(F.col("vi") * F.col("vj")), 6),
+        ).alias("corr"),
     )
+
+
+register(
+    "embedding_covariance",
+    embedding_covariance,
+    f"""
+    WITH {_SQL_COV_CTES}
     SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j,
            CAST(n AS BIGINT) AS n_vecs,
-           ROUND(CAST(sxy AS DOUBLE) / 1e6 / CAST(n AS DOUBLE)
-                 - (CAST(sx_i AS DOUBLE) / 1e6 / CAST(n AS DOUBLE))
-                   * (CAST(sx_j AS DOUBLE) / 1e6 / CAST(n AS DOUBLE)), 6)
-               + 0.0 AS cov,
-           CASE WHEN (CAST(sxx_i AS DOUBLE) / 1e6 / CAST(n AS DOUBLE)
-                      - (CAST(sx_i AS DOUBLE) / 1e6 / CAST(n AS DOUBLE))
-                        * (CAST(sx_i AS DOUBLE) / 1e6 / CAST(n AS DOUBLE))) > 0
-                 AND (CAST(sxx_j AS DOUBLE) / 1e6 / CAST(n AS DOUBLE)
-                      - (CAST(sx_j AS DOUBLE) / 1e6 / CAST(n AS DOUBLE))
-                        * (CAST(sx_j AS DOUBLE) / 1e6 / CAST(n AS DOUBLE))) > 0
-           THEN ROUND(
-               (CAST(sxy AS DOUBLE) / 1e6 / CAST(n AS DOUBLE)
-                - (CAST(sx_i AS DOUBLE) / 1e6 / CAST(n AS DOUBLE))
-                  * (CAST(sx_j AS DOUBLE) / 1e6 / CAST(n AS DOUBLE)))
-               / SQRT((CAST(sxx_i AS DOUBLE) / 1e6 / CAST(n AS DOUBLE)
-                       - (CAST(sx_i AS DOUBLE) / 1e6 / CAST(n AS DOUBLE))
-                         * (CAST(sx_i AS DOUBLE) / 1e6 / CAST(n AS DOUBLE)))
-                      * (CAST(sxx_j AS DOUBLE) / 1e6 / CAST(n AS DOUBLE)
-                         - (CAST(sx_j AS DOUBLE) / 1e6 / CAST(n AS DOUBLE))
-                           * (CAST(sx_j AS DOUBLE) / 1e6 / CAST(n AS DOUBLE)))), 6)
-                + 0.0
+           ROUND(c, 6) + 0.0 AS cov,
+           CASE WHEN vi > 0 AND vj > 0
+                THEN ROUND(c / SQRT(vi * vj), 6) + 0.0
            END AS corr
-    FROM joined
+    FROM cov
     """,
+)
+
+
+# --- PCA top component via engine-replayable power iteration -------------------
+
+PCA_ITERS = 3
+
+
+def embedding_pca_top_component(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Dominant principal component of the embedding covariance by
+    FIXED-ITERATION power method — distributed PCA with every float
+    step engine-replayable: start from the exact unit vector v0 = 1/8
+    (1/sqrt(64), exact in double), repeat v <- normalize(C v) three
+    times, emit the 64 loadings plus the dominant-eigenvalue estimate
+    (the final pre-normalization norm, a Rayleigh-quotient surrogate).
+
+    100 TB shape: the ONLY data-sized pass is _cov_frame's single scan;
+    the iteration runs entirely on 64-row control frames (matvec =
+    broadcast join of the 4096-entry matrix against the 64-row vector,
+    then a per-row fold), so iterations cost nothing at any N — the
+    textbook split of "one heavy sufficient-statistics pass, cheap
+    driver-sized refinement" (same stance as the logreg trainer).
+
+    Determinism discipline: each matvec component and each norm is an
+    ORDERED sequential fold over the index-sorted term list
+    (F.aggregate / list_reduce — the PSI pattern), because a 64-term
+    plain SUM is partial-agg-order-dependent in the last ulp and the
+    iteration would AMPLIFY that wobble through the normalizations;
+    the covariance inputs are already bit-identical from _cov_frame's
+    DECIMAL sums. sqrt and the divisions are single IEEE ops."""
+    f = _cov_frame(spark, sf_dir)
+    full = f.select("i", "j", "c").unionByName(
+        f.filter(F.col("i") != F.col("j")).select(
+            F.col("j").alias("i"), F.col("i").alias("j"), "c"
+        )
+    )
+    v = full.select(F.col("i").alias("dim")).distinct().select(
+        "dim", F.lit(0.125).alias("val")
+    )
+    fold = lambda col: F.aggregate(
+        F.array_sort(F.collect_list(col)),
+        F.lit(0.0),
+        lambda acc, x: acc + x["term"],
+    )
+    norm = None
+    for _ in range(PCA_ITERS):
+        terms = full.join(
+            F.broadcast(v), full.j == F.col("dim")
+        ).select(
+            "i",
+            F.struct(
+                F.col("j"), (F.col("c") * F.col("val")).alias("term")
+            ).alias("e"),
+        )
+        w = terms.groupBy("i").agg(fold(F.col("e")).alias("w"))
+        norm = w.select(
+            F.struct(F.col("i"), (F.col("w") * F.col("w")).alias("term"))
+            .alias("e")
+        ).agg(F.sqrt(fold(F.col("e"))).alias("nrm"))
+        v = w.crossJoin(F.broadcast(norm)).select(
+            F.col("i").alias("dim"),
+            (F.col("w") / F.col("nrm")).alias("val"),
+        )
+    return v.crossJoin(F.broadcast(norm)).select(
+        F.col("dim"),
+        F.round(F.col("val"), 6).alias("loading"),
+        F.round(F.col("nrm"), 6).alias("eigval"),
+    )
+
+
+def _pca_oracle() -> str:
+    it = """
+    w{t} AS MATERIALIZED (
+        SELECT f.i AS dim,
+               list_reduce(list(f.c * v.val ORDER BY f.j),
+                           (a, b) -> a + b) AS w
+        FROM fullm f JOIN v{p} v ON v.dim = f.j
+        GROUP BY f.i
+    ),
+    n{t} AS (
+        SELECT SQRT(list_reduce(list(w * w ORDER BY dim),
+                                (a, b) -> a + b)) AS nrm
+        FROM w{t}
+    ),
+    v{t} AS MATERIALIZED (
+        SELECT dim, w / nrm AS val FROM w{t} CROSS JOIN n{t}
+    )"""
+    chain = ",".join(
+        it.format(t=k + 1, p=k) for k in range(PCA_ITERS)
+    )
+    return f"""
+    WITH {_SQL_COV_CTES},
+    fullm AS MATERIALIZED (
+        SELECT i, j, c FROM cov
+        UNION ALL
+        SELECT j AS i, i AS j, c FROM cov WHERE i != j
+    ),
+    v0 AS (SELECT DISTINCT i AS dim, 0.125 AS val FROM fullm),
+    {chain}
+    SELECT CAST(v.dim AS INT) AS dim,
+           ROUND(v.val, 6) + 0.0 AS loading,
+           ROUND(n.nrm, 6) + 0.0 AS eigval
+    FROM v{PCA_ITERS} v CROSS JOIN n{PCA_ITERS} n
+    """
+
+
+register(
+    "embedding_pca_top_component",
+    embedding_pca_top_component,
+    _pca_oracle(),
 )
