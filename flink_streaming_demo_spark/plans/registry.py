@@ -340,11 +340,10 @@ _ROUND10_WINDOW = [
     "star_basket_pairs", "tpch_running_revenue",
     "system_data_expectations", "events_kmv_rolling_distinct",
     "events_funnel_latency", "sample_curriculum_order",
-    "embedding_pca_top_component",
+    "embedding_pca_top_component", "sim_mmr_diverse_topk",
     "dedup_embedding_neardup", "dedup_semantic",
     "pipeline_embedding_dedup", "pipeline_joint_curation",
     # 3. last checked r6 — four rounds stale (38), registration order
-    "tpch_q21_waiting_orders",
     "dedup_minhash_lsh",
     "text_quality_scores",
     "pipeline_clean_corpus", "multimodal_features",
@@ -359,7 +358,17 @@ _ROUND10_WINDOW = [
 # embedding_pca_top_component: tpch_q22_global_sales_opportunity
 # (byte-unchanged; its anti-join + scalar-subquery machinery is
 # freshly exercised in-window by system_data_expectations' two LEFT
-# ANTI referential checks and q21's not-exists leg).
+# ANTI referential checks and q21's not-exists leg). Finally
+# sim_mmr_diverse_topk displaces tpch_q21_waiting_orders — the last
+# TPC-H re-green standing, ending the r6 TPC-H block's rotation this
+# round entirely; accepted because the policy ranks a never-checked
+# query's FIRST row above any re-green, every deferred TPC-H query is
+# byte-unchanged-since-r6 + green in all three full-surface sweeps
+# this round, and q21 additionally runs in every bench (plans
+# fingerprinted in bench_details.json). The r11 window MUST open with
+# the deferred TPC-H block (q2, q4, q9, q11, q12, q16, q20, q21, q22,
+# star_customers_without_orders) — now the oldest evidence in the
+# surface.
 # Also displaced late in round 10 by the seven NEW queries
 # (doc_stable_ids, sample_epoch_shuffle, sample_interleave_sources,
 # embedding_covariance, star_basket_pairs, tpch_running_revenue,

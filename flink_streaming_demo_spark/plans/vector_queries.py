@@ -1556,3 +1556,183 @@ register(
     embedding_pca_top_component,
     _pca_oracle(),
 )
+
+
+# --- MMR diverse top-k (greedy maximal marginal relevance) ----------------------
+
+MMR_K = 5
+MMR_LAMBDA = 0.7  # relevance weight
+MMR_MU = 0.3      # diversity weight (explicit constant, NOT 1-λ: the
+                  # float 1-0.7 is 0.30000000000000004 and the oracle
+                  # must subtract the *same* literal)
+
+
+def sim_mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diverse top-k by greedy Maximal Marginal Relevance: step t picks
+    argmax over unselected candidates of λ·rel(q,c) − μ·max_{s∈S}
+    sim(c,s) — the de-duplicating retrieval used for eval-set and
+    few-shot example selection, where plain top-k returns k near-copies
+    of the same neighborhood. k fixed at 5 over the 5 standard query
+    vectors; ties break on cand_id.
+
+    Engine-replayable iteration (the PCA/BPE stance): every cosine is
+    the ordered zip_with fold (SIM.cosine ≡ sql_cosine), the per-step
+    argmax is a rounded-nothing raw-double comparison on bit-identical
+    values, and the oracle replays all 5 selections via chained
+    MATERIALIZED CTEs — the full greedy TRAJECTORY hash-checks, not
+    just the final set.
+
+    100 TB shape: the single data-sized pass is the relevance scan
+    (broadcast queries × corpus, same tier as sim_topk_cosine),
+    localCheckpointed once; each step then joins the candidate pool
+    against the ≤ k·|Q| selected rows (broadcast) and takes a
+    per-query windowed argmax — per-step cost is one small-side join
+    over the pool, never a corpus rescan, and state is k vectors per
+    query."""
+    emb = t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qvec"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("cand_id"), F.col("embedding").alias("cvec")
+    )
+    cands = (
+        q.crossJoin(c)
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            "cvec",
+            SIM.cosine(F.col("qvec"), F.col("cvec")).alias("rel"),
+        )
+        .localCheckpoint()
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("mmr"), F.asc("cand_id")
+    )
+    sel = None
+    for step in range(1, MMR_K + 1):
+        if sel is None:
+            scored = cands.select(
+                "query_id",
+                "cand_id",
+                "rel",
+                (
+                    F.lit(MMR_LAMBDA) * F.col("rel")
+                    - F.lit(MMR_MU) * F.lit(0.0)
+                ).alias("mmr"),
+            )
+        else:
+            avail = cands.join(
+                sel.select(
+                    "query_id", F.col("sel_id").alias("cand_id")
+                ),
+                ["query_id", "cand_id"],
+                "left_anti",
+            )
+            sims = (
+                avail.join(
+                    F.broadcast(sel.select("query_id", "svec")),
+                    "query_id",
+                )
+                .groupBy("query_id", "cand_id", "rel")
+                .agg(
+                    F.max(
+                        SIM.cosine(F.col("cvec"), F.col("svec"))
+                    ).alias("msim")
+                )
+            )
+            scored = sims.select(
+                "query_id",
+                "cand_id",
+                "rel",
+                (
+                    F.lit(MMR_LAMBDA) * F.col("rel")
+                    - F.lit(MMR_MU) * F.col("msim")
+                ).alias("mmr"),
+            )
+        pick = (
+            scored.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .join(c, "cand_id")
+            .select(
+                "query_id",
+                F.col("cand_id").alias("sel_id"),
+                F.col("cvec").alias("svec"),
+                "rel",
+                "mmr",
+                F.lit(step).alias("step"),
+            )
+        )
+        sel = pick if sel is None else sel.unionByName(pick)
+        sel = sel.localCheckpoint()
+    return sel.select(
+        "query_id",
+        "step",
+        "sel_id",
+        F.round("mmr", 6).alias("mmr_score"),
+        F.round("rel", 6).alias("rel"),
+    )
+
+
+def _mmr_oracle() -> str:
+    lam, mu = repr(MMR_LAMBDA), repr(MMR_MU)
+    steps = []
+    for t in range(2, MMR_K + 1):
+        p = t - 1
+        mmr_expr = (
+            f"{lam} * c.rel - {mu} * "
+            f"MAX({SIM.sql_cosine('c.cvec', 's.svec', DIMS)})"
+        )
+        steps.append(f"""
+    sel{t} AS MATERIALIZED (
+        SELECT * FROM sel{p}
+        UNION ALL
+        SELECT p.query_id, p.cand_id AS sel_id, e.embedding AS svec,
+               p.rel, p.mmr, {t} AS step
+        FROM (
+            SELECT query_id, cand_id, rel, mmr FROM (
+                SELECT c.query_id, c.cand_id, c.rel,
+                       {mmr_expr} AS mmr,
+                       ROW_NUMBER() OVER (PARTITION BY c.query_id
+                           ORDER BY {mmr_expr} DESC, c.cand_id ASC)
+                           AS rn
+                FROM cands c JOIN sel{p} s ON s.query_id = c.query_id
+                WHERE NOT EXISTS (
+                    SELECT 1 FROM sel{p} x
+                    WHERE x.query_id = c.query_id
+                      AND x.sel_id = c.cand_id)
+                GROUP BY c.query_id, c.cand_id, c.rel
+            ) WHERE rn = 1
+        ) p JOIN embeddings e ON e.vec_id = p.cand_id
+    )""")
+    chain = ",".join(steps)
+    return f"""
+    WITH cands AS MATERIALIZED (
+        SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+               c.embedding AS cvec,
+               {SIM.sql_cosine('q.embedding', 'c.embedding', DIMS)} AS rel
+        FROM embeddings q
+        JOIN embeddings c ON c.vec_id <> q.vec_id
+        WHERE q.vec_id < {N_QUERIES}
+    ),
+    sel1 AS MATERIALIZED (
+        SELECT query_id, cand_id AS sel_id, cvec AS svec, rel,
+               {lam} * rel - {mu} * 0.0 AS mmr, 1 AS step
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                  ORDER BY {lam} * rel - {mu} * 0.0 DESC, cand_id ASC)
+                  AS rn
+              FROM cands) WHERE rn = 1
+    ),
+    {chain}
+    SELECT query_id, step, sel_id,
+           ROUND(mmr, 6) + 0.0 AS mmr_score,
+           ROUND(rel, 6) + 0.0 AS rel
+    FROM sel{MMR_K}
+    """
+
+
+register("sim_mmr_diverse_topk", sim_mmr_diverse_topk, _mmr_oracle())

@@ -182,3 +182,68 @@ def test_pca_top_component_matches_numpy_power_iteration(spark, sf_dir):
     # recurrence, which the asserts above pin bit-for-bit-ish.)
     evals = np.linalg.eigvalsh(cov)
     assert evals[0] - 1e-9 <= got.eigval.iloc[0] <= evals[-1] + 1e-9
+
+
+def test_mmr_matches_python_greedy_model(spark, sf_dir):
+    """The MMR selection must equal an independent pure-Python greedy
+    replay. The model's cosine uses the SAME left-fold association as
+    SIM.cosine/sql_cosine, so scores are bit-identical doubles and the
+    argmax comparison — including near-ties — is exact, not
+    tolerance-based."""
+    from flink_streaming_demo_spark.plans.vector_queries import (
+        MMR_K,
+        MMR_LAMBDA,
+        MMR_MU,
+        N_QUERIES,
+        sim_mmr_diverse_topk,
+    )
+
+    vecs = {
+        r.vec_id: [float(x) for x in r.embedding]
+        for r in load_table(spark, sf_dir, "embeddings").collect()
+    }
+
+    def fold_dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + x * y
+        return acc
+
+    def norm(a):
+        acc = 0.0
+        for x in a:
+            acc = acc + x * x
+        return acc ** 0.5
+
+    def cos(a, b):
+        return fold_dot(a, b) / (norm(a) * norm(b))
+
+    want = {}
+    for qid in range(N_QUERIES):
+        rel = {
+            cid: cos(vecs[qid], v)
+            for cid, v in vecs.items()
+            if cid != qid
+        }
+        selected = []
+        for step in range(1, MMR_K + 1):
+            best = None
+            for cid in sorted(rel):
+                if cid in (s for s, _ in selected):
+                    continue
+                if step == 1:
+                    mmr = MMR_LAMBDA * rel[cid] - MMR_MU * 0.0
+                else:
+                    msim = max(
+                        cos(vecs[cid], vecs[s]) for s, _ in selected
+                    )
+                    mmr = MMR_LAMBDA * rel[cid] - MMR_MU * msim
+                if best is None or mmr > best[1]:
+                    best = (cid, mmr)
+            selected.append(best)
+            want[(qid, step)] = best[0]
+    got = {
+        (r.query_id, r.step): r.sel_id
+        for r in sim_mmr_diverse_topk(spark, sf_dir).collect()
+    }
+    assert got == want
