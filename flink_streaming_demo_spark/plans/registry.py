@@ -341,12 +341,13 @@ _ROUND10_WINDOW = [
     "system_data_expectations", "events_kmv_rolling_distinct",
     "events_funnel_latency", "sample_curriculum_order",
     "embedding_pca_top_component", "sim_mmr_diverse_topk",
+    "sim_kcenter_coreset",
     "dedup_embedding_neardup", "dedup_semantic",
     "pipeline_embedding_dedup", "pipeline_joint_curation",
     # 3. last checked r6 — four rounds stale (38), registration order
     "dedup_minhash_lsh",
     "text_quality_scores",
-    "pipeline_clean_corpus", "multimodal_features",
+    "pipeline_clean_corpus",
 ]
 # And displaced by events_funnel_latency + sample_curriculum_order:
 # dedup_exact_groups and dedup_ngram_jaccard — the weakest marginal

@@ -1736,3 +1736,110 @@ def _mmr_oracle() -> str:
 
 
 register("sim_mmr_diverse_topk", sim_mmr_diverse_topk, _mmr_oracle())
+
+
+# --- k-center coreset (farthest-point / Gonzalez selection) --------------------
+
+KC_K = 5
+
+
+def sim_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center (Gonzalez farthest-point) coreset over the
+    embeddings: seed with the smallest vec_id, then each step adds the
+    point FARTHEST (squared L2) from its nearest already-selected
+    center — the 2-approximation coreset behind diversity-driven data
+    pruning (the D4/SemDeDup "keep the spread, drop the middle"
+    policy). Emits (step, sel_id, radius): the radius column is the
+    coverage radius sequence — THE quality curve of the coreset (every
+    unselected point is within radius[k] of some center).
+
+    Same engine-replayable-trajectory stance as sim_mmr_diverse_topk:
+    squared-L2 is the ordered index fold (sq_l2 ≡ sql_sq_l2), the
+    per-step argmax compares raw bit-identical doubles with an id
+    tiebreak, and the oracle replays all selections via chained
+    MATERIALIZED CTEs.
+
+    100 TB shape: each step is ONE corpus scan against ≤ k broadcast
+    centers (min over k distances is a per-row expression) plus a
+    global top-1 — k scans total for k centers, the canonical
+    trade of Gonzalez; no pairwise matrix ever materializes."""
+    emb = t(spark, sf_dir, "embeddings").select(
+        F.col("vec_id"), F.col("embedding")
+    )
+    seed = emb.orderBy(F.asc("vec_id")).limit(1).select(
+        "vec_id",
+        F.col("embedding").alias("svec"),
+        F.lit(0.0).alias("radius"),
+        F.lit(1).alias("step"),
+    )
+    sel = seed.localCheckpoint()
+    for step in range(2, KC_K + 1):
+        avail = emb.join(
+            sel.select(F.col("vec_id")), "vec_id", "left_anti"
+        )
+        dmin = (
+            avail.join(F.broadcast(sel.select("svec")))
+            .groupBy("vec_id", "embedding")
+            .agg(
+                F.min(
+                    SIM.sq_l2(F.col("embedding"), F.col("svec"))
+                ).alias("dmin")
+            )
+        )
+        # global argmax as TakeOrdered (per-partition top-1 + driver
+        # merge), NOT an unpartitioned row_number window (one-task sort)
+        pick = (
+            dmin.orderBy(F.desc("dmin"), F.asc("vec_id"))
+            .limit(1)
+            .select(
+                "vec_id",
+                F.col("embedding").alias("svec"),
+                F.col("dmin").alias("radius"),
+                F.lit(step).alias("step"),
+            )
+        )
+        sel = sel.unionByName(pick).localCheckpoint()
+    return sel.select(
+        "step",
+        F.col("vec_id").alias("sel_id"),
+        F.round("radius", 6).alias("radius"),
+    )
+
+
+def _kcenter_oracle() -> str:
+    steps = []
+    for t in range(2, KC_K + 1):
+        p = t - 1
+        steps.append(f"""
+    sel{t} AS MATERIALIZED (
+        SELECT * FROM sel{p}
+        UNION ALL
+        SELECT vec_id, embedding AS svec, dmin AS radius, {t} AS step
+        FROM (
+            SELECT e.vec_id, e.embedding,
+                   MIN({SIM.sql_sq_l2('e.embedding', 's.svec', DIMS)})
+                       AS dmin,
+                   ROW_NUMBER() OVER (ORDER BY
+                       MIN({SIM.sql_sq_l2('e.embedding', 's.svec', DIMS)})
+                           DESC,
+                       e.vec_id ASC) AS rn
+            FROM embeddings e CROSS JOIN sel{p} s
+            WHERE NOT EXISTS (SELECT 1 FROM sel{p} x
+                              WHERE x.vec_id = e.vec_id)
+            GROUP BY e.vec_id, e.embedding
+        ) WHERE rn = 1
+    )""")
+    chain = ",".join(steps)
+    return f"""
+    WITH sel1 AS MATERIALIZED (
+        SELECT vec_id, embedding AS svec, 0.0 AS radius, 1 AS step
+        FROM embeddings
+        ORDER BY vec_id ASC LIMIT 1
+    ),
+    {chain}
+    SELECT step, vec_id AS sel_id, ROUND(radius, 6) + 0.0 AS radius
+    FROM sel{KC_K}
+    """
+
+
+register("sim_kcenter_coreset", sim_kcenter_coreset, _kcenter_oracle())

@@ -247,3 +247,47 @@ def test_mmr_matches_python_greedy_model(spark, sf_dir):
         for r in sim_mmr_diverse_topk(spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_kcenter_matches_python_greedy_model(spark, sf_dir):
+    """Farthest-point selection must equal the pure-Python Gonzalez
+    replay on bit-identical left-fold squared distances, and the
+    coverage radius sequence must be non-increasing from step 3 on
+    (each new center can only shrink the farthest gap)."""
+    from flink_streaming_demo_spark.plans.vector_queries import (
+        KC_K,
+        sim_kcenter_coreset,
+    )
+
+    vecs = {
+        r.vec_id: [float(x) for x in r.embedding]
+        for r in load_table(spark, sf_dir, "embeddings").collect()
+    }
+
+    def sq_l2(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + (x - y) * (x - y)
+        return acc
+
+    selected = [min(vecs)]
+    radii = [0.0]
+    for _ in range(2, KC_K + 1):
+        best = None
+        for cid in sorted(vecs):
+            if cid in selected:
+                continue
+            dmin = min(sq_l2(vecs[cid], vecs[s]) for s in selected)
+            if best is None or dmin > best[1]:
+                best = (cid, dmin)
+        selected.append(best[0])
+        radii.append(best[1])
+    got = sorted(
+        sim_kcenter_coreset(spark, sf_dir).collect(),
+        key=lambda r: r.step,
+    )
+    assert [r.sel_id for r in got] == selected
+    assert [r.radius for r in got] == [round(r, 6) for r in radii]
+    assert all(
+        got[i].radius >= got[i + 1].radius for i in range(2, KC_K - 1)
+    )
