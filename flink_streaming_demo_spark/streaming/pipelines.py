@@ -772,3 +772,41 @@ def streaming_contract_counts(
         )
         .withColumn("passed", F.col("n_violations") == 0)
     )
+
+
+def streaming_contract_maintainer(sink, checks):
+    """Store-backed form of ``streaming_contract_counts``: the contract
+    counters persist in a keyed parquet store and survive restarts —
+    the shape a long-lived ingest gate actually runs (the update-mode
+    form's counters die with the query). Counter merge is SUM (NOT
+    idempotent), so this rides the CMS slot of the shared maintenance
+    skeleton: per-epoch marker guard, store semi-joined to touched
+    check names, ⊕ = per-check SUM. Read ``passed`` from the store at
+    query time: n_violations == 0."""
+    group_cols = ["check_name"]
+
+    def partial(batch_df: DataFrame) -> DataFrame:
+        return streaming_contract_counts(batch_df, checks).drop("passed")
+
+    def merge(cur: DataFrame, part: DataFrame) -> DataFrame:
+        return (
+            cur.unionByName(part)
+            .groupBy("check_name")
+            .agg(
+                F.sum("n_checked").cast("bigint").alias("n_checked"),
+                F.sum("n_violations")
+                .cast("bigint")
+                .alias("n_violations"),
+            )
+        )
+
+    return _streaming_sketch_maintenance(
+        sink,
+        group_cols,
+        partial_fn=partial,
+        merge_fn=merge,
+        state_cols=("n_checked", "n_violations"),
+        sketch_name="streaming_contract_maintainer",
+        expected_key=["check_name"],
+        epoch_guard=True,
+    )

@@ -2034,3 +2034,66 @@ def test_streaming_contract_counts_equal_batch(spark):
         assert got["user_not_null"] == (60, 3, False)
     finally:
         shutil.rmtree(chunk_dir, ignore_errors=True)
+
+
+def test_streaming_contract_maintainer_converges_and_guards_replay(
+    spark, sf_dir
+):
+    """Chunked events through the store-backed contract maintainer
+    converge to the one-shot batch counters; a replayed epoch id is
+    skipped (SUM merge is guarded like CMS), while the same rows under
+    a new epoch id double-count — the guard keys on the epoch."""
+    from flink_streaming_demo_spark.schemas import load_table
+    from flink_streaming_demo_spark.streaming.pipelines import (
+        streaming_contract_counts,
+        streaming_contract_maintainer,
+    )
+    from flink_streaming_demo_spark.streaming.sinks import ParquetUpsertSink
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value"
+    )
+    checks = lambda: [
+        ("value_positive", F.col("value") <= 0),
+        ("user_not_null", F.col("user_id").isNull()),
+    ]
+    store = tempfile.mkdtemp(prefix="contractstream_") + "/store"
+    sink = ParquetUpsertSink(store, ["check_name"])
+    body = streaming_contract_maintainer(sink, checks())
+    try:
+        chunks = [ev.filter(F.col("event_id") % 3 == i) for i in range(3)]
+        for epoch, chunk in enumerate(chunks):
+            body(chunk, epoch_id=epoch)
+
+        def counters(df):
+            return {
+                r.check_name: (r.n_checked, r.n_violations)
+                for r in df.collect()
+            }
+
+        want = {
+            r.check_name: (r.n_checked, r.n_violations)
+            for r in streaming_contract_counts(ev, checks()).collect()
+        }
+        got = counters(
+            sink.read(spark).select(
+                "check_name", "n_checked", "n_violations"
+            )
+        )
+        assert got == want
+        body(chunks[1], epoch_id=1)  # replayed epoch: skipped
+        assert counters(
+            sink.read(spark).select(
+                "check_name", "n_checked", "n_violations"
+            )
+        ) == want
+        body(chunks[1], epoch_id=42)  # new epoch: double-counts
+        grown = counters(
+            sink.read(spark).select(
+                "check_name", "n_checked", "n_violations"
+            )
+        )
+        assert all(grown[k][0] > want[k][0] for k in want)
+    finally:
+        shutil.rmtree(store, ignore_errors=True)
+        shutil.rmtree(f"{store}_epochs", ignore_errors=True)
