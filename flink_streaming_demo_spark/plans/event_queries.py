@@ -2656,3 +2656,66 @@ register(
     events_funnel_latency,
     _funnel_latency_oracle(),
 )
+
+
+def events_hll_rolling_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day rolling distinct users from per-day HLL register partials —
+    the KMV rolling query's register-sketch sibling
+    (events_kmv_rolling_distinct): per-day registers fan out to the <= 7
+    window-ends they fall in, merge by per-bucket MAX (idempotent, so
+    overlap between windows is free), estimate at read time. By MAX
+    associativity the merged registers EQUAL the direct sketch over the
+    window's events, so the oracle replays the window directly. State
+    per window-end: <= 256 (bucket, rho) pairs."""
+    from flink_streaming_demo_spark.operators.scale import (
+        hll_estimate,
+        hll_partial,
+        hll_rollup,
+    )
+
+    ev = t(spark, sf_dir, "events").withColumn(
+        "day", F.date_trunc("DAY", F.col("ts"))
+    )
+    daily = hll_partial(ev, ["day"], "user_id")
+    fan = daily.select(
+        F.explode(
+            F.expr("sequence(day, day + interval 6 days, interval 1 day)")
+        ).alias("win_day"),
+        "bucket",
+        "rho",
+    )
+    rolled = hll_rollup(fan, ["win_day"])
+    observed = daily.select(F.col("day").alias("win_day")).distinct()
+    return hll_estimate(rolled.join(observed, "win_day"), ["win_day"])
+
+
+def _hll_rolling_oracle() -> str:
+    from flink_streaming_demo_spark.operators.scale import (
+        sql_hll_estimate_from_registers,
+        sql_hll_registers,
+    )
+
+    return f"""
+    WITH base AS (
+        SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day, user_id
+        FROM events WHERE user_id IS NOT NULL
+    ),
+    days AS (SELECT DISTINCT day AS win_day FROM base),
+    win AS (
+        SELECT d.win_day, b.user_id
+        FROM days d
+        JOIN base b ON b.day BETWEEN d.win_day - INTERVAL 6 DAY
+                               AND d.win_day
+    ),
+    regs AS (
+        {sql_hll_registers("win_day", "user_id", "win")}
+    )
+    {sql_hll_estimate_from_registers("win_day", "regs")}
+    """
+
+
+register(
+    "events_hll_rolling_users",
+    events_hll_rolling_users,
+    _hll_rolling_oracle(),
+)
