@@ -87,3 +87,11 @@ def test_serving_order_example_runs():
     assert "contiguous, no gaps" in r.stdout
     assert "different position per epoch" in r.stdout
     assert "off by at most one slot per source" in r.stdout
+
+
+def test_pipeline_health_example_runs():
+    r = _run("examples/pipeline_health.py")
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "gate: CERTIFY (0 failing checks)" in r.stdout
+    assert "arrival lateness vs watermark" in r.stdout
+    assert "report complete" in r.stdout
