@@ -160,8 +160,16 @@ def main() -> int:
             "bench_details_all.json" if bench_all else "bench_details.json"
         ),
     }
+    # SPARK_GRAFT_DETAILS_DIR redirects the sidecar (the smoke test uses
+    # a temp dir so a tiny-SF test run never stomps the committed sf0.1
+    # series next to this file — the source of recurring working-tree
+    # churn through round 10).
     details_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), summary["details"]
+        os.environ.get(
+            "SPARK_GRAFT_DETAILS_DIR",
+            os.path.dirname(os.path.abspath(__file__)),
+        ),
+        summary["details"],
     )
     with open(details_path, "w") as f:
         json.dump(

@@ -40,7 +40,14 @@ def test_bench_emits_valid_json_line():
     import subprocess
     import sys
 
-    env = dict(os.environ, SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001")
+    import tempfile
+
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001",
+        # keep the committed sf0.1 sidecar out of this tiny-SF run
+        SPARK_GRAFT_DETAILS_DIR=tempfile.mkdtemp(prefix="benchsc_"),
+    )
     r = subprocess.run(
         [sys.executable, "bench.py"],
         capture_output=True,
