@@ -1867,3 +1867,89 @@ def _kcenter_oracle() -> str:
 
 
 register("sim_kcenter_coreset", sim_kcenter_coreset, _kcenter_oracle())
+
+
+# --- Representation isotropy (participation ratio) ------------------------------
+
+def embedding_isotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Effective dimensionality of the embedding space WITHOUT an
+    eigendecomposition: the participation ratio PR = tr(C)^2 / ||C||_F^2
+    equals (Σλ)^2 / Σλ^2 for symmetric C — the standard isotropy /
+    representation-collapse diagnostic (PR ≈ d for isotropic
+    embeddings, PR ≈ 1 when one direction dominates). Both invariants
+    come straight off the shared ``_cov_frame`` upper triangle:
+    tr = Σ c_ii, ||C||_F^2 = Σ c_ii^2 + 2·Σ_{i<j} c_ij^2.
+
+    Determinism: the two 2080-term reductions run as ORDERED folds over
+    the (i,j)-sorted term array (the PSI pattern) — cheap at 64 dims,
+    and the one place a plain SUM's partial-agg order could wobble the
+    last ulp before the 6-decimal rounding. One data-sized pass (the
+    covariance scan), then a 1-row closed form."""
+    f = _cov_frame(spark, sf_dir)
+    terms = f.select(
+        "n_vecs",
+        F.struct(
+            F.col("i"),
+            F.col("j"),
+            F.when(F.col("i") == F.col("j"), F.col("c")).otherwise(
+                F.lit(0.0)
+            ).alias("tr_term"),
+            (
+                F.col("c") * F.col("c")
+                * F.when(F.col("i") == F.col("j"), F.lit(1.0)).otherwise(
+                    F.lit(2.0)
+                )
+            ).alias("f_term"),
+        ).alias("e"),
+    )
+    fold = lambda field: F.aggregate(
+        F.array_sort(F.collect_list("e")),
+        F.lit(0.0),
+        lambda acc, x: acc + x[field],
+    )
+    agg = terms.groupBy("n_vecs").agg(
+        fold("tr_term").alias("trace"),
+        fold("f_term").alias("frob_sq"),
+    )
+    pr = F.col("trace") * F.col("trace") / F.col("frob_sq")
+    return agg.select(
+        F.lit(DIMS).alias("n_dims"),
+        F.col("n_vecs"),
+        F.round("trace", 6).alias("trace"),
+        F.round("frob_sq", 6).alias("frob_sq"),
+        F.round(pr, 6).alias("participation_ratio"),
+        F.round(pr / F.lit(float(DIMS)), 6).alias("isotropy_fraction"),
+    )
+
+
+register(
+    "embedding_isotropy",
+    embedding_isotropy,
+    f"""
+    WITH {_SQL_COV_CTES},
+    terms AS (
+        SELECT n,
+               CASE WHEN i = j THEN c ELSE 0.0 END AS tr_term,
+               c * c * (CASE WHEN i = j THEN 1.0 ELSE 2.0 END) AS f_term,
+               i, j
+        FROM cov
+    ),
+    folded AS (
+        SELECT n,
+               list_reduce(list(tr_term ORDER BY i, j),
+                           (a, b) -> a + b) AS trace,
+               list_reduce(list(f_term ORDER BY i, j),
+                           (a, b) -> a + b) AS frob_sq
+        FROM terms GROUP BY n
+    )
+    SELECT {DIMS} AS n_dims,
+           CAST(n AS BIGINT) AS n_vecs,
+           ROUND(trace, 6) + 0.0 AS trace,
+           ROUND(frob_sq, 6) + 0.0 AS frob_sq,
+           ROUND(trace * trace / frob_sq, 6) + 0.0
+               AS participation_ratio,
+           ROUND(trace * trace / frob_sq / {float(DIMS)!r}, 6) + 0.0
+               AS isotropy_fraction
+    FROM folded
+    """,
+)

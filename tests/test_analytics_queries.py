@@ -291,3 +291,31 @@ def test_kcenter_matches_python_greedy_model(spark, sf_dir):
     assert all(
         got[i].radius >= got[i + 1].radius for i in range(2, KC_K - 1)
     )
+
+
+def test_isotropy_matches_numpy_eigen_invariants(spark, sf_dir):
+    """PR from the trace/Frobenius closed form must equal
+    (Σλ)²/Σλ² from numpy's eigenvalues of the float covariance
+    (tolerance covers the 1e-6 moment quantization), and sit in
+    [1, n_dims]."""
+    import numpy as np
+
+    from flink_streaming_demo_spark.plans.vector_queries import (
+        embedding_isotropy,
+    )
+
+    emb = np.array(
+        [
+            r.embedding
+            for r in load_table(spark, sf_dir, "embeddings")
+            .select("embedding")
+            .collect()
+        ],
+        dtype=np.float64,
+    )
+    lam = np.linalg.eigvalsh(np.cov(emb, rowvar=False, bias=True))
+    want = float(lam.sum() ** 2 / (lam**2).sum())
+    got = embedding_isotropy(spark, sf_dir).collect()[0]
+    assert abs(got.participation_ratio - want) < 1e-3
+    assert 1.0 <= got.participation_ratio <= got.n_dims
+    assert abs(got.isotropy_fraction - want / got.n_dims) < 1e-4
