@@ -3068,3 +3068,127 @@ register(
     text_quality_calibration,
     _calibration_oracle(),
 )
+
+
+# --- Zipf rank-frequency fit (corpus naturalness) -----------------------------
+
+ZIPF_TOP_N = 100
+
+
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the top-100 vocabulary: OLS of ln(freq) on
+    ln(rank). Natural language sits near slope -1; synthetic or
+    template-heavy corpora flatten toward 0 — a one-row corpus
+    NATURALNESS score that complements the per-doc quality signals
+    (the C4/Gopher-era corpus-level sanity check). Emits slope,
+    intercept, and r2 plus the mass share the fitted head covers.
+
+    100 TB shape: the exact vocab count is the heavy-hitters plan
+    (partial agg bounded by vocab, not corpus); top-100 extraction is
+    a distributed TakeOrdered; the regression runs on a 100-row
+    control table via ORDERED folds of the five OLS sums (the PSI
+    pattern — ln() parity is already load-bearing for the HLL LC
+    branch), so the fitted line is bit-identical on both engines."""
+    docs = t(spark, sf_dir, "documents").select("text")
+    counts = (
+        docs.select(F.explode(TX.tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    total = counts.agg(F.sum("cnt").alias("total"))
+    top = counts.orderBy(F.desc("cnt"), F.asc("token")).limit(ZIPF_TOP_N)
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("cnt"), F.asc("token"))
+    pts = top.withColumn("rank", F.row_number().over(w)).select(
+        "cnt",
+        F.struct(
+            F.col("rank"),
+            F.log(F.col("rank").cast("double")).alias("x"),
+            F.log(F.col("cnt").cast("double")).alias("y"),
+        ).alias("e"),
+    )
+    fold = lambda expr_field: F.aggregate(
+        F.array_sort(F.collect_list("e")),
+        F.lit(0.0),
+        lambda acc, x: acc + expr_field(x),
+    )
+    agg = pts.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        fold(lambda x: x["x"]).alias("sx"),
+        fold(lambda x: x["y"]).alias("sy"),
+        fold(lambda x: x["x"] * x["x"]).alias("sxx"),
+        fold(lambda x: x["x"] * x["y"]).alias("sxy"),
+        fold(lambda x: x["y"] * x["y"]).alias("syy"),
+        F.sum("cnt").alias("head_cnt"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, sxy, syy = F.col("sxx"), F.col("sxy"), F.col("syy")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    intercept = (sy - slope * sx) / n
+    r2 = ((n * sxy - sx * sy) * (n * sxy - sx * sy)) / (
+        (n * sxx - sx * sx) * (n * syy - sy * sy)
+    )
+    return agg.crossJoin(F.broadcast(total)).select(
+        n.cast("bigint").alias("n_terms"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round(intercept, 6).alias("intercept"),
+        F.round(r2, 6).alias("r2"),
+        F.round(
+            F.col("head_cnt").cast("double")
+            / F.col("total").cast("double"),
+            6,
+        ).alias("head_mass_share"),
+    )
+
+
+register(
+    "text_zipf_fit",
+    text_zipf_fit,
+    f"""
+    WITH agg AS (
+        SELECT token, COUNT(*) AS cnt
+        FROM (SELECT unnest(string_split(text, ' ')) AS token
+              FROM documents)
+        GROUP BY token
+    ),
+    tot AS (SELECT SUM(cnt) AS total FROM agg),
+    top AS (
+        SELECT cnt,
+               ROW_NUMBER() OVER (ORDER BY cnt DESC, token ASC) AS rank
+        FROM agg
+        ORDER BY cnt DESC, token ASC
+        LIMIT {ZIPF_TOP_N}
+    ),
+    pts AS (
+        SELECT rank, cnt,
+               ln(CAST(rank AS DOUBLE)) AS x,
+               ln(CAST(cnt AS DOUBLE)) AS y
+        FROM top
+    ),
+    sums AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+               list_reduce(list(x ORDER BY rank), (a, b) -> a + b) AS sx,
+               list_reduce(list(y ORDER BY rank), (a, b) -> a + b) AS sy,
+               list_reduce(list(x * x ORDER BY rank), (a, b) -> a + b)
+                   AS sxx,
+               list_reduce(list(x * y ORDER BY rank), (a, b) -> a + b)
+                   AS sxy,
+               list_reduce(list(y * y ORDER BY rank), (a, b) -> a + b)
+                   AS syy,
+               SUM(cnt) AS head_cnt
+        FROM pts
+    )
+    SELECT CAST(n AS BIGINT) AS n_terms,
+           ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) + 0.0
+               AS zipf_slope,
+           ROUND((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx)
+                 / n, 6) + 0.0 AS intercept,
+           ROUND(((n * sxy - sx * sy) * (n * sxy - sx * sy))
+                 / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) + 0.0
+               AS r2,
+           ROUND(CAST(head_cnt AS DOUBLE) / CAST(total AS DOUBLE), 6)
+               AS head_mass_share
+    FROM sums CROSS JOIN tot
+    """,
+)

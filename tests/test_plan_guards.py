@@ -247,6 +247,12 @@ _UNPARTITIONED_WINDOW_ALLOWED = {
         "events_lateness_profile (shared operators/lateness primitive); "
         "the candidate-delay explode and its aggregation are partitioned"
     ),
+    "text_zipf_fit": (
+        "rank assignment over the top-100 control table AFTER the "
+        "distributed TakeOrdered truncation — the windowed input is "
+        "exactly ZIPF_TOP_N rows at any corpus size; the vocab count "
+        "and head extraction are partial-aggregated/partition-parallel"
+    ),
     "tpch_running_revenue": (
         "cumulative sum over the per-DAY control table: rows = distinct "
         "ship dates (the calendar — ~2.5k for TPC-H, grows with time, "
