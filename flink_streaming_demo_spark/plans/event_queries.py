@@ -2719,3 +2719,116 @@ register(
     events_hll_rolling_users,
     _hll_rolling_oracle(),
 )
+
+
+# --- A/B experiment readout (two-sample z per metric segment) ------------------
+
+def events_ab_test_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout per event_type: users split into two arms
+    by the deterministic md5 bucket (the same engine-portable
+    assignment sample_hash_split uses — assignment survives re-runs
+    and engine moves, the property rand() splits lack), then per-arm
+    mean event value, difference, Welch z-score and a |z| > 1.96 flag.
+    The analysis pass every experimentation platform runs on the
+    warehouse.
+
+    Determinism: per-arm first/second moments are exact DECIMAL sums of
+    1e-6-quantized values (the covariance discipline), so means,
+    variances and the z-score derive from bit-identical doubles via one
+    shared formula; sqrt is a single IEEE op. One partial-aggregated
+    scan, map-side conditional sums, #event_types output rows."""
+    from flink_streaming_demo_spark.operators.sampling import hash_bucket
+
+    ev = t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    arm_a = (hash_bucket(F.col("user_id")) % 2) == 0
+    v = F.col("value").cast("double")
+    qv = F.round(v * F.lit(1e6), 0).cast("decimal(38,0)")
+    qvv = F.round(v * v * F.lit(1e6), 0).cast("decimal(38,0)")
+    z = lambda cond, col: F.sum(F.when(cond, col).otherwise(F.lit(0).cast("decimal(38,0)")))
+    agg = ev.groupBy("event_type").agg(
+        F.sum(arm_a.cast("long")).alias("n_a"),
+        F.sum((~arm_a).cast("long")).alias("n_b"),
+        z(arm_a, qv).alias("s_a"),
+        z(~arm_a, qv).alias("s_b"),
+        z(arm_a, qvv).alias("ss_a"),
+        z(~arm_a, qvv).alias("ss_b"),
+    )
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    ma = F.col("s_a").cast("double") / F.lit(1e6) / na
+    mb = F.col("s_b").cast("double") / F.lit(1e6) / nb
+    va = F.col("ss_a").cast("double") / F.lit(1e6) / na - ma * ma
+    vb = F.col("ss_b").cast("double") / F.lit(1e6) / nb - mb * mb
+    zscore = (ma - mb) / F.sqrt(va / na + vb / nb)
+    return agg.select(
+        "event_type",
+        "n_a",
+        "n_b",
+        F.round(ma, 6).alias("mean_a"),
+        F.round(mb, 6).alias("mean_b"),
+        F.round(ma - mb, 6).alias("diff"),
+        F.round(zscore, 6).alias("z_score"),
+        (F.abs(zscore) > F.lit(1.96)).alias("significant"),
+    )
+
+
+register(
+    "events_ab_test_report",
+    events_ab_test_report,
+    """
+    WITH q AS (
+        SELECT event_type,
+               (CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+                     AS BIGINT) % 1000000) % 2 = 0 AS arm_a,
+               CAST(ROUND(CAST(value AS DOUBLE) * 1e6, 0)
+                    AS DECIMAL(38,0)) AS qv,
+               CAST(ROUND(CAST(value AS DOUBLE) * CAST(value AS DOUBLE)
+                          * 1e6, 0) AS DECIMAL(38,0)) AS qvv
+        FROM events WHERE user_id IS NOT NULL
+    ),
+    agg AS (
+        SELECT event_type,
+               SUM(CASE WHEN arm_a THEN 1 ELSE 0 END) AS n_a,
+               SUM(CASE WHEN arm_a THEN 0 ELSE 1 END) AS n_b,
+               SUM(CASE WHEN arm_a THEN qv
+                        ELSE CAST(0 AS DECIMAL(38,0)) END) AS s_a,
+               SUM(CASE WHEN arm_a THEN CAST(0 AS DECIMAL(38,0))
+                        ELSE qv END) AS s_b,
+               SUM(CASE WHEN arm_a THEN qvv
+                        ELSE CAST(0 AS DECIMAL(38,0)) END) AS ss_a,
+               SUM(CASE WHEN arm_a THEN CAST(0 AS DECIMAL(38,0))
+                        ELSE qvv END) AS ss_b
+        FROM q GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST(n_a AS BIGINT) AS n_a,
+           CAST(n_b AS BIGINT) AS n_b,
+           ROUND(CAST(s_a AS DOUBLE) / 1e6 / CAST(n_a AS DOUBLE), 6)
+               + 0.0 AS mean_a,
+           ROUND(CAST(s_b AS DOUBLE) / 1e6 / CAST(n_b AS DOUBLE), 6)
+               + 0.0 AS mean_b,
+           ROUND(CAST(s_a AS DOUBLE) / 1e6 / CAST(n_a AS DOUBLE)
+                 - CAST(s_b AS DOUBLE) / 1e6 / CAST(n_b AS DOUBLE), 6)
+               + 0.0 AS diff,
+           ROUND((CAST(s_a AS DOUBLE) / 1e6 / CAST(n_a AS DOUBLE)
+                  - CAST(s_b AS DOUBLE) / 1e6 / CAST(n_b AS DOUBLE))
+                 / SQRT((CAST(ss_a AS DOUBLE) / 1e6 / CAST(n_a AS DOUBLE)
+                         - (CAST(s_a AS DOUBLE) / 1e6 / CAST(n_a AS DOUBLE))
+                           * (CAST(s_a AS DOUBLE) / 1e6 / CAST(n_a AS DOUBLE)))
+                        / CAST(n_a AS DOUBLE)
+                        + (CAST(ss_b AS DOUBLE) / 1e6 / CAST(n_b AS DOUBLE)
+                           - (CAST(s_b AS DOUBLE) / 1e6 / CAST(n_b AS DOUBLE))
+                             * (CAST(s_b AS DOUBLE) / 1e6 / CAST(n_b AS DOUBLE)))
+                          / CAST(n_b AS DOUBLE)), 6) + 0.0 AS z_score,
+           ABS((CAST(s_a AS DOUBLE) / 1e6 / CAST(n_a AS DOUBLE)
+                - CAST(s_b AS DOUBLE) / 1e6 / CAST(n_b AS DOUBLE))
+               / SQRT((CAST(ss_a AS DOUBLE) / 1e6 / CAST(n_a AS DOUBLE)
+                       - (CAST(s_a AS DOUBLE) / 1e6 / CAST(n_a AS DOUBLE))
+                         * (CAST(s_a AS DOUBLE) / 1e6 / CAST(n_a AS DOUBLE)))
+                      / CAST(n_a AS DOUBLE)
+                      + (CAST(ss_b AS DOUBLE) / 1e6 / CAST(n_b AS DOUBLE)
+                         - (CAST(s_b AS DOUBLE) / 1e6 / CAST(n_b AS DOUBLE))
+                           * (CAST(s_b AS DOUBLE) / 1e6 / CAST(n_b AS DOUBLE)))
+                        / CAST(n_b AS DOUBLE))) > 1.96 AS significant
+    FROM agg
+    """,
+)

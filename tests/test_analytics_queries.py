@@ -319,3 +319,40 @@ def test_isotropy_matches_numpy_eigen_invariants(spark, sf_dir):
     assert abs(got.participation_ratio - want) < 1e-3
     assert 1.0 <= got.participation_ratio <= got.n_dims
     assert abs(got.isotropy_fraction - want / got.n_dims) < 1e-4
+
+
+def test_ab_report_matches_pandas_welch_z(spark, sf_dir):
+    """Arm assignment, per-arm moments, and the Welch z must match an
+    independent pandas recomputation (tolerance covers the 1e-6 value
+    quantization), and arm sizes must partition the events."""
+    import hashlib
+
+    from flink_streaming_demo_spark.plans.event_queries import (
+        events_ab_test_report,
+    )
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", "user_id", "value")
+        .toPandas()
+        .dropna(subset=["user_id"])
+    )
+    bucket = ev.user_id.map(
+        lambda u: int(hashlib.md5(str(int(u)).encode()).hexdigest()[:8], 16)
+        % 1_000_000
+    )
+    ev["arm_a"] = bucket % 2 == 0
+    got = events_ab_test_report(spark, sf_dir).toPandas().set_index(
+        "event_type"
+    )
+    for et, grp in ev.groupby("event_type"):
+        a, b = grp[grp.arm_a].value, grp[~grp.arm_a].value
+        r = got.loc[et]
+        assert (r.n_a, r.n_b) == (len(a), len(b))
+        assert abs(r.mean_a - a.mean()) < 1e-5
+        assert abs(r.mean_b - b.mean()) < 1e-5
+        va = (a**2).mean() - a.mean() ** 2
+        vb = (b**2).mean() - b.mean() ** 2
+        z = (a.mean() - b.mean()) / (va / len(a) + vb / len(b)) ** 0.5
+        assert abs(r.z_score - z) < 1e-3
+        assert r.significant == (abs(z) > 1.96)
