@@ -2832,3 +2832,92 @@ register(
     FROM agg
     """,
 )
+
+
+# --- Purchase attribution (first/last touch) ------------------------------------
+
+ATTR_LOOKBACK_S = 7 * 86400
+
+
+def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-purchase click attribution within a 7-day lookback: each
+    purchase joins its user's clicks in (t_purchase − 7d, t_purchase),
+    and FIRST-touch / LAST-touch credit goes to the earliest / latest
+    such click — the marketing-attribution join every events warehouse
+    serves (funnel's per-USER cousin; this one is per CONVERSION).
+
+    100 TB shape: an equi join on user_id with the time bounds as join
+    predicates (the events_error_after_click interval-join shape — the
+    plan guard proves it stays an equi join, never a nested loop),
+    then one partial-aggregated groupBy(purchase). Purchases without
+    any in-window click report zero touches (left join, the
+    'organic conversion' row every attribution report needs)."""
+    ev = t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id"),
+        F.col("ts").alias("p_ts"),
+        F.col("value").alias("revenue"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("c_ts"),
+    )
+    joined = purchases.alias("p").join(
+        clicks.alias("c"),
+        (F.col("p.user_id") == F.col("c.user_id"))
+        & (F.col("c.c_ts") < F.col("p.p_ts"))
+        & (
+            F.col("c.c_ts")
+            >= F.col("p.p_ts")
+            - F.expr(f"interval {ATTR_LOOKBACK_S} seconds")
+        ),
+        "left",
+    )
+    agg = joined.groupBy(
+        "purchase_id", F.col("p.user_id").alias("user_id"), "p_ts",
+        "revenue"
+    ).agg(
+        F.count("click_id").alias("n_touches"),
+        F.min(F.struct("c_ts", "click_id")).alias("_first"),
+        F.max(F.struct("c_ts", "click_id")).alias("_last"),
+    )
+    return agg.select(
+        "purchase_id",
+        "user_id",
+        F.col("p_ts").alias("purchase_ts"),
+        F.round(F.col("revenue"), 2).alias("revenue"),
+        F.col("n_touches").cast("bigint").alias("n_touches"),
+        F.col("_first.click_id").alias("first_touch_click"),
+        F.col("_last.click_id").alias("last_touch_click"),
+    )
+
+
+register(
+    "events_attribution",
+    events_attribution,
+    f"""
+    WITH p AS (
+        SELECT event_id AS purchase_id, user_id,
+               CAST(ts AS TIMESTAMP) AS p_ts, value AS revenue
+        FROM events WHERE event_type = 'purchase'
+    ),
+    c AS (
+        SELECT user_id, event_id AS click_id,
+               CAST(ts AS TIMESTAMP) AS c_ts
+        FROM events WHERE event_type = 'click'
+    )
+    SELECT p.purchase_id, p.user_id,
+           p.p_ts AS purchase_ts,
+           ROUND(p.revenue, 2) AS revenue,
+           CAST(COUNT(c.click_id) AS BIGINT) AS n_touches,
+           MIN({{'t': c.c_ts, 'id': c.click_id}}).id AS first_touch_click,
+           MAX({{'t': c.c_ts, 'id': c.click_id}}).id AS last_touch_click
+    FROM p
+    LEFT JOIN c ON c.user_id = p.user_id
+                AND c.c_ts < p.p_ts
+                AND c.c_ts >= p.p_ts - INTERVAL {ATTR_LOOKBACK_S} SECONDS
+    GROUP BY p.purchase_id, p.user_id, p.p_ts, p.revenue
+    """,
+)

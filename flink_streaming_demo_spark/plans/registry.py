@@ -340,11 +340,11 @@ _ROUND10_WINDOW = [
     "star_basket_pairs", "tpch_running_revenue",
     "system_data_expectations", "events_kmv_rolling_distinct",
     "events_hll_rolling_users", "embedding_isotropy",
-    "text_zipf_fit", "events_ab_test_report",
+    "text_zipf_fit", "events_ab_test_report", "events_attribution",
     "events_funnel_latency", "sample_curriculum_order",
     "embedding_pca_top_component", "sim_mmr_diverse_topk",
     "sim_kcenter_coreset",
-    "dedup_embedding_neardup", "dedup_semantic",
+    "dedup_embedding_neardup",
     # 3. last checked r6 — four rounds stale (38), registration order
     "pipeline_clean_corpus",
 ]
