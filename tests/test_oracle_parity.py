@@ -78,6 +78,13 @@ def test_shuffle_partition_count_invariance(spark, sf_dir):
         "taxi_early_arrival_fires",   # applyInPandas replay groups
         "text_bpe_merges_batched",    # iterative trainer w/ checkpoints
         "sample_weighted_topk",       # two-level salted top-k
+        # round-10 additions exercising new machinery:
+        "doc_stable_ids",             # exact_global_rank chunk ranks
+        "sample_epoch_shuffle",       # per-(epoch,shard) row_number
+        "embedding_covariance",       # DECIMAL-quantized moment sums
+        "embedding_pca_top_component",  # ordered-fold matvec iteration
+        "sim_mmr_diverse_topk",       # greedy argmax trajectory
+        "events_kmv_rolling_distinct",  # windowed sketch ⊕-merges
     ]
     qs = e.queries()
     baseline = {
