@@ -356,3 +356,78 @@ def test_ab_report_matches_pandas_welch_z(spark, sf_dir):
         z = (a.mean() - b.mean()) / (va / len(a) + vb / len(b)) ** 0.5
         assert abs(r.z_score - z) < 1e-3
         assert r.significant == (abs(z) > 1.96)
+
+
+def test_attribution_matches_pandas_replay(spark, sf_dir):
+    """First/last-touch credit must equal an independent pandas replay
+    of the lookback join — including zero-touch organic conversions."""
+    from flink_streaming_demo_spark.plans.event_queries import (
+        ATTR_LOOKBACK_S,
+        events_attribution,
+    )
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("event_id", "user_id", "event_type", "ts")
+        .toPandas()
+    )
+    purchases = ev[ev.event_type == "purchase"]
+    clicks = ev[ev.event_type == "click"]
+    want = {}
+    for p in purchases.itertuples():
+        win = clicks[
+            (clicks.user_id == p.user_id)
+            & (clicks.ts < p.ts)
+            & (
+                clicks.ts
+                >= p.ts - pd.Timedelta(seconds=ATTR_LOOKBACK_S)
+            )
+        ]
+        if len(win):
+            first = win.sort_values(["ts", "event_id"]).iloc[0]
+            last = win.sort_values(["ts", "event_id"]).iloc[-1]
+            want[p.event_id] = (len(win), first.event_id, last.event_id)
+        else:
+            want[p.event_id] = (0, None, None)
+    got = {
+        r.purchase_id: (
+            r.n_touches,
+            r.first_touch_click,
+            r.last_touch_click,
+        )
+        for r in events_attribution(spark, sf_dir).collect()
+    }
+    assert got == want
+    assert any(v[0] == 0 for v in want.values()) or len(want) < 50
+
+
+def test_curriculum_order_tiles_then_shuffles(spark, sf_dir):
+    """Curriculum contract: the global order visits quartile 1..4 in
+    blocks (graded difficulty), every tile's docs appear in md5-hash
+    order within the tile (seeded shuffle, not length order), and the
+    positions are a contiguous permutation."""
+    import hashlib
+
+    from flink_streaming_demo_spark.plans.sampling_queries import (
+        sample_curriculum_order,
+    )
+
+    out = (
+        sample_curriculum_order(spark, sf_dir)
+        .toPandas()
+        .sort_values("curriculum_pos")
+        .reset_index(drop=True)
+    )
+    assert list(out.curriculum_pos) == list(range(1, len(out) + 1))
+    # tiles appear as non-decreasing blocks
+    assert list(out.tile) == sorted(out.tile)
+    # within a tile: md5-bucket order, which is NOT the length order
+    bucket = out.doc_id.map(
+        lambda d: int(hashlib.md5(str(int(d)).encode()).hexdigest()[:8], 16)
+        % 1_000_000
+    )
+    out["bucket"] = bucket
+    for _, grp in out.groupby("tile"):
+        assert list(grp.bucket) == sorted(
+            grp.bucket
+        ), "within-tile order is not the seeded shuffle"
