@@ -431,3 +431,60 @@ def test_curriculum_order_tiles_then_shuffles(spark, sf_dir):
         assert list(grp.bucket) == sorted(
             grp.bucket
         ), "within-tile order is not the seeded shuffle"
+
+
+def test_funnel_latency_matches_python_hist_replay(spark, sf_dir):
+    """The latency quantiles must equal a pure-Python replay of the
+    fixed-boundary histogram interpolation over pandas-derived
+    transition latencies, and sit within one bin width (8 h) of the
+    true empirical quantile."""
+    import numpy as np
+
+    from flink_streaming_demo_spark.plans.event_queries import (
+        LAT_HI,
+        LAT_LO,
+        LAT_QS,
+        events_funnel_latency,
+        events_funnel_stages,
+    )
+
+    f = events_funnel_stages(spark, sf_dir).toPandas()
+    lats = {
+        "view_to_click": (
+            (f.t_click - f.t_view).dt.total_seconds() / 3600.0
+        ).dropna(),
+        "click_to_purchase": (
+            (f.t_purchase - f.t_click).dt.total_seconds() / 3600.0
+        ).dropna(),
+    }
+    n_bins = 64
+    width = (LAT_HI - LAT_LO) / n_bins
+
+    def hist_quantile(vals, q):
+        bins = np.clip(
+            np.floor((vals - LAT_LO) / width).astype(int), 0, n_bins - 1
+        )
+        cnt = np.bincount(bins, minlength=n_bins)
+        cum = np.cumsum(cnt)
+        target = q * len(vals)
+        b = int(np.searchsorted(cum, target))
+        cum_before = cum[b] - cnt[b]
+        return LAT_LO + (b + (target - cum_before) / cnt[b]) * width
+
+    got = events_funnel_latency(spark, sf_dir).toPandas()
+    assert set(got.transition) == set(lats)
+    for r in got.itertuples():
+        vals = lats[r.transition].to_numpy()
+        assert r.n == len(vals)
+        want = hist_quantile(vals, r.q)
+        assert abs(r.hist_quantile - round(want, 6)) < 1e-6, (
+            r.transition, r.q,
+        )
+        # the sketch's actual guarantee: the estimate lies in the bin
+        # of the ceil(q*n)-th order statistic (numpy's interpolated
+        # quantile can sit a sparse-tail gap away, so it is NOT the
+        # right yardstick)
+        order_stat = float(
+            np.sort(vals)[int(np.ceil(r.q * len(vals))) - 1]
+        )
+        assert abs(r.hist_quantile - order_stat) <= width + 1e-9
