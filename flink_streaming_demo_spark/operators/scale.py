@@ -1150,7 +1150,21 @@ def hist_quantiles(
     The covering bin is the first with cum >= target (ties resolved by
     the strict cum_before < target), found by a cumulative-sum window
     over the <= n_bins rows per group — every arithmetic step is written
-    identically in the SQL twin, so estimates hash-check."""
+    identically in the SQL twin, so estimates hash-check.
+
+    ``qs`` must lie in (0, 1]: q=0 makes target=0, which no bin can
+    cover under the strict cum_before < target bound, so the row would
+    silently VANISH rather than return ``lo`` (identically in the SQL
+    twin — parity-safe but an API trap, r10 ADVICE item 3). Guarded
+    here instead of special-cased so both graders stay line-identical;
+    callers wanting the minimum should read the lowest non-empty bin."""
+    bad = [q for q in qs if not (0.0 < q <= 1.0)]
+    if bad:
+        raise ValueError(
+            f"hist_quantiles: qs must be in (0, 1], got {bad} — q=0 "
+            "cannot satisfy the covering-bin bound and would drop its "
+            "row silently"
+        )
     from pyspark.sql import Window
 
     width = (hi - lo) / n_bins
@@ -1218,7 +1232,11 @@ def sql_hist_quantiles(
     hi: float,
     n_bins: int = HIST_N_BINS,
 ) -> str:
-    """DuckDB twin of hist_quantiles over a named sketch CTE."""
+    """DuckDB twin of hist_quantiles over a named sketch CTE. Same
+    (0, 1] domain guard as the Spark side (q=0 drops its row)."""
+    bad = [q for q in qs if not (0.0 < q <= 1.0)]
+    if bad:
+        raise ValueError(f"sql_hist_quantiles: qs must be in (0, 1], got {bad}")
     width = (hi - lo) / n_bins
     q_values = ", ".join(f"({float(q)!r})" for q in qs)
     return f"""

@@ -352,20 +352,50 @@ register(
 def events_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ approximate distinct users per event_type — the scale
     path for distinct counts (exact countDistinct shuffles every distinct
-    key; the sketch shuffles a constant-size binary per group). Registered
-    WITHOUT an oracle twin: sketch estimates are engine-specific, so the
-    driver records the weaker rows-only check; the exact variant is
-    oracle-checked in star_distinct_part_supp, and the hash-checkable
-    approximate sibling (same job, engine-replayable order statistics)
-    is events_kmv_distinct_users."""
+    key; the sketch shuffles a constant-size binary per group) — graded
+    as a hash-checkable CONTRACT (r10 verdict #3): the raw estimate is
+    engine-internal (HLL++ registers don't replay in DuckDB), so instead
+    of emitting it we emit ``within_bound`` = |approx − exact| ≤ 5·rsd·
+    exact alongside the exact count. approx_count_distinct is hash-based
+    and deterministic for fixed data, the 5σ envelope at rsd=0.02 (10%
+    relative) is far beyond HLL++'s observed error, and the oracle's
+    TRUE literal pins the contract — the driver now hashes a
+    deterministic row instead of recording the weaker rows-only check.
+    The estimate-VALUE graders remain the engine-replayable siblings
+    events_kmv_distinct_users / events_hll_distinct_users."""
     ev = t(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+    rsd = 0.02
+    agg = ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd).alias("approx_users"),
+        F.countDistinct("user_id").alias("exact_users"),
         F.count(F.lit(1)).alias("n_events"),
+    )
+    err = F.abs(
+        F.col("approx_users").cast("double")
+        - F.col("exact_users").cast("double")
+    )
+    return agg.select(
+        "event_type",
+        F.col("exact_users").cast("bigint").alias("exact_users"),
+        F.col("n_events").cast("bigint").alias("n_events"),
+        (err <= F.lit(5.0 * rsd) * F.col("exact_users").cast("double")).alias(
+            "within_bound"
+        ),
     )
 
 
-register("events_approx_distinct_users", events_approx_distinct_users, None)
+register(
+    "events_approx_distinct_users",
+    events_approx_distinct_users,
+    """
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           TRUE AS within_bound
+    FROM events
+    GROUP BY event_type
+    """,
+)
 
 
 # --- Array aggregation / array function surface -------------------------------
@@ -1475,7 +1505,7 @@ def events_kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV (k-minimum-values) approximate distinct users per event_type —
     an ORACLE-CHECKED sibling of events_approx_distinct_users: the
     BUILT-IN approx_count_distinct's HLL++ registers are engine-internal
-    (that query stays rows-only), but KMV is pure order statistics over
+    (that query is graded as a bound CONTRACT, not by value), but KMV is pure order statistics over
     md5 fractions, so DuckDB replays the estimate bit-for-bit and the
     driver hash-checks an approximate-distinct operator end to end.
     (events_hll_distinct_users is the register-sketch counterpart: a
@@ -1574,7 +1604,7 @@ def events_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     string/arithmetic expressions DuckDB evaluates identically, and the
     harmonic sum is exact-integer (DECIMAL/HUGEINT), so the estimate
     hash-checks end to end where the built-in HLL++
-    (events_approx_distinct_users) must stay rows-only. State per group
+    (events_approx_distinct_users) is only bound-contract-checkable. State per group
     is <= 256 (bucket, max-rho) pairs built by one partial-agg-friendly
     MAX — the mergeable shape per-day partials roll up through
     (events_hll_rollup_users). Bounded error vs exact and the
@@ -1961,7 +1991,15 @@ def events_cms_rollup_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketch = cms_rollup(
         daily.select("event_type", "row", "col", "cnt"), ["event_type"]
     )
-    probes = ev.select("event_type", "user_id").distinct()
+    # NULL user_id rows must be excluded to match the oracle's
+    # WHERE user_id IS NOT NULL probe frame by construction: the events
+    # schema allows NULLs, and an unfiltered distinct would emit a
+    # cms_count=0 row the oracle never produces (r10 ADVICE item 1).
+    probes = (
+        ev.filter(F.col("user_id").isNotNull())
+        .select("event_type", "user_id")
+        .distinct()
+    )
     return cms_estimate(sketch, probes, ["event_type"], "user_id")
 
 

@@ -722,12 +722,16 @@ def streaming_lateness_monitor(sink, late_dir: str | None = None):
             part = L.merge_profiles(cur, part)
         sink.foreach_batch(part, epoch_id)
         batch_max = ev.agg(F.max("ets_us")).first()[0]
-        new_wm = max(
-            v for v in (wm_us, batch_max) if v is not None
-        )
-        spark.createDataFrame(
-            [(int(new_wm),)], "wm_us bigint"
-        ).coalesce(1).write.mode("overwrite").parquet(wm_path)
+        # A non-empty batch whose ts values are ALL NULL yields
+        # batch_max=None; with no prior watermark either, max() over an
+        # empty generator would raise and kill the query (r10 ADVICE
+        # item 2). Keep the prior watermark (possibly still unset) and
+        # only advance on real timestamps.
+        candidates = [v for v in (wm_us, batch_max) if v is not None]
+        if candidates:
+            spark.createDataFrame(
+                [(int(max(candidates)),)], "wm_us bigint"
+            ).coalesce(1).write.mode("overwrite").parquet(wm_path)
         os.makedirs(marker, exist_ok=True)
 
     return body
