@@ -10,9 +10,16 @@ harness captures only the TAIL of stdout (r8 lesson: inlining the full
 plan-node sequences grew the line past the capture window and the round
 recorded `parsed: null`). Everything bulky but diagnostic — per-query
 plan fingerprints, full plan-node sequences, best-of-N spread — goes to
-the `bench_details.json` sidecar next to this file, which is committed
-per round so plan-shape regressions stay diffable round-over-round
-(tools/bench_plan_diff.py reads it).
+the `bench_details.json` sidecar next to this file. The sidecar itself
+is UNTRACKED (gitignored) as of r11: every bench run — the driver's
+included — rewrites it, and a tracked file the driver stomps recreated
+working-tree churn each round (r10 verdict #6). The committed,
+deliberately-refreshed copies are `bench_anchor.json` (headline set,
+idle box) and `bench_anchor_all.json` (full registry, idle box,
+SPARK_GRAFT_BENCH_ALL=1): refresh = run on an idle box, then
+`cp bench_details[_all].json bench_anchor[_all].json` and commit. Plan
+regressions stay diffable round-over-round via
+`tools/bench_plan_diff.py <anchor> <fresh sidecar>`.
 
 Each query is forced end-to-end with the noop sink (full materialization,
 no collect/driver overhead). Each query runs once for warmup, then
@@ -161,9 +168,9 @@ def main() -> int:
         ),
     }
     # SPARK_GRAFT_DETAILS_DIR redirects the sidecar (the smoke test uses
-    # a temp dir so a tiny-SF test run never stomps the committed sf0.1
-    # series next to this file — the source of recurring working-tree
-    # churn through round 10).
+    # a temp dir). The in-repo default is untracked since r11 — see the
+    # module docstring — so even driver runs leave the tree clean; only
+    # an explicit anchor refresh (cp to bench_anchor*.json) touches git.
     details_path = os.path.join(
         os.environ.get(
             "SPARK_GRAFT_DETAILS_DIR",
