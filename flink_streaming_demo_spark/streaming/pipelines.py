@@ -607,6 +607,88 @@ def streaming_hist_counts(
     )
 
 
+def rolling_kmv_view(
+    store: DataFrame,
+    day_col: str = "day",
+    window_days: int = 7,
+    k: int | None = None,
+) -> DataFrame:
+    """Rolling N-day distinct view over a PER-DAY KMV sketch store —
+    the streaming consumer's form of the batch
+    events_kmv_rolling_distinct (r10 verdict #7): maintain the store
+    with ``streaming_kmv_distinct(sink, [day_col], key)`` so each day's
+    rows collapse into one ≤k-doubles sketch as they stream in, then
+    THIS read-time view fans each day's partial out to the ≤N
+    window-ends it falls in, ⊕-merges per window-end, and estimates.
+    Because KMV merge is associative and the per-day maintainer
+    converges to the batch per-day partial (pinned by the maintainer
+    test), the view over the store EQUALS the batch rolling query over
+    the same rows — pinned by
+    tests/test_streaming.py::test_rolling_kmv_view_equals_batch_query.
+
+    Emits (win_day, n_sampled, kmv_distinct), one row per OBSERVED day
+    (window-ends with no own-day data are not served, matching batch).
+    Read cost is sketch-sized: ≤ N·k doubles per window-end, never the
+    base data."""
+    from flink_streaming_demo_spark.operators.scale import (
+        KMV_K,
+        kmv_estimate,
+        kmv_rollup,
+    )
+
+    if k is None:
+        k = KMV_K
+    fan = store.select(
+        F.explode(
+            F.expr(
+                f"sequence({day_col}, {day_col} + interval "
+                f"{window_days - 1} days, interval 1 day)"
+            )
+        ).alias("win_day"),
+        "kmv",
+    )
+    rolled = kmv_rollup(fan, ["win_day"], k)
+    observed = store.select(F.col(day_col).alias("win_day")).distinct()
+    return kmv_estimate(rolled.join(observed, "win_day"), k).select(
+        "win_day", "n_sampled", "kmv_distinct"
+    )
+
+
+def rolling_hll_view(
+    store: DataFrame,
+    day_col: str = "day",
+    window_days: int = 7,
+) -> DataFrame:
+    """Rolling N-day distinct view over a PER-DAY HLL register store —
+    register-sketch sibling of rolling_kmv_view, streaming form of the
+    batch events_hll_rolling_users: maintain the store with
+    ``streaming_hll_distinct(sink, [day_col], key)`` (sink key
+    [day_col, 'bucket']), then fan each day's registers to its ≤N
+    window-ends and merge by per-bucket MAX — idempotent, so window
+    overlap is free and the view equals the batch rolling query over
+    the same rows (streaming≡batch test). Emits
+    (win_day, n_registers, hll_distinct) per observed day; read cost is
+    ≤ N·256 register rows per window-end."""
+    from flink_streaming_demo_spark.operators.scale import (
+        hll_estimate,
+        hll_rollup,
+    )
+
+    fan = store.select(
+        F.explode(
+            F.expr(
+                f"sequence({day_col}, {day_col} + interval "
+                f"{window_days - 1} days, interval 1 day)"
+            )
+        ).alias("win_day"),
+        "bucket",
+        "rho",
+    )
+    rolled = hll_rollup(fan, ["win_day"])
+    observed = store.select(F.col(day_col).alias("win_day")).distinct()
+    return hll_estimate(rolled.join(observed, "win_day"), ["win_day"])
+
+
 def streaming_reservoir_weighted(
     sink,
     group_cols: list[str],

@@ -2097,3 +2097,80 @@ def test_streaming_contract_maintainer_converges_and_guards_replay(
     finally:
         shutil.rmtree(store, ignore_errors=True)
         shutil.rmtree(f"{store}_epochs", ignore_errors=True)
+
+
+def test_rolling_kmv_and_hll_views_equal_batch_queries(spark, sf_dir):
+    """Streaming rolling-window symmetry (r10 verdict #7): replay the
+    events table in chunks that CUT ACROSS day boundaries through the
+    per-day KMV and HLL maintainers, then read the rolling 7-day views
+    over the stores — each must equal the registered BATCH rolling
+    query (events_kmv_rolling_distinct / events_hll_rolling_users) over
+    the same table, row-for-row including the float estimates. This
+    pins the full composition: per-day maintainer convergence (⊕ over
+    triggers), the day→window-end fan-out, and the read-time estimate."""
+    from flink_streaming_demo_spark.plans.event_queries import (
+        events_hll_rolling_users,
+        events_kmv_rolling_distinct,
+    )
+    from flink_streaming_demo_spark.schemas import load_table
+    from flink_streaming_demo_spark.streaming.pipelines import (
+        rolling_hll_view,
+        rolling_kmv_view,
+        streaming_hll_distinct,
+        streaming_kmv_distinct,
+        write_foreach_batch_stream,
+    )
+    from flink_streaming_demo_spark.streaming.sinks import ParquetUpsertSink
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.date_trunc("DAY", F.col("ts")).alias("day"),
+        "user_id",
+    )
+    # chunk by event_id, NOT by time: every trigger carries several
+    # days, so per-day state must merge correctly across triggers
+    chunk_dir = replay.write_replay_chunks(
+        ev.withColumn("delivery_ts", F.col("event_id")),
+        n_chunks=3,
+        order_col="delivery_ts",
+    )
+    tmp = tempfile.mkdtemp(prefix="rolling_")
+    kmv_sink = ParquetUpsertSink(f"{tmp}/kmv", ["day"])
+    hll_sink = ParquetUpsertSink(f"{tmp}/hll", ["day", "bucket"])
+    try:
+        for body, name in (
+            (streaming_kmv_distinct(kmv_sink, ["day"], "user_id"), "kmv"),
+            (streaming_hll_distinct(hll_sink, ["day"], "user_id"), "hll"),
+        ):
+            stream = replay.read_replay_stream(
+                spark,
+                chunk_dir,
+                "event_id long, day timestamp, user_id long",
+                max_files_per_trigger=1,
+            )
+            q = write_foreach_batch_stream(stream, body, f"rolling_{name}")
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
+
+        got_kmv = sorted(
+            tuple(r) for r in rolling_kmv_view(kmv_sink.read(spark)).collect()
+        )
+        want_kmv = sorted(
+            tuple(r)
+            for r in events_kmv_rolling_distinct(spark, sf_dir).collect()
+        )
+        assert got_kmv == want_kmv
+
+        got_hll = sorted(
+            tuple(r) for r in rolling_hll_view(hll_sink.read(spark)).collect()
+        )
+        want_hll = sorted(
+            tuple(r)
+            for r in events_hll_rolling_users(spark, sf_dir).collect()
+        )
+        assert got_hll == want_hll
+    finally:
+        shutil.rmtree(chunk_dir, ignore_errors=True)
+        shutil.rmtree(tmp, ignore_errors=True)
