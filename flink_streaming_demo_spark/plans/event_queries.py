@@ -2959,3 +2959,160 @@ register(
     GROUP BY p.purchase_id, p.user_id, p.p_ts, p.revenue
     """,
 )
+
+
+# --- Rolling-window sketch views, part 2 (histogram + CMS) -------------------
+#
+# r10 added the rolling 7-day forms of the two DISTINCT sketches (KMV,
+# HLL). These two close the family: every mergeable sketch in
+# operators/scale.py now has a rolling-window view built the same way —
+# sketch each day once, fan the day's partial to the <= 7 window-ends it
+# falls in (bounded array expression), ⊕-merge per window-end, estimate
+# at read time. History is never rescanned; a new day costs one day's
+# sketch plus 7 merges. The streaming consumers get the identical tables
+# from the per-day maintainer stores via streaming/pipelines' rolling
+# views (same fan-out + rollup on read).
+
+def events_hist_rolling_quantiles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """7-day ROLLING p50/p90/p99 of events.value per day from per-day
+    histogram-bin partials — the trailing-window latency/score dashboard
+    quantile: bins merge by SUM (associative), so the merged window
+    sketch EQUALS the direct sketch over the window's events and the
+    oracle replays each window directly; a green hash proves the rolling
+    merge arithmetic AND the interpolation. Read side touches <= 7 * 64
+    longs per window-end; the only data-sized work is the per-day
+    partial."""
+    from flink_streaming_demo_spark.operators.scale import (
+        hist_partial,
+        hist_quantiles,
+        hist_rollup,
+    )
+
+    ev = t(spark, sf_dir, "events").withColumn(
+        "day", F.date_trunc("DAY", F.col("ts"))
+    )
+    daily = hist_partial(ev, ["day"], "value", HIST_LO, HIST_HI)
+    fan = daily.select(
+        F.explode(
+            F.expr("sequence(day, day + interval 6 days, interval 1 day)")
+        ).alias("win_day"),
+        "bin",
+        "cnt",
+    )
+    rolled = hist_rollup(fan, ["win_day"])
+    observed = daily.select(F.col("day").alias("win_day")).distinct()
+    return hist_quantiles(
+        rolled.join(observed, "win_day"),
+        ["win_day"],
+        list(HIST_QS),
+        HIST_LO,
+        HIST_HI,
+    )
+
+
+def _hist_rolling_oracle() -> str:
+    from flink_streaming_demo_spark.operators.scale import (
+        sql_hist_counts,
+        sql_hist_quantiles,
+    )
+
+    return f"""
+    WITH base AS (
+        SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day, value
+        FROM events
+    ),
+    days AS (SELECT DISTINCT day AS win_day FROM base),
+    win AS (
+        SELECT d.win_day, b.value
+        FROM days d
+        JOIN base b ON b.day BETWEEN d.win_day - INTERVAL 6 DAY
+                               AND d.win_day
+    ),
+    sketch AS (
+        {sql_hist_counts("win_day", "value", "win", HIST_LO, HIST_HI)}
+    )
+    {sql_hist_quantiles("win_day", "sketch", list(HIST_QS), HIST_LO, HIST_HI)}
+    """
+
+
+register(
+    "events_hist_rolling_quantiles",
+    events_hist_rolling_quantiles,
+    _hist_rolling_oracle(),
+)
+
+
+def events_cms_rolling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day ROLLING per-user event-count estimates: sketch each day's
+    events into a CMS counter grid once, SUM-merge the <= 7 grids per
+    window-end, then point-query each day's ACTIVE users against their
+    trailing-7-day grid — 'how often has today's user been here this
+    week' without shuffling the (day x user) key space. Counters merge
+    by SUM, so the merged grid EQUALS the direct window grid and the
+    oracle replays each window directly. Probes are NULL-filtered to
+    match the oracle by construction (the sibling-query lesson from r10
+    ADVICE #1)."""
+    from flink_streaming_demo_spark.operators.scale import (
+        cms_estimate,
+        cms_partial,
+        cms_rollup,
+    )
+
+    ev = t(spark, sf_dir, "events").withColumn(
+        "day", F.date_trunc("DAY", F.col("ts"))
+    )
+    daily = cms_partial(ev, ["day"], "user_id")
+    fan = daily.select(
+        F.explode(
+            F.expr("sequence(day, day + interval 6 days, interval 1 day)")
+        ).alias("win_day"),
+        "row",
+        "col",
+        "cnt",
+    )
+    rolled = cms_rollup(fan, ["win_day"])
+    probes = (
+        ev.filter(F.col("user_id").isNotNull())
+        .select(F.col("day").alias("win_day"), "user_id")
+        .distinct()
+    )
+    return cms_estimate(rolled, probes, ["win_day"], "user_id")
+
+
+def _cms_rolling_oracle() -> str:
+    from flink_streaming_demo_spark.operators.scale import (
+        sql_cms_counters,
+        sql_cms_estimate,
+    )
+
+    return f"""
+    WITH base AS (
+        SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day, user_id
+        FROM events
+        WHERE user_id IS NOT NULL
+    ),
+    days AS (SELECT DISTINCT day AS win_day FROM base),
+    win AS (
+        SELECT d.win_day, b.user_id
+        FROM days d
+        JOIN base b ON b.day BETWEEN d.win_day - INTERVAL 6 DAY
+                               AND d.win_day
+    ),
+    sketch AS (
+        {sql_cms_counters("win_day", "user_id", "win")}
+    ),
+    probes AS (SELECT DISTINCT day AS win_day, user_id FROM base),
+    est AS (
+        {sql_cms_estimate("win_day", "user_id", "probes", "sketch")}
+    )
+    SELECT win_day, user_id, cms_count FROM est
+    """
+
+
+register(
+    "events_cms_rolling_counts",
+    events_cms_rolling_counts,
+    _cms_rolling_oracle(),
+)

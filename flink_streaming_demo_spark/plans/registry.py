@@ -408,6 +408,67 @@ _ROUND10_WINDOW = [
 # landed.
 
 
+# Round 11 window: exactly the shape the r10 verdict pre-committed.
+#   1. never driver-checked: the round's 2 new queries
+#      (events_hist_rolling_quantiles, events_cms_rolling_counts —
+#      rolling-window forms for the remaining two mergeable sketches;
+#      KMV/HLL got theirs in r10). New-query count was deliberately
+#      capped at 2 this round so every age-4 query still fits (the
+#      verdict's done criterion: no driver evidence older than r7).
+#   2. round-11 churn: sim_kcenter_coreset (per-step min-distance
+#      rewritten from a join fan-out to a broadcast array fold, r10
+#      verdict #5 — parity re-verified at sf0.001 + sf0.01 locally, and
+#      the fresh driver row pins the new plan).
+#   3. ALL 47 queries whose latest driver row is r6 (age 4 — the oldest
+#      evidence in the surface), fronted in the verdict's order: the ten
+#      TPC-H/star deferrals first, then the nine re-greens displaced
+#      late in r10, then the twelve r10 deferrals, then the r6 remainder
+#      in registration order. events_approx_distinct_users is in this
+#      block AND was rewritten this round as a hash-checkable bound
+#      contract (r10 verdict #3), so its row upgrades from rows-only to
+#      a full hash check.
+# Churn NOT in-window (50-slot pressure), with compensating evidence:
+# events_cms_rollup_users (probe frame gained the NULL filter, r10
+# ADVICE #1 — output byte-identical on fixtures, parity-green at sf0.01
+# the day it landed, and its in-window rolling sibling
+# events_cms_rolling_counts exercises the same cms_partial/rollup/
+# estimate closures plus the filtered-probe construction);
+# events_hist_value_quantiles (operators/scale.py gained the q-domain
+# guard — a raise on inputs no registered query uses; outputs unchanged,
+# parity-green at sf0.01, and in-window events_hist_rolling_quantiles
+# exercises the same hist closures).
+_ROUND11_WINDOW = [
+    # 1. never driver-checked (this round's new queries)
+    "events_hist_rolling_quantiles", "events_cms_rolling_counts",
+    # 2. round-11 churn
+    "sim_kcenter_coreset",
+    # 3a. the ten TPC-H/star deferrals (r10 verdict #1 front)
+    "tpch_q2_min_cost_supplier", "tpch_q4_order_priority",
+    "tpch_q9_product_profit", "tpch_q11_important_stock",
+    "tpch_q12_ship_speed", "tpch_q16_parts_supplier",
+    "tpch_q20_excess_supply", "tpch_q21_waiting_orders",
+    "tpch_q22_global_sales_opportunity", "star_customers_without_orders",
+    # 3b. the nine re-greens displaced late in r10
+    "taxi_end_events", "taxi_cell_centers", "taxi_total_arrival_count",
+    "text_chunk_documents", "dedup_winnow_pairs", "dedup_simhash",
+    "dedup_simhash64", "dedup_clusters", "text_token_counts",
+    # 3c. the twelve r10 deferrals
+    "embedding_stats", "label_centroid_distance",
+    "events_approx_distinct_users", "dedup_exact_survivors",
+    "doc_winnow_fingerprints", "events_user_type_arrays", "doc_simhash",
+    "lang_id_scores", "doc_fingerprints", "sample_hash_split",
+    "tfidf_top_terms", "decon_eval_overlap",
+    # 3d. the r6 remainder, registration order
+    "dedup_exact_groups", "dedup_minhash_lsh", "dedup_ngram_jaccard",
+    "text_quality_scores", "multimodal_features",
+    "taxi_sliding_arrival_count", "taxi_trip_etl",
+    "events_hourly_counts", "events_asof_latest_order",
+    "events_pivot_type_counts", "events_value_stats",
+    "events_json_props", "sample_source_cap", "sample_pack_bins",
+    "sample_stratified", "source_length_quantiles",
+]
+
+
 def _active_window() -> list[str]:
     """The highest-numbered _ROUND<N>_WINDOW defined in this module.
 
