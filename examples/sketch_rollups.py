@@ -112,6 +112,22 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> int:
     bloom.join(cms, [*g, "user_id"]).join(exact_user, g, "left").orderBy(
         "event_type"
     ).show()
+
+    print("== rolling 7-day WAU: the same per-day partials, fanned to")
+    print("   window-ends and ⊕-merged — history never rescanned ==")
+    evd = ev.withColumn("day", F.date_trunc("DAY", F.col("ts")))
+    daily = scale.kmv_partial(evd, ["day"], "user_id")
+    fan = daily.select(
+        F.explode(
+            F.expr("sequence(day, day + interval 6 days, interval 1 day)")
+        ).alias("win_day"),
+        "kmv",
+    )
+    rolled = scale.kmv_rollup(fan, ["win_day"])
+    observed = daily.select(F.col("day").alias("win_day"))
+    scale.kmv_estimate(rolled.join(observed, "win_day")).orderBy(
+        "win_day"
+    ).show(10)
     return 0
 
 

@@ -1500,11 +1500,18 @@ def embedding_pca_top_component(
     the covariance inputs are already bit-identical from _cov_frame's
     DECIMAL sums. sqrt and the divisions are single IEEE ops."""
     f = _cov_frame(spark, sf_dir)
+    # Cut the iteration's lineage at the 4160-row symmetric matrix:
+    # without this, every matvec's plan re-embeds the ENTIRE covariance
+    # derivation (measured in the r11 full-surface bench: 3,672 plan
+    # nodes, 330 parquet scans, 12.1 s at sf0.1 — the one data-sized
+    # pass re-derived per iteration instead of once). localCheckpoint
+    # materializes bit-identical doubles, so the ordered folds and the
+    # oracle's MATERIALIZED fullm CTE are unaffected.
     full = f.select("i", "j", "c").unionByName(
         f.filter(F.col("i") != F.col("j")).select(
             F.col("j").alias("i"), F.col("i").alias("j"), "c"
         )
-    )
+    ).localCheckpoint()
     v = full.select(F.col("i").alias("dim")).distinct().select(
         "dim", F.lit(0.125).alias("val")
     )

@@ -688,3 +688,103 @@ def test_kmv_rolling_window_equals_direct_window_sketch(spark, sf_dir):
                               "user_id")
         ).collect()[0]
         assert got[d] == (direct.n_sampled, direct.kmv_distinct), d
+
+
+def test_hist_rolling_window_equals_direct_window_sketch(spark, sf_dir):
+    """The rolling histogram query's merged 7-day bins must EQUAL the
+    bins computed directly over each window's events (SUM merge
+    associativity on a sliding window) — so its quantiles inherit the
+    single-window sketch's one-bin error bound unchanged."""
+    from flink_streaming_demo_spark.plans.event_queries import (
+        HIST_HI,
+        HIST_LO,
+        HIST_QS,
+        events_hist_rolling_quantiles,
+    )
+
+    got = {
+        (r.win_day, r.q): (r.hist_quantile, r.n)
+        for r in events_hist_rolling_quantiles(spark, sf_dir).collect()
+    }
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.date_trunc("DAY", F.col("ts"))
+    )
+    days = [r.day for r in ev.select("day").distinct().collect()]
+    import datetime
+
+    for d in days:
+        lo = d - datetime.timedelta(days=6)
+        win = ev.filter((F.col("day") >= lo) & (F.col("day") <= d))
+        direct = {
+            r.q: (r.hist_quantile, r.n)
+            for r in scale.hist_quantiles(
+                scale.hist_partial(
+                    win.withColumn("_g", F.lit(1)),
+                    ["_g"],
+                    "value",
+                    HIST_LO,
+                    HIST_HI,
+                ),
+                ["_g"],
+                list(HIST_QS),
+                HIST_LO,
+                HIST_HI,
+            ).collect()
+        }
+        for q in HIST_QS:
+            assert got[(d, q)] == direct[q], (d, q)
+
+
+def test_cms_rolling_window_equals_direct_window_estimates(spark, sf_dir):
+    """The rolling CMS query's merged 7-day counter grid must yield the
+    SAME point estimates as a grid built directly over each window's
+    events (SUM merge associativity) — and every estimate must keep the
+    one-sided contract cms_count >= the user's exact event count in the
+    window (CMS never under-counts)."""
+    from flink_streaming_demo_spark.plans.event_queries import (
+        events_cms_rolling_counts,
+    )
+
+    rows = events_cms_rolling_counts(spark, sf_dir).collect()
+    got = {(r.win_day, r.user_id): r.cms_count for r in rows}
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.date_trunc("DAY", F.col("ts"))
+    )
+    days = sorted(
+        r.day for r in ev.select("day").distinct().collect()
+    )[:3]  # three windows keep the replay cheap; algebra is day-agnostic
+    import datetime
+
+    for d in days:
+        lo = d - datetime.timedelta(days=6)
+        win = ev.filter(
+            (F.col("day") >= lo)
+            & (F.col("day") <= d)
+            & F.col("user_id").isNotNull()
+        )
+        probes = (
+            ev.filter((F.col("day") == d) & F.col("user_id").isNotNull())
+            .select("user_id")
+            .distinct()
+            .withColumn("_g", F.lit(1))
+        )
+        direct = {
+            r.user_id: r.cms_count
+            for r in scale.cms_estimate(
+                scale.cms_partial(
+                    win.withColumn("_g", F.lit(1)), ["_g"], "user_id"
+                ),
+                probes,
+                ["_g"],
+                "user_id",
+            ).collect()
+        }
+        exact = {
+            r.user_id: r.n
+            for r in win.groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        for u, est in direct.items():
+            assert got[(d, u)] == est, (d, u)
+            assert est >= exact.get(u, 0), (d, u)

@@ -146,18 +146,25 @@ def generate(spark, base: str, out: str, mult: int) -> None:
 
     if not done("embeddings"):
         emb = load_table(spark, base, "embeddings")
+        dims = len(emb.select("embedding").head()[0])
         copies = [emb]
         for k in range(1, mult):
+            # rotation amount wraps at the vector dim: for mult > dims
+            # (the 100x probe) a raw k would make the slice length
+            # negative and the copy generation fail. Copies k and k+dims
+            # share a rotation but differ in the hash(i, k) sign mask,
+            # which is enough because no 100x probe query is pairwise.
+            r = k % dims
             copies.append(
                 emb.withColumn(
                     "vec_id", F.col("vec_id") + F.lit(k * _DOC_SHIFT)
                 ).withColumn(
                     "embedding",
                     F.expr(
-                        # rotate by k, then hash-sign-flip (see docstring)
-                        f"transform(concat(slice(embedding, {k + 1}, "
-                        f"size(embedding) - {k}), "
-                        f"slice(embedding, 1, {k})), "
+                        # rotate by r, then hash-sign-flip (see docstring)
+                        f"transform(concat(slice(embedding, {r + 1}, "
+                        f"size(embedding) - {r}), "
+                        f"slice(embedding, 1, {r})), "
                         "(x, i) -> CASE WHEN "
                         f"pmod(hash(i, {k}), 2) = 0 THEN -x ELSE x END)"
                     ),
