@@ -689,6 +689,85 @@ def rolling_hll_view(
     return hll_estimate(rolled.join(observed, "win_day"), ["win_day"])
 
 
+def rolling_hist_view(
+    store: DataFrame,
+    qs: list[float],
+    lo: float,
+    hi: float,
+    day_col: str = "day",
+    window_days: int = 7,
+    n_bins: int | None = None,
+) -> DataFrame:
+    """Rolling N-day quantile view over a PER-DAY histogram-bin store —
+    streaming form of the batch events_hist_rolling_quantiles: maintain
+    the store with ``streaming_hist_counts(sink, [day_col], value, lo,
+    hi)`` (sink key [day_col, 'bin']), then fan each day's bins to its
+    ≤N window-ends, SUM-merge per window-end, and interpolate the
+    quantiles at read time. Bin SUM is associative, so the view equals
+    the batch rolling query over the same rows (streaming≡batch test).
+    Emits (win_day, q, hist_quantile, n) per observed day; read cost is
+    ≤ N·n_bins longs per window-end."""
+    from flink_streaming_demo_spark.operators.scale import (
+        HIST_N_BINS,
+        hist_quantiles,
+        hist_rollup,
+    )
+
+    bins = HIST_N_BINS if n_bins is None else n_bins
+    fan = store.select(
+        F.explode(
+            F.expr(
+                f"sequence({day_col}, {day_col} + interval "
+                f"{window_days - 1} days, interval 1 day)"
+            )
+        ).alias("win_day"),
+        "bin",
+        "cnt",
+    )
+    rolled = hist_rollup(fan, ["win_day"])
+    observed = store.select(F.col(day_col).alias("win_day")).distinct()
+    return hist_quantiles(
+        rolled.join(observed, "win_day"), ["win_day"], qs, lo, hi, bins
+    )
+
+
+def rolling_cms_view(
+    store: DataFrame,
+    probes: DataFrame,
+    key_col: str,
+    day_col: str = "day",
+    window_days: int = 7,
+) -> DataFrame:
+    """Rolling N-day frequency view over a PER-DAY CMS counter store —
+    streaming form of the batch events_cms_rolling_counts: maintain the
+    store with ``streaming_cms_counts(sink, [day_col], key)`` (sink key
+    [day_col, 'row', 'col'], epoch-guarded SUM merge), then fan each
+    day's grid to its ≤N window-ends, SUM-merge per window-end, and
+    point-query ``probes`` (a (win_day, key_col) frame — NULL keys are
+    the caller's concern, matching the batch query's filtered probe
+    construction). Counter SUM is associative, so the view equals the
+    batch rolling query over the same rows (streaming≡batch test).
+    Emits (win_day, key_col, cms_count)."""
+    from flink_streaming_demo_spark.operators.scale import (
+        cms_estimate,
+        cms_rollup,
+    )
+
+    fan = store.select(
+        F.explode(
+            F.expr(
+                f"sequence({day_col}, {day_col} + interval "
+                f"{window_days - 1} days, interval 1 day)"
+            )
+        ).alias("win_day"),
+        "row",
+        "col",
+        "cnt",
+    )
+    rolled = cms_rollup(fan, ["win_day"])
+    return cms_estimate(rolled, probes, ["win_day"], key_col)
+
+
 def streaming_reservoir_weighted(
     sink,
     group_cols: list[str],

@@ -2174,3 +2174,98 @@ def test_rolling_kmv_and_hll_views_equal_batch_queries(spark, sf_dir):
     finally:
         shutil.rmtree(chunk_dir, ignore_errors=True)
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_rolling_hist_and_cms_views_equal_batch_queries(spark, sf_dir):
+    """The SUM-merging half of the rolling-view symmetry (hist, CMS —
+    both epoch-guarded maintainers): replay events in day-boundary-
+    crossing chunks through the per-day histogram and CMS maintainers,
+    then the rolling 7-day views over the stores must equal the
+    registered batch rolling queries (events_hist_rolling_quantiles /
+    events_cms_rolling_counts) row-for-row, floats included."""
+    from flink_streaming_demo_spark.plans.event_queries import (
+        HIST_HI,
+        HIST_LO,
+        HIST_QS,
+        events_cms_rolling_counts,
+        events_hist_rolling_quantiles,
+    )
+    from flink_streaming_demo_spark.schemas import load_table
+    from flink_streaming_demo_spark.streaming.pipelines import (
+        rolling_cms_view,
+        rolling_hist_view,
+        streaming_cms_counts,
+        streaming_hist_counts,
+        write_foreach_batch_stream,
+    )
+    from flink_streaming_demo_spark.streaming.sinks import ParquetUpsertSink
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.date_trunc("DAY", F.col("ts")).alias("day"),
+        "user_id",
+        "value",
+    )
+    chunk_dir = replay.write_replay_chunks(
+        ev.withColumn("delivery_ts", F.col("event_id")),
+        n_chunks=3,
+        order_col="delivery_ts",
+    )
+    tmp = tempfile.mkdtemp(prefix="rolling2_")
+    hist_sink = ParquetUpsertSink(f"{tmp}/hist", ["day", "bin"])
+    cms_sink = ParquetUpsertSink(f"{tmp}/cms", ["day", "row", "col"])
+    try:
+        for body, name in (
+            (
+                streaming_hist_counts(
+                    hist_sink, ["day"], "value", HIST_LO, HIST_HI
+                ),
+                "hist",
+            ),
+            (streaming_cms_counts(cms_sink, ["day"], "user_id"), "cms"),
+        ):
+            stream = replay.read_replay_stream(
+                spark,
+                chunk_dir,
+                "event_id long, day timestamp, user_id long, value double",
+                max_files_per_trigger=1,
+            )
+            q = write_foreach_batch_stream(stream, body, f"rolling2_{name}")
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
+
+        got_hist = sorted(
+            tuple(r)
+            for r in rolling_hist_view(
+                hist_sink.read(spark), list(HIST_QS), HIST_LO, HIST_HI
+            ).collect()
+        )
+        want_hist = sorted(
+            tuple(r)
+            for r in events_hist_rolling_quantiles(spark, sf_dir).collect()
+        )
+        assert got_hist == want_hist
+
+        probes = (
+            ev.filter(F.col("user_id").isNotNull())
+            .select(F.col("day").alias("win_day"), "user_id")
+            .distinct()
+        )
+        got_cms = sorted(
+            tuple(r)
+            for r in rolling_cms_view(
+                cms_sink.read(spark), probes, "user_id"
+            ).collect()
+        )
+        want_cms = sorted(
+            tuple(r)
+            for r in events_cms_rolling_counts(spark, sf_dir).collect()
+        )
+        assert got_cms == want_cms
+    finally:
+        shutil.rmtree(chunk_dir, ignore_errors=True)
+        shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(f"{tmp}/hist_epochs", ignore_errors=True)
+        shutil.rmtree(f"{tmp}/cms_epochs", ignore_errors=True)
