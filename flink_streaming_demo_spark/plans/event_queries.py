@@ -840,6 +840,17 @@ def events_user_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     to the oracle's NTILE with NO single-partition WindowExec anywhere
     in the plan, so distinct-user cardinality never funnels through one
     reducer's sort.
+
+    Lineage discipline: each rank machine references its input THREE
+    times (bounds agg, chunked rows, chunk sizes), so chaining three of
+    them unchecked multiplies the upstream subtree ~27x (measured in
+    the r11 full-surface bench: 2,346 plan nodes, 212 parquet scans).
+    A localCheckpoint between stages pins the per-user frame — already
+    aggregate-sized, far smaller than the event scan — and keeps every
+    score's plan linear. Values are materialized doubles, bit-identical.
+    Rule of thumb now recorded in BENCH_NOTES: two chained rank
+    machines are fine (sample_curriculum_order, 36 scans), three or
+    more need the checkpoint.
     """
     ev = t(spark, sf_dir, "events")
     per = ev.groupBy("user_id").agg(
@@ -853,14 +864,14 @@ def events_user_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("_max_ts") - F.col("last_ts")).alias("recency_secs"),
         "frequency",
         "monetary",
-    )
+    ).localCheckpoint()
     scored = exact_global_ntile(
         scored, _RFM_TILES, "recency_secs", "user_id", out_col="r_score"
-    )
+    ).localCheckpoint()
     scored = exact_global_ntile(
         scored, _RFM_TILES, "frequency", "user_id", desc=True,
         out_col="f_score",
-    )
+    ).localCheckpoint()
     scored = exact_global_ntile(
         scored, _RFM_TILES, "monetary", "user_id", desc=True,
         out_col="m_score",
