@@ -467,6 +467,19 @@ _ROUND11_WINDOW = [
     "events_json_props", "sample_source_cap", "sample_pack_bins",
     "sample_stratified", "source_length_quantiles",
 ]
+# r12 window guidance (write _ROUND12_WINDOW next round from this):
+#   1. any never-checked r12 additions first (hygiene test enforces);
+#   2. round-11 churn needing re-green rows: events_user_rfm (chained
+#      rank machines now localCheckpoint between stages — 2,346-node
+#      plan collapsed to 49) and embedding_pca_top_component (covariance
+#      matrix checkpointed) — both plan-changed with parity re-verified
+#      at sf0.001+sf0.01 this round; plus events_cms_rollup_users and
+#      events_hist_value_quantiles (closure churn only: NULL probe
+#      filter / q-domain guard, outputs byte-identical, parity-green);
+#   3. the 39 queries whose latest row is r7 (age 5 by then — oldest
+#      remaining evidence; `python tools/coverage.py --suggest-window`
+#      emits the exact ordered list), then r9 oldest-first with the
+#      leftover slots.
 
 
 def _active_window() -> list[str]:
