@@ -221,11 +221,13 @@ def test_daily_anomaly_flags_planted_spike(spark, monkeypatch):
 
 
 def test_approx_distinct_users_bounded_error(spark, sf_dir):
-    """events_approx_distinct_users has no hash oracle by design (HLL
-    sketches are engine-specific), so this pins its correctness instead:
-    per event_type, the estimate must sit within 5% relative error of
-    the exact distinct-user count (the query requests rsd=0.02; 5%
-    allows ~2.5 sigma), and n_events must match exactly."""
+    """events_approx_distinct_users emits the HLL++ estimate's error
+    CONTRACT rather than the engine-internal estimate itself (r11: the
+    query became hash-checkable). This test independently recomputes the
+    exact side and additionally pins the raw estimate to a TIGHTER bound
+    than the query's 5-sigma contract: within 5% relative error of the
+    exact distinct count (rsd=0.02, ~2.5 sigma), so a sketch-quality
+    regression trips here before it ever threatens the driver row."""
     from pyspark.sql import functions as F
 
     from flink_streaming_demo_spark.plans.event_queries import (
@@ -235,18 +237,25 @@ def test_approx_distinct_users_bounded_error(spark, sf_dir):
 
     got = {r.event_type: r for r in
            events_approx_distinct_users(spark, sf_dir).collect()}
+    ev = load_table(spark, sf_dir, "events")
     exact = {r.event_type: r for r in
-             load_table(spark, sf_dir, "events")
-             .groupBy("event_type")
+             ev.groupBy("event_type")
              .agg(F.countDistinct("user_id").alias("exact_users"),
                   F.count(F.lit(1)).alias("n_events"))
              .collect()}
+    raw = {r.event_type: r.approx_users for r in
+           ev.groupBy("event_type")
+           .agg(F.approx_count_distinct("user_id", 0.02)
+                .alias("approx_users"))
+           .collect()}
     assert set(got) == set(exact) and got
     for et, r in got.items():
         e = exact[et]
         assert r.n_events == e.n_events, et
-        rel = abs(r.approx_users - e.exact_users) / max(e.exact_users, 1)
-        assert rel <= 0.05, (et, r.approx_users, e.exact_users, rel)
+        assert r.exact_users == e.exact_users, et
+        assert r.within_bound, et
+        rel = abs(raw[et] - e.exact_users) / max(e.exact_users, 1)
+        assert rel <= 0.05, (et, raw[et], e.exact_users, rel)
 
 
 def test_session_window_inclusive_gap_boundary(spark, monkeypatch):

@@ -46,8 +46,8 @@ def test_dtype_strictness_detects_int_float_clash():
 
 def test_driver_contract_integrity():
     """Every oracle key maps to a registered query, and the rows-only
-    set (no DuckDB analogue, by design) is exactly the one documented
-    case — a new query accidentally registered without its oracle
+    set (no DuckDB analogue) is EMPTY as of r11 — a new query
+    accidentally registered without its oracle
     would silently downgrade to the weaker rows-only check.
     (taxi_early_arrival_fires gained a recursive-CTE oracle in r8: the
     fire sequence is the iterated jump min{cum >= prev + T} over the
@@ -56,9 +56,10 @@ def test_driver_contract_integrity():
 
     qs, oracles = e.queries(), e.oracle_sql()
     assert set(oracles) <= set(qs)
-    assert set(qs) - set(oracles) == {
-        "events_approx_distinct_users",
-    }
+    # r11: the last rows-only hole closed — events_approx_distinct_users
+    # now grades its HLL++ estimate as a hash-checkable error-bound
+    # contract, so EVERY registered query must carry an oracle.
+    assert set(qs) - set(oracles) == set()
     assert len(qs) >= 135
 
 
