@@ -105,6 +105,17 @@ PROBE_QUERIES = [
     "events_cms_user_counts",
     "events_hist_value_quantiles",
     "events_bloom_pruned_join",
+    # round-11: the complete rolling-window tier. Each is per-day
+    # partials + a <= 7-way day->window-end fan-out + ⊕-merge; the
+    # data-sized term is the per-day partial only, so wall should track
+    # the single-shot sketch queries above while the post-fan-out merge
+    # stays sketch-sized (days x state rows). The CMS rolling probe set
+    # (distinct (day, user)) grows with users — its estimate stage is
+    # the one data-shaped consumer.
+    "events_kmv_rolling_distinct",
+    "events_hll_rolling_users",
+    "events_hist_rolling_quantiles",
+    "events_cms_rolling_counts",
 ]
 
 _DOC_SHIFT = 10_000_000
