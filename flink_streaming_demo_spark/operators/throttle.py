@@ -6,18 +6,21 @@ events_first_in_burst) only approximates: under the gap filter a burst of
 events 200 s apart is ALL dropped after the first 300 s gap resets, while
 the true throttle re-admits one event per 300 s of burst (each kept event
 restarts the clock). The recurrence depends on kept-ness, so it is not
-expressible with lag/window functions — the batch form runs a per-key
-sequential fold in an Arrow ``applyInPandas`` (the documented slow path,
-justified: per-key data is small and the fold is inherently sequential),
-and the DuckDB oracle computes the identical chain with a recursive CTE
-(anchor = first event per key; step = earliest event > last kept + GAP,
-struct-MIN tie-break on (ts, event_id)) — so even this non-relational
-recurrence is hash-checked, not just tested.
+expressible with lag/window functions — the batch form runs the
+sequential fold in Arrow-batched Python over KEY-SORTED PARTITIONS
+(``mapInPandas``; the documented slow path, justified: the fold is
+inherently sequential), and the DuckDB oracle computes the identical
+chain with a recursive CTE (anchor = first event per key; step =
+earliest event > last kept + GAP, struct-MIN tie-break on
+(ts, event_id)) — so even this non-relational recurrence is
+hash-checked, not just tested.
 
-100 TB shape: one shuffle on (user_id, event_type); per-group memory is
-the group's events (bounded by per-key activity, the same bound
-sessionization already accepts); everything crosses the Python boundary
-once, Arrow-batched.
+100 TB shape: one shuffle on (user_id, event_type) + a partition sort;
+Python state is one int per key in the partition (tighter than any
+per-group materialization); everything crosses the Python boundary in
+~10k-row Arrow batches, one call per batch — NOT one per group, which
+at thousands of small groups was 27x slower (see the function
+docstring and BENCH_NOTES round 11).
 """
 
 from __future__ import annotations
