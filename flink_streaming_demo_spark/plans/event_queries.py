@@ -1451,8 +1451,9 @@ def events_throttle_kept(spark: SparkSession, sf_dir: str) -> DataFrame:
     gap filter only approximates). Registered with a 1-day gap so the
     recurrence chain is deep at the checked scale (3,070 of 10,000
     events dropped at sf0.01; a 300 s gap drops only 19 on this sparse
-    stream). Arrow applyInPandas fold, hash-checked against a
-    recursive-CTE oracle computing the identical chain. See
+    stream). Arrow-batched partition fold (mapInPandas over key-sorted
+    partitions — r11, 27x over the per-group form), hash-checked against
+    a recursive-CTE oracle computing the identical chain. See
     operators/throttle."""
     from flink_streaming_demo_spark.operators import throttle as TH
 
