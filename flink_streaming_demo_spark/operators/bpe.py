@@ -544,10 +544,13 @@ def sql_bpe_segment_from_merges(
 ) -> str:
     """DuckDB twin of bpe_segment against ANY trained merge-table CTE
     ``(rank, pa, pb, ...)`` — the merge list aggregates to one rank-
-    ordered array row and every word folds through it with list_reduce,
-    exactly mirroring bpe_segment's broadcast + F.aggregate shape (the
-    fixed-arity nested-replace form can't express a data-dependent merge
-    count). Embed after the CTEs that define ``merge_cte``."""
+    ordered array row and every word OCCURRENCE folds through it with
+    list_reduce (the fixed-arity nested-replace form can't express a
+    data-dependent merge count). The Spark side memoizes the fold per
+    DISTINCT word behind a broadcast map (r11); the per-word fold
+    itself is the same replace chain, so the segmentations — and the
+    hash-checked seg_hash — are identical either way. Embed after the
+    CTEs that define ``merge_cte``."""
     to_repr = (
         "'|' || array_to_string(list_transform("
         "generate_series(1, len(w)), i -> substr(w, i, 1)), '||') || '|'"
