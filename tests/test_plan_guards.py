@@ -291,3 +291,37 @@ def test_no_unpartitioned_windows_anywhere(spark, sf_dir):
             f"{name} no longer has an unpartitioned window — remove it "
             "from the allowlist"
         )
+
+
+def test_rfm_plan_stays_linear(spark, sf_dir):
+    """events_user_rfm chains THREE rank machines, each referencing its
+    input 3x — unchecked, the plan multiplied to 2,346 nodes / 212
+    parquet scans (r11 bench audit). The localCheckpoint between stages
+    must keep the FINAL plan linear: a handful of nodes reading the
+    checkpointed RDD, never a re-derived event scan per score."""
+    plan = _plan(spark, "events_user_rfm", sf_dir)
+    assert plan.count("Scan parquet") <= 2, plan.count("Scan parquet")
+    assert len(plan.splitlines()) < 400
+
+
+def test_pca_iterations_run_on_checkpoint(spark, sf_dir):
+    """embedding_pca_top_component's power iterations must run over the
+    checkpointed 4,160-row covariance matrix (Scan ExistingRDD), not
+    re-embed the data-sized covariance derivation per matvec (330
+    parquet scans before the r11 fix)."""
+    plan = _plan(spark, "embedding_pca_top_component", sf_dir)
+    assert "Scan ExistingRDD" in plan
+    assert plan.count("Scan parquet") <= 2, plan.count("Scan parquet")
+
+
+def test_throttle_is_partition_fold_not_per_group(spark, sf_dir):
+    """The throttle fold must run as mapInPandas over key-sorted
+    partitions (one Python call per Arrow batch), never as the per-group
+    applyInPandas form whose per-group round-trips cost 40x at
+    thousands of small groups (r11). The partition sort is load-bearing
+    for correctness — the streaming dict fold assumes key-clustered,
+    time-ordered rows — so both the operator and the order are pinned."""
+    plan = _plan(spark, "events_throttle_kept", sf_dir)
+    assert "MapInPandas" in plan
+    assert "FlatMapGroupsInPandas" not in plan
+    assert "Sort" in plan  # the within-partition (key, ts, id) sort
