@@ -1,0 +1,344 @@
+"""Lexical BM25 retrieval and reciprocal-rank fusion (hybrid search).
+
+A retrieval tier the LLM-data stack uses constantly: BM25 over an
+inverted-index view of the corpus (the lexical side), fused with a dense
+cosine top-k list (the vector side, ``operators/similarity.py``) via
+reciprocal-rank fusion (RRF, Cormack et al. 2009: score = sum over lists
+of 1/(K + rank), K = 60).
+
+Scale notes (the 100 TB read):
+
+* BM25 never materializes the full posting list x query cross product.
+  The query-term filter runs INSIDE the token array (``filter`` before
+  ``explode``), so only matching tokens leave the scan stage; the
+  per-(doc, term) tf aggregation is map-side partial (a doc's repeated
+  term combines within its task) and the shuffled tf table is bounded by
+  |matched docs| x |query terms| rows.
+* Corpus statistics (N, avgdl) are one global 1-row aggregate,
+  broadcast; per-term document frequencies are a <= |query terms|-row
+  frame, broadcast — no shuffle joins anywhere on the corpus side.
+* The final top-k is ``orderBy(...).limit(k)`` = TakeOrderedAndProject
+  (per-partition partial top-k, driver merges k-row heaps) — NOT a
+  single-task global rank window. The rank column is attached by a
+  row_number over the k surviving rows only (bounded head, the same
+  allowlisted pattern as text_zipf_fit's top-100 window).
+* RRF fuses two bounded top-N lists (N rows each), a broadcast-size
+  full-outer join.
+
+Cross-engine float determinism follows the house rules: every sum that
+crosses engines is either a fixed-order scalar expression (the per-term
+BM25 contributions are pivoted to columns and added in query-term list
+order) or a single correctly-rounded operation (divisions); ``ln`` is
+correctly rounded on both engines for these magnitudes (the proven
+text_*_logprob precedent) and the final score is ROUND(..., 6) like
+every similarity score in ``operators/similarity.py``.
+
+Reference parity note: the reference repo (dataArtisans/flink-streaming-demo)
+has no retrieval surface; this module belongs to the beyond-reference
+LLM-pipeline tier (SURVEY §2.10 extensions).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+RRF_K = 60
+
+
+def doc_lengths(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, dl) token-length projection — the corpus-stats input."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(F.split(F.col(text_col), " ")).alias("dl"),
+    )
+
+
+def bm25_postings(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Full inverted-index postings: one row per distinct (term, doc)
+    with its term frequency and the doc's length — (term, doc_id, tf,
+    dl). Linear in corpus tokens; the (doc, term) aggregation is
+    map-side partial (a doc's repeated term combines within its task).
+    This is the query-AGNOSTIC indexing pass the streaming maintainer
+    upserts; the batch query path skips it and filters query terms
+    inside the token array instead (``bm25_topk``)."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(F.col(text_col), " ").alias("toks"),
+    )
+    return (
+        toks.select(
+            "doc_id",
+            F.size("toks").alias("dl"),
+            F.explode("toks").alias("term"),
+        )
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .select("term", "doc_id", "tf", "dl")
+    )
+
+
+def bm25_rank(
+    tf: DataFrame,
+    stats: DataFrame,
+    query_terms: Sequence[str],
+    k: int = 10,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    exclude_id: int | None = None,
+) -> DataFrame:
+    """Shared BM25 scoring tail over prepared frames.
+
+    ``tf``: (doc_id, dl, term, tf) already restricted to the query
+    terms; ``stats``: one row (n_docs, sum_dl) over the FULL corpus.
+    Both the batch path (``bm25_topk``) and the streaming index's
+    read-time view build these frames differently but score through
+    this one function, so their floats are identical by construction.
+
+    ``exclude_id`` removes that doc before the df count and the
+    candidate ranking (the hybrid query indexes everything except its
+    own query document). Returns (doc_id, rank, n_terms, score); only
+    docs matching >= 1 query term are candidates, rank ties break on
+    doc_id ascending.
+    """
+    terms = list(query_terms)
+    tf = tf.select("doc_id", "dl", "term", "tf")
+    if exclude_id is not None:
+        tf = tf.filter(F.col("doc_id") != F.lit(exclude_id))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = tf.join(F.broadcast(dfreq), "term").crossJoin(F.broadcast(stats))
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+    )
+    tf_d = F.col("tf").cast("double")
+    norm = F.lit(1.0) - F.lit(b) + (F.lit(b) * F.col("dl")) / avgdl
+    s = idf * ((tf_d * F.lit(k1 + 1.0)) / (tf_d + F.lit(k1) * norm))
+    per_term = scored.select("doc_id", "term", s.alias("s"))
+    # Pivot the <= |terms| contributions to columns so the cross-doc sum
+    # runs in FIXED query-term order on both engines.
+    agg_cols = [
+        F.max(F.when(F.col("term") == F.lit(t), F.col("s"))).alias(f"s_{i}")
+        for i, t in enumerate(terms)
+    ]
+    per_doc = per_term.groupBy("doc_id").agg(
+        *agg_cols, F.count(F.lit(1)).cast("int").alias("n_terms")
+    )
+    score = F.coalesce(F.col("s_0"), F.lit(0.0))
+    for i in range(1, len(terms)):
+        score = score + F.coalesce(F.col(f"s_{i}"), F.lit(0.0))
+    ranked = per_doc.select(
+        "doc_id", "n_terms", F.round(score, 6).alias("score")
+    )
+    # TakeOrderedAndProject (partial top-k per partition), then a rank
+    # window over the surviving k rows only.
+    head = ranked.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return head.withColumn("rank", F.row_number().over(w)).select(
+        "doc_id", "rank", "n_terms", "score"
+    )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: Sequence[str],
+    k: int = 10,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    exclude_id: int | None = None,
+) -> DataFrame:
+    """Top-k documents for a bag-of-terms query under BM25.
+
+    score(d) = sum_t idf(t) * tf * (k1+1) / (tf + k1 * (1 - b + b*dl/avgdl))
+    with idf(t) = ln(1 + (N - df + 0.5) / (df + 0.5)) — the Robertson/
+    Lucene non-negative idf. The query-term filter runs INSIDE the token
+    array, so non-matching tokens never explode; scoring happens in
+    ``bm25_rank`` (shared with the streaming index's read-time view).
+    """
+    terms = list(query_terms)
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(F.col(text_col), " ").alias("toks"),
+    )
+    lengths = toks.select("doc_id", F.size("toks").alias("dl"))
+    # One global 1-row aggregate: partial-agg reduce, broadcast below.
+    stats = lengths.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
+    )
+    # Query-term filter inside the array: non-matching tokens never explode.
+    tf = (
+        toks.select(
+            "doc_id",
+            F.size("toks").alias("dl"),
+            F.explode(
+                F.filter(F.col("toks"), lambda x: x.isin(*terms))
+            ).alias("term"),
+        )
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    return bm25_rank(
+        tf, stats, terms, k=k, k1=k1, b=b, exclude_id=exclude_id
+    )
+
+
+def rrf_fuse(
+    lex: DataFrame,
+    vec: DataFrame,
+    k: int = 10,
+    k_rrf: int = RRF_K,
+) -> DataFrame:
+    """Reciprocal-rank fusion of two bounded top-N lists.
+
+    ``lex`` and ``vec`` each carry (doc_id, rank). rrf = 1/(K + lex_rank)
+    + 1/(K + vec_rank), a list absent from one side contributes 0 (and
+    reports rank 0 in that side's output column — ranks are 1-based, so
+    0 unambiguously means "outside that list's top-N" and keeps the
+    column integer-typed with no NULLs). Fixed addition order: lexical
+    term first, then vector.
+    """
+    l_side = lex.select("doc_id", F.col("rank").alias("lex_rank"))
+    v_side = vec.select("doc_id", F.col("rank").alias("vec_rank"))
+    fused = l_side.join(v_side, "doc_id", "full_outer").select(
+        "doc_id",
+        F.coalesce(F.col("lex_rank"), F.lit(0)).cast("int").alias("lex_rank"),
+        F.coalesce(F.col("vec_rank"), F.lit(0)).cast("int").alias("vec_rank"),
+        F.round(
+            F.when(F.col("lex_rank").isNull(), F.lit(0.0)).otherwise(
+                F.lit(1.0) / (F.lit(k_rrf) + F.col("lex_rank"))
+            )
+            + F.when(F.col("vec_rank").isNull(), F.lit(0.0)).otherwise(
+                F.lit(1.0) / (F.lit(k_rrf) + F.col("vec_rank"))
+            ),
+            6,
+        ).alias("rrf_score"),
+    )
+    head = fused.orderBy(F.desc("rrf_score"), F.asc("doc_id")).limit(k)
+    w = Window.orderBy(F.desc("rrf_score"), F.asc("doc_id"))
+    return head.withColumn("rank", F.row_number().over(w)).select(
+        "doc_id", "rank", "lex_rank", "vec_rank", "rrf_score"
+    )
+
+
+# --- ANSI-SQL twins ----------------------------------------------------------
+
+def sql_bm25_ctes(
+    terms: Sequence[str],
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    exclude_id: int | None = None,
+) -> str:
+    """DuckDB twin of ``bm25_topk`` as CTE bodies; embed inside WITH and
+    select from ``bm25_ranked`` (doc_id, rank, n_terms, score). The
+    expression trees mirror the Spark columns token for token so every
+    double operation happens in the same order."""
+    in_list = ", ".join(f"'{t}'" for t in terms)
+    sp = f"string_split({text_col}, ' ')"
+    excl = (
+        f"WHERE doc_id <> {exclude_id}" if exclude_id is not None else ""
+    )
+    pivot_cols = ",\n               ".join(
+        f"MAX(CASE WHEN term = '{t}' THEN s END) AS s_{i}"
+        for i, t in enumerate(terms)
+    )
+    score_sum = " + ".join(
+        f"COALESCE(s_{i}, 0.0)" for i in range(len(terms))
+    )
+    return f"""
+    bm25_stats AS (
+        SELECT COUNT(*) AS n_docs,
+               SUM(len({sp})) AS sum_dl
+        FROM {table}
+    ),
+    bm25_tf AS (
+        SELECT {id_col} AS doc_id, dl, term, COUNT(*) AS tf
+        FROM (
+            SELECT {id_col}, len({sp}) AS dl,
+                   unnest({sp}) AS term
+            FROM {table}
+        )
+        WHERE term IN ({in_list})
+        GROUP BY {id_col}, dl, term
+    ),
+    bm25_cand AS (
+        SELECT * FROM bm25_tf {excl}
+    ),
+    bm25_df AS (
+        SELECT term, COUNT(*) AS df FROM bm25_cand GROUP BY term
+    ),
+    bm25_scored AS (
+        SELECT c.doc_id, c.term,
+               ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+               * ((CAST(c.tf AS DOUBLE) * {k1 + 1.0!r})
+                  / (CAST(c.tf AS DOUBLE)
+                     + {k1!r} * (1.0 - {b!r}
+                        + ({b!r} * c.dl)
+                          / (CAST(s.sum_dl AS DOUBLE) / s.n_docs)))) AS s
+        FROM bm25_cand c
+        JOIN bm25_df d USING (term)
+        CROSS JOIN bm25_stats s
+    ),
+    bm25_pivot AS (
+        SELECT doc_id,
+               {pivot_cols},
+               CAST(COUNT(*) AS INT) AS n_terms
+        FROM bm25_scored GROUP BY doc_id
+    ),
+    bm25_ranked AS (
+        SELECT doc_id,
+               CAST(ROW_NUMBER() OVER (
+                   ORDER BY ROUND({score_sum}, 6) DESC, doc_id ASC
+               ) AS INT) AS rank,
+               n_terms,
+               ROUND({score_sum}, 6) AS score
+        FROM bm25_pivot
+    )
+    """
+
+
+def sql_rrf_select(
+    lex_cte: str,
+    vec_cte: str,
+    k: int,
+    k_rrf: int = RRF_K,
+) -> str:
+    """DuckDB twin of ``rrf_fuse``: final SELECT over two rank CTEs each
+    exposing (doc_id, rank)."""
+    return f"""
+    SELECT doc_id, CAST(rank AS INT) AS rank, lex_rank, vec_rank, rrf_score
+    FROM (
+        SELECT doc_id, lex_rank, vec_rank, rrf_score,
+               ROW_NUMBER() OVER (
+                   ORDER BY rrf_score DESC, doc_id ASC
+               ) AS rank
+        FROM (
+            SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id,
+                   CAST(COALESCE(l.rank, 0) AS INT) AS lex_rank,
+                   CAST(COALESCE(v.rank, 0) AS INT) AS vec_rank,
+                   ROUND(
+                       (CASE WHEN l.rank IS NULL THEN 0.0
+                             ELSE 1.0 / ({k_rrf} + l.rank) END)
+                       + (CASE WHEN v.rank IS NULL THEN 0.0
+                               ELSE 1.0 / ({k_rrf} + v.rank) END),
+                   6) AS rrf_score
+            FROM {lex_cte} l
+            FULL OUTER JOIN {vec_cte} v ON l.doc_id = v.doc_id
+        )
+    )
+    WHERE rank <= {k}
+    """

@@ -1969,3 +1969,88 @@ register(
     FROM folded
     """,
 )
+
+
+# --- Hybrid retrieval: BM25 lexical + dense cosine, RRF-fused ----------------
+#
+# The retrieval tier of an LLM-data stack (operators/retrieval.py for the
+# scale analysis). The hybrid query is item 0: its text supplies the
+# lexical side's fixed term bag, its embedding the dense side's query
+# vector (documents.doc_id and embeddings.vec_id are 1:1 by fixture
+# construction); item 0 itself is excluded from both candidate lists.
+
+from flink_streaming_demo_spark.operators import retrieval as RETR
+
+BM25_TERMS = ("spark", "window", "dup")  # common/common/rare: df ~390/390/25
+BM25_K = 10
+HYBRID_POOL = 50  # per-list candidate depth feeding the fusion
+HYBRID_K = 10
+HYBRID_QUERY_ID = 0
+
+
+def sim_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 documents for a fixed 3-term query under BM25 (k1=1.2,
+    b=0.75). The rare term's idf dominates, so ranking is decided by
+    tf/length normalization among rare-term docs — a real BM25 ordering,
+    not a degenerate one."""
+    docs = t(spark, sf_dir, "documents")
+    return RETR.bm25_topk(docs, BM25_TERMS, k=BM25_K)
+
+
+register(
+    "sim_bm25_topk",
+    sim_bm25_topk,
+    f"""
+    WITH {RETR.sql_bm25_ctes(BM25_TERMS)}
+    SELECT doc_id, rank, n_terms, score
+    FROM bm25_ranked WHERE rank <= {BM25_K}
+    """,
+)
+
+
+def sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid search: BM25 top-50 (terms of doc 0's query bag) and dense
+    cosine top-50 (embedding of vec 0), fused by reciprocal-rank fusion
+    (1/(60+rank) per list) into a top-10. Both candidate lists are
+    bounded, so the fusion join is broadcast-size regardless of corpus
+    scale; rank 0 in an output column means "outside that list's
+    top-50"."""
+    docs = t(spark, sf_dir, "documents")
+    emb = t(spark, sf_dir, "embeddings")
+    lex = RETR.bm25_topk(
+        docs, BM25_TERMS, k=HYBRID_POOL, exclude_id=HYBRID_QUERY_ID
+    )
+    q = emb.filter(F.col("vec_id") == HYBRID_QUERY_ID)
+    vec = SIM.brute_force_topk(q, emb, k=HYBRID_POOL).select(
+        F.col("neighbor_id").alias("doc_id"), "rank"
+    )
+    return RETR.rrf_fuse(lex, vec, k=HYBRID_K)
+
+
+register(
+    "sim_hybrid_rrf",
+    sim_hybrid_rrf,
+    f"""
+    WITH {RETR.sql_bm25_ctes(BM25_TERMS, exclude_id=HYBRID_QUERY_ID)},
+    lex_head AS (
+        SELECT doc_id, rank FROM bm25_ranked WHERE rank <= {HYBRID_POOL}
+    ),
+    vec_scored AS (
+        SELECT c.vec_id AS doc_id,
+               ROUND({SIM.sql_cosine('q.embedding', 'c.embedding', DIMS)}, 6)
+                   AS score
+        FROM embeddings q
+        JOIN embeddings c ON q.vec_id <> c.vec_id
+        WHERE q.vec_id = {HYBRID_QUERY_ID}
+    ),
+    vec_head AS (
+        SELECT doc_id, rank FROM (
+            SELECT doc_id, ROW_NUMBER() OVER (
+                ORDER BY score DESC, doc_id ASC
+            ) AS rank
+            FROM vec_scored
+        ) WHERE rank <= {HYBRID_POOL}
+    )
+    {RETR.sql_rrf_select('lex_head', 'vec_head', HYBRID_K)}
+    """,
+)

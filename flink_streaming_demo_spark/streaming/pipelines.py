@@ -975,3 +975,87 @@ def streaming_contract_maintainer(sink, checks):
         expected_key=["check_name"],
         epoch_guard=True,
     )
+
+
+# --- Incremental BM25 index (hybrid-retrieval streaming symmetry) -----------
+
+def streaming_bm25_index(postings_sink, lengths_sink):
+    """foreachBatch body maintaining an incremental BM25 inverted index
+    over an append-only document stream: two keyed upsert stores,
+    postings (term, doc_id) -> (tf, dl) and lengths (doc_id) -> dl.
+
+    Unlike the sketch maintainers there is NO read-merge step and NO
+    epoch guard: documents are immutable and append-only, so a (term,
+    doc_id) posting's value never changes — a crash-replayed micro-batch
+    re-upserts byte-identical rows and the store converges regardless
+    (the same algebraic replay-safety class as the idempotent sketches,
+    for the simpler reason that the "merge" is last-write-wins over
+    identical writes). A corpus with document REVISIONS would need an
+    order_col'd sink and a stale-postings sweep; out of contract here.
+
+    Scale: the indexing pass is operators/retrieval.bm25_postings —
+    linear in batch tokens, map-side combined, shuffled on (doc, term).
+    Store upserts touch only the buckets the batch's keys hash into.
+    At real scale the postings store would be sharded BY TERM so a
+    query's read prunes to its terms' shards (the classic inverted-index
+    layout); ParquetUpsertSink buckets on the full key, so the read view
+    below relies on the term filter pushing into the parquet scan
+    instead — still row-pruned, not partition-pruned.
+    """
+    from flink_streaming_demo_spark.operators import retrieval as RETR
+
+    for sink, want_key, name in (
+        (postings_sink, ["term", "doc_id"], "postings_sink"),
+        (lengths_sink, ["doc_id"], "lengths_sink"),
+    ):
+        if not (hasattr(sink, "path") and hasattr(sink, "read")):
+            raise TypeError(
+                f"streaming_bm25_index needs store-backed sinks; "
+                f"{name} is {type(sink).__name__}"
+            )
+        if getattr(sink, "key_cols", want_key) != want_key:
+            raise ValueError(
+                f"{name} key_cols must be {want_key} (one row per "
+                f"posting / per doc), got {sink.key_cols}"
+            )
+
+    def body(batch_df: DataFrame, epoch_id: int) -> None:
+        if not batch_df.head(1):
+            return
+        post = RETR.bm25_postings(batch_df).localCheckpoint()
+        postings_sink.foreach_batch(post, epoch_id)
+        lengths_sink.foreach_batch(
+            post.select("doc_id", "dl").distinct(), epoch_id
+        )
+
+    return body
+
+
+def bm25_topk_view(
+    spark,
+    postings_sink,
+    lengths_sink,
+    query_terms,
+    k: int = 10,
+    exclude_id: int | None = None,
+):
+    """Read-time BM25 top-k over the incremental index stores. Builds
+    the same (tf, stats) frames the batch ``bm25_topk`` derives from the
+    raw corpus — term-filtered postings (filter pushed into the store
+    scan) and a 1-row stats aggregate over the lengths store — and runs
+    the SHARED scoring tail ``bm25_rank``, so the view's floats equal
+    the batch query's bit-for-bit once the stores have absorbed the same
+    documents (the streaming≡batch test pins this row-for-row)."""
+    from flink_streaming_demo_spark.operators import retrieval as RETR
+
+    terms = list(query_terms)
+    stats = lengths_sink.read(spark).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("sum_dl"),
+    )
+    tf = (
+        postings_sink.read(spark)
+        .filter(F.col("term").isin(*terms))
+        .select("doc_id", "dl", "term", "tf")
+    )
+    return RETR.bm25_rank(tf, stats, terms, k=k, exclude_id=exclude_id)

@@ -86,6 +86,9 @@ def test_shuffle_partition_count_invariance(spark, sf_dir):
         "embedding_pca_top_component",  # ordered-fold matvec iteration
         "sim_mmr_diverse_topk",       # greedy argmax trajectory
         "events_kmv_rolling_distinct",  # windowed sketch ⊕-merges
+        # round-11 late additions:
+        "sim_bm25_topk",              # TakeOrdered top-k + pivot sums
+        "sim_hybrid_rrf",             # rank fusion of two bounded lists
     ]
     qs = e.queries()
     baseline = {

@@ -1,0 +1,116 @@
+"""Independent-model tests for the hybrid-retrieval tier: BM25 vs a
+pure-Python model (same fold order, same rounding), RRF fusion vs a
+hand-computed model over planted rank lists. The DuckDB oracle twins
+prove engine parity; these prove the SEMANTICS against a second
+implementation that shares no SQL with either engine.
+"""
+
+from __future__ import annotations
+
+import math
+from decimal import ROUND_HALF_UP, Decimal
+
+from flink_streaming_demo_spark.operators.retrieval import rrf_fuse
+from flink_streaming_demo_spark.plans.vector_queries import (
+    BM25_K,
+    BM25_TERMS,
+    sim_bm25_topk,
+)
+from flink_streaming_demo_spark.schemas import load_table
+
+
+def _round6(x: float) -> float:
+    return float(
+        Decimal(x).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP)
+    )
+
+
+def _py_bm25(toks: dict[int, list[str]], terms, k1=1.2, b=0.75):
+    """Python BM25 with the operator's exact operation order (left fold
+    over the fixed term list, same parenthesization per term)."""
+    n_docs = len(toks)
+    sum_dl = sum(len(v) for v in toks.values())
+    avgdl = float(sum_dl) / n_docs
+    df = {
+        t: sum(1 for v in toks.values() if t in v) for t in terms
+    }
+    out = {}
+    for doc_id, words in toks.items():
+        s = 0.0
+        n_terms = 0
+        for t in terms:
+            tf = words.count(t)
+            if tf == 0 or df[t] == 0:
+                continue
+            n_terms += 1
+            idf = math.log(
+                1.0 + (n_docs - df[t] + 0.5) / (df[t] + 0.5)
+            )
+            dl = len(words)
+            norm = 1.0 - b + (b * dl) / avgdl
+            tf_d = float(tf)
+            s = s + idf * ((tf_d * (k1 + 1.0)) / (tf_d + k1 * norm))
+        if n_terms:
+            out[doc_id] = (_round6(s), n_terms)
+    return out
+
+
+def test_bm25_matches_python_model(spark, sf_dir):
+    rows = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .collect()
+    )
+    toks = {r.doc_id: r.text.split(" ") for r in rows}
+    model = _py_bm25(toks, BM25_TERMS)
+    expect = sorted(
+        model.items(), key=lambda kv: (-kv[1][0], kv[0])
+    )[:BM25_K]
+
+    got = sim_bm25_topk(spark, sf_dir).orderBy("rank").collect()
+    assert len(got) == BM25_K
+    for r, (doc_id, (score, n_terms)) in zip(got, expect):
+        assert r.doc_id == doc_id
+        assert r.n_terms == n_terms
+        assert abs(r.score - score) <= 1e-9, (r.doc_id, r.score, score)
+    assert [r.rank for r in got] == list(range(1, BM25_K + 1))
+
+
+def test_bm25_rare_term_dominates(spark, sf_dir):
+    """'dup' is the corpus's one rare token (df ~ 25/500 vs ~390 for the
+    common terms), so its idf puts every 'dup' doc above any
+    common-terms-only doc — the whole top-10 must contain it."""
+    rows = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .collect()
+    )
+    has_dup = {r.doc_id for r in rows if "dup" in r.text.split(" ")}
+    assert len(has_dup) >= BM25_K
+    got = sim_bm25_topk(spark, sf_dir).collect()
+    assert all(r.doc_id in has_dup for r in got)
+
+
+def test_rrf_fuse_matches_hand_model(spark):
+    """Planted lists: overlap (1, 2), lexical-only (3), vector-only (4),
+    and a fused tie broken by doc_id."""
+    lex = spark.createDataFrame(
+        [(1, 1), (2, 2), (3, 3)], ["doc_id", "rank"]
+    )
+    vec = spark.createDataFrame(
+        [(2, 1), (1, 2), (4, 3)], ["doc_id", "rank"]
+    )
+    got = {
+        r.doc_id: r for r in rrf_fuse(lex, vec, k=4).collect()
+    }
+    assert set(got) == {1, 2, 3, 4}
+    # docs 1 and 2 tie exactly (ranks {1,2} vs {2,1}); doc_id breaks it
+    s12 = _round6(1.0 / 61 + 1.0 / 62)
+    assert got[1].rrf_score == s12 and got[2].rrf_score == s12
+    assert got[1].rank == 1 and got[2].rank == 2
+    # single-list docs: absent side reports rank 0 and contributes 0
+    assert got[3].lex_rank == 3 and got[3].vec_rank == 0
+    assert got[4].lex_rank == 0 and got[4].vec_rank == 3
+    s_single = _round6(1.0 / 63)
+    assert got[3].rrf_score == s_single and got[4].rrf_score == s_single
+    assert got[3].rank == 3 and got[4].rank == 4  # tie -> doc_id order

@@ -2269,3 +2269,71 @@ def test_rolling_hist_and_cms_views_equal_batch_queries(spark, sf_dir):
         shutil.rmtree(tmp, ignore_errors=True)
         shutil.rmtree(f"{tmp}/hist_epochs", ignore_errors=True)
         shutil.rmtree(f"{tmp}/cms_epochs", ignore_errors=True)
+
+
+def test_streaming_bm25_index_equals_batch_and_is_replay_idempotent(
+    spark, sf_dir
+):
+    """Chunked replay of the documents table through the incremental
+    BM25 indexer must make the read-time view equal the BATCH
+    sim_bm25_topk row-for-row, floats included (the view and the batch
+    query score through the shared bm25_rank tail over identical
+    frames). Re-applying a chunk must not change the index: postings
+    are immutable per (term, doc_id), so replay re-upserts identical
+    rows."""
+    from flink_streaming_demo_spark.plans.vector_queries import (
+        BM25_K,
+        BM25_TERMS,
+        sim_bm25_topk,
+    )
+    from flink_streaming_demo_spark.schemas import load_table
+    from flink_streaming_demo_spark.streaming.pipelines import (
+        bm25_topk_view,
+        streaming_bm25_index,
+        write_foreach_batch_stream,
+    )
+    from flink_streaming_demo_spark.streaming.sinks import ParquetUpsertSink
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    chunk_dir = replay.write_replay_chunks(
+        docs, n_chunks=3, order_col="doc_id"
+    )
+    root = tempfile.mkdtemp(prefix="bm25_")
+    postings = ParquetUpsertSink(root + "/postings", ["term", "doc_id"])
+    lengths = ParquetUpsertSink(root + "/lengths", ["doc_id"])
+    body = streaming_bm25_index(postings, lengths)
+    try:
+        stream = replay.read_replay_stream(
+            spark,
+            chunk_dir,
+            "doc_id long, text string",
+            max_files_per_trigger=1,
+        )
+        q = write_foreach_batch_stream(stream, body, "bm25_index")
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        want = [
+            tuple(r)
+            for r in sim_bm25_topk(spark, sf_dir).orderBy("rank").collect()
+        ]
+        got = [
+            tuple(r)
+            for r in bm25_topk_view(
+                spark, postings, lengths, BM25_TERMS, k=BM25_K
+            ).orderBy("rank").collect()
+        ]
+        assert got == want
+        # replay idempotence: re-apply the middle chunk's docs
+        body(docs.filter(F.col("doc_id") % 3 == 1), epoch_id=99)
+        again = [
+            tuple(r)
+            for r in bm25_topk_view(
+                spark, postings, lengths, BM25_TERMS, k=BM25_K
+            ).orderBy("rank").collect()
+        ]
+        assert again == want
+    finally:
+        shutil.rmtree(chunk_dir, ignore_errors=True)
+        shutil.rmtree(root, ignore_errors=True)

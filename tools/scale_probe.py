@@ -116,6 +116,15 @@ PROBE_QUERIES = [
     "events_hll_rolling_users",
     "events_hist_rolling_quantiles",
     "events_cms_rolling_counts",
+    # round-11 (late): hybrid retrieval. The probe's token-suffix copies
+    # do NOT match the fixed query-term bag, so matched docs stay fixed
+    # while the corpus grows 10x — which isolates exactly the two
+    # data-sized passes (index stats scan + in-array term filter) from
+    # the match-bounded tf/pivot/topk path; wall should scale with the
+    # scan, shuffle stays ~flat (tf rows are match-bounded). The dense
+    # side of the hybrid stays a broadcast-query corpus scan.
+    "sim_bm25_topk",
+    "sim_hybrid_rrf",
 ]
 
 _DOC_SHIFT = 10_000_000
