@@ -2054,3 +2054,127 @@ register(
     {RETR.sql_rrf_select('lex_head', 'vec_head', HYBRID_K)}
     """,
 )
+
+
+def sim_hybrid_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nDCG@10 of the RRF-fused hybrid list graded against the dense
+    exact top-10 as binary relevance — the fusion-quality metric a
+    hybrid-search deployment monitors, promoted into the hash-checked
+    surface like the ANN recall graders (a fusion regression fails the
+    driver the same way a wrong join would). DCG's positional sum is an
+    ORDERED fold over the 10 fused ranks (the isotropy list_reduce
+    pattern); the log2 discount is written ln(2)/ln(rank+1) on BOTH
+    engines so no log2 builtin divergence can enter. All frames are
+    bounded top-k lists — every join is broadcast-size at any corpus
+    scale."""
+    fused = sim_hybrid_rrf(spark, sf_dir).select("doc_id", "rank")
+    emb = t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == HYBRID_QUERY_ID)
+    dense = SIM.brute_force_topk(q, emb, k=HYBRID_K).select(
+        F.col("neighbor_id").alias("doc_id"),
+        F.col("rank").alias("ideal_rank"),
+    )
+    rel = fused.join(
+        dense.select("doc_id", F.lit(1.0).alias("rel")), "doc_id", "left"
+    ).select("rank", F.coalesce("rel", F.lit(0.0)).alias("rel"))
+    discount = F.log(F.lit(2.0)) / F.log(
+        (F.col("rank") + F.lit(1)).cast("double")
+    )
+    dcg_df = rel.agg(
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("rank").alias("r"),
+                        (F.col("rel") * discount).alias("v"),
+                    )
+                )
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x["v"],
+        ).alias("dcg"),
+        F.sum("rel").cast("int").alias("hits"),
+    )
+    ideal_discount = F.log(F.lit(2.0)) / F.log(
+        (F.col("ideal_rank") + F.lit(1)).cast("double")
+    )
+    idcg_df = dense.agg(
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("ideal_rank").alias("r"),
+                        ideal_discount.alias("v"),
+                    )
+                )
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x["v"],
+        ).alias("idcg")
+    )
+    return dcg_df.crossJoin(idcg_df).select(
+        F.lit(HYBRID_K).alias("k"),
+        "hits",
+        F.round("dcg", 6).alias("dcg"),
+        F.round("idcg", 6).alias("idcg"),
+        F.round(F.col("dcg") / F.col("idcg"), 6).alias("ndcg"),
+    )
+
+
+register(
+    "sim_hybrid_ndcg",
+    sim_hybrid_ndcg,
+    f"""
+    WITH {RETR.sql_bm25_ctes(BM25_TERMS, exclude_id=HYBRID_QUERY_ID)},
+    lex_head AS (
+        SELECT doc_id, rank FROM bm25_ranked WHERE rank <= {HYBRID_POOL}
+    ),
+    vec_scored AS (
+        SELECT c.vec_id AS doc_id,
+               ROUND({SIM.sql_cosine('q.embedding', 'c.embedding', DIMS)}, 6)
+                   AS score
+        FROM embeddings q
+        JOIN embeddings c ON q.vec_id <> c.vec_id
+        WHERE q.vec_id = {HYBRID_QUERY_ID}
+    ),
+    vec_head AS (
+        SELECT doc_id, rank FROM (
+            SELECT doc_id, ROW_NUMBER() OVER (
+                ORDER BY score DESC, doc_id ASC
+            ) AS rank
+            FROM vec_scored
+        ) WHERE rank <= {HYBRID_POOL}
+    ),
+    hybrid AS (
+        {RETR.sql_rrf_select('lex_head', 'vec_head', HYBRID_K)}
+    ),
+    dense10 AS (
+        SELECT doc_id, rank FROM vec_head WHERE rank <= {HYBRID_K}
+    ),
+    rel AS (
+        SELECT h.rank AS rank,
+               CASE WHEN d.doc_id IS NULL THEN 0.0 ELSE 1.0 END AS rel
+        FROM hybrid h LEFT JOIN dense10 d ON h.doc_id = d.doc_id
+    ),
+    folded AS (
+        SELECT list_reduce(
+                   list(rel * (ln(2.0) / ln(CAST(rank + 1 AS DOUBLE)))
+                        ORDER BY rank),
+                   (a, b) -> a + b) AS dcg,
+               CAST(SUM(rel) AS INT) AS hits
+        FROM rel
+    ),
+    ideal AS (
+        SELECT list_reduce(
+                   list(ln(2.0) / ln(CAST(rank + 1 AS DOUBLE))
+                        ORDER BY rank),
+                   (a, b) -> a + b) AS idcg
+        FROM dense10
+    )
+    SELECT {HYBRID_K} AS k, hits,
+           ROUND(dcg, 6) AS dcg,
+           ROUND(idcg, 6) AS idcg,
+           ROUND(dcg / idcg, 6) AS ndcg
+    FROM folded CROSS JOIN ideal
+    """,
+)

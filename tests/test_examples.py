@@ -102,3 +102,10 @@ def test_pipeline_health_example_runs():
     assert "gate: CERTIFY (0 failing checks)" in r.stdout
     assert "arrival lateness vs watermark" in r.stdout
     assert "report complete" in r.stdout
+
+
+def test_hybrid_retrieval_example_runs():
+    r = _run("examples/hybrid_retrieval.py")
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "view == batch: True" in r.stdout
+    assert "nDCG@10=" in r.stdout

@@ -114,3 +114,46 @@ def test_rrf_fuse_matches_hand_model(spark):
     s_single = _round6(1.0 / 63)
     assert got[3].rrf_score == s_single and got[4].rrf_score == s_single
     assert got[3].rank == 3 and got[4].rank == 4  # tie -> doc_id order
+
+
+def test_hybrid_ndcg_matches_python_model(spark, sf_dir):
+    """nDCG grader vs a from-scratch python recomputation over the
+    collected fused and dense lists (log2 discount via math.log ratio,
+    same ordered accumulation)."""
+    from flink_streaming_demo_spark.operators.similarity import (
+        brute_force_topk,
+    )
+    from flink_streaming_demo_spark.plans.vector_queries import (
+        HYBRID_K,
+        HYBRID_QUERY_ID,
+        sim_hybrid_ndcg,
+        sim_hybrid_rrf,
+    )
+
+    fused = sorted(
+        (r.rank, r.doc_id)
+        for r in sim_hybrid_rrf(spark, sf_dir).collect()
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(emb.vec_id == HYBRID_QUERY_ID)
+    dense = sorted(
+        (r.rank, r.neighbor_id)
+        for r in brute_force_topk(q, emb, k=HYBRID_K).collect()
+    )
+    relevant = {doc for _, doc in dense}
+    dcg = 0.0
+    hits = 0
+    for rank, doc in fused:
+        rel = 1.0 if doc in relevant else 0.0
+        hits += int(rel)
+        dcg = dcg + rel * (math.log(2.0) / math.log(float(rank + 1)))
+    idcg = 0.0
+    for rank, _ in dense:
+        idcg = idcg + math.log(2.0) / math.log(float(rank + 1))
+
+    row = sim_hybrid_ndcg(spark, sf_dir).collect()[0]
+    assert row.k == HYBRID_K and row.hits == hits
+    assert abs(row.dcg - _round6(dcg)) <= 1e-9
+    assert abs(row.idcg - _round6(idcg)) <= 1e-9
+    assert abs(row.ndcg - _round6(dcg / idcg)) <= 1e-9
+    assert 0.0 < row.ndcg <= 1.0
