@@ -86,6 +86,55 @@ def bm25_postings(
     )
 
 
+def bm25_scores(
+    tf: DataFrame,
+    stats: DataFrame,
+    query_terms: Sequence[str],
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    id_cols: Sequence[str] = ("doc_id",),
+) -> DataFrame:
+    """BM25 scoring over prepared frames, generic in the unit of
+    retrieval (document, chunk, ...).
+
+    ``tf``: id_cols + (dl, term, tf) already restricted to the query
+    terms; ``stats``: one row (n_docs, sum_dl) over the FULL corpus of
+    units. Returns id_cols + (n_terms, score); only units matching
+    >= 1 query term appear. df counts units (for chunk retrieval that
+    is chunk frequency — the standard choice when the chunk corpus IS
+    the index). The per-term contributions are pivoted to columns and
+    summed in FIXED query-term order (cross-engine float discipline).
+    """
+    terms = list(query_terms)
+    ids = list(id_cols)
+    tf = tf.select(*ids, "dl", "term", "tf")
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = tf.join(F.broadcast(dfreq), "term").crossJoin(F.broadcast(stats))
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+    )
+    tf_d = F.col("tf").cast("double")
+    norm = F.lit(1.0) - F.lit(b) + (F.lit(b) * F.col("dl")) / avgdl
+    s = idf * ((tf_d * F.lit(k1 + 1.0)) / (tf_d + F.lit(k1) * norm))
+    per_term = scored.select(*ids, "term", s.alias("s"))
+    agg_cols = [
+        F.max(F.when(F.col("term") == F.lit(t), F.col("s"))).alias(f"s_{i}")
+        for i, t in enumerate(terms)
+    ]
+    per_unit = per_term.groupBy(*ids).agg(
+        *agg_cols, F.count(F.lit(1)).cast("int").alias("n_terms")
+    )
+    score = F.coalesce(F.col("s_0"), F.lit(0.0))
+    for i in range(1, len(terms)):
+        score = score + F.coalesce(F.col(f"s_{i}"), F.lit(0.0))
+    return per_unit.select(
+        *ids, "n_terms", F.round(score, 6).alias("score")
+    )
+
+
 def bm25_rank(
     tf: DataFrame,
     stats: DataFrame,
@@ -113,33 +162,7 @@ def bm25_rank(
     tf = tf.select("doc_id", "dl", "term", "tf")
     if exclude_id is not None:
         tf = tf.filter(F.col("doc_id") != F.lit(exclude_id))
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    scored = tf.join(F.broadcast(dfreq), "term").crossJoin(F.broadcast(stats))
-    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")
-    idf = F.log(
-        F.lit(1.0)
-        + (F.col("n_docs") - F.col("df") + F.lit(0.5))
-        / (F.col("df") + F.lit(0.5))
-    )
-    tf_d = F.col("tf").cast("double")
-    norm = F.lit(1.0) - F.lit(b) + (F.lit(b) * F.col("dl")) / avgdl
-    s = idf * ((tf_d * F.lit(k1 + 1.0)) / (tf_d + F.lit(k1) * norm))
-    per_term = scored.select("doc_id", "term", s.alias("s"))
-    # Pivot the <= |terms| contributions to columns so the cross-doc sum
-    # runs in FIXED query-term order on both engines.
-    agg_cols = [
-        F.max(F.when(F.col("term") == F.lit(t), F.col("s"))).alias(f"s_{i}")
-        for i, t in enumerate(terms)
-    ]
-    per_doc = per_term.groupBy("doc_id").agg(
-        *agg_cols, F.count(F.lit(1)).cast("int").alias("n_terms")
-    )
-    score = F.coalesce(F.col("s_0"), F.lit(0.0))
-    for i in range(1, len(terms)):
-        score = score + F.coalesce(F.col(f"s_{i}"), F.lit(0.0))
-    ranked = per_doc.select(
-        "doc_id", "n_terms", F.round(score, 6).alias("score")
-    )
+    ranked = bm25_scores(tf, stats, terms, k1=k1, b=b)
     # TakeOrderedAndProject (partial top-k per partition), then a rank
     # window over the surviving k rows only.
     head = ranked.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
@@ -234,6 +257,41 @@ def rrf_fuse(
 
 # --- ANSI-SQL twins ----------------------------------------------------------
 
+def sql_bm25_term_score(
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    tf: str = "c.tf",
+    df: str = "d.df",
+    dl: str = "c.dl",
+    n_docs: str = "s.n_docs",
+    sum_dl: str = "s.sum_dl",
+) -> str:
+    """The per-term BM25 contribution as a DuckDB expression, mirroring
+    ``bm25_scores``'s column tree token for token — the single source
+    both oracle twins (doc-level and chunk-level) compose."""
+    return (
+        f"ln(1.0 + ({n_docs} - {df} + 0.5) / ({df} + 0.5))"
+        f" * ((CAST({tf} AS DOUBLE) * {k1 + 1.0!r})"
+        f" / (CAST({tf} AS DOUBLE)"
+        f" + {k1!r} * (1.0 - {b!r}"
+        f" + ({b!r} * {dl})"
+        f" / (CAST({sum_dl} AS DOUBLE) / {n_docs}))))"
+    )
+
+
+def sql_bm25_pivot(terms: Sequence[str]) -> tuple[str, str]:
+    """(pivot column list, fixed-order score sum) for the term pivot —
+    shared by every BM25 oracle so term order can never drift."""
+    pivot_cols = ",\n               ".join(
+        f"MAX(CASE WHEN term = '{t}' THEN s END) AS s_{i}"
+        for i, t in enumerate(terms)
+    )
+    score_sum = " + ".join(
+        f"COALESCE(s_{i}, 0.0)" for i in range(len(terms))
+    )
+    return pivot_cols, score_sum
+
+
 def sql_bm25_ctes(
     terms: Sequence[str],
     k1: float = BM25_K1,
@@ -252,13 +310,7 @@ def sql_bm25_ctes(
     excl = (
         f"WHERE doc_id <> {exclude_id}" if exclude_id is not None else ""
     )
-    pivot_cols = ",\n               ".join(
-        f"MAX(CASE WHEN term = '{t}' THEN s END) AS s_{i}"
-        for i, t in enumerate(terms)
-    )
-    score_sum = " + ".join(
-        f"COALESCE(s_{i}, 0.0)" for i in range(len(terms))
-    )
+    pivot_cols, score_sum = sql_bm25_pivot(terms)
     return f"""
     bm25_stats AS (
         SELECT COUNT(*) AS n_docs,
@@ -283,12 +335,7 @@ def sql_bm25_ctes(
     ),
     bm25_scored AS (
         SELECT c.doc_id, c.term,
-               ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
-               * ((CAST(c.tf AS DOUBLE) * {k1 + 1.0!r})
-                  / (CAST(c.tf AS DOUBLE)
-                     + {k1!r} * (1.0 - {b!r}
-                        + ({b!r} * c.dl)
-                          / (CAST(s.sum_dl AS DOUBLE) / s.n_docs)))) AS s
+               {sql_bm25_term_score(k1, b)} AS s
         FROM bm25_cand c
         JOIN bm25_df d USING (term)
         CROSS JOIN bm25_stats s

@@ -440,6 +440,7 @@ _ROUND10_WINDOW = [
 _ROUND11_WINDOW = [
     # 1. never driver-checked (this round's new queries)
     "sim_bm25_topk", "sim_hybrid_rrf", "sim_hybrid_ndcg",
+    "sim_bm25_maxp",
     "events_hist_rolling_quantiles", "events_cms_rolling_counts",
     # 2. round-11 churn
     "sim_kcenter_coreset",
@@ -465,16 +466,17 @@ _ROUND11_WINDOW = [
     "taxi_sliding_arrival_count", "taxi_trip_etl",
     "events_hourly_counts", "events_asof_latest_order",
     "events_pivot_type_counts", "events_value_stats",
-    "events_json_props", "sample_source_cap",
+    "events_json_props",
 ]
 # r12 window guidance (write _ROUND12_WINDOW next round from this):
-#   0. sample_stratified, source_length_quantiles and sample_pack_bins
-#      FIRST — displaced from this window's tail when the late-r11
-#      hybrid-retrieval tier (sim_bm25_topk, sim_hybrid_rrf,
-#      sim_hybrid_ndcg) took the never-checked front slots; their r6
-#      evidence is the oldest outstanding after this round (each
-#      re-proven locally via tools/parity.py at sf0.001 + sf0.01 on the
-#      day of its displacement);
+#   0. sample_stratified, source_length_quantiles, sample_pack_bins and
+#      sample_source_cap FIRST — displaced from this window's tail when
+#      the late-r11 hybrid-retrieval tier (sim_bm25_topk,
+#      sim_hybrid_rrf, sim_hybrid_ndcg, sim_bm25_maxp) took the
+#      never-checked front slots; their r6 evidence is the oldest
+#      outstanding after this round (each re-proven locally via
+#      tools/parity.py at sf0.001 + sf0.01 on the day of its
+#      displacement);
 #   1. any never-checked r12 additions next (hygiene test enforces);
 #   2. round-11 churn needing re-green rows: events_user_rfm (chained
 #      rank machines now localCheckpoint between stages — 2,346-node

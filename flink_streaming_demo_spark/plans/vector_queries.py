@@ -3,7 +3,7 @@
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from flink_streaming_demo_spark.operators import similarity as SIM
@@ -2176,5 +2176,166 @@ register(
            ROUND(idcg, 6) AS idcg,
            ROUND(dcg / idcg, 6) AS ndcg
     FROM folded CROSS JOIN ideal
+    """,
+)
+
+
+# --- Passage-level retrieval (BM25-MaxP) -------------------------------------
+#
+# Chunker constants imported from the registered chunker so the passage
+# grid can never drift from text_chunk_documents' (the import is safe:
+# ordered_queries() pins the driver-facing order via the active window,
+# and the subprocess ordering test covers interleaved registration).
+
+from flink_streaming_demo_spark.plans.text_queries import (
+    CHUNK_OVERLAP as _MAXP_OVERLAP,
+    CHUNK_TOKENS as _MAXP_TOKENS,
+    _CHUNK_STRIDE as _MAXP_STRIDE,
+)
+
+
+def sim_bm25_maxp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passage-level BM25 with MaxP document aggregation — the RAG
+    retrieval shape (Dai & Callan 2019): score ~64-token overlapping
+    chunks (the same grid as text_chunk_documents), rank each document
+    by its BEST chunk, return the top-10 docs with the winning passage
+    index. The chunk corpus is the index, so df/avgdl are chunk-level
+    statistics; scoring runs through the same bm25_scores tail as the
+    doc-level query, generic in the id columns. Per-doc argmax is a
+    doc-partitioned window (bounded chunks per doc); the global top-k
+    is TakeOrderedAndProject."""
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    chunks = docs.select(
+        "doc_id", F.split("text", " ").alias("toks")
+    ).select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, greatest(size(toks) - "
+                f"{_MAXP_OVERLAP}, 1), {_MAXP_STRIDE}), "
+                f"s -> slice(toks, s, {_MAXP_TOKENS}))"
+            )
+        ).alias("chunk_idx", "chunk_toks"),
+    )
+    lengths = chunks.select(
+        "doc_id",
+        "chunk_idx",
+        F.size("chunk_toks").alias("dl"),
+        "chunk_toks",
+    )
+    stats = lengths.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
+    )
+    tf = (
+        lengths.select(
+            "doc_id",
+            "chunk_idx",
+            "dl",
+            F.explode(
+                F.filter(
+                    F.col("chunk_toks"), lambda x: x.isin(*BM25_TERMS)
+                )
+            ).alias("term"),
+        )
+        .groupBy("doc_id", "chunk_idx", "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    scores = RETR.bm25_scores(
+        tf, stats, BM25_TERMS, id_cols=("doc_id", "chunk_idx")
+    )
+    w_doc = Window.partitionBy("doc_id").orderBy(
+        F.desc("score"), F.asc("chunk_idx")
+    )
+    best = (
+        scores.withColumn("rn", F.row_number().over(w_doc))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    head = best.orderBy(F.desc("score"), F.asc("doc_id")).limit(BM25_K)
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return head.withColumn("rank", F.row_number().over(w)).select(
+        "doc_id",
+        "rank",
+        F.col("chunk_idx").cast("int").alias("best_chunk_idx"),
+        "n_terms",
+        "score",
+    )
+
+
+_MAXP_PIVOT, _MAXP_SUM = RETR.sql_bm25_pivot(BM25_TERMS)
+_MAXP_IN = ", ".join(f"'{t}'" for t in BM25_TERMS)
+
+register(
+    "sim_bm25_maxp",
+    sim_bm25_maxp,
+    f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS sp FROM documents
+    ),
+    starts AS (
+        SELECT doc_id, sp,
+               unnest(generate_series(1,
+                   greatest(len(sp) - {_MAXP_OVERLAP}, 1),
+                   {_MAXP_STRIDE})) AS start_pos
+        FROM toks
+    ),
+    chunks AS (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY doc_id ORDER BY start_pos
+               ) - 1 AS chunk_idx,
+               sp[start_pos : start_pos + {_MAXP_TOKENS - 1}] AS chunk
+        FROM starts
+    ),
+    cstats AS (
+        SELECT COUNT(*) AS n_docs, SUM(len(chunk)) AS sum_dl FROM chunks
+    ),
+    ctf AS (
+        SELECT doc_id, chunk_idx, dl, term, COUNT(*) AS tf
+        FROM (
+            SELECT doc_id, chunk_idx, len(chunk) AS dl,
+                   unnest(chunk) AS term
+            FROM chunks
+        )
+        WHERE term IN ({_MAXP_IN})
+        GROUP BY doc_id, chunk_idx, dl, term
+    ),
+    cdf AS (
+        SELECT term, COUNT(*) AS df FROM ctf GROUP BY term
+    ),
+    cscored AS (
+        SELECT c.doc_id, c.chunk_idx, c.term,
+               {RETR.sql_bm25_term_score()} AS s
+        FROM ctf c
+        JOIN cdf d USING (term)
+        CROSS JOIN cstats s
+    ),
+    cpivot AS (
+        SELECT doc_id, chunk_idx,
+               {_MAXP_PIVOT},
+               CAST(COUNT(*) AS INT) AS n_terms
+        FROM cscored GROUP BY doc_id, chunk_idx
+    ),
+    cbest AS (
+        SELECT doc_id, best_chunk_idx, n_terms, score FROM (
+            SELECT doc_id,
+                   CAST(chunk_idx AS INT) AS best_chunk_idx,
+                   n_terms,
+                   ROUND({_MAXP_SUM}, 6) AS score,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY doc_id
+                       ORDER BY ROUND({_MAXP_SUM}, 6) DESC, chunk_idx ASC
+                   ) AS rn
+            FROM cpivot
+        ) WHERE rn = 1
+    )
+    SELECT doc_id, rank, best_chunk_idx, n_terms, score FROM (
+        SELECT doc_id,
+               CAST(ROW_NUMBER() OVER (
+                   ORDER BY score DESC, doc_id ASC
+               ) AS INT) AS rank,
+               best_chunk_idx, n_terms, score
+        FROM cbest
+    ) WHERE rank <= {BM25_K}
     """,
 )

@@ -157,3 +157,54 @@ def test_hybrid_ndcg_matches_python_model(spark, sf_dir):
     assert abs(row.idcg - _round6(idcg)) <= 1e-9
     assert abs(row.ndcg - _round6(dcg / idcg)) <= 1e-9
     assert 0.0 < row.ndcg <= 1.0
+
+
+def test_bm25_maxp_matches_python_model(spark, sf_dir):
+    """Passage-level BM25 + MaxP vs a from-scratch python replay: same
+    chunk grid (64 tokens, stride 56), chunk-level index stats, same
+    per-term fold order, argmax per doc with chunk_idx tie-break."""
+    from flink_streaming_demo_spark.plans.text_queries import (
+        CHUNK_OVERLAP,
+        CHUNK_TOKENS,
+        _CHUNK_STRIDE,
+    )
+    from flink_streaming_demo_spark.plans.vector_queries import (
+        sim_bm25_maxp,
+    )
+
+    rows = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .collect()
+    )
+    chunks: dict[tuple[int, int], list[str]] = {}
+    for r in rows:
+        words = r.text.split(" ")
+        n_starts = max(len(words) - CHUNK_OVERLAP, 1)
+        idx = 0
+        for s in range(1, n_starts + 1, _CHUNK_STRIDE):
+            chunks[(r.doc_id, idx)] = words[s - 1 : s - 1 + CHUNK_TOKENS]
+            idx += 1
+    model = _py_bm25(chunks, BM25_TERMS)
+    # MaxP: best chunk per doc (score desc, chunk_idx asc)
+    best: dict[int, tuple] = {}
+    for (doc_id, chunk_idx), (score, n_terms) in model.items():
+        cand = (-score, chunk_idx, n_terms)
+        if doc_id not in best or cand < best[doc_id]:
+            best[doc_id] = cand
+    expect = sorted(
+        (
+            (doc_id, -neg_score, chunk_idx, n_terms)
+            for doc_id, (neg_score, chunk_idx, n_terms) in best.items()
+        ),
+        key=lambda x: (-x[1], x[0]),
+    )[:BM25_K]
+
+    got = sim_bm25_maxp(spark, sf_dir).orderBy("rank").collect()
+    assert len(got) == BM25_K
+    for r, (doc_id, score, chunk_idx, n_terms) in zip(got, expect):
+        assert r.doc_id == doc_id
+        assert r.best_chunk_idx == chunk_idx
+        assert r.n_terms == n_terms
+        assert abs(r.score - score) <= 1e-9
+    assert [r.rank for r in got] == list(range(1, BM25_K + 1))

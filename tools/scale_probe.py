@@ -125,6 +125,11 @@ PROBE_QUERIES = [
     # side of the hybrid stays a broadcast-query corpus scan.
     "sim_bm25_topk",
     "sim_hybrid_rrf",
+    # passage-level MaxP: the chunk fan-out is linear in corpus tokens
+    # (the chunker's array exprs), the term-filtered tf path stays
+    # match-bounded like the doc-level query, and the per-doc argmax
+    # window partitions by doc — wall should track the chunk scan.
+    "sim_bm25_maxp",
 ]
 
 _DOC_SHIFT = 10_000_000
