@@ -50,16 +50,6 @@ BM25_B = 0.75
 RRF_K = 60
 
 
-def doc_lengths(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
-) -> DataFrame:
-    """(doc_id, dl) token-length projection — the corpus-stats input."""
-    return docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.size(F.split(F.col(text_col), " ")).alias("dl"),
-    )
-
-
 def bm25_postings(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

@@ -260,6 +260,23 @@ _UNPARTITIONED_WINDOW_ALLOWED = {
         "one row per day BEFORE the ordered pass; the fold itself is "
         "exact integer cents"
     ),
+    "sim_bm25_topk": (
+        "rank attachment over the TakeOrderedAndProject head — the "
+        "windowed input is exactly k rows at any corpus size; the "
+        "distributed partial top-k does the heavy lifting"
+    ),
+    "sim_hybrid_rrf": (
+        "same k-row-head rank attachment; the fusion input is two "
+        "bounded top-N lists to begin with"
+    ),
+    "sim_hybrid_ndcg": (
+        "composes sim_hybrid_rrf (k-row-head window) and the dense "
+        "top-k; its own folds are 1-row aggregates"
+    ),
+    "sim_bm25_maxp": (
+        "global rank over the TakeOrdered k-row head; the per-doc "
+        "argmax window IS partitioned (by doc_id)"
+    ),
 }
 
 
