@@ -20,6 +20,16 @@ STOPWORDS_EN = (
 )
 
 
+# The shared document-chunking grid (text_chunk_documents, BM25-MaxP
+# passage retrieval). Lives here — the dependency-free function library —
+# so plans modules can share it without importing each other (a plans
+# module imported first triggers registry._load_all mid-import, and any
+# plans->plans constant import then sees a partially initialized module).
+CHUNK_TOKENS = 64
+CHUNK_OVERLAP = 8
+CHUNK_STRIDE = CHUNK_TOKENS - CHUNK_OVERLAP
+
+
 def tokens(text: Column) -> Column:
     """Whitespace tokenization (documents are single-space joined)."""
     return F.split(text, " ")

@@ -837,9 +837,11 @@ register(
 
 # --- Document chunking --------------------------------------------------------
 
-CHUNK_TOKENS = 64
-CHUNK_OVERLAP = 8
-_CHUNK_STRIDE = CHUNK_TOKENS - CHUNK_OVERLAP
+# Grid constants live in functions/text.py (dependency-free) so the
+# passage-retrieval queries can share them without a plans->plans import.
+CHUNK_TOKENS = TX.CHUNK_TOKENS
+CHUNK_OVERLAP = TX.CHUNK_OVERLAP
+_CHUNK_STRIDE = TX.CHUNK_STRIDE
 
 
 def text_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -2182,15 +2182,16 @@ register(
 
 # --- Passage-level retrieval (BM25-MaxP) -------------------------------------
 #
-# Chunker constants imported from the registered chunker so the passage
-# grid can never drift from text_chunk_documents' (the import is safe:
-# ordered_queries() pins the driver-facing order via the active window,
-# and the subprocess ordering test covers interleaved registration).
+# Chunker constants imported from the shared function library (the same
+# source text_chunk_documents aliases) so the passage grid can never
+# drift — and WITHOUT a plans->plans import, which breaks when a plans
+# module is imported before the registry (registry._load_all then runs
+# mid-import and this module would see a partially initialized sibling).
 
-from flink_streaming_demo_spark.plans.text_queries import (
+from flink_streaming_demo_spark.functions.text import (
     CHUNK_OVERLAP as _MAXP_OVERLAP,
+    CHUNK_STRIDE as _MAXP_STRIDE,
     CHUNK_TOKENS as _MAXP_TOKENS,
-    _CHUNK_STRIDE as _MAXP_STRIDE,
 )
 
 

@@ -81,29 +81,39 @@ def test_window_names_resolve_and_are_unique():
 
 
 def test_order_survives_plans_module_imported_first():
-    """Regression for the circular-import ordering corruption: importing
-    a plans module BEFORE the registry runs the registry body mid-import,
-    and the partially-initialized plans module's registrations then land
-    AFTER the import-time window ordering — silently pushing window
-    queries out of the driver's first-50 slice. ordered_queries() (what
-    __spark_entry__.queries() serves) must be immune. Subprocess pins the
-    exact import order."""
+    """Regression for the circular-import failure modes: importing a
+    plans module BEFORE the registry runs the registry body mid-import.
+    Two things can break: (a) ordering corruption — the partially
+    initialized module's registrations land AFTER the import-time window
+    ordering, silently pushing window queries out of the driver's
+    first-50 slice; (b) a hard ImportError — any plans->plans
+    module-level import sees a partially initialized sibling (the r11
+    MaxP lesson: the chunk constants had to move to functions/text.py).
+    EVERY plans module is pinned as the first import in its own
+    subprocess, because each one triggers a different _load_all
+    interleaving."""
     import subprocess
     import sys
 
-    code = (
-        "import sys; sys.path.insert(0, %r)\n"
-        "import flink_streaming_demo_spark.plans.event_queries\n"
-        "import __spark_entry__ as e\n"
-        "from flink_streaming_demo_spark.plans import registry\n"
-        "names = list(e.queries())\n"
-        "window = [n for n in registry._active_window() if n in names]\n"
-        "assert names[:len(window)] == window, names[:10]\n"
-        "print('OK', len(names))\n"
-    ) % REPO
-    r = subprocess.run(
-        [sys.executable, "-c", code],
-        capture_output=True, text=True, timeout=300,
-    )
-    assert r.returncode == 0, r.stderr[-2000:]
-    assert r.stdout.startswith("OK")
+    modules = [
+        "vector_queries", "tpch_rest", "tpch_queries", "tpch_more",
+        "text_queries", "taxi_queries", "event_queries",
+        "sampling_queries",
+    ]
+    for mod in modules:
+        code = (
+            "import sys; sys.path.insert(0, %r)\n"
+            "import flink_streaming_demo_spark.plans.%s\n"
+            "import __spark_entry__ as e\n"
+            "from flink_streaming_demo_spark.plans import registry\n"
+            "names = list(e.queries())\n"
+            "window = [n for n in registry._active_window() if n in names]\n"
+            "assert names[:len(window)] == window, names[:10]\n"
+            "print('OK', len(names))\n"
+        ) % (REPO, mod)
+        r = subprocess.run(
+            [sys.executable, "-c", code],
+            capture_output=True, text=True, timeout=300,
+        )
+        assert r.returncode == 0, (mod, r.stderr[-2000:])
+        assert r.stdout.startswith("OK"), mod
