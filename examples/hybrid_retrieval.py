@@ -79,8 +79,8 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> int:
         # 2. LEXICAL: the incremental index serves the same table as batch.
         view = bm25_topk_view(
             spark, postings, lengths, BM25_TERMS, k=BM25_K
-        ).collect()
-        batch = sim_bm25_topk(spark, sf_dir).collect()
+        ).orderBy("rank").collect()
+        batch = sim_bm25_topk(spark, sf_dir).orderBy("rank").collect()
         agree = [tuple(r) for r in view] == [tuple(r) for r in batch]
         print(f"bm25 top-{BM25_K} for {list(BM25_TERMS)} "
               f"(view == batch: {agree}):")

@@ -30,6 +30,33 @@ CHUNK_OVERLAP = 8
 CHUNK_STRIDE = CHUNK_TOKENS - CHUNK_OVERLAP
 
 
+def chunk_windows_expr(toks_col: str = "toks") -> str:
+    """The chunk grid as a Spark SQL expression over a token-array
+    column: an array of CHUNK_TOKENS-token slices starting every
+    CHUNK_STRIDE tokens (>= 1 chunk even for short docs). Single source
+    for every chunking consumer (text_chunk_documents, chunk-minhash,
+    BM25-MaxP) so the grid SHAPE — not just its constants — can never
+    drift between them."""
+    return (
+        f"transform(sequence(1, greatest(size({toks_col}) - "
+        f"{CHUNK_OVERLAP}, 1), {CHUNK_STRIDE}), "
+        f"s -> slice({toks_col}, s, {CHUNK_TOKENS}))"
+    )
+
+
+def sql_chunk_starts(sp: str = "sp") -> str:
+    """DuckDB twin of chunk_windows_expr's start-position series."""
+    return (
+        f"unnest(generate_series(1, greatest(len({sp}) - "
+        f"{CHUNK_OVERLAP}, 1), {CHUNK_STRIDE}))"
+    )
+
+
+def sql_chunk_slice(sp: str = "sp", start: str = "start_pos") -> str:
+    """DuckDB twin of one chunk slice (1-based inclusive list slice)."""
+    return f"{sp}[{start} : {start} + {CHUNK_TOKENS - 1}]"
+
+
 def tokens(text: Column) -> Column:
     """Whitespace tokenization (documents are single-space joined)."""
     return F.split(text, " ")

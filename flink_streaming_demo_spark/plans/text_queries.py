@@ -858,11 +858,7 @@ def text_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "doc_id",
         F.posexplode(
-            F.expr(
-                f"transform(sequence(1, greatest(size(toks) - "
-                f"{CHUNK_OVERLAP}, 1), {_CHUNK_STRIDE}), "
-                f"s -> slice(toks, s, {CHUNK_TOKENS}))"
-            )
+            F.expr(TX.chunk_windows_expr("toks"))
         ).alias("chunk_idx", "chunk_toks"),
     )
     return prepared.select(
@@ -882,9 +878,7 @@ register(
     ),
     starts AS (
         SELECT doc_id, sp,
-               unnest(generate_series(1,
-                   greatest(len(sp) - {CHUNK_OVERLAP}, 1),
-                   {_CHUNK_STRIDE})) AS start_pos
+               {TX.sql_chunk_starts('sp')} AS start_pos
         FROM toks
     ),
     chunks AS (
@@ -892,7 +886,7 @@ register(
                ROW_NUMBER() OVER (
                    PARTITION BY doc_id ORDER BY start_pos
                ) - 1 AS chunk_idx,
-               sp[start_pos : start_pos + {CHUNK_TOKENS - 1}] AS chunk
+               {TX.sql_chunk_slice('sp', 'start_pos')} AS chunk
         FROM starts
     )
     SELECT doc_id,
@@ -1196,11 +1190,7 @@ def dedup_chunk_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             F.posexplode(
-                F.expr(
-                    f"transform(sequence(1, greatest(size(toks) - "
-                    f"{CHUNK_OVERLAP}, 1), {_CHUNK_STRIDE}), "
-                    f"s -> slice(toks, s, {CHUNK_TOKENS}))"
-                )
+                F.expr(TX.chunk_windows_expr("toks"))
             ).alias("chunk_idx", "chunk_toks"),
         )
         .select(
@@ -1236,9 +1226,7 @@ register(
     ),
     starts AS (
         SELECT doc_id, sp,
-               unnest(generate_series(1,
-                   greatest(len(sp) - {CHUNK_OVERLAP}, 1),
-                   {_CHUNK_STRIDE})) AS start_pos
+               {TX.sql_chunk_starts('sp')} AS start_pos
         FROM toks
     ),
     chunks AS (
@@ -1247,7 +1235,7 @@ register(
                           PARTITION BY doc_id ORDER BY start_pos
                       ) - 1) AS chunk_uid,
                array_to_string(
-                   sp[start_pos : start_pos + {CHUNK_TOKENS - 1}], ' ')
+                   {TX.sql_chunk_slice('sp', 'start_pos')}, ' ')
                    AS text
         FROM starts
     ),

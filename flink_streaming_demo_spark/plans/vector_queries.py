@@ -2008,13 +2008,15 @@ register(
 )
 
 
-def sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hybrid search: BM25 top-50 (terms of doc 0's query bag) and dense
-    cosine top-50 (embedding of vec 0), fused by reciprocal-rank fusion
-    (1/(60+rank) per list) into a top-10. Both candidate lists are
-    bounded, so the fusion join is broadcast-size regardless of corpus
-    scale; rank 0 in an output column means "outside that list's
-    top-50"."""
+def _hybrid_lists(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """The two bounded candidate lists the hybrid tier shares: BM25
+    top-50 (query doc excluded from the index) and dense cosine top-50
+    for the query embedding, both as (doc_id, rank). Single-sourced so
+    the fusion query and its nDCG grader score the SAME frames — the
+    grader derives its dense ground truth as the top-10 PREFIX of the
+    dense pool instead of re-scanning the corpus."""
     docs = t(spark, sf_dir, "documents")
     emb = t(spark, sf_dir, "embeddings")
     lex = RETR.bm25_topk(
@@ -2024,14 +2026,25 @@ def sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     vec = SIM.brute_force_topk(q, emb, k=HYBRID_POOL).select(
         F.col("neighbor_id").alias("doc_id"), "rank"
     )
+    return lex, vec
+
+
+def sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid search: BM25 top-50 (terms of doc 0's query bag) and dense
+    cosine top-50 (embedding of vec 0), fused by reciprocal-rank fusion
+    (1/(60+rank) per list) into a top-10. Both candidate lists are
+    bounded, so the fusion join is broadcast-size regardless of corpus
+    scale; rank 0 in an output column means "outside that list's
+    top-50"."""
+    lex, vec = _hybrid_lists(spark, sf_dir)
     return RETR.rrf_fuse(lex, vec, k=HYBRID_K)
 
 
-register(
-    "sim_hybrid_rrf",
-    sim_hybrid_rrf,
-    f"""
-    WITH {RETR.sql_bm25_ctes(BM25_TERMS, exclude_id=HYBRID_QUERY_ID)},
+# The hybrid oracles' shared CTE block (lexical head + dense pool) —
+# single-sourced like the BM25 fragments so the two graders' candidate
+# arithmetic can never drift.
+_SQL_HYBRID_LIST_CTES = f"""
+    {RETR.sql_bm25_ctes(BM25_TERMS, exclude_id=HYBRID_QUERY_ID)},
     lex_head AS (
         SELECT doc_id, rank FROM bm25_ranked WHERE rank <= {HYBRID_POOL}
     ),
@@ -2051,6 +2064,13 @@ register(
             FROM vec_scored
         ) WHERE rank <= {HYBRID_POOL}
     )
+"""
+
+register(
+    "sim_hybrid_rrf",
+    sim_hybrid_rrf,
+    f"""
+    WITH {_SQL_HYBRID_LIST_CTES}
     {RETR.sql_rrf_select('lex_head', 'vec_head', HYBRID_K)}
     """,
 )
@@ -2066,13 +2086,17 @@ def sim_hybrid_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
     pattern); the log2 discount is written ln(2)/ln(rank+1) on BOTH
     engines so no log2 builtin divergence can enter. All frames are
     bounded top-k lists — every join is broadcast-size at any corpus
-    scale."""
-    fused = sim_hybrid_rrf(spark, sf_dir).select("doc_id", "rank")
-    emb = t(spark, sf_dir, "embeddings")
-    q = emb.filter(F.col("vec_id") == HYBRID_QUERY_ID)
-    dense = SIM.brute_force_topk(q, emb, k=HYBRID_K).select(
-        F.col("neighbor_id").alias("doc_id"),
-        F.col("rank").alias("ideal_rank"),
+    scale, and the dense ground truth is the top-10 PREFIX of the
+    fusion's own dense pool (one corpus scan, not two; the prefix
+    equivalence holds because both rank by the same rounded score with
+    the same neighbor_id tie-break — the oracle derives dense10 from
+    vec_head the same way)."""
+    lex, vec_pool = _hybrid_lists(spark, sf_dir)
+    fused = RETR.rrf_fuse(lex, vec_pool, k=HYBRID_K).select(
+        "doc_id", "rank"
+    )
+    dense = vec_pool.filter(F.col("rank") <= HYBRID_K).select(
+        "doc_id", F.col("rank").alias("ideal_rank")
     )
     rel = fused.join(
         dense.select("doc_id", F.lit(1.0).alias("rel")), "doc_id", "left"
@@ -2125,26 +2149,7 @@ register(
     "sim_hybrid_ndcg",
     sim_hybrid_ndcg,
     f"""
-    WITH {RETR.sql_bm25_ctes(BM25_TERMS, exclude_id=HYBRID_QUERY_ID)},
-    lex_head AS (
-        SELECT doc_id, rank FROM bm25_ranked WHERE rank <= {HYBRID_POOL}
-    ),
-    vec_scored AS (
-        SELECT c.vec_id AS doc_id,
-               ROUND({SIM.sql_cosine('q.embedding', 'c.embedding', DIMS)}, 6)
-                   AS score
-        FROM embeddings q
-        JOIN embeddings c ON q.vec_id <> c.vec_id
-        WHERE q.vec_id = {HYBRID_QUERY_ID}
-    ),
-    vec_head AS (
-        SELECT doc_id, rank FROM (
-            SELECT doc_id, ROW_NUMBER() OVER (
-                ORDER BY score DESC, doc_id ASC
-            ) AS rank
-            FROM vec_scored
-        ) WHERE rank <= {HYBRID_POOL}
-    ),
+    WITH {_SQL_HYBRID_LIST_CTES},
     hybrid AS (
         {RETR.sql_rrf_select('lex_head', 'vec_head', HYBRID_K)}
     ),
@@ -2182,17 +2187,14 @@ register(
 
 # --- Passage-level retrieval (BM25-MaxP) -------------------------------------
 #
-# Chunker constants imported from the shared function library (the same
-# source text_chunk_documents aliases) so the passage grid can never
-# drift — and WITHOUT a plans->plans import, which breaks when a plans
-# module is imported before the registry (registry._load_all then runs
-# mid-import and this module would see a partially initialized sibling).
+# Chunk-grid builders from the shared function library (the same source
+# text_chunk_documents uses) so the passage grid — shape, not just
+# constants — can never drift, and WITHOUT a plans->plans import, which
+# breaks when a plans module is imported before the registry
+# (registry._load_all then runs mid-import and this module would see a
+# partially initialized sibling).
 
-from flink_streaming_demo_spark.functions.text import (
-    CHUNK_OVERLAP as _MAXP_OVERLAP,
-    CHUNK_STRIDE as _MAXP_STRIDE,
-    CHUNK_TOKENS as _MAXP_TOKENS,
-)
+from flink_streaming_demo_spark.functions import text as TXF
 
 
 def sim_bm25_maxp(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2211,11 +2213,7 @@ def sim_bm25_maxp(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "doc_id",
         F.posexplode(
-            F.expr(
-                f"transform(sequence(1, greatest(size(toks) - "
-                f"{_MAXP_OVERLAP}, 1), {_MAXP_STRIDE}), "
-                f"s -> slice(toks, s, {_MAXP_TOKENS}))"
-            )
+            F.expr(TXF.chunk_windows_expr("toks"))
         ).alias("chunk_idx", "chunk_toks"),
     )
     lengths = chunks.select(
@@ -2275,9 +2273,7 @@ register(
     ),
     starts AS (
         SELECT doc_id, sp,
-               unnest(generate_series(1,
-                   greatest(len(sp) - {_MAXP_OVERLAP}, 1),
-                   {_MAXP_STRIDE})) AS start_pos
+               {TXF.sql_chunk_starts('sp')} AS start_pos
         FROM toks
     ),
     chunks AS (
@@ -2285,7 +2281,7 @@ register(
                ROW_NUMBER() OVER (
                    PARTITION BY doc_id ORDER BY start_pos
                ) - 1 AS chunk_idx,
-               sp[start_pos : start_pos + {_MAXP_TOKENS - 1}] AS chunk
+               {TXF.sql_chunk_slice('sp', 'start_pos')} AS chunk
         FROM starts
     ),
     cstats AS (

@@ -89,6 +89,8 @@ def test_shuffle_partition_count_invariance(spark, sf_dir):
         # round-11 late additions:
         "sim_bm25_topk",              # TakeOrdered top-k + pivot sums
         "sim_hybrid_rrf",             # rank fusion of two bounded lists
+        "sim_bm25_maxp",              # + doc-partitioned argmax window
+        "sim_hybrid_ndcg",            # collect_list DCG fold (array_sort)
     ]
     qs = e.queries()
     baseline = {
