@@ -207,6 +207,84 @@ def bm25_topk(
     )
 
 
+def bm25_chunk_postings(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Chunk-level inverted-index postings on the shared chunk grid
+    (functions/text.chunk_windows_expr): one row per distinct (term,
+    doc, chunk) with its in-chunk frequency and the chunk's length —
+    (term, doc_id, chunk_idx, tf, dl). The query-agnostic indexing pass
+    behind the streaming MaxP view; linear in corpus tokens like the
+    doc-level ``bm25_postings``."""
+    from flink_streaming_demo_spark.functions.text import (
+        chunk_windows_expr,
+    )
+
+    chunks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(F.col(text_col), " ").alias("toks"),
+    ).select(
+        "doc_id",
+        F.posexplode(F.expr(chunk_windows_expr("toks"))).alias(
+            "chunk_idx", "chunk_toks"
+        ),
+    )
+    return (
+        chunks.select(
+            "doc_id",
+            "chunk_idx",
+            F.size("chunk_toks").alias("dl"),
+            F.explode("chunk_toks").alias("term"),
+        )
+        .groupBy("doc_id", "chunk_idx", "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .select("term", "doc_id", "chunk_idx", "tf", "dl")
+    )
+
+
+def bm25_maxp_rank(
+    tf: DataFrame,
+    stats: DataFrame,
+    query_terms: Sequence[str],
+    k: int = 10,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """Shared MaxP tail: chunk-level BM25 scores -> best passage per
+    document (doc-partitioned argmax, chunk_idx tie-break) -> global
+    top-k via TakeOrderedAndProject. ``tf``: (doc_id, chunk_idx, dl,
+    term, tf) restricted to the query terms; ``stats``: one row over
+    ALL chunks. Both the batch sim_bm25_maxp and the streaming chunk
+    index's read-time view run through this function, so their floats
+    are identical by construction. Returns (doc_id, rank,
+    best_chunk_idx, n_terms, score)."""
+    scores = bm25_scores(
+        tf.select("doc_id", "chunk_idx", "dl", "term", "tf"),
+        stats,
+        query_terms,
+        k1=k1,
+        b=b,
+        id_cols=("doc_id", "chunk_idx"),
+    )
+    w_doc = Window.partitionBy("doc_id").orderBy(
+        F.desc("score"), F.asc("chunk_idx")
+    )
+    best = (
+        scores.withColumn("rn", F.row_number().over(w_doc))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    head = best.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return head.withColumn("rank", F.row_number().over(w)).select(
+        "doc_id",
+        "rank",
+        F.col("chunk_idx").cast("int").alias("best_chunk_idx"),
+        "n_terms",
+        "score",
+    )
+
+
 def rrf_fuse(
     lex: DataFrame,
     vec: DataFrame,

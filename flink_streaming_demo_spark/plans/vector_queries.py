@@ -2239,26 +2239,7 @@ def sim_bm25_maxp(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "chunk_idx", "dl", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    scores = RETR.bm25_scores(
-        tf, stats, BM25_TERMS, id_cols=("doc_id", "chunk_idx")
-    )
-    w_doc = Window.partitionBy("doc_id").orderBy(
-        F.desc("score"), F.asc("chunk_idx")
-    )
-    best = (
-        scores.withColumn("rn", F.row_number().over(w_doc))
-        .filter(F.col("rn") == 1)
-        .drop("rn")
-    )
-    head = best.orderBy(F.desc("score"), F.asc("doc_id")).limit(BM25_K)
-    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
-    return head.withColumn("rank", F.row_number().over(w)).select(
-        "doc_id",
-        "rank",
-        F.col("chunk_idx").cast("int").alias("best_chunk_idx"),
-        "n_terms",
-        "score",
-    )
+    return RETR.bm25_maxp_rank(tf, stats, BM25_TERMS, k=BM25_K)
 
 
 _MAXP_PIVOT, _MAXP_SUM = RETR.sql_bm25_pivot(BM25_TERMS)

@@ -1059,3 +1059,68 @@ def bm25_topk_view(
         .select("doc_id", "dl", "term", "tf")
     )
     return RETR.bm25_rank(tf, stats, terms, k=k, exclude_id=exclude_id)
+
+
+def streaming_bm25_chunk_index(postings_sink, lengths_sink):
+    """foreachBatch body maintaining the CHUNK-level incremental BM25
+    index (the RAG serving index): postings (term, doc_id, chunk_idx)
+    -> (tf, dl) and chunk lengths (doc_id, chunk_idx) -> dl, on the
+    shared chunk grid (functions/text.chunk_windows_expr). Same
+    replay-safety argument as streaming_bm25_index: documents are
+    immutable and append-only, so chunk postings re-upsert
+    byte-identically on crash replay — no epoch guard needed."""
+    from flink_streaming_demo_spark.operators import retrieval as RETR
+
+    for sink, want_key, name in (
+        (postings_sink, ["term", "doc_id", "chunk_idx"], "postings_sink"),
+        (lengths_sink, ["doc_id", "chunk_idx"], "lengths_sink"),
+    ):
+        if not (hasattr(sink, "path") and hasattr(sink, "read")):
+            raise TypeError(
+                f"streaming_bm25_chunk_index needs store-backed sinks; "
+                f"{name} is {type(sink).__name__}"
+            )
+        if getattr(sink, "key_cols", want_key) != want_key:
+            raise ValueError(
+                f"{name} key_cols must be {want_key} (one row per "
+                f"chunk posting / per chunk), got {sink.key_cols}"
+            )
+
+    def body(batch_df: DataFrame, epoch_id: int) -> None:
+        if not batch_df.head(1):
+            return
+        post = RETR.bm25_chunk_postings(batch_df).localCheckpoint()
+        postings_sink.foreach_batch(post, epoch_id)
+        lengths_sink.foreach_batch(
+            post.select("doc_id", "chunk_idx", "dl").distinct(), epoch_id
+        )
+
+    return body
+
+
+def bm25_maxp_view(
+    spark,
+    postings_sink,
+    lengths_sink,
+    query_terms,
+    k: int = 10,
+):
+    """Read-time BM25-MaxP top-k over the incremental chunk index:
+    term-filtered chunk postings (filter pushed into the store scan) +
+    a 1-row stats aggregate over the chunk-lengths store, scored and
+    MaxP-aggregated through the SAME bm25_maxp_rank tail as the batch
+    sim_bm25_maxp — view ≡ batch bit-for-bit once the stores have
+    absorbed the same documents (streaming≡batch test)."""
+    from flink_streaming_demo_spark.operators import retrieval as RETR
+
+    terms = list(query_terms)
+    stats = lengths_sink.read(spark).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("sum_dl"),
+    )
+    tf = (
+        postings_sink.read(spark)
+        .filter(F.col("term").isin(*terms))
+        .select("doc_id", "chunk_idx", "dl", "term", "tf")
+    )
+    return RETR.bm25_maxp_rank(tf, stats, terms, k=k)

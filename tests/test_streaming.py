@@ -2337,3 +2337,69 @@ def test_streaming_bm25_index_equals_batch_and_is_replay_idempotent(
     finally:
         shutil.rmtree(chunk_dir, ignore_errors=True)
         shutil.rmtree(root, ignore_errors=True)
+
+
+def test_streaming_bm25_chunk_index_maxp_view_equals_batch(spark, sf_dir):
+    """Chunked replay of documents through the chunk-level BM25 indexer:
+    the MaxP read view must equal the batch sim_bm25_maxp row-for-row
+    (shared bm25_maxp_rank tail over identical frames), and re-applying
+    a chunk of docs must not change the index (immutable chunk
+    postings)."""
+    from flink_streaming_demo_spark.plans.vector_queries import (
+        BM25_K,
+        BM25_TERMS,
+        sim_bm25_maxp,
+    )
+    from flink_streaming_demo_spark.schemas import load_table
+    from flink_streaming_demo_spark.streaming.pipelines import (
+        bm25_maxp_view,
+        streaming_bm25_chunk_index,
+        write_foreach_batch_stream,
+    )
+    from flink_streaming_demo_spark.streaming.sinks import ParquetUpsertSink
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    chunk_dir = replay.write_replay_chunks(
+        docs, n_chunks=3, order_col="doc_id"
+    )
+    root = tempfile.mkdtemp(prefix="bm25c_")
+    postings = ParquetUpsertSink(
+        root + "/postings", ["term", "doc_id", "chunk_idx"]
+    )
+    lengths = ParquetUpsertSink(root + "/lengths", ["doc_id", "chunk_idx"])
+    body = streaming_bm25_chunk_index(postings, lengths)
+    try:
+        stream = replay.read_replay_stream(
+            spark,
+            chunk_dir,
+            "doc_id long, text string",
+            max_files_per_trigger=1,
+        )
+        q = write_foreach_batch_stream(stream, body, "bm25_chunk_index")
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        want = [
+            tuple(r)
+            for r in sim_bm25_maxp(spark, sf_dir).orderBy("rank").collect()
+        ]
+        got = [
+            tuple(r)
+            for r in bm25_maxp_view(
+                spark, postings, lengths, BM25_TERMS, k=BM25_K
+            ).orderBy("rank").collect()
+        ]
+        assert got == want
+        # replay idempotence on the chunk-level stores
+        body(docs.filter(F.col("doc_id") % 3 == 2), epoch_id=99)
+        again = [
+            tuple(r)
+            for r in bm25_maxp_view(
+                spark, postings, lengths, BM25_TERMS, k=BM25_K
+            ).orderBy("rank").collect()
+        ]
+        assert again == want
+    finally:
+        shutil.rmtree(chunk_dir, ignore_errors=True)
+        shutil.rmtree(root, ignore_errors=True)
