@@ -40,6 +40,7 @@ LLM-pipeline tier (SURVEY §2.10 extensions).
 
 from __future__ import annotations
 
+import re
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, Window
@@ -48,6 +49,26 @@ from pyspark.sql import functions as F
 BM25_K1 = 1.2
 BM25_B = 0.75
 RRF_K = 60
+
+_TERM_RE = re.compile(r"[a-z0-9_]+\Z")
+
+
+def _check_terms(query_terms: Sequence[str]) -> list[str]:
+    """Validate a query term bag: non-empty and duplicate-free (a repeated
+    term would silently double-count its BM25 contribution in the pivot
+    sum; an empty bag leaves the pivot's ``s_0`` column unresolved), and
+    every term lexically safe to interpolate into the DuckDB oracle SQL
+    (``[a-z0-9_]+`` — the corpus tokenizer emits nothing else, and the
+    pattern rules out quote/injection breakage in the SQL twins)."""
+    terms = list(query_terms)
+    if not terms:
+        raise ValueError("query_terms must be non-empty")
+    if len(set(terms)) != len(terms):
+        raise ValueError(f"query_terms contains duplicates: {terms!r}")
+    bad = [t for t in terms if not _TERM_RE.match(t)]
+    if bad:
+        raise ValueError(f"query terms must match [a-z0-9_]+: {bad!r}")
+    return terms
 
 
 def bm25_postings(
@@ -83,6 +104,7 @@ def bm25_scores(
     k1: float = BM25_K1,
     b: float = BM25_B,
     id_cols: Sequence[str] = ("doc_id",),
+    dfreq: DataFrame | None = None,
 ) -> DataFrame:
     """BM25 scoring over prepared frames, generic in the unit of
     retrieval (document, chunk, ...).
@@ -92,13 +114,17 @@ def bm25_scores(
     units. Returns id_cols + (n_terms, score); only units matching
     >= 1 query term appear. df counts units (for chunk retrieval that
     is chunk frequency — the standard choice when the chunk corpus IS
-    the index). The per-term contributions are pivoted to columns and
-    summed in FIXED query-term order (cross-engine float discipline).
+    the index); pass ``dfreq`` (term, df) explicitly when ``tf`` rows
+    are NOT one-per-(unit, term) — the batched path joins a query table
+    into tf first, which would inflate a row-count df. The per-term
+    contributions are pivoted to columns and summed in FIXED query-term
+    order (cross-engine float discipline).
     """
-    terms = list(query_terms)
+    terms = _check_terms(query_terms)
     ids = list(id_cols)
     tf = tf.select(*ids, "dl", "term", "tf")
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    if dfreq is None:
+        dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     scored = tf.join(F.broadcast(dfreq), "term").crossJoin(F.broadcast(stats))
     avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")
     idf = F.log(
@@ -180,7 +206,7 @@ def bm25_topk(
     array, so non-matching tokens never explode; scoring happens in
     ``bm25_rank`` (shared with the streaming index's read-time view).
     """
-    terms = list(query_terms)
+    terms = _check_terms(query_terms)
     toks = docs.select(
         F.col(id_col).alias("doc_id"),
         F.split(F.col(text_col), " ").alias("toks"),
@@ -205,6 +231,164 @@ def bm25_topk(
     return bm25_rank(
         tf, stats, terms, k=k, k1=k1, b=b, exclude_id=exclude_id
     )
+
+
+def bm25_batch_topk(
+    docs: DataFrame,
+    query_bags: Sequence[tuple[int, Sequence[str]]],
+    k: int = 10,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-query BM25 top-k for a BATCH of term-bag queries — the shape
+    an eval/distillation pipeline actually runs (thousands of queries
+    against one corpus), vs ``bm25_topk``'s single bag.
+
+    ``query_bags``: [(query_id, [terms...]), ...] — a small query table.
+    The corpus is scanned ONCE: the token filter keeps the UNION of all
+    query terms inside the array (non-matching tokens never explode),
+    the per-(doc, term) tf table and the per-term document frequencies
+    are computed once, and the tiny (query_id, term) table broadcast-
+    joins candidates per query. Scoring rides the same ``bm25_scores``
+    machinery (id_cols = (query_id, doc_id), corpus-side df passed
+    explicitly so the query join cannot inflate it); the per-query
+    top-k is a rank window PARTITIONED by query_id over the
+    candidate slice (bounded by matched docs per query — never a
+    global sort). Returns (query_id, rank, doc_id, n_terms, score).
+
+    The union term list is deduped in first-appearance order and the
+    pivot runs over it, so every query's score is still a fixed-order
+    sum (a query's absent terms contribute COALESCE 0).
+    """
+    bags = [(int(qid), _check_terms(ts)) for qid, ts in query_bags]
+    if not bags:
+        raise ValueError("query_bags must be non-empty")
+    if len({qid for qid, _ in bags}) != len(bags):
+        raise ValueError("duplicate query_id in query_bags")
+    union_terms: list[str] = []
+    for _, ts in bags:
+        for t in ts:
+            if t not in union_terms:
+                union_terms.append(t)
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(F.col(text_col), " ").alias("toks"),
+    )
+    lengths = toks.select("doc_id", F.size("toks").alias("dl"))
+    stats = lengths.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
+    )
+    tf = (
+        toks.select(
+            "doc_id",
+            F.size("toks").alias("dl"),
+            F.explode(
+                F.filter(F.col("toks"), lambda x: x.isin(*union_terms))
+            ).alias("term"),
+        )
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    spark = docs.sparkSession
+    qtab = spark.createDataFrame(
+        [(qid, t) for qid, ts in bags for t in ts],
+        "query_id int, term string",
+    )
+    tf_q = tf.join(F.broadcast(qtab), "term").select(
+        "query_id", "doc_id", "dl", "term", "tf"
+    )
+    scored = bm25_scores(
+        tf_q,
+        stats,
+        union_terms,
+        k1=k1,
+        b=b,
+        id_cols=("query_id", "doc_id"),
+        dfreq=dfreq,
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "doc_id", "n_terms", "score")
+    )
+
+
+def sql_bm25_batch_ctes(
+    query_bags: Sequence[tuple[int, Sequence[str]]],
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB twin of ``bm25_batch_topk`` as CTE bodies; embed inside
+    WITH and select from ``bm25_batch_ranked`` (query_id, rank, doc_id,
+    n_terms, score). Same union-term pivot in the same first-appearance
+    order, df computed on the pre-query-join tf table."""
+    bags = [(int(qid), _check_terms(ts)) for qid, ts in query_bags]
+    union_terms: list[str] = []
+    for _, ts in bags:
+        for t in ts:
+            if t not in union_terms:
+                union_terms.append(t)
+    in_list = ", ".join(f"'{t}'" for t in union_terms)
+    sp = f"string_split({text_col}, ' ')"
+    qrows = ", ".join(
+        f"({qid}, '{t}')" for qid, ts in bags for t in ts
+    )
+    pivot_cols, score_sum = sql_bm25_pivot(union_terms)
+    return f"""
+    bm25_stats AS (
+        SELECT COUNT(*) AS n_docs,
+               SUM(len({sp})) AS sum_dl
+        FROM {table}
+    ),
+    bm25_tf AS (
+        SELECT {id_col} AS doc_id, dl, term, COUNT(*) AS tf
+        FROM (
+            SELECT {id_col}, len({sp}) AS dl,
+                   unnest({sp}) AS term
+            FROM {table}
+        )
+        WHERE term IN ({in_list})
+        GROUP BY {id_col}, dl, term
+    ),
+    bm25_df AS (
+        SELECT term, COUNT(*) AS df FROM bm25_tf GROUP BY term
+    ),
+    bm25_qtab(query_id, term) AS (VALUES {qrows}),
+    bm25_scored AS (
+        SELECT q.query_id, c.doc_id, c.term,
+               {sql_bm25_term_score(k1, b)} AS s
+        FROM bm25_tf c
+        JOIN bm25_qtab q USING (term)
+        JOIN bm25_df d USING (term)
+        CROSS JOIN bm25_stats s
+    ),
+    bm25_pivot AS (
+        SELECT query_id, doc_id,
+               {pivot_cols},
+               CAST(COUNT(*) AS INT) AS n_terms
+        FROM bm25_scored GROUP BY query_id, doc_id
+    ),
+    bm25_batch_ranked AS (
+        SELECT query_id,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY query_id
+                   ORDER BY ROUND({score_sum}, 6) DESC, doc_id ASC
+               ) AS INT) AS rank,
+               doc_id,
+               n_terms,
+               ROUND({score_sum}, 6) AS score
+        FROM bm25_pivot
+    )
+    """
 
 
 def bm25_chunk_postings(
@@ -349,7 +533,9 @@ def sql_bm25_term_score(
 
 def sql_bm25_pivot(terms: Sequence[str]) -> tuple[str, str]:
     """(pivot column list, fixed-order score sum) for the term pivot —
-    shared by every BM25 oracle so term order can never drift."""
+    shared by every BM25 oracle so term order can never drift. Terms are
+    validated against [a-z0-9_]+ before interpolation."""
+    terms = _check_terms(terms)
     pivot_cols = ",\n               ".join(
         f"MAX(CASE WHEN term = '{t}' THEN s END) AS s_{i}"
         for i, t in enumerate(terms)
@@ -372,7 +558,9 @@ def sql_bm25_ctes(
     """DuckDB twin of ``bm25_topk`` as CTE bodies; embed inside WITH and
     select from ``bm25_ranked`` (doc_id, rank, n_terms, score). The
     expression trees mirror the Spark columns token for token so every
-    double operation happens in the same order."""
+    double operation happens in the same order. Terms are validated
+    against [a-z0-9_]+ (``_check_terms``) before interpolation."""
+    terms = _check_terms(terms)
     in_list = ", ".join(f"'{t}'" for t in terms)
     sp = f"string_split({text_col}, ' ')"
     excl = (

@@ -405,11 +405,15 @@ def assign_to_centroids(
     n_assign: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    keep_rank: bool = False,
 ) -> DataFrame:
     """Assign each vector to its ``n_assign`` nearest centroids by cosine
     (rounded to 6 places; ties break on centroid_id). Centroids are
     broadcast (K is small by construction); the only shuffle is the
-    per-vector rank window, one exchange on the vector id."""
+    per-vector rank window, one exchange on the vector id.
+    ``keep_rank=True`` retains the 1-based nearness rank as ``c_rank``
+    (the multi-probe path grades candidates by which probe ring found
+    them)."""
     cent = centroids.select(
         F.col("centroid_id"),
         F.col(vec_col).alias("c_vec"),
@@ -437,11 +441,11 @@ def assign_to_centroids(
     w = Window.partitionBy(id_col).orderBy(
         F.desc("c_score"), F.asc("centroid_id")
     )
-    return (
-        scored.withColumn("c_rank", F.row_number().over(w))
-        .filter(F.col("c_rank") <= n_assign)
-        .drop("c_score", "c_rank")
+    assigned = scored.withColumn("c_rank", F.row_number().over(w)).filter(
+        F.col("c_rank") <= n_assign
     )
+    drop = ("c_score",) if keep_rank else ("c_score", "c_rank")
+    return assigned.drop(*drop)
 
 
 def kmeans_centroids(
@@ -608,6 +612,62 @@ def ivf_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "score")
+    )
+
+
+def ivf_probe_pairs(
+    queries: DataFrame,
+    corpus: DataFrame,
+    centroids: DataFrame,
+    max_probe: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Scored IVF candidate pairs GRADED by probe ring: every (query,
+    corpus-vector) pair reachable within the query's ``max_probe``
+    nearest cells, carrying ``probe_rank`` = which ring (1-based) of the
+    query's centroid list the pair's shared cell sits in. Filtering
+    ``probe_rank <= n`` reproduces exactly the candidate set an
+    nprobe=n IVF search scans, so ONE pass evaluates every probe level
+    up to ``max_probe`` — the recall/cost knob (more probes = more
+    candidates = higher recall) measured without re-running the index.
+
+    Scale shape (same as ``ivf_topk``): centroid assignment is a
+    broadcast(K) scan; corpus vectors live in exactly ONE cell, so a
+    pair appears at most once and the cell join is an equi-join on
+    centroid_id with the tiny (n_queries x max_probe)-row query side
+    broadcast. Candidates ~ max_probe/K of the corpus per query —
+    never all-pairs.
+    """
+    corp = assign_to_centroids(corpus, centroids, 1, id_col, vec_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        F.col("nrm").alias("c_norm"),
+        "centroid_id",
+    )
+    qry = assign_to_centroids(
+        queries, centroids, max_probe, id_col, vec_col, keep_rank=True
+    ).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.col("nrm").alias("q_norm"),
+        "centroid_id",
+        F.col("c_rank").alias("probe_rank"),
+    )
+    return (
+        F.broadcast(qry)
+        .join(corp, "centroid_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            "probe_rank",
+            F.round(
+                dot(F.col("q_vec"), F.col("c_vec"))
+                / (F.col("q_norm") * F.col("c_norm")),
+                6,
+            ).alias("score"),
+        )
     )
 
 

@@ -25,7 +25,12 @@ def register(
     sql: str | None = None,
 ) -> None:
     """Add a named query. ``sql=None`` -> non-SQL-expressible op; the driver
-    records a weaker rows-only check for it."""
+    records a weaker rows-only check for it. Names are unique: a second
+    registration under the same name is always a bug (a copy-pasted
+    register block or a module re-executing under a second sys.modules
+    identity) and would silently shadow the first, so it raises."""
+    if name in QUERIES:
+        raise ValueError(f"duplicate query registration: {name!r}")
     QUERIES[name] = fn
     if sql is not None:
         ORACLE_SQL[name] = sql
@@ -468,7 +473,82 @@ _ROUND11_WINDOW = [
     "events_pivot_type_counts", "events_value_stats",
     "events_json_props",
 ]
-# r12 window guidance (write _ROUND12_WINDOW next round from this):
+# Round 12 window: exactly the shape the r11 verdict pre-committed
+# (verdict #1), plus this round's own churn:
+#   0. the 4 age-5 displaced queries FIRST (oldest evidence: r6);
+#   1. the round's 2 new queries (sim_ivf_multiprobe_recall — the IVF
+#      recall/cost knob, verdict #4; sim_bm25_batch_topk — batched
+#      retrieval, verdict #5), never driver-checked (hygiene test
+#      enforces placement);
+#   2. the r11 churn re-greens (events_user_rfm,
+#      embedding_pca_top_component — both ALSO plan-churned again this
+#      round: PCA gained per-iteration vector checkpoints for the
+#      tightened plan audit; plus the closure-churned
+#      events_cms_rollup_users, events_hist_value_quantiles);
+#   3. this round's plan-audit fixes needing fresh rows:
+#      sample_curriculum_order (localCheckpoint between the stacked rank
+#      machines, 295 nodes/36 scans -> 48/0) and dedup_ngram_jaccard
+#      (shingle frame checkpointed, 24 scans -> ~3) — both parity-green
+#      at sf0.001 + sf0.01 the day they changed; the other two audit
+#      fixes (embedding_pca_top_component, sample_pack_subwords) already
+#      hold window slots above/below;
+#   4. 38 of the 39 age-4 r7 rows in tools/coverage.py order. The one
+#      displaced r7 row is text_bpe_merges, with compensating evidence:
+#      in-window text_bpe_segment AND sample_pack_subwords both COMPOSE
+#      bpe_train_merges (their greens re-prove the merge-table
+#      trajectory end-to-end), the batched twin text_bpe_merges_batched
+#      is r9-green, and it was re-proven locally via tools/parity.py at
+#      sf0.001 + sf0.01 on the day of displacement. The staleness guard
+#      (tests/test_registry_window.py) will force it into r13's front.
+# Closure-only churn NOT in-window (outputs byte-identical, all
+# re-proven locally at sf0.01 this round): the bm25 queries
+# (sim_bm25_topk/sim_hybrid_rrf/sim_hybrid_ndcg/sim_bm25_maxp — term
+# validation added at operator entry, r11 ADVICE; all r11-green) and the
+# assign_to_centroids consumers (sim_ivf_topk/sim_ivf_kmeans/
+# sim_ivf_recall/sim_ivfpq_topk/dedup_semantic/... — keep_rank
+# refactor, identical plans; all r9/r10-green).
+_ROUND12_WINDOW = [
+    # 0. the four age-5 displaced queries (r6 evidence, oldest)
+    "sample_stratified", "source_length_quantiles",
+    "sample_pack_bins", "sample_source_cap",
+    # 1. never driver-checked (this round's new queries)
+    "sim_ivf_multiprobe_recall", "sim_bm25_batch_topk",
+    # 2. r11 churn re-greens
+    "events_user_rfm", "embedding_pca_top_component",
+    "events_cms_rollup_users", "events_hist_value_quantiles",
+    # 3. r12 plan-audit fixes
+    "sample_curriculum_order", "dedup_ngram_jaccard",
+    # 4. the age-4 r7 rows, coverage order (39 minus text_bpe_merges)
+    "dedup_semantic", "embedding_quantize", "pipeline_embedding_dedup",
+    "embedding_dim_profile", "embedding_random_projection",
+    "pipeline_joint_curation", "system_profile_lineitem",
+    "decon_source_overlap", "dedup_chunk_minhash", "text_heavy_hitters",
+    "text_token_entropy", "graph_pagerank_neardup",
+    "doc_source_lang_chisq", "text_bigram_logprob",
+    "link_fuzzy_customers", "decon_split_leakage",
+    "decon_split_by_cluster", "pipeline_keep_decisions",
+    "text_strip_dup_spans", "text_quality_logreg", "text_bpe_segment",
+    "dedup_cluster_sizes", "dedup_lsh_scurve", "text_ngram_novelty",
+    "events_error_after_click", "events_funnel_stages",
+    "events_cohort_retention", "events_winsorized_stats",
+    "events_scd2_type_history", "events_key_skew_report",
+    "events_temporal_scd2_join", "events_daily_anomaly",
+    "events_first_in_burst", "events_throttle_kept",
+    "events_type_transitions", "sample_temperature_weights",
+    "sample_weighted_topk", "sample_pack_subwords",
+]
+# r13 window guidance (write _ROUND13_WINDOW next round from this):
+#   0. text_bpe_merges FIRST (displaced from this window, r7 evidence —
+#      the staleness-ceiling test in tests/test_registry_window.py goes
+#      red if it is dropped again);
+#   1. any never-checked r13 additions (hygiene test enforces);
+#   2. r12 churn needing re-green rows, if any plans change late;
+#   3. the r9 rows oldest-first (`python tools/coverage.py
+#      --suggest-window` emits the exact ordered list — 48 rows with r9
+#      evidence will be age 4 by then), then r10 oldest-first with the
+#      leftover slots.
+# r12-era guidance retained below for the audit trail:
+# (write _ROUND12_WINDOW next round from this):
 #   0. sample_stratified, source_length_quantiles, sample_pack_bins and
 #      sample_source_cap FIRST — displaced from this window's tail when
 #      the late-r11 hybrid-retrieval tier (sim_bm25_topk,

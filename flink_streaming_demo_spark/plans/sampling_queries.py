@@ -610,7 +610,14 @@ def sample_pack_subwords(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents").select("doc_id", "source", "text")
     merges = BPE.bpe_train_merges(docs.select("text"))
     seg = BPE.bpe_segment(docs, merges).select("doc_id", "n_subwords")
-    sized = docs.select("doc_id", "source").join(seg, "doc_id")
+    # Cut the lineage at the 3-column sized frame: pack_greedy references
+    # its input from both sides of the cumsum decomposition, so without
+    # this the whole BPE train+segment subtree is re-embedded per
+    # reference (179 plan nodes flagged by the tightened r12 audit —
+    # and at scale, the tokenizer pass re-RUN per reference).
+    sized = docs.select("doc_id", "source").join(
+        seg, "doc_id"
+    ).localCheckpoint()
     packed = sampling.pack_greedy(
         sized, "n_subwords", _PACK_CAPACITY, part_col="source"
     )
@@ -1104,12 +1111,18 @@ def sample_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiled = sampling.exact_global_ntile(
         docs, 4, "n_chars", "doc_id", out_col="tile"
     )
+    # localCheckpoint between the two stacked rank machines — the
+    # events_user_rfm r11 precedent: each machine references its input
+    # three times (chunk/local-rank/sizes), so stacking without a cut
+    # re-derives the ntile subtree per reference (295 plan nodes / 36
+    # parquet scans flagged by the tightened r12 audit; now the rank
+    # machine starts from a materialized 3-column leaf).
     keyed = tiled.withColumn(
         "ckey",
         F.col("tile").cast("double")
         + sampling.hash_bucket(F.col("doc_id")).cast("double")
         / F.lit(1e6),
-    )
+    ).localCheckpoint()
     return sampling.exact_global_rank(
         keyed, "ckey", "doc_id", out_col="curriculum_pos"
     ).select("curriculum_pos", "doc_id", "tile", "n_chars")

@@ -1277,6 +1277,140 @@ def _ivf_recall_oracle() -> str:
 register("sim_ivf_recall", sim_ivf_recall, _ivf_recall_oracle())
 
 
+MULTIPROBE_MAX = 4
+MULTIPROBE_LEVELS = (1, 2, 4)
+
+
+def sim_ivf_multiprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF recall/cost knob, measured: recall@k against the exact
+    brute-force top-k for nprobe = 1, 2 and 4 over the SAME index, in
+    one pass. ``ivf_probe_pairs`` grades every candidate by which probe
+    ring found it, so filtering ``probe_rank <= nprobe`` reproduces
+    exactly the candidate set an nprobe-cell search scans — a 3-row
+    report (nprobe, n_hits, recall) where recall rising with nprobe is
+    the driver-checked contract (single-probe is the known recall cliff;
+    multi-probe is the production mitigation, Jégou et al. 2011 IVF).
+
+    Scale: the one data-sized stage is the broadcast-centroid assignment
+    scan; per-level top-k ranks run on the (query, level)-partitioned
+    candidate slice (bounded by max_probe/K of the corpus per query).
+    """
+    emb = t(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding")
+    )
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    pairs = SIM.ivf_probe_pairs(queries, emb, centroids, MULTIPROBE_MAX)
+    levels = spark.createDataFrame(
+        [(n,) for n in MULTIPROBE_LEVELS], "nprobe int"
+    )
+    cand = pairs.join(
+        F.broadcast(levels), F.col("probe_rank") <= F.col("nprobe")
+    )
+    w = Window.partitionBy("nprobe", "query_id").orderBy(
+        F.desc("score"), F.asc("neighbor_id")
+    )
+    topk = cand.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= TOP_K
+    )
+    exact = sim_topk_cosine(spark, sf_dir).select("query_id", "neighbor_id")
+    hits = topk.join(exact, ["query_id", "neighbor_id"]).groupBy(
+        "nprobe"
+    ).agg(F.count(F.lit(1)).alias("n_hits"))
+    tot = exact.agg(F.count(F.lit(1)).alias("n_exact"))
+    return (
+        levels.crossJoin(F.broadcast(tot))
+        .join(hits, "nprobe", "left")
+        .select(
+            "nprobe",
+            F.coalesce("n_hits", F.lit(0)).cast("bigint").alias("n_hits"),
+            F.round(
+                F.coalesce("n_hits", F.lit(0)).cast("double")
+                / F.col("n_exact").cast("double"),
+                6,
+            ).alias("recall"),
+        )
+    )
+
+
+def _ivf_multiprobe_oracle() -> str:
+    from flink_streaming_demo_spark.plans.registry import ORACLE_SQL
+
+    levels_rows = ", ".join(f"({n})" for n in MULTIPROBE_LEVELS)
+    return f"""
+    WITH cent AS (
+        SELECT vec_id AS centroid_id, embedding AS c_vec
+        FROM embeddings WHERE vec_id < {N_CENTROIDS}
+    ),
+    corp_scored AS (
+        SELECT e.vec_id, e.embedding, centroid_id,
+               ROUND({SIM.sql_cosine('e.embedding', 'c_vec', DIMS)}, 6)
+                   AS c_score
+        FROM embeddings e CROSS JOIN cent
+    ),
+    corp_cell AS (
+        SELECT vec_id AS neighbor_id, embedding AS n_vec, centroid_id
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY vec_id ORDER BY c_score DESC, centroid_id ASC
+            ) AS c_rank
+            FROM corp_scored
+        ) WHERE c_rank = 1
+    ),
+    qry_cell AS (
+        SELECT vec_id AS query_id, embedding AS q_vec, centroid_id,
+               c_rank AS probe_rank
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY vec_id ORDER BY c_score DESC, centroid_id ASC
+            ) AS c_rank
+            FROM corp_scored WHERE vec_id < {N_QUERIES}
+        ) WHERE c_rank <= {MULTIPROBE_MAX}
+    ),
+    levels(nprobe) AS (VALUES {levels_rows}),
+    cand AS (
+        SELECT l.nprobe, q.query_id, c.neighbor_id,
+               ROUND({SIM.sql_cosine('q_vec', 'n_vec', DIMS)}, 6) AS score
+        FROM qry_cell q
+        JOIN corp_cell c USING (centroid_id)
+        CROSS JOIN levels l
+        WHERE q.probe_rank <= l.nprobe AND q.query_id <> c.neighbor_id
+    ),
+    mp_topk AS (
+        SELECT nprobe, query_id, neighbor_id FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY nprobe, query_id
+                ORDER BY score DESC, neighbor_id ASC
+            ) AS rk
+            FROM cand
+        ) WHERE rk <= {TOP_K}
+    ),
+    exact_q AS ({ORACLE_SQL["sim_topk_cosine"]}),
+    hits AS (
+        SELECT nprobe, COUNT(*) AS n_hits
+        FROM mp_topk t
+        JOIN exact_q e
+          ON t.query_id = e.query_id AND t.neighbor_id = e.neighbor_id
+        GROUP BY nprobe
+    ),
+    tot AS (SELECT COUNT(*) AS n_exact FROM exact_q)
+    SELECT l.nprobe,
+           CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+           ROUND(CAST(COALESCE(h.n_hits, 0) AS DOUBLE)
+                 / CAST(t.n_exact AS DOUBLE), 6) AS recall
+    FROM levels l
+    CROSS JOIN tot t
+    LEFT JOIN hits h ON h.nprobe = l.nprobe
+    """
+
+
+register(
+    "sim_ivf_multiprobe_recall",
+    sim_ivf_multiprobe_recall,
+    _ivf_multiprobe_oracle(),
+)
+
+
 # --- Distributed covariance / correlation matrix ------------------------------
 
 def _cov_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1535,10 +1669,15 @@ def embedding_pca_top_component(
             F.struct(F.col("i"), (F.col("w") * F.col("w")).alias("term"))
             .alias("e")
         ).agg(F.sqrt(fold(F.col("e"))).alias("nrm"))
+        # Checkpoint the 64-row vector too: each iteration otherwise
+        # re-embeds the previous iterations' matvec subtree, stacking
+        # ~90 plan nodes per round (285 total at 3 iterations flagged by
+        # the tightened r12 plan audit). Bit-identical doubles; the
+        # final plan is one iteration deep regardless of PCA_ITERS.
         v = w.crossJoin(F.broadcast(norm)).select(
             F.col("i").alias("dim"),
             (F.col("w") / F.col("nrm")).alias("val"),
-        )
+        ).localCheckpoint()
     return v.crossJoin(F.broadcast(norm)).select(
         F.col("dim"),
         F.round(F.col("val"), 6).alias("loading"),
@@ -1639,8 +1778,6 @@ def sim_mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint()
     )
-    from pyspark.sql import Window
-
     w = Window.partitionBy("query_id").orderBy(
         F.desc("mmr"), F.asc("cand_id")
     )
@@ -2004,6 +2141,38 @@ register(
     WITH {RETR.sql_bm25_ctes(BM25_TERMS)}
     SELECT doc_id, rank, n_terms, score
     FROM bm25_ranked WHERE rank <= {BM25_K}
+    """,
+)
+
+
+# Batched retrieval: overlapping bags over the same 3-term vocabulary
+# (common/common/rare), including single-term and full-bag queries, so
+# per-query df sharing and the union-term pivot are both exercised.
+BM25_BATCH_QUERIES = (
+    (1, ("spark", "window")),
+    (2, ("spark", "dup")),
+    (3, ("window", "dup")),
+    (4, ("spark", "window", "dup")),
+    (5, ("dup",)),
+)
+
+
+def sim_bm25_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query BM25 top-10 for a 5-query batch — the batched-retrieval
+    shape an eval/distillation pipeline runs (operators/retrieval.py
+    ``bm25_batch_topk``): corpus tokenized once, per-term df shared
+    across queries, per-query rank window partitioned by query_id."""
+    docs = t(spark, sf_dir, "documents")
+    return RETR.bm25_batch_topk(docs, BM25_BATCH_QUERIES, k=BM25_K)
+
+
+register(
+    "sim_bm25_batch_topk",
+    sim_bm25_batch_topk,
+    f"""
+    WITH {RETR.sql_bm25_batch_ctes(BM25_BATCH_QUERIES)}
+    SELECT query_id, rank, doc_id, n_terms, score
+    FROM bm25_batch_ranked WHERE rank <= {BM25_K}
     """,
 )
 

@@ -80,6 +80,54 @@ def test_window_names_resolve_and_are_unique():
     assert not unknown, f"window names not registered (typo?): {unknown}"
 
 
+STALENESS_CEILING = 5  # max rounds a query's driver evidence may age
+
+
+def _latest_round_per_query() -> tuple[dict[str, int], int]:
+    latest: dict[str, int] = {}
+    newest_round = 0
+    for path in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")):
+        rnd = int(re.search(r"_r(\d+)\.json$", path).group(1))
+        newest_round = max(newest_round, rnd)
+        with open(path) as f:
+            for name in json.load(f):
+                latest[name] = max(latest.get(name, 0), rnd)
+    return latest, newest_round
+
+
+def test_stale_queries_forced_into_window():
+    """Staleness ceiling (r11 verdict #2): the hygiene test above forces
+    NEVER-checked queries into the window, but displacement of old rows
+    was legal and unguarded — that is exactly how four queries reached
+    age-5 evidence by r11. Fail if any registered query's latest driver
+    row is older than STALENESS_CEILING rounds and the query is not in
+    the active window's first DRIVER_SLOTS names (where the upcoming
+    round would refresh it)."""
+    from flink_streaming_demo_spark.plans import registry
+
+    latest, newest_round = _latest_round_per_query()
+    registered = list(registry.ordered_queries())
+    head = set(registered[:DRIVER_SLOTS])
+    # age is measured against the UPCOMING round (newest committed row
+    # + 1): a query last checked in r6 is 6 rounds stale when the r12
+    # window is being composed.
+    upcoming = newest_round + 1
+    stale = [
+        n
+        for n in registered
+        if n in latest
+        and upcoming - latest[n] > STALENESS_CEILING
+        and n not in head
+    ]
+    assert not stale, (
+        f"{len(stale)} queries have driver evidence older than "
+        f"{STALENESS_CEILING} rounds and are NOT in the active window's "
+        f"first {DRIVER_SLOTS} slots: "
+        f"{sorted((n, latest[n]) for n in stale)}. Front them in the "
+        f"active _ROUND<N>_WINDOW in plans/registry.py."
+    )
+
+
 def test_order_survives_plans_module_imported_first():
     """Regression for the circular-import failure modes: importing a
     plans module BEFORE the registry runs the registry body mid-import.
@@ -92,14 +140,21 @@ def test_order_survives_plans_module_imported_first():
     EVERY plans module is pinned as the first import in its own
     subprocess, because each one triggers a different _load_all
     interleaving."""
+    import pkgutil
     import subprocess
     import sys
 
-    modules = [
-        "vector_queries", "tpch_rest", "tpch_queries", "tpch_more",
-        "text_queries", "taxi_queries", "event_queries",
-        "sampling_queries",
-    ]
+    import flink_streaming_demo_spark.plans as plans_pkg
+
+    # Enumerate dynamically so a future plans module cannot silently
+    # escape this coverage (r11 ADVICE): every module in the package
+    # except the registry itself and non-registering helpers is pinned.
+    modules = sorted(
+        m.name
+        for m in pkgutil.iter_modules(plans_pkg.__path__)
+        if m.name != "registry"
+    )
+    assert len(modules) >= 8, modules
     for mod in modules:
         code = (
             "import sys; sys.path.insert(0, %r)\n"

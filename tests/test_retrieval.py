@@ -10,10 +10,17 @@ from __future__ import annotations
 import math
 from decimal import ROUND_HALF_UP, Decimal
 
-from flink_streaming_demo_spark.operators.retrieval import rrf_fuse
+import pytest
+
+from flink_streaming_demo_spark.operators.retrieval import (
+    _check_terms,
+    rrf_fuse,
+)
 from flink_streaming_demo_spark.plans.vector_queries import (
+    BM25_BATCH_QUERIES,
     BM25_K,
     BM25_TERMS,
+    sim_bm25_batch_topk,
     sim_bm25_topk,
 )
 from flink_streaming_demo_spark.schemas import load_table
@@ -208,3 +215,62 @@ def test_bm25_maxp_matches_python_model(spark, sf_dir):
         assert r.n_terms == n_terms
         assert abs(r.score - score) <= 1e-9
     assert [r.rank for r in got] == list(range(1, BM25_K + 1))
+
+
+def test_check_terms_guards():
+    """ADVICE r11: a duplicated term silently double-counts its pivot
+    contribution, an empty bag leaves s_0 unresolved, and a quoted term
+    would break the interpolated oracle SQL — all three now raise at
+    operator entry."""
+    assert _check_terms(("spark", "dup")) == ["spark", "dup"]
+    with pytest.raises(ValueError):
+        _check_terms(())
+    with pytest.raises(ValueError):
+        _check_terms(("spark", "spark"))
+    with pytest.raises(ValueError):
+        _check_terms(("it's",))
+    with pytest.raises(ValueError):
+        _check_terms(("Upper",))
+
+
+def test_bm25_batch_matches_python_model(spark, sf_dir):
+    """Every query in the batch must score exactly as the single-query
+    python model does with the corpus-wide df — the batch path shares
+    tokenization and df across queries but may not change any float."""
+    rows = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .collect()
+    )
+    toks = {r.doc_id: r.text.split(" ") for r in rows}
+    got = sim_bm25_batch_topk(spark, sf_dir).collect()
+    by_query: dict[int, list] = {}
+    for r in got:
+        by_query.setdefault(r.query_id, []).append(r)
+    assert set(by_query) == {qid for qid, _ in BM25_BATCH_QUERIES}
+    for qid, terms in BM25_BATCH_QUERIES:
+        model = _py_bm25(toks, terms)
+        expect = sorted(
+            ((doc_id, s, n) for doc_id, (s, n) in model.items()),
+            key=lambda x: (-x[1], x[0]),
+        )[:BM25_K]
+        mine = sorted(by_query[qid], key=lambda r: r.rank)
+        assert [r.rank for r in mine] == list(
+            range(1, len(expect) + 1)
+        )
+        for r, (doc_id, score, n_terms) in zip(mine, expect):
+            assert r.doc_id == doc_id, (qid, r)
+            assert r.n_terms == n_terms, (qid, r)
+            assert abs(r.score - score) <= 1e-9, (qid, r)
+
+
+def test_bm25_batch_rejects_bad_batches(spark, sf_dir):
+    from flink_streaming_demo_spark.operators.retrieval import (
+        bm25_batch_topk,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    with pytest.raises(ValueError):
+        bm25_batch_topk(docs, [])
+    with pytest.raises(ValueError):
+        bm25_batch_topk(docs, [(1, ("spark",)), (1, ("dup",))])

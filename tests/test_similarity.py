@@ -468,3 +468,64 @@ def test_recall_queries_grade_both_ann_tiers(spark, sf_dir):
         for r in rows:
             assert 0.0 <= r["recall"] <= 1.0
             assert 0 <= r["n_hits"] <= 5
+
+
+def test_ivf_probe_pairs_reproduce_ivf_topk(spark, sf_dir):
+    """The graded candidate frame must be a faithful superposition of
+    every probe level: filtering probe_rank <= nprobe and ranking per
+    query reproduces ivf_topk(nprobe) row-for-row — the invariant that
+    lets sim_ivf_multiprobe_recall evaluate all levels in one pass."""
+    from pyspark.sql import Window
+
+    from flink_streaming_demo_spark.plans.vector_queries import (
+        IVF_NPROBE,
+        N_CENTROIDS,
+        N_QUERIES,
+        TOP_K,
+    )
+    from flink_streaming_demo_spark.schemas import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding")
+    )
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    pairs = SIM.ivf_probe_pairs(queries, emb, centroids, max_probe=4)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("neighbor_id")
+    )
+    derived = (
+        pairs.filter(F.col("probe_rank") <= IVF_NPROBE)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "rank", "neighbor_id", "score")
+    )
+    direct = SIM.ivf_topk(
+        queries, emb, centroids, k=TOP_K, nprobe=IVF_NPROBE
+    )
+    key = lambda r: (r.query_id, r.rank)
+    d_rows = sorted(derived.collect(), key=key)
+    t_rows = sorted(direct.collect(), key=key)
+    assert d_rows == t_rows and len(d_rows) > 0
+
+
+def test_multiprobe_recall_monotone_in_nprobe(spark, sf_dir):
+    """The recall/cost contract: more probes can only widen the
+    candidate set, so recall@k is non-decreasing in nprobe and the
+    max-probe level grades at least as high as single-probe."""
+    from flink_streaming_demo_spark.plans.vector_queries import (
+        MULTIPROBE_LEVELS,
+        sim_ivf_multiprobe_recall,
+    )
+
+    rows = {
+        r.nprobe: r
+        for r in sim_ivf_multiprobe_recall(spark, sf_dir).collect()
+    }
+    assert set(rows) == set(MULTIPROBE_LEVELS)
+    levels = sorted(rows)
+    for lo, hi in zip(levels, levels[1:]):
+        assert rows[lo].recall <= rows[hi].recall, (lo, hi)
+    assert rows[levels[-1]].recall >= rows[levels[0]].recall
+    for r in rows.values():
+        assert 0.0 <= r.recall <= 1.0

@@ -293,6 +293,49 @@ def _probe_callables() -> dict:
         )
 
     qs["dedup_semantic_sized"] = semantic_sized
+
+    def chunk_index_upsert(spark, sf_dir):
+        """The RAG-serving maintainer (streaming_bm25_chunk_index) as a
+        probe: one foreachBatch upsert of the WHOLE documents table into
+        fresh chunk-index stores, then the MaxP read view. The timed
+        region covers the chunk-postings pass (explode on the shared
+        chunk grid + map-side (doc, chunk, term) combine), the two
+        bucket-pruned parquet upserts, and the term-filtered view read —
+        the full ingest-to-serve path. Fresh stores per call, so the
+        measured run is a cold upsert, not a no-op re-upsert."""
+        import atexit
+        import shutil
+        import tempfile
+
+        from flink_streaming_demo_spark.plans.vector_queries import (
+            BM25_K,
+            BM25_TERMS,
+        )
+        from flink_streaming_demo_spark.schemas import load_table
+        from flink_streaming_demo_spark.streaming.pipelines import (
+            bm25_maxp_view,
+            streaming_bm25_chunk_index,
+        )
+        from flink_streaming_demo_spark.streaming.sinks import (
+            ParquetUpsertSink,
+        )
+
+        root = tempfile.mkdtemp(prefix="probe_bm25c_")
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+        postings = ParquetUpsertSink(
+            root + "/postings", ["term", "doc_id", "chunk_idx"]
+        )
+        lengths = ParquetUpsertSink(
+            root + "/lengths", ["doc_id", "chunk_idx"]
+        )
+        body = streaming_bm25_chunk_index(postings, lengths)
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "text"
+        )
+        body(docs, epoch_id=0)
+        return bm25_maxp_view(spark, postings, lengths, BM25_TERMS, k=BM25_K)
+
+    qs["bm25_chunk_index_upsert"] = chunk_index_upsert
     return qs
 
 
