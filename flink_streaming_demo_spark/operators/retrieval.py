@@ -233,35 +233,12 @@ def bm25_topk(
     )
 
 
-def bm25_batch_topk(
-    docs: DataFrame,
+def check_query_bags(
     query_bags: Sequence[tuple[int, Sequence[str]]],
-    k: int = 10,
-    k1: float = BM25_K1,
-    b: float = BM25_B,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-) -> DataFrame:
-    """Per-query BM25 top-k for a BATCH of term-bag queries — the shape
-    an eval/distillation pipeline actually runs (thousands of queries
-    against one corpus), vs ``bm25_topk``'s single bag.
-
-    ``query_bags``: [(query_id, [terms...]), ...] — a small query table.
-    The corpus is scanned ONCE: the token filter keeps the UNION of all
-    query terms inside the array (non-matching tokens never explode),
-    the per-(doc, term) tf table and the per-term document frequencies
-    are computed once, and the tiny (query_id, term) table broadcast-
-    joins candidates per query. Scoring rides the same ``bm25_scores``
-    machinery (id_cols = (query_id, doc_id), corpus-side df passed
-    explicitly so the query join cannot inflate it); the per-query
-    top-k is a rank window PARTITIONED by query_id over the
-    candidate slice (bounded by matched docs per query — never a
-    global sort). Returns (query_id, rank, doc_id, n_terms, score).
-
-    The union term list is deduped in first-appearance order and the
-    pivot runs over it, so every query's score is still a fixed-order
-    sum (a query's absent terms contribute COALESCE 0).
-    """
+) -> tuple[list[tuple[int, list[str]]], list[str]]:
+    """Validate a batch of term-bag queries and derive the union term
+    list (deduped in first-appearance order — the fixed pivot order both
+    engines sum in). Returns (bags, union_terms)."""
     bags = [(int(qid), _check_terms(ts)) for qid, ts in query_bags]
     if not bags:
         raise ValueError("query_bags must be non-empty")
@@ -272,28 +249,37 @@ def bm25_batch_topk(
         for t in ts:
             if t not in union_terms:
                 union_terms.append(t)
-    toks = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.split(F.col(text_col), " ").alias("toks"),
-    )
-    lengths = toks.select("doc_id", F.size("toks").alias("dl"))
-    stats = lengths.agg(
-        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
-    )
-    tf = (
-        toks.select(
-            "doc_id",
-            F.size("toks").alias("dl"),
-            F.explode(
-                F.filter(F.col("toks"), lambda x: x.isin(*union_terms))
-            ).alias("term"),
-        )
-        .groupBy("doc_id", "dl", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
+    return bags, union_terms
+
+
+def bm25_batch_rank(
+    tf: DataFrame,
+    stats: DataFrame,
+    query_bags: Sequence[tuple[int, Sequence[str]]],
+    k: int = 10,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """Shared batched-scoring tail over prepared frames. ``tf``:
+    (doc_id, dl, term, tf) already restricted to the UNION of all query
+    terms, one row per (doc, term); ``stats``: one row (n_docs, sum_dl)
+    over the FULL corpus. Both the batch path (``bm25_batch_topk``) and
+    the streaming index's read-time view build these frames differently
+    but score through this one function, so their floats are identical
+    by construction.
+
+    Per-term document frequencies come from ``tf`` BEFORE the query
+    join (the corpus-side df — joining the query table first would
+    count a term once per query using it); the tiny (query_id, term)
+    table then broadcast-joins candidates per query, scoring rides
+    ``bm25_scores`` with id_cols = (query_id, doc_id), and the
+    per-query top-k is a rank window PARTITIONED by query_id over the
+    candidate slice (bounded by matched docs per query — never a global
+    sort). Returns (query_id, rank, doc_id, n_terms, score)."""
+    bags, union_terms = check_query_bags(query_bags)
+    tf = tf.select("doc_id", "dl", "term", "tf")
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    spark = docs.sparkSession
-    qtab = spark.createDataFrame(
+    qtab = tf.sparkSession.createDataFrame(
         [(qid, t) for qid, ts in bags for t in ts],
         "query_id int, term string",
     )
@@ -317,6 +303,53 @@ def bm25_batch_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "doc_id", "n_terms", "score")
     )
+
+
+def bm25_batch_topk(
+    docs: DataFrame,
+    query_bags: Sequence[tuple[int, Sequence[str]]],
+    k: int = 10,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-query BM25 top-k for a BATCH of term-bag queries — the shape
+    an eval/distillation pipeline actually runs (thousands of queries
+    against one corpus), vs ``bm25_topk``'s single bag.
+
+    ``query_bags``: [(query_id, [terms...]), ...] — a small query table.
+    The corpus is scanned ONCE: the token filter keeps the UNION of all
+    query terms inside the array (non-matching tokens never explode)
+    and the per-(doc, term) tf table is computed once; scoring and the
+    per-query partitioned rank happen in ``bm25_batch_rank`` (shared
+    with the streaming index's batched read-time view).
+
+    The union term list is deduped in first-appearance order and the
+    pivot runs over it, so every query's score is still a fixed-order
+    sum (a query's absent terms contribute COALESCE 0).
+    """
+    _, union_terms = check_query_bags(query_bags)
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(F.col(text_col), " ").alias("toks"),
+    )
+    lengths = toks.select("doc_id", F.size("toks").alias("dl"))
+    stats = lengths.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
+    )
+    tf = (
+        toks.select(
+            "doc_id",
+            F.size("toks").alias("dl"),
+            F.explode(
+                F.filter(F.col("toks"), lambda x: x.isin(*union_terms))
+            ).alias("term"),
+        )
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    return bm25_batch_rank(tf, stats, query_bags, k=k, k1=k1, b=b)
 
 
 def sql_bm25_batch_ctes(

@@ -1061,6 +1061,36 @@ def bm25_topk_view(
     return RETR.bm25_rank(tf, stats, terms, k=k, exclude_id=exclude_id)
 
 
+def bm25_batch_view(
+    spark,
+    postings_sink,
+    lengths_sink,
+    query_bags,
+    k: int = 10,
+):
+    """Read-time BATCHED BM25 top-k over the incremental index stores:
+    union-term-filtered postings (filter pushed into the store scan) + a
+    1-row stats aggregate over the lengths store, scored and per-query
+    ranked through the SAME bm25_batch_rank tail as the batch
+    ``bm25_batch_topk`` — view ≡ batch bit-for-bit once the stores have
+    absorbed the same documents (streaming≡batch test). This is the
+    serving shape of an eval/distillation pipeline against a live
+    index: one store read amortized across the whole query batch."""
+    from flink_streaming_demo_spark.operators import retrieval as RETR
+
+    _, union_terms = RETR.check_query_bags(query_bags)
+    stats = lengths_sink.read(spark).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("sum_dl"),
+    )
+    tf = (
+        postings_sink.read(spark)
+        .filter(F.col("term").isin(*union_terms))
+        .select("doc_id", "dl", "term", "tf")
+    )
+    return RETR.bm25_batch_rank(tf, stats, query_bags, k=k)
+
+
 def streaming_bm25_chunk_index(postings_sink, lengths_sink):
     """foreachBatch body maintaining the CHUNK-level incremental BM25
     index (the RAG serving index): postings (term, doc_id, chunk_idx)

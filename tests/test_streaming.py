@@ -2403,3 +2403,62 @@ def test_streaming_bm25_chunk_index_maxp_view_equals_batch(spark, sf_dir):
     finally:
         shutil.rmtree(chunk_dir, ignore_errors=True)
         shutil.rmtree(root, ignore_errors=True)
+
+
+def test_streaming_bm25_batch_view_equals_batch(spark, sf_dir):
+    """The BATCHED read-time view over the incremental doc-level index
+    must equal the batch sim_bm25_batch_topk row-for-row for every
+    query in the bag set (shared bm25_batch_rank tail over identical
+    frames) — the serving shape of a query batch against a live
+    index."""
+    from flink_streaming_demo_spark.plans.vector_queries import (
+        BM25_BATCH_QUERIES,
+        BM25_K,
+        sim_bm25_batch_topk,
+    )
+    from flink_streaming_demo_spark.schemas import load_table
+    from flink_streaming_demo_spark.streaming.pipelines import (
+        bm25_batch_view,
+        streaming_bm25_index,
+        write_foreach_batch_stream,
+    )
+    from flink_streaming_demo_spark.streaming.sinks import ParquetUpsertSink
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    chunk_dir = replay.write_replay_chunks(
+        docs, n_chunks=3, order_col="doc_id"
+    )
+    root = tempfile.mkdtemp(prefix="bm25b_")
+    postings = ParquetUpsertSink(root + "/postings", ["term", "doc_id"])
+    lengths = ParquetUpsertSink(root + "/lengths", ["doc_id"])
+    body = streaming_bm25_index(postings, lengths)
+    try:
+        stream = replay.read_replay_stream(
+            spark,
+            chunk_dir,
+            "doc_id long, text string",
+            max_files_per_trigger=1,
+        )
+        q = write_foreach_batch_stream(stream, body, "bm25_batch_index")
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        key = lambda r: (r[0], r[1])
+        want = sorted(
+            (tuple(r) for r in sim_bm25_batch_topk(spark, sf_dir).collect()),
+            key=key,
+        )
+        got = sorted(
+            (
+                tuple(r)
+                for r in bm25_batch_view(
+                    spark, postings, lengths, BM25_BATCH_QUERIES, k=BM25_K
+                ).collect()
+            ),
+            key=key,
+        )
+        assert got == want and len(got) > 0
+    finally:
+        shutil.rmtree(chunk_dir, ignore_errors=True)
+        shutil.rmtree(root, ignore_errors=True)
