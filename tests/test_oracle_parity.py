@@ -91,6 +91,9 @@ def test_shuffle_partition_count_invariance(spark, sf_dir):
         "sim_hybrid_rrf",             # rank fusion of two bounded lists
         "sim_bm25_maxp",              # + doc-partitioned argmax window
         "sim_hybrid_ndcg",            # collect_list DCG fold (array_sort)
+        # round-12 additions:
+        "sim_bm25_batch_topk",        # query-partitioned rank + union pivot
+        "sim_ivf_multiprobe_recall",  # per-level rank windows + hit joins
     ]
     qs = e.queries()
     baseline = {

@@ -130,6 +130,17 @@ PROBE_QUERIES = [
     # match-bounded like the doc-level query, and the per-doc argmax
     # window partitions by doc — wall should track the chunk scan.
     "sim_bm25_maxp",
+    # round-12: batched retrieval — same isolation as sim_bm25_topk
+    # (suffix copies miss the bags), but the rank runs per query_id;
+    # 10x corpus must not move the per-query rank cost (candidates stay
+    # match-bounded), so wall tracks the scan like the single query.
+    "sim_bm25_batch_topk",
+    # round-12: multi-probe IVF recall — the probe's 10x embeddings
+    # rotate/sign-flip per copy, so cells fill ~10x and each query's
+    # nprobe<=4 candidate slice grows ~linearly; the per-level rank and
+    # the hit joins stay slice-bounded. Wall should track the
+    # assignment scan + candidate rerank, shuffle ~linear in the slice.
+    "sim_ivf_multiprobe_recall",
 ]
 
 _DOC_SHIFT = 10_000_000
