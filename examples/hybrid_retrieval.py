@@ -12,6 +12,9 @@ registered, driver-checked tier:
               idempotent re-upserts);
   2. LEXICAL — bm25_topk_view over the index stores, which must equal
               the batch sim_bm25_topk bit-for-bit (shared scoring tail);
+  2b. BATCH  — bm25_batch_view: a 5-query TABLE served off the same live
+              index in one store read (the eval/distillation shape),
+              equal to the batch sim_bm25_batch_topk bit-for-bit;
   3. FUSE   — sim_hybrid_rrf: reciprocal-rank fusion of the BM25 list
               with the dense cosine list for the same query item;
   4. GRADE  — sim_hybrid_ndcg: nDCG@10 of the fused list against the
@@ -36,8 +39,10 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> int:
         0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     )
     from flink_streaming_demo_spark.plans.vector_queries import (
+        BM25_BATCH_QUERIES,
         BM25_K,
         BM25_TERMS,
+        sim_bm25_batch_topk,
         sim_bm25_topk,
         sim_hybrid_ndcg,
         sim_hybrid_rrf,
@@ -46,6 +51,7 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> int:
     from flink_streaming_demo_spark.session import get_spark
     from flink_streaming_demo_spark.streaming import replay
     from flink_streaming_demo_spark.streaming.pipelines import (
+        bm25_batch_view,
         bm25_topk_view,
         streaming_bm25_index,
         write_foreach_batch_stream,
@@ -87,6 +93,27 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> int:
         for r in view[:5]:
             print(f"  #{r.rank} doc {r.doc_id} score={r.score} "
                   f"({r.n_terms} terms)")
+
+        # 2b. BATCH: a query TABLE served off the same live index in one
+        # store read — per-query top-k, equal to the batch query.
+        key = lambda r: (r.query_id, r.rank)
+        bview = sorted(
+            bm25_batch_view(
+                spark, postings, lengths, BM25_BATCH_QUERIES, k=BM25_K
+            ).collect(),
+            key=key,
+        )
+        bbatch = sorted(
+            sim_bm25_batch_topk(spark, sf_dir).collect(), key=key
+        )
+        bagree = [tuple(r) for r in bview] == [tuple(r) for r in bbatch]
+        agree = agree and bagree
+        print(f"batched bm25: {len(BM25_BATCH_QUERIES)} queries, "
+              f"{len(bview)} result rows (view == batch: {bagree}); "
+              f"per-query #1:")
+        for r in bview:
+            if r.rank == 1:
+                print(f"  q{r.query_id}: doc {r.doc_id} score={r.score}")
 
         # 3. FUSE: lexical + dense lists, reciprocal-rank fusion.
         fused = sim_hybrid_rrf(spark, sf_dir).collect()
