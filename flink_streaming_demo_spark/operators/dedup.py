@@ -311,6 +311,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     min_tokens: int = SHINGLE_N,
     max_shingle_df: int = MAX_SHINGLE_DF,
+    materialize_shingles: bool = False,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for pairs sharing >= 1 non-stop
     shingle.
@@ -340,15 +341,20 @@ def ngram_jaccard_pairs(
     # viral shingle into one partition before filtering it out). The stop
     # list (df > cap) is tiny by construction, so it broadcast-anti-joins
     # into the candidate path with no extra shuffle on the big side.
-    # Materialize the filtered shingle frame once: it feeds BOTH sides
-    # of the pair join plus the per-doc counts (4 references), and each
-    # reference would otherwise re-scan the corpus and re-explode the
+    # ``materialize_shingles``: the filtered shingle frame feeds BOTH
+    # sides of the pair join plus the per-doc counts (4 references), and
+    # each reference otherwise re-scans the corpus and re-explodes the
     # shingles (24 parquet scans flagged by the tightened r12 plan
-    # audit). At 100 TB the checkpoint is a narrow (id, shingle) table —
-    # one tokenization pass instead of four. (ngram_containment_pairs
-    # below shares the shape but sits under the audit limits at 16
-    # scans; cut it the same way if it ever grows another reference.)
-    sh = drop_viral_keys(sh_all, "shingle", max_shingle_df).localCheckpoint()
+    # audit; the registered query passes True — one tokenization pass
+    # instead of four, measured 6.3 -> 4.5 s at sf0.1). Opt-in rather
+    # than unconditional because localCheckpoint is an EAGER,
+    # non-resilient, token-sized materialization — a caller that only
+    # wants the plan, or that composes this after its own cut, should
+    # not pay it at construction time. (ngram_containment_pairs below
+    # shares the shape but sits under the audit limits at 16 scans.)
+    sh = drop_viral_keys(sh_all, "shingle", max_shingle_df)
+    if materialize_shingles:
+        sh = sh.localCheckpoint()
     counts = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     # shuffle_hash, not the default sort-merge: both sides are the same
     # narrow (id, shingle) frame, and sorting 2x N rows by a long text

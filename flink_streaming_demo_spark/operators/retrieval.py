@@ -97,6 +97,24 @@ def bm25_postings(
     )
 
 
+def _term_score_col(k1: float = BM25_K1, b: float = BM25_B):
+    """The per-term BM25 contribution as ONE Column expression over the
+    joined (tf, df, dl) x (n_docs, sum_dl) frame — the single source
+    both the single-bag pivot (``bm25_scores``) and the batched
+    per-position pivot (``bm25_batch_rank``) score through, so their
+    floats are identical by construction (the Spark analogue of
+    ``sql_bm25_term_score``)."""
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+    )
+    tf_d = F.col("tf").cast("double")
+    norm = F.lit(1.0) - F.lit(b) + (F.lit(b) * F.col("dl")) / avgdl
+    return idf * ((tf_d * F.lit(k1 + 1.0)) / (tf_d + F.lit(k1) * norm))
+
+
 def bm25_scores(
     tf: DataFrame,
     stats: DataFrame,
@@ -126,16 +144,9 @@ def bm25_scores(
     if dfreq is None:
         dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     scored = tf.join(F.broadcast(dfreq), "term").crossJoin(F.broadcast(stats))
-    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")
-    idf = F.log(
-        F.lit(1.0)
-        + (F.col("n_docs") - F.col("df") + F.lit(0.5))
-        / (F.col("df") + F.lit(0.5))
+    per_term = scored.select(
+        *ids, "term", _term_score_col(k1, b).alias("s")
     )
-    tf_d = F.col("tf").cast("double")
-    norm = F.lit(1.0) - F.lit(b) + (F.lit(b) * F.col("dl")) / avgdl
-    s = idf * ((tf_d * F.lit(k1 + 1.0)) / (tf_d + F.lit(k1) * norm))
-    per_term = scored.select(*ids, "term", s.alias("s"))
     agg_cols = [
         F.max(F.when(F.col("term") == F.lit(t), F.col("s"))).alias(f"s_{i}")
         for i, t in enumerate(terms)
@@ -270,36 +281,61 @@ def bm25_batch_rank(
 
     Per-term document frequencies come from ``tf`` BEFORE the query
     join (the corpus-side df — joining the query table first would
-    count a term once per query using it); the tiny (query_id, term)
-    table then broadcast-joins candidates per query, scoring rides
-    ``bm25_scores`` with id_cols = (query_id, doc_id), and the
-    per-query top-k is a rank window PARTITIONED by query_id over the
-    candidate slice (bounded by matched docs per query — never a global
-    sort). Returns (query_id, rank, doc_id, n_terms, score)."""
-    bags, union_terms = check_query_bags(query_bags)
+    count a term once per query using it); the tiny (query_id,
+    term_pos, term) table then broadcast-joins candidates per query,
+    and the per-query top-k is a rank window PARTITIONED by query_id
+    over the candidate slice (bounded by matched docs per query —
+    never a global sort). Returns (query_id, rank, doc_id, n_terms,
+    score).
+
+    Float discipline at batch scale: the pivot runs over the term's
+    POSITION in its own bag (s_0..s_{W-1}, W = widest bag), NOT over
+    the union vocabulary — fixed-order summation only needs a
+    per-QUERY order, and a union-wide pivot would put O(|union|)
+    aggregate columns in the plan (a 1,000-query batch with ~3,000
+    distinct terms would blow past codegen limits). Plan width is
+    bounded by the widest bag at any batch size; each query's score
+    sums in its own bag order — the same fold a user gets from running
+    ``bm25_topk`` on that bag alone."""
+    bags, _ = check_query_bags(query_bags)
+    width = max(len(ts) for _, ts in bags)
     tf = tf.select("doc_id", "dl", "term", "tf")
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     qtab = tf.sparkSession.createDataFrame(
-        [(qid, t) for qid, ts in bags for t in ts],
-        "query_id int, term string",
+        [(qid, i, t) for qid, ts in bags for i, t in enumerate(ts)],
+        "query_id int, term_pos int, term string",
     )
-    tf_q = tf.join(F.broadcast(qtab), "term").select(
-        "query_id", "doc_id", "dl", "term", "tf"
+    scored = (
+        tf.join(F.broadcast(qtab), "term")
+        .join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "query_id",
+            "doc_id",
+            "term_pos",
+            _term_score_col(k1, b).alias("s"),
+        )
     )
-    scored = bm25_scores(
-        tf_q,
-        stats,
-        union_terms,
-        k1=k1,
-        b=b,
-        id_cols=("query_id", "doc_id"),
-        dfreq=dfreq,
+    agg_cols = [
+        F.max(F.when(F.col("term_pos") == F.lit(i), F.col("s"))).alias(
+            f"s_{i}"
+        )
+        for i in range(width)
+    ]
+    per_unit = scored.groupBy("query_id", "doc_id").agg(
+        *agg_cols, F.count(F.lit(1)).cast("int").alias("n_terms")
+    )
+    score = F.coalesce(F.col("s_0"), F.lit(0.0))
+    for i in range(1, width):
+        score = score + F.coalesce(F.col(f"s_{i}"), F.lit(0.0))
+    ranked = per_unit.select(
+        "query_id", "doc_id", "n_terms", F.round(score, 6).alias("score")
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("score"), F.asc("doc_id")
     )
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        ranked.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "doc_id", "n_terms", "score")
     )
@@ -320,14 +356,15 @@ def bm25_batch_topk(
 
     ``query_bags``: [(query_id, [terms...]), ...] — a small query table.
     The corpus is scanned ONCE: the token filter keeps the UNION of all
-    query terms inside the array (non-matching tokens never explode)
-    and the per-(doc, term) tf table is computed once; scoring and the
-    per-query partitioned rank happen in ``bm25_batch_rank`` (shared
-    with the streaming index's batched read-time view).
-
-    The union term list is deduped in first-appearance order and the
-    pivot runs over it, so every query's score is still a fixed-order
-    sum (a query's absent terms contribute COALESCE 0).
+    query terms inside the array (non-matching tokens never explode —
+    one array literal, not per-term expressions; at vocabulary sizes
+    where even that literal is unwieldy, drop the in-array filter and
+    semi-join the exploded tokens against the broadcast term table
+    instead) and the per-(doc, term) tf table is computed once; scoring
+    and the per-query partitioned rank happen in ``bm25_batch_rank``
+    (shared with the streaming index's batched read-time view), whose
+    pivot is per-bag-position — plan width bounded by the widest bag,
+    never by the union vocabulary.
     """
     _, union_terms = check_query_bags(query_bags)
     toks = docs.select(
@@ -362,20 +399,26 @@ def sql_bm25_batch_ctes(
 ) -> str:
     """DuckDB twin of ``bm25_batch_topk`` as CTE bodies; embed inside
     WITH and select from ``bm25_batch_ranked`` (query_id, rank, doc_id,
-    n_terms, score). Same union-term pivot in the same first-appearance
-    order, df computed on the pre-query-join tf table."""
-    bags = [(int(qid), _check_terms(ts)) for qid, ts in query_bags]
-    union_terms: list[str] = []
-    for _, ts in bags:
-        for t in ts:
-            if t not in union_terms:
-                union_terms.append(t)
+    n_terms, score). Same per-bag-position pivot in the same per-query
+    order, df computed on the pre-query-join tf table; bags validated
+    through the SAME ``check_query_bags`` as the Spark twin (duplicate
+    query_ids / empty batches fail identically on both sides)."""
+    bags, union_terms = check_query_bags(query_bags)
+    width = max(len(ts) for _, ts in bags)
     in_list = ", ".join(f"'{t}'" for t in union_terms)
     sp = f"string_split({text_col}, ' ')"
     qrows = ", ".join(
-        f"({qid}, '{t}')" for qid, ts in bags for t in ts
+        f"({qid}, {i}, '{t}')"
+        for qid, ts in bags
+        for i, t in enumerate(ts)
     )
-    pivot_cols, score_sum = sql_bm25_pivot(union_terms)
+    pivot_cols = ",\n               ".join(
+        f"MAX(CASE WHEN term_pos = {i} THEN s END) AS s_{i}"
+        for i in range(width)
+    )
+    score_sum = " + ".join(
+        f"COALESCE(s_{i}, 0.0)" for i in range(width)
+    )
     return f"""
     bm25_stats AS (
         SELECT COUNT(*) AS n_docs,
@@ -395,9 +438,9 @@ def sql_bm25_batch_ctes(
     bm25_df AS (
         SELECT term, COUNT(*) AS df FROM bm25_tf GROUP BY term
     ),
-    bm25_qtab(query_id, term) AS (VALUES {qrows}),
+    bm25_qtab(query_id, term_pos, term) AS (VALUES {qrows}),
     bm25_scored AS (
-        SELECT q.query_id, c.doc_id, c.term,
+        SELECT q.query_id, c.doc_id, q.term_pos,
                {sql_bm25_term_score(k1, b)} AS s
         FROM bm25_tf c
         JOIN bm25_qtab q USING (term)

@@ -166,7 +166,9 @@ register(
 
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.ngram_jaccard_pairs(
-        _planted_corpus(spark, sf_dir), threshold=0.5
+        _planted_corpus(spark, sf_dir),
+        threshold=0.5,
+        materialize_shingles=True,
     )
 
 

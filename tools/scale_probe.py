@@ -141,6 +141,12 @@ PROBE_QUERIES = [
     # the hit joins stay slice-bounded. Wall should track the
     # assignment scan + candidate rerank, shuffle ~linear in the slice.
     "sim_ivf_multiprobe_recall",
+    # round-12: the RAG-serving maintainer (custom callable below, like
+    # dedup_semantic_sized): foreachBatch chunk-postings upsert into
+    # fresh stores + MaxP view read. Wall is bucket-overwrite-dominated
+    # at these sizes (flat), the data-sized term is the postings
+    # shuffle (~linear in corpus tokens).
+    "bm25_chunk_index_upsert",
 ]
 
 _DOC_SHIFT = 10_000_000
