@@ -274,3 +274,27 @@ def test_bm25_batch_rejects_bad_batches(spark, sf_dir):
         bm25_batch_topk(docs, [])
     with pytest.raises(ValueError):
         bm25_batch_topk(docs, [(1, ("spark",)), (1, ("dup",))])
+
+
+def test_bm25_batch_plan_width_bounded_by_widest_bag(spark, sf_dir):
+    """The batch pivot must be per-bag-position, never per-union-term:
+    a 3-query batch over 3 distinct single-term bags (union width 3,
+    widest bag 1) must plan exactly one pivot column — the property
+    that keeps plan width O(widest bag) for thousand-query batches."""
+    from flink_streaming_demo_spark.operators.retrieval import (
+        bm25_batch_topk,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    df = bm25_batch_topk(
+        docs, [(1, ("spark",)), (2, ("window",)), (3, ("dup",))], k=3
+    )
+    # the analyzed plan keeps the pivot aliases (the optimizer prunes
+    # them away after the score projection, so check pre-optimization)
+    plan = df._jdf.queryExecution().analyzed().toString()
+    assert "s_0" in plan
+    assert "s_1" not in plan and "s_2" not in plan
+    # and the per-query results still rank independently
+    rows = df.collect()
+    assert {r.query_id for r in rows} == {1, 2, 3}
+    assert all(r.n_terms == 1 for r in rows)
