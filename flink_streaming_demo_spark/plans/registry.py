@@ -518,6 +518,11 @@ _ROUND12_WINDOW = [
     "events_cms_rollup_users", "events_hist_value_quantiles",
     # 3. r12 plan-audit fixes
     "sample_curriculum_order", "dedup_ngram_jaccard",
+    # 3b. r12 _cov_frame rewrite (N*2080 struct explode -> one Arrow
+    # Gram-partial pass, ~6x at sf0.1; parity re-proven at sf0.001 +
+    # sf0.01 + sf0.1 the day of the change). The third consumer,
+    # embedding_pca_top_component, already holds the slot above.
+    "embedding_covariance", "embedding_isotropy",
     # 4. the age-4 r7 rows, coverage order (39 minus text_bpe_merges)
     "dedup_semantic", "embedding_quantize", "pipeline_embedding_dedup",
     "embedding_dim_profile", "embedding_random_projection",
@@ -534,13 +539,19 @@ _ROUND12_WINDOW = [
     "events_scd2_type_history", "events_key_skew_report",
     "events_temporal_scd2_join", "events_daily_anomaly",
     "events_first_in_burst", "events_throttle_kept",
-    "events_type_transitions", "sample_temperature_weights",
-    "sample_weighted_topk", "sample_pack_subwords",
+    "events_type_transitions", "sample_pack_subwords",
 ]
+# sample_temperature_weights and sample_weighted_topk (r7 evidence,
+# age 5 — still under the staleness ceiling) were displaced from this
+# window's tail by the _cov_frame churn re-greens; both re-proven
+# locally via tools/parity.py at sf0.001 + sf0.01 on the day of
+# displacement. The staleness guard forces them into r13's front.
 # r13 window guidance (write _ROUND13_WINDOW next round from this):
-#   0. text_bpe_merges FIRST (displaced from this window, r7 evidence —
-#      the staleness-ceiling test in tests/test_registry_window.py goes
-#      red if it is dropped again);
+#   0. text_bpe_merges, sample_temperature_weights and
+#      sample_weighted_topk FIRST (displaced from this window, r7
+#      evidence — the staleness-ceiling test in
+#      tests/test_registry_window.py goes red if they are dropped
+#      again);
 #   1. any never-checked r13 additions (hygiene test enforces);
 #   2. r12 churn needing re-green rows, if any plans change late;
 #   3. the r9 rows oldest-first (`python tools/coverage.py

@@ -545,31 +545,35 @@ _PROFILE_STR = ("l_returnflag", "l_linestatus")
 
 
 def system_profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Data-quality column profile of lineitem in ONE scan: per column,
-    null count, exact distinct count, and typed min/max (numeric as
-    round-6 doubles, strings verbatim — never cross-cast, so no
-    engine-specific number formatting). The multi-countDistinct compiles
-    to a single Expand pass; the per-column stats then unpivot via an
-    exploded struct array. The profile every ingest run emits before a
-    table is certified.
+    """Data-quality column profile of lineitem: per column, null count,
+    exact distinct count, and typed min/max (numeric as round-6
+    doubles, strings verbatim — never cross-cast, so no
+    engine-specific number formatting). The per-column stats unpivot
+    via an exploded struct array. The profile every ingest run emits
+    before a table is certified.
 
-    100 TB shape: one scan + one Expand (rows x profiled columns) + one
-    partial-aggregated reduce; no joins, no per-column re-scans."""
+    100 TB shape: TWO projection-pruned passes joined as 1-row
+    broadcasts — a plain pass for count/nulls/min-max (partial-agg
+    map-side, no row multiplication) and a multi-countDistinct pass
+    (ONE Expand, rows x profiled columns, slim one-column copies).
+    Fusing both into a single agg makes Spark evaluate every
+    non-distinct aggregate gid-gated over the Expand-multiplied rows —
+    measured 3.5x slower at sf0.1 (12.9 s vs 3.7 s) than this split;
+    no per-column re-scans either way."""
     li = t(spark, sf_dir, "lineitem")
-    aggs = [F.count(F.lit(1)).alias("_n")]
+    basic = [F.count(F.lit(1)).alias("_n")]
+    dist = []
     for c in _PROFILE_NUM + _PROFILE_STR:
-        aggs += [
-            F.countDistinct(c).alias(f"d_{c}"),
-            F.sum(F.col(c).isNull().cast("long")).alias(f"nn_{c}"),
-        ]
+        dist.append(F.countDistinct(c).alias(f"d_{c}"))
+        basic.append(F.sum(F.col(c).isNull().cast("long")).alias(f"nn_{c}"))
     for c in _PROFILE_NUM:
-        aggs += [
+        basic += [
             F.round(F.min(c).cast("double"), 6).alias(f"mn_{c}"),
             F.round(F.max(c).cast("double"), 6).alias(f"mx_{c}"),
         ]
     for c in _PROFILE_STR:
-        aggs += [F.min(c).alias(f"mn_{c}"), F.max(c).alias(f"mx_{c}")]
-    one = li.agg(*aggs)
+        basic += [F.min(c).alias(f"mn_{c}"), F.max(c).alias(f"mx_{c}")]
+    one = li.agg(*basic).crossJoin(F.broadcast(li.agg(*dist)))
     rows = []
     for c in _PROFILE_NUM:
         rows.append(F.struct(

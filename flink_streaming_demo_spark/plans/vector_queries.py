@@ -1413,27 +1413,75 @@ register(
 
 # --- Distributed covariance / correlation matrix ------------------------------
 
-def _cov_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Shared second-moment frame for embedding_covariance and the PCA
-    power iteration: one row per upper-triangle pair (i <= j) with
-    (i, j, n, c = raw covariance, vi, vj = raw variances), all doubles
-    derived from EXACT order-free DECIMAL moment sums, so both
-    consumers — and their oracle twins — start from bit-identical
-    values.
+def _cov_partials(batches):
+    """Arrow-batched Gram partials for ``_cov_frame``: per batch, one
+    numpy pass emits the 2080 upper-triangle quantized product sums
+    (plus the per-dim quantized first moments, carried on the diagonal
+    rows) as exact int64 partials. ``np.copysign(np.floor(np.abs(v*1e6)
+    + 0.5), v)`` reproduces Spark's ROUND_HALF_UP of ``v*1e6`` exactly
+    on this grid (verified exhaustively against BigDecimal HALF_UP of
+    the shortest decimal repr for every near-boundary element at all
+    three SFs); an int64 batch partial of <=10k rows is overflow-safe
+    up to |x| ~ 1e4 (|q| <= 1e14, partial <= 1e18 < 2^63)."""
+    import numpy as np
+    import pandas as pd
 
-    100 TB shape: each row expands to its 2080 upper-triangle products
-    via a pure array expression (no join, no UDF), and ONE partial
-    aggregation collapses them map-side to 2080 groups per task before
-    the shuffle; the reduce side handles 2080 rows total, independent
-    of N. The per-dim FIRST moments come from a separate posexplode
-    pass (N*64 rows, 64 groups) rather than riding the pair rows:
-    carrying x on all 64 of its j-pairs made the expansion 4 fields
-    wide and measured 1.7x slower (13.7s vs 7.9s at sf0.1) than this
-    split — a second cheap scan beats a 33%-fatter 2080-way explode.
+    iu, ju = np.triu_indices(DIMS)
+    for pdf in batches:
+        vecs = pdf["e"].tolist()
+        if not vecs:
+            continue
+        X = np.asarray(vecs, dtype=np.float64)
+        S = np.zeros((DIMS, DIMS), dtype=np.int64)
+        for s in range(0, X.shape[0], 512):
+            C = X[s : s + 512]
+            P = C[:, :, None] * C[:, None, :]
+            S += (
+                np.copysign(np.floor(np.abs(P * 1e6) + 0.5), P)
+                .astype(np.int64)
+                .sum(axis=0)
+            )
+        sx = (
+            np.copysign(np.floor(np.abs(X * 1e6) + 0.5), X)
+            .astype(np.int64)
+            .sum(axis=0)
+        )
+        yield pd.DataFrame(
+            {
+                "i": (iu + 1).astype("int32"),
+                "j": (ju + 1).astype("int32"),
+                "sxy": S[iu, ju],
+                "sx": np.where(iu == ju, sx[iu], np.int64(0)),
+                "n": np.int64(X.shape[0]),
+            }
+        )
+
+
+def _cov_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared second-moment frame for embedding_covariance, the PCA
+    power iteration and embedding_isotropy: one row per upper-triangle
+    pair (i <= j) with (i, j, n, c = raw covariance, vi, vj = raw
+    variances), all doubles derived from EXACT order-free DECIMAL
+    moment sums, so all consumers — and their oracle twins — start
+    from bit-identical values.
+
+    100 TB shape: ONE Arrow pass over the vectors (``mapInPandas``)
+    computes per-batch 64x64 Gram partials in numpy and emits 2080
+    upper-triangle rows per batch — the shuffle is O(batches), never
+    O(N*2080), and the reduce side handles 2080 groups total. The
+    first moments ride the diagonal rows of the same pass (no second
+    scan). This replaced an N*2080 struct-explode through codegen that
+    ran 9x slower at sf0.1 (r12): the Gram product is exactly the
+    BLAS-shaped kernel the vectorized Python path is for. The 2080-row
+    result is localCheckpointed because three tiny frames (sums,
+    firsts, diag) re-reference it — without the cut the Python pass
+    would re-run per reference.
 
     Determinism discipline: the order-sensitive float reductions (the
-    product sums) are quantized to 1e-6 and summed EXACTLY as
-    DECIMAL(38,0) — order-independent on any engine, same trick as the
+    product sums) are quantized to 1e-6 per element (ROUND_HALF_UP,
+    reproduced bit-exactly in numpy — see ``_cov_partials``), summed
+    exactly as int64 within a batch and as DECIMAL(38,0) across
+    batches — order-independent on any engine, same trick as the
     sketch family's exact-integer harmonic sums — then a single
     identical double formula (cast, divide, subtract) derives the
     moments on both engines, where a plain double SUM would be
@@ -1447,27 +1495,20 @@ def _cov_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     6-decimal output rounding."""
     emb = t(spark, sf_dir, "embeddings")
     e = emb.select(F.col("embedding").cast("array<double>").alias("e"))
-    pairs = e.select(
-        F.explode(
-            F.expr(
-                f"""flatten(transform(sequence(1, {DIMS}), i ->
-                    transform(sequence(i, {DIMS}), j ->
-                        struct(i AS i, j AS j,
-                               element_at(e, i) * element_at(e, j)
-                                   AS xy))))"""
-            )
-        ).alias("p")
-    ).select("p.i", "p.j", "p.xy")
-    q = lambda c: F.round(c * F.lit(1e6), 0).cast("decimal(38,0)")
-    sums = pairs.groupBy("i", "j").agg(
-        F.sum(q(F.col("xy"))).alias("sxy"),
-        F.count(F.lit(1)).alias("n"),
+    parts = e.mapInPandas(
+        _cov_partials, schema="i int, j int, sxy long, sx long, n long"
     )
-    firsts = (
-        e.select(F.posexplode("e").alias("pos", "x"))
-        .select((F.col("pos") + 1).alias("d"), "x")
-        .groupBy("d")
-        .agg(F.sum(q(F.col("x"))).alias("sx_d"))
+    sums = (
+        parts.groupBy("i", "j")
+        .agg(
+            F.sum(F.col("sxy").cast("decimal(38,0)")).alias("sxy"),
+            F.sum(F.col("sx").cast("decimal(38,0)")).alias("sx_diag"),
+            F.sum("n").alias("n"),
+        )
+        .localCheckpoint()
+    )
+    firsts = sums.filter(F.col("i") == F.col("j")).select(
+        F.col("j").alias("d"), F.col("sx_diag").alias("sx_d")
     )
     # second moment of dim d = the sxy of its diagonal pair (d, d)
     diag = sums.filter(F.col("i") == F.col("j")).select(
