@@ -470,6 +470,78 @@ def winnow_fp_sets(df, text_col: str = "text", id_col: str = "doc_id"):
     )
 
 
+def winnow_fp_rows(df, text_col: str = "text", id_col: str = "doc_id"):
+    """(id, fp): one row per DISTINCT winnowed fingerprint VALUE per
+    document — value-identical to ``explode(winnow_fp_sets(...).fps)``
+    (the set form's array order is immaterial to the matcher's
+    equi-join), produced by an Arrow-batched numpy pass instead of the
+    nested higher-order expressions. Catalyst does not codegen inside
+    lambda scopes, so the HOF form evaluates the O(n_grams * w)
+    window-minimum selection interpreted — measured 7.7 s for 5k docs
+    on one core at sf0.1, ~15x slower than this pass. Same map-only
+    zero-shuffle scale shape; at real scale each Arrow batch winnows
+    independently inside its scan task.
+
+    Selection semantics are ``_winnow_spark_exprs`` verbatim (tested
+    value-equal against the expression form): tokens = split on single
+    space keeping empties; hash i = first 8 md5 hex chars of the
+    space-joined k-gram, mod 2^31-1; for each window start i in
+    1..max(n_grams - (w-1), 1), take the RIGHTMOST minimum of
+    hs[i : i + min(w, n_grams-i+1)]; distinct selected values per doc."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import functions as F  # local: df-level helper
+
+    k, w, p = WINNOW_K, WINNOW_W, _WINNOW_P
+    id_type = dict(df.dtypes)[id_col]
+
+    def gen(batches):
+        for pdf in batches:
+            ids: list = []
+            fps: list = []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                if text is None:
+                    continue
+                toks = text.split(" ")
+                ng = len(toks) - (k - 1)
+                if ng < 1:
+                    continue
+                hs = np.fromiter(
+                    (
+                        int.from_bytes(
+                            hashlib.md5(
+                                " ".join(toks[i : i + k]).encode("utf-8")
+                            ).digest()[:4],
+                            "big",
+                        )
+                        % p
+                        for i in range(ng)
+                    ),
+                    dtype=np.int64,
+                    count=ng,
+                )
+                if ng >= w:
+                    win = np.lib.stride_tricks.sliding_window_view(hs, w)
+                    # argmin of the reversed window = first minimum from
+                    # the right = the rightmost minimum of the window
+                    right = np.argmin(win[:, ::-1], axis=1)
+                    pos = np.arange(1, ng - w + 2) + (w - 1) - right
+                else:
+                    right = int(np.argmin(hs[::-1]))
+                    pos = np.array([ng - right], dtype=np.int64)
+                vals = np.unique(hs[np.unique(pos) - 1])
+                ids.extend([doc_id] * len(vals))
+                fps.extend(vals.tolist())
+            yield pd.DataFrame({id_col: ids, "fp": fps})
+
+    return df.select(F.col(id_col), F.col(text_col)).mapInPandas(
+        gen, schema=f"{id_col} {id_type}, fp bigint"
+    )
+
+
 def _winnow_duckdb_exprs(table: str, text: str) -> tuple[str, str, str]:
     """DuckDB twins of _winnow_spark_exprs (same contract)."""
     k, w, p = WINNOW_K, WINNOW_W, _WINNOW_P

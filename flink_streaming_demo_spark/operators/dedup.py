@@ -897,6 +897,7 @@ def winnow_pairs(
     id_col: str = "doc_id",
     min_shared: int = WINNOW_MIN_SHARED,
     max_fp_df: int = MAX_FINGERPRINT_DF,
+    materialize_fps: bool = False,
 ) -> DataFrame:
     """Candidate near-dup pairs from shared winnowed fingerprints — the
     MOSS matching step the fingerprints exist for (Schleimer et al. 2003
@@ -910,22 +911,28 @@ def winnow_pairs(
     it catches LOCAL overlap (a copied paragraph inside an otherwise
     different doc) that whole-doc signatures dilute away.
 
-    Scale shape: fingerprint selection is pure array expressions on the
-    scan (~2/(w+1) the density of full k-gram sets); the only shuffles
-    are the tiny stop-list groupBy (map-side partial agg, broadcast
-    anti-join back — a viral boilerplate fingerprint never reaches one
-    hot reducer) and the fingerprint equi-join, whose per-key fan-out is
-    capped at max_fp_df^2. Never all-pairs.
-    """
-    from flink_streaming_demo_spark.functions.text import winnow_fp_sets
+    Scale shape: fingerprint selection is one vectorized Arrow pass on
+    the scan (~2/(w+1) the density of full k-gram sets); the only
+    shuffles are the tiny stop-list groupBy (map-side partial agg,
+    broadcast anti-join back — a viral boilerplate fingerprint never
+    reaches one hot reducer) and the fingerprint equi-join, whose
+    per-key fan-out is capped at max_fp_df^2. Never all-pairs.
 
-    fp = winnow_fp_sets(df, text_col, id_col).select(
-        F.col(id_col), F.explode("fps").alias("fp")
-    )
-    # one hash exchange on fp feeds all three consumers (stop-list
-    # groupBy, join side a, join side b) via ReusedExchange — the
-    # fingerprint extraction runs once, not three times
-    fp = fp.repartition("fp")
+    ``materialize_fps=True`` localCheckpoints the extracted (id, fp)
+    rows so the three consumers (stop-list counts, join sides a and b)
+    read the materialized frame instead of re-deriving the extraction —
+    Spark does not reuse the exchange across these branches (the r12
+    plan read: 4 derivations, 12 parquet scans). Opt-in because the
+    fingerprint frame is token-sized (the ngram_jaccard_pairs
+    precedent); the registered query passes True.
+    """
+    from flink_streaming_demo_spark.functions.text import winnow_fp_rows
+
+    # vectorized row form — value-identical to exploding winnow_fp_sets
+    # but ~15x faster extraction (see functions/text.winnow_fp_rows)
+    fp = winnow_fp_rows(df, text_col, id_col)
+    if materialize_fps:
+        fp = fp.localCheckpoint()
     fp = drop_viral_keys(fp, "fp", max_fp_df)
     a = fp.alias("a").hint("shuffle_hash")
     b = fp.alias("b").hint("shuffle_hash")

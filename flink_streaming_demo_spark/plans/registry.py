@@ -523,6 +523,11 @@ _ROUND12_WINDOW = [
     # sf0.01 + sf0.1 the day of the change). The third consumer,
     # embedding_pca_top_component, already holds the slot above.
     "embedding_covariance", "embedding_isotropy",
+    # 3c. r12 winnow extraction vectorized + fingerprint rows
+    # materialized (10.7 -> 1.9 s; value-equality proven by exceptAll
+    # both ways against the expression form, parity green at
+    # sf0.001 + sf0.01)
+    "dedup_winnow_pairs",
     # 4. the age-4 r7 rows, coverage order (39 minus text_bpe_merges)
     "dedup_semantic", "embedding_quantize", "pipeline_embedding_dedup",
     "embedding_dim_profile", "embedding_random_projection",
@@ -539,19 +544,20 @@ _ROUND12_WINDOW = [
     "events_scd2_type_history", "events_key_skew_report",
     "events_temporal_scd2_join", "events_daily_anomaly",
     "events_first_in_burst", "events_throttle_kept",
-    "events_type_transitions", "sample_pack_subwords",
+    "sample_pack_subwords",
 ]
-# sample_temperature_weights and sample_weighted_topk (r7 evidence,
-# age 5 — still under the staleness ceiling) were displaced from this
-# window's tail by the _cov_frame churn re-greens; both re-proven
-# locally via tools/parity.py at sf0.001 + sf0.01 on the day of
-# displacement. The staleness guard forces them into r13's front.
+# sample_temperature_weights, sample_weighted_topk and
+# events_type_transitions (r7 evidence, age 5 — still under the
+# staleness ceiling) were displaced from this window's tail by the
+# _cov_frame and winnow churn re-greens; each re-proven locally via
+# tools/parity.py at sf0.001 + sf0.01 on the day of displacement. The
+# staleness guard forces them into r13's front.
 # r13 window guidance (write _ROUND13_WINDOW next round from this):
-#   0. text_bpe_merges, sample_temperature_weights and
-#      sample_weighted_topk FIRST (displaced from this window, r7
-#      evidence — the staleness-ceiling test in
-#      tests/test_registry_window.py goes red if they are dropped
-#      again);
+#   0. text_bpe_merges, sample_temperature_weights,
+#      sample_weighted_topk and events_type_transitions FIRST
+#      (displaced from this window, r7 evidence — the staleness-ceiling
+#      test in tests/test_registry_window.py goes red if they are
+#      dropped again);
 #   1. any never-checked r13 additions (hygiene test enforces);
 #   2. r12 churn needing re-green rows, if any plans change late;
 #   3. the r9 rows oldest-first (`python tools/coverage.py

@@ -656,7 +656,9 @@ def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MOSS candidate pairs: docs sharing >= 3 distinct (non-stop)
     winnowed fingerprints over the planted corpus. The local-overlap
     near-dup family — see operators/dedup.winnow_pairs."""
-    return dedup.winnow_pairs(_planted_corpus(spark, sf_dir))
+    return dedup.winnow_pairs(
+        _planted_corpus(spark, sf_dir), materialize_fps=True
+    )
 
 
 register(

@@ -512,3 +512,23 @@ def test_quality_calibration_partitions_scored_corpus(spark, sf_dir):
         assert 0.0 <= r["frac_pos"] <= 1.0
         assert abs(r["gap"] - (r["mean_score"] - r["frac_pos"])) < 2e-6
         assert 0.0 <= r["brier"] <= 1.0
+
+
+def test_winnow_fp_rows_equals_exploded_set_form(spark, sf_dir):
+    """The vectorized Arrow row form (winnow_fp_rows, the matcher's fast
+    path) must be VALUE-identical to exploding the expression-tree set
+    form on the real documents table — both directions of exceptAll
+    empty, so neither extra nor missing (id, fp) rows. Short docs, ties
+    and repeated grams are additionally covered by the hypothesis
+    brute-force property over winnow_pairs."""
+    from pyspark.sql import functions as F
+
+    from flink_streaming_demo_spark.schemas import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    old = TX.winnow_fp_sets(docs).select(
+        F.col("doc_id"), F.explode("fps").alias("fp")
+    )
+    new = TX.winnow_fp_rows(docs)
+    assert old.exceptAll(new).count() == 0
+    assert new.exceptAll(old).count() == 0
