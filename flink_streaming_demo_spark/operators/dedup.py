@@ -83,6 +83,56 @@ def shingles(text: Column, n: int = SHINGLE_N) -> Column:
     )
 
 
+def shingle_rows(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    n: int = SHINGLE_N,
+    min_tokens: int = SHINGLE_N,
+) -> DataFrame:
+    """(id, shingle) rows: per-document DISTINCT word n-gram shingles —
+    value-identical (tested) to
+
+        df.filter(size(tokens) >= min_tokens)
+          .select(id, explode(shingles(text, n)))
+
+    but produced by one Arrow-batched Python pass. Catalyst evaluates
+    the transform/slice/concat_ws lambda chain of ``shingles``
+    interpreted (no codegen inside lambda scopes), which made shingle
+    generation the dominant cost of every shingle-join query (~2.7 s of
+    decon_source_overlap's 4.3 s at sf0.1); plain Python string slicing
+    over Arrow batches is ~10x faster with the same map-only,
+    zero-shuffle shape. Emission order within a doc is first-occurrence
+    (like array_distinct), though every consumer aggregates or joins,
+    so only the multiset matters."""
+    import pandas as pd
+
+    gate = max(min_tokens, n)
+
+    def gen(batches):
+        for pdf in batches:
+            ids: list = []
+            grams: list = []
+            for key, text in zip(pdf[id_col], pdf[text_col]):
+                if text is None:
+                    continue
+                toks = text.split(" ")
+                ng = len(toks) - n + 1
+                if len(toks) < gate or ng < 1:
+                    continue
+                seen = dict.fromkeys(
+                    " ".join(toks[i : i + n]) for i in range(ng)
+                )
+                ids.extend([key] * len(seen))
+                grams.extend(seen)
+            yield pd.DataFrame({id_col: ids, "shingle": grams})
+
+    id_type = dict(df.dtypes)[id_col]
+    return df.select(F.col(id_col), F.col(text_col)).mapInPandas(
+        gen, schema=f"{id_col} {id_type}, shingle string"
+    )
+
+
 # Universal-hash family for minhash: one md5 per shingle (the expensive
 # step), then n_hashes cheap integer functions h_j(x) = (a_j*x + b_j) mod P
 # over the digest. P = 2^31-1 (Mersenne prime). The (a_j, b_j) pairs are
@@ -325,14 +375,7 @@ def ngram_jaccard_pairs(
     non-stop vocabulary and identical in the DuckDB twin. At 100 TB, run
     on LSH survivors only.
     """
-    sh_all = (
-        df.select(F.col(id_col), F.col(text_col))
-        .filter(F.size(tokens(F.col(text_col))) >= min_tokens)
-        .select(
-            F.col(id_col),
-            F.explode(shingles(F.col(text_col))).alias("shingle"),
-        )
-    )
+    sh_all = shingle_rows(df, id_col, text_col, min_tokens=min_tokens)
     # Stop-shingle filter: document frequency per shingle (shingles are
     # distinct per doc, so count == df), keep df <= cap. Computed as
     # groupBy + count — map-side partial aggregation means a viral shingle
@@ -415,14 +458,7 @@ def ngram_containment_pairs(
     Jaccard is precisely the subset-duplicate signature. Identical
     candidate plan to the Jaccard pass (stop-shingle cap, shuffle_hash
     self equi-join, per-pair counts); at 100 TB run on LSH survivors."""
-    sh_all = (
-        df.select(F.col(id_col), F.col(text_col))
-        .filter(F.size(tokens(F.col(text_col))) >= min_tokens)
-        .select(
-            F.col(id_col),
-            F.explode(shingles(F.col(text_col))).alias("shingle"),
-        )
-    )
+    sh_all = shingle_rows(df, id_col, text_col, min_tokens=min_tokens)
     sh = drop_viral_keys(sh_all, "shingle", max_shingle_df)
     counts = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a").hint("shuffle_hash")
@@ -957,6 +993,7 @@ def source_overlap_matrix(
     source_col: str = "source",
     min_tokens: int = SHINGLE_N,
     max_shingle_sources: int | None = None,
+    materialize_vocab: bool = False,
 ) -> DataFrame:
     """Pairwise cross-source shingle-overlap matrix: for every source
     pair (a < b), how many distinct n-gram shingles they share and the
@@ -973,16 +1010,20 @@ def source_overlap_matrix(
     everywhere ranks every pair equally and says nothing). Output is
     |sources|^2/2 rows — tiny at any corpus scale.
     """
-    sh = (
-        df.select(F.col(source_col).alias("src"), F.col(text_col))
-        .filter(F.size(tokens(F.col(text_col))) >= min_tokens)
-        .select(
-            "src", F.explode(shingles(F.col(text_col))).alias("shingle")
-        )
-        .distinct()
-    )
+    sh = shingle_rows(
+        df.select(F.col(source_col).alias("src"), F.col(text_col)),
+        "src",
+        text_col,
+        min_tokens=min_tokens,
+    ).distinct()
     if max_shingle_sources is not None:
         sh = drop_viral_keys(sh, "shingle", max_shingle_sources)
+    if materialize_vocab:
+        # the distinct (src, shingle) vocabulary feeds three consumers
+        # (sizes, join sides a and b); opt-in localCheckpoint so they
+        # share one derivation (the winnow_pairs precedent) — the
+        # registered query passes True
+        sh = sh.localCheckpoint()
     sizes = sh.groupBy("src").agg(F.count(F.lit(1)).alias("n_shingles"))
     a = sh.select(F.col("src").alias("source_a"), "shingle")
     b = sh.select(F.col("src").alias("source_b"), "shingle")

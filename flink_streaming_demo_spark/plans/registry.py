@@ -528,6 +528,15 @@ _ROUND12_WINDOW = [
     # both ways against the expression form, parity green at
     # sf0.001 + sf0.01)
     "dedup_winnow_pairs",
+    # 3d. r12 logreg trainer: feature matrix checkpointed + one-pass
+    # gradient (values identical; parity green at sf0.001/0.01/0.1).
+    # text_quality_logreg already holds its slot below; the composed
+    # calibration query churns with it.
+    "text_quality_calibration",
+    # 3e. r12 vectorized shingle_rows (value-equality by exceptAll both
+    # ways; parity green at sf0.001 + sf0.01). dedup_ngram_jaccard and
+    # decon_source_overlap already hold slots below.
+    "dedup_containment",
     # 4. the age-4 r7 rows, coverage order (39 minus text_bpe_merges)
     "dedup_semantic", "embedding_quantize", "pipeline_embedding_dedup",
     "embedding_dim_profile", "embedding_random_projection",
@@ -542,22 +551,23 @@ _ROUND12_WINDOW = [
     "events_error_after_click", "events_funnel_stages",
     "events_cohort_retention", "events_winsorized_stats",
     "events_scd2_type_history", "events_key_skew_report",
-    "events_temporal_scd2_join", "events_daily_anomaly",
-    "events_first_in_burst", "events_throttle_kept",
+    "events_temporal_scd2_join", "events_throttle_kept",
     "sample_pack_subwords",
 ]
-# sample_temperature_weights, sample_weighted_topk and
-# events_type_transitions (r7 evidence, age 5 — still under the
-# staleness ceiling) were displaced from this window's tail by the
-# _cov_frame and winnow churn re-greens; each re-proven locally via
-# tools/parity.py at sf0.001 + sf0.01 on the day of displacement. The
-# staleness guard forces them into r13's front.
+# sample_temperature_weights, sample_weighted_topk,
+# events_type_transitions, events_first_in_burst and
+# events_daily_anomaly (r7 evidence, age 5 — still under the staleness
+# ceiling) were displaced from this window's tail by the _cov_frame /
+# winnow / logreg / shingle churn re-greens; each re-proven locally
+# via tools/parity.py at sf0.001 + sf0.01 on the day of displacement.
+# The staleness guard forces them into r13's front.
 # r13 window guidance (write _ROUND13_WINDOW next round from this):
 #   0. text_bpe_merges, sample_temperature_weights,
-#      sample_weighted_topk and events_type_transitions FIRST
-#      (displaced from this window, r7 evidence — the staleness-ceiling
-#      test in tests/test_registry_window.py goes red if they are
-#      dropped again);
+#      sample_weighted_topk, events_type_transitions,
+#      events_first_in_burst and events_daily_anomaly FIRST (displaced
+#      from this window, r7 evidence — the staleness-ceiling test in
+#      tests/test_registry_window.py goes red if they are dropped
+#      again);
 #   1. any never-checked r13 additions (hygiene test enforces);
 #   2. r12 churn needing re-green rows, if any plans change late;
 #   3. the r9 rows oldest-first (`python tools/coverage.py

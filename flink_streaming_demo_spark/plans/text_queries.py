@@ -1127,7 +1127,9 @@ def decon_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     source_overlap_matrix for the scale analysis)."""
     docs = t(spark, sf_dir, "documents").select("source", "text")
     return dedup.source_overlap_matrix(
-        docs, max_shingle_sources=_OVERLAP_MAX_SOURCES
+        docs,
+        max_shingle_sources=_OVERLAP_MAX_SOURCES,
+        materialize_vocab=True,
     )
 
 
@@ -2073,7 +2075,46 @@ register(
 # shares boilerplate 8-grams across docs; no planting needed).
 
 
-def strip_dup_spans(docs: DataFrame, n: int = SPAN_N) -> DataFrame:
+def _ngram_rows(docs: DataFrame, n: int) -> DataFrame:
+    """(doc_id, s, gram): 1-based start position and space-joined token
+    n-gram per document — value-identical to posexploding
+    ``_guarded_ngrams`` (tested), produced by an Arrow-batched pass.
+    Catalyst evaluates the transform/slice/concat_ws lambda chain
+    interpreted (no codegen inside lambda scopes), which made the gram
+    explode the dominant cost of strip_dup_spans (2.4 s of its 4.6 s
+    warm wall at sf0.1 for ONE derivation); the Python join-of-slices
+    form is ~10x faster and has the same map-only shape. Docs shorter
+    than n tokens emit nothing, exactly like the expression guard."""
+    import pandas as pd
+
+    def gen(batches):
+        for pdf in batches:
+            ids: list = []
+            ss: list = []
+            gs: list = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                if text is None:
+                    continue
+                toks = text.split(" ")
+                ng = len(toks) - n + 1
+                if ng < 1:
+                    continue
+                ids.extend([doc_id] * ng)
+                ss.extend(range(1, ng + 1))
+                gs.extend(
+                    " ".join(toks[i : i + n]) for i in range(ng)
+                )
+            yield pd.DataFrame({"doc_id": ids, "s": ss, "gram": gs})
+
+    id_type = dict(docs.dtypes)["doc_id"]
+    return docs.select("doc_id", "text").mapInPandas(
+        gen, schema=f"doc_id {id_type}, s int, gram string"
+    )
+
+
+def strip_dup_spans(
+    docs: DataFrame, n: int = SPAN_N, materialize_grams: bool = False
+) -> DataFrame:
     """Per document: count and strip maximal cross-document duplicated
     token spans.
 
@@ -2086,21 +2127,22 @@ def strip_dup_spans(docs: DataFrame, n: int = SPAN_N) -> DataFrame:
     Output: doc_id, n_tokens, dup_token_count, n_spans, kept_hash
     (md5 of the stripped text; '' hashes for fully-duplicated docs).
 
-    100 TB shape: one explode to (gram, doc, pos) — O(total tokens);
-    duplicated-gram detection is a two-level partial-aggregated groupBy
-    on the gram (a viral boilerplate gram is one skewed reduce key,
-    AQE-split, never a pair join); the coverage join back to documents
-    is an equi-join on gram whose output is bounded by gram occurrences
-    (linear in corpus size); span merging and stripping are pure
-    per-row array expressions over the collected start list (bounded by
-    doc length). No all-pairs stage anywhere.
+    100 TB shape: one vectorized Arrow pass to (gram, doc, pos) —
+    O(total tokens); duplicated-gram detection is a two-level
+    partial-aggregated groupBy on the gram (a viral boilerplate gram is
+    one skewed reduce key, AQE-split, never a pair join); the coverage
+    join back to documents is an equi-join on gram whose output is
+    bounded by gram occurrences (linear in corpus size); span merging
+    and stripping run as a numpy interval sweep per doc (O(tokens +
+    starts) instead of the exists-HOF's O(tokens * starts)).
+    ``materialize_grams=True`` localCheckpoints the token-sized gram
+    rows so dup detection and the coverage join share one derivation
+    (the winnow_pairs/ngram_jaccard precedent); the registered query
+    passes True.
     """
-    toks = TX.tokens(F.col("text"))
-    guarded = _guarded_ngrams(F.col("text"), n)
-    # (doc_id, start, gram) with 1-based start positions.
-    doc_grams = docs.select(
-        "doc_id", F.posexplode(guarded).alias("pos0", "gram")
-    ).select("doc_id", (F.col("pos0") + 1).alias("s"), "gram")
+    doc_grams = _ngram_rows(docs, n)
+    if materialize_grams:
+        doc_grams = doc_grams.localCheckpoint()
     # Grams occurring in >= 2 distinct docs (two-level agg: partial
     # (gram, doc) distinct-ing, then gram-level doc count).
     dup_grams = (
@@ -2118,38 +2160,67 @@ def strip_dup_spans(docs: DataFrame, n: int = SPAN_N) -> DataFrame:
         .agg(F.sort_array(F.collect_set("s")).alias("starts"))
     )
     joined = docs.join(doc_starts, "doc_id", "left").select(
-        "doc_id",
-        toks.alias("tk"),
-        F.coalesce(
-            F.col("starts"), F.array().cast("array<int>")
-        ).alias("starts"),
+        "doc_id", "text", "starts"
     )
 
-    def covered(j):  # j: 1-based token position Column
-        return F.exists(
-            F.col("starts"),
-            lambda s: (s <= j) & (j <= s + F.lit(n - 1)),
-        )
+    def finish(batches):
+        import hashlib
 
-    pos = F.sequence(F.lit(1), F.size(F.col("tk")))
-    kept = F.filter(
-        F.col("tk"), lambda _t, i0: ~covered(i0 + F.lit(1))
-    )
-    span_starts = F.filter(
-        pos, lambda j: covered(j) & ~covered(j - F.lit(1))
-    )
-    return joined.select(
-        "doc_id",
-        F.size("tk").alias("n_tokens"),
-        (F.size("tk") - F.size(kept)).alias("dup_token_count"),
-        F.size(span_starts).alias("n_spans"),
-        F.md5(F.concat_ws(" ", kept)).alias("kept_hash"),
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            recs = []
+            for doc_id, text, starts in zip(
+                pdf["doc_id"], pdf["text"], pdf["starts"]
+            ):
+                toks = text.split(" ")
+                nt = len(toks)
+                cov = np.zeros(nt + 2, dtype=np.int32)
+                if starts is not None and len(starts):
+                    st = np.asarray(starts, dtype=np.int64)
+                    np.add.at(cov, st, 1)
+                    np.add.at(cov, np.minimum(st + n, nt + 1), -1)
+                covered = np.cumsum(cov[: nt + 1])[1:] > 0
+                n_dup = int(covered.sum())
+                prev = np.concatenate(([False], covered[:-1]))
+                n_spans = int((covered & ~prev).sum())
+                kept = " ".join(
+                    t for t, c in zip(toks, covered) if not c
+                )
+                recs.append(
+                    (
+                        doc_id,
+                        nt,
+                        n_dup,
+                        n_spans,
+                        hashlib.md5(kept.encode("utf-8")).hexdigest(),
+                    )
+                )
+            yield pd.DataFrame(
+                recs,
+                columns=[
+                    "doc_id",
+                    "n_tokens",
+                    "dup_token_count",
+                    "n_spans",
+                    "kept_hash",
+                ],
+            )
+
+    id_type = dict(docs.dtypes)["doc_id"]
+    return joined.mapInPandas(
+        finish,
+        schema=(
+            f"doc_id {id_type}, n_tokens int, dup_token_count int, "
+            "n_spans int, kept_hash string"
+        ),
     )
 
 
 def text_strip_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents").select("doc_id", "text")
-    return strip_dup_spans(docs)
+    return strip_dup_spans(docs, materialize_grams=True)
 
 
 register(
@@ -2327,7 +2398,13 @@ def text_quality_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_streaming_demo_spark.operators import classify as CL
 
     docs = t(spark, sf_dir, "documents").select("doc_id", "text")
-    feats = CL.quality_features(docs)
+    # Materialize the (doc_id, x[5], y) training matrix once: every GD
+    # iteration and the final scoring pass otherwise re-derive the
+    # text-feature extraction (8 re-derivations measured 11.8 s vs
+    # 4.7 s at sf0.1). The standard cache-the-training-set move;
+    # bit-identical doubles, so the engine-exact trajectory and the
+    # oracle's feat CTE are unaffected.
+    feats = CL.quality_features(docs).localCheckpoint()
     w = CL.logreg_train(feats)
     return CL.logreg_score(feats, w)
 

@@ -532,3 +532,50 @@ def test_winnow_fp_rows_equals_exploded_set_form(spark, sf_dir):
     new = TX.winnow_fp_rows(docs)
     assert old.exceptAll(new).count() == 0
     assert new.exceptAll(old).count() == 0
+
+
+def test_shingle_rows_equals_exploded_expression_form(spark, sf_dir):
+    """The vectorized shingle row form must be VALUE-identical to
+    filter(token-count gate) + explode(shingles(text)) on the real
+    documents table (both exceptAll directions empty)."""
+    from pyspark.sql import functions as F
+
+    from flink_streaming_demo_spark.operators.dedup import (
+        SHINGLE_N,
+        shingle_rows,
+        shingles,
+        tokens,
+    )
+    from flink_streaming_demo_spark.schemas import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    old = docs.filter(
+        F.size(tokens(F.col("text"))) >= SHINGLE_N
+    ).select("doc_id", F.explode(shingles(F.col("text"))).alias("shingle"))
+    new = shingle_rows(docs, "doc_id")
+    assert old.exceptAll(new).count() == 0
+    assert new.exceptAll(old).count() == 0
+
+
+def test_ngram_rows_equals_guarded_ngram_explode(spark, sf_dir):
+    """strip_dup_spans' vectorized gram rows must be VALUE-identical to
+    posexploding _guarded_ngrams (1-based starts included)."""
+    from pyspark.sql import functions as F
+
+    from flink_streaming_demo_spark.plans.text_queries import (
+        SPAN_N,
+        _guarded_ngrams,
+        _ngram_rows,
+    )
+    from flink_streaming_demo_spark.schemas import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    old = docs.select(
+        "doc_id",
+        F.posexplode(_guarded_ngrams(F.col("text"), SPAN_N)).alias(
+            "pos0", "gram"
+        ),
+    ).select("doc_id", (F.col("pos0") + 1).alias("s"), "gram")
+    new = _ngram_rows(docs, SPAN_N)
+    assert old.exceptAll(new).count() == 0
+    assert new.exceptAll(old).count() == 0
