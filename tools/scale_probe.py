@@ -147,6 +147,20 @@ PROBE_QUERIES = [
     # at these sizes (flat), the data-sized term is the postings
     # shuffle (~linear in corpus tokens).
     "bm25_chunk_index_upsert",
+    # round-12 perf pass: the vectorized-extraction rewrites. Each
+    # keeps a linear data-sized pass (Arrow mapInPandas over the scan)
+    # feeding bounded joins, so wall should scale ~linearly in corpus
+    # tokens/rows; pair counts scale ~10x on the shingle-disjoint
+    # copies like the other pair queries.
+    "dedup_winnow_pairs",
+    "dedup_ngram_jaccard",
+    "dedup_containment",
+    # one Arrow Gram-partial pass; shuffle is O(batches), output 2080
+    # rows at any N — wall should track the scan, shuffle near-flat.
+    "embedding_covariance",
+    # two projection-pruned aggregation passes over the 10x fact table;
+    # wall ~linear, output stays 6 rows.
+    "system_profile_lineitem",
 ]
 
 _DOC_SHIFT = 10_000_000
