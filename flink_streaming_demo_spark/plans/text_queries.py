@@ -2696,14 +2696,18 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document novelty: the fraction of its distinct 3-grams whose
     FIRST occurrence (by doc_id order) is this document — the curve a
     curation run watches for template drift (novelty collapsing toward 0
-    means the crawl is re-reading the same boilerplate). One explode +
-    min-per-gram + per-doc ratio; no pair joins."""
+    means the crawl is re-reading the same boilerplate). One vectorized
+    gram pass + min-per-gram + per-doc ratio; no pair joins. The
+    distinct 3-grams are exactly dedup.shingle_rows' contract
+    (SHINGLE_N == 3); materialized once because first-occurrence and
+    the join back both reference the frame."""
+    from flink_streaming_demo_spark.operators.dedup import shingle_rows
+
     docs = t(spark, sf_dir, "documents").select("doc_id", "text")
-    grams = docs.select(
-        "doc_id",
-        F.explode(
-            F.array_distinct(_guarded_ngrams(F.col("text"), 3))
-        ).alias("gram"),
+    grams = (
+        shingle_rows(docs, "doc_id", n=3)
+        .withColumnRenamed("shingle", "gram")
+        .localCheckpoint()
     )
     first = grams.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
     per_doc = (
