@@ -62,6 +62,22 @@ def tokens(text: Column) -> Column:
     return F.split(text, " ")
 
 
+def py_token_grams(text: str, n: int):
+    """Python twin of ``tokens`` + space-joined n-grams: the ONE place
+    the vectorized Arrow extractors (winnow_fp_rows, dedup.shingle_rows,
+    text_queries._ngram_rows) get their tokenization and gram-join
+    convention, so it cannot drift per-site. ``str.split(' ')`` matches
+    Spark's ``split(text, ' ')`` exactly (single-space regex, empty
+    tokens for runs of spaces, trailing empties kept). Returns a list
+    of positional grams (may be empty); callers dedup or position as
+    they need."""
+    toks = text.split(" ")
+    ng = len(toks) - n + 1
+    if ng < 1:
+        return []
+    return [" ".join(toks[i : i + n]) for i in range(ng)]
+
+
 def token_count(text: Column) -> Column:
     return F.size(tokens(text))
 
@@ -505,20 +521,18 @@ def winnow_fp_rows(df, text_col: str = "text", id_col: str = "doc_id"):
             for doc_id, text in zip(pdf[id_col], pdf[text_col]):
                 if text is None:
                     continue
-                toks = text.split(" ")
-                ng = len(toks) - (k - 1)
+                grams = py_token_grams(text, k)
+                ng = len(grams)
                 if ng < 1:
                     continue
                 hs = np.fromiter(
                     (
                         int.from_bytes(
-                            hashlib.md5(
-                                " ".join(toks[i : i + k]).encode("utf-8")
-                            ).digest()[:4],
+                            hashlib.md5(g.encode("utf-8")).digest()[:4],
                             "big",
                         )
                         % p
-                        for i in range(ng)
+                        for g in grams
                     ),
                     dtype=np.int64,
                     count=ng,

@@ -107,6 +107,8 @@ def shingle_rows(
     so only the multiset matters."""
     import pandas as pd
 
+    from flink_streaming_demo_spark.functions.text import py_token_grams
+
     gate = max(min_tokens, n)
 
     def gen(batches):
@@ -114,15 +116,11 @@ def shingle_rows(
             ids: list = []
             grams: list = []
             for key, text in zip(pdf[id_col], pdf[text_col]):
-                if text is None:
+                if text is None or text.count(" ") + 1 < gate:
                     continue
-                toks = text.split(" ")
-                ng = len(toks) - n + 1
-                if len(toks) < gate or ng < 1:
+                seen = dict.fromkeys(py_token_grams(text, n))
+                if not seen:
                     continue
-                seen = dict.fromkeys(
-                    " ".join(toks[i : i + n]) for i in range(ng)
-                )
                 ids.extend([key] * len(seen))
                 grams.extend(seen)
             yield pd.DataFrame({id_col: ids, "shingle": grams})

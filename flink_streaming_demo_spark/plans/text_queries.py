@@ -2095,15 +2095,12 @@ def _ngram_rows(docs: DataFrame, n: int) -> DataFrame:
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 if text is None:
                     continue
-                toks = text.split(" ")
-                ng = len(toks) - n + 1
-                if ng < 1:
+                grams = TX.py_token_grams(text, n)
+                if not grams:
                     continue
-                ids.extend([doc_id] * ng)
-                ss.extend(range(1, ng + 1))
-                gs.extend(
-                    " ".join(toks[i : i + n]) for i in range(ng)
-                )
+                ids.extend([doc_id] * len(grams))
+                ss.extend(range(1, len(grams) + 1))
+                gs.extend(grams)
             yield pd.DataFrame({"doc_id": ids, "s": ss, "gram": gs})
 
     id_type = dict(docs.dtypes)["doc_id"]
@@ -2174,6 +2171,20 @@ def strip_dup_spans(
             for doc_id, text, starts in zip(
                 pdf["doc_id"], pdf["text"], pdf["starts"]
             ):
+                if text is None:
+                    # expression-form behavior: null text -> null stats
+                    # (size/filter of a null array), hash of the empty
+                    # residue
+                    recs.append(
+                        (
+                            doc_id,
+                            None,
+                            None,
+                            None,
+                            hashlib.md5(b"").hexdigest(),
+                        )
+                    )
+                    continue
                 toks = text.split(" ")
                 nt = len(toks)
                 cov = np.zeros(nt + 2, dtype=np.int32)
@@ -2705,7 +2716,9 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = t(spark, sf_dir, "documents").select("doc_id", "text")
     grams = (
-        shingle_rows(docs, "doc_id", n=3)
+        # min_tokens pinned explicitly: the oracle hardcodes >= 3, so
+        # the gate must not float with SHINGLE_N's default
+        shingle_rows(docs, "doc_id", n=3, min_tokens=3)
         .withColumnRenamed("shingle", "gram")
         .localCheckpoint()
     )

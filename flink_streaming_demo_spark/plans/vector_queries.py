@@ -1421,8 +1421,12 @@ def _cov_partials(batches):
     + 0.5), v)`` reproduces Spark's ROUND_HALF_UP of ``v*1e6`` exactly
     on this grid (verified exhaustively against BigDecimal HALF_UP of
     the shortest decimal repr for every near-boundary element at all
-    three SFs); an int64 batch partial of <=10k rows is overflow-safe
-    up to |x| ~ 1e4 (|q| <= 1e14, partial <= 1e18 < 2^63)."""
+    three SFs). int64 partial overflow is GUARDED, not assumed: the
+    worst-case bound rows * (max|x|^2 * 1e6 + 1) is checked against
+    2^62 per batch and raises loudly if a session's Arrow batch size
+    (spark.sql.execution.arrow.maxRecordsPerBatch, default 10k; 0 =
+    whole partition) times the embedding magnitude leaves the envelope
+    — at the default batch size that allows |x| up to ~2e5."""
     import numpy as np
     import pandas as pd
 
@@ -1432,6 +1436,14 @@ def _cov_partials(batches):
         if not vecs:
             continue
         X = np.asarray(vecs, dtype=np.float64)
+        peak = float(np.abs(X).max())
+        if X.shape[0] * (peak * peak * 1e6 + 1.0) >= float(2**62):
+            raise ValueError(
+                "covariance int64 partial could overflow: "
+                f"{X.shape[0]} rows with max|x|={peak:.3g} in one "
+                "Arrow batch; lower spark.sql.execution.arrow."
+                "maxRecordsPerBatch or rescale the embeddings"
+            )
         S = np.zeros((DIMS, DIMS), dtype=np.int64)
         for s in range(0, X.shape[0], 512):
             C = X[s : s + 512]
@@ -1494,7 +1506,11 @@ def _cov_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~1e-8 moment error this coarser quantum adds is invisible at the
     6-decimal output rounding."""
     emb = t(spark, sf_dir, "embeddings")
-    e = emb.select(F.col("embedding").cast("array<double>").alias("e"))
+    # null vectors are dropped (none exist in any SF); the moment sums
+    # and n then agree on the same row set
+    e = emb.select(
+        F.col("embedding").cast("array<double>").alias("e")
+    ).filter(F.col("e").isNotNull())
     parts = e.mapInPandas(
         _cov_partials, schema="i int, j int, sxy long, sx long, n long"
     )
