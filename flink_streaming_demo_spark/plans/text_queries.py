@@ -637,8 +637,10 @@ def doc_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing (MOSS) fingerprints per document over the planted
     corpus — exact copies share the full digest; near copies (appended
     tail) share most selected fingerprints but digest-differ, which the
-    counts make visible. See functions/text.winnow_fingerprints."""
-    return TX.winnow_fingerprints(_planted_corpus(spark, sf_dir))
+    counts make visible. Runs the vectorized twin (value-identical,
+    exceptAll-pinned); see functions/text.winnow_fingerprint_stats /
+    winnow_fingerprints."""
+    return TX.winnow_fingerprint_stats(_planted_corpus(spark, sf_dir))
 
 
 register(

@@ -579,3 +579,23 @@ def test_ngram_rows_equals_guarded_ngram_explode(spark, sf_dir):
     new = _ngram_rows(docs, SPAN_N)
     assert old.exceptAll(new).count() == 0
     assert new.exceptAll(old).count() == 0
+
+
+def test_winnow_fingerprint_stats_equals_expression_form(spark, sf_dir):
+    """The vectorized digest form must be VALUE-identical to the
+    expression-tree winnow_fingerprints on real documents AND on the
+    null/sub-k edge docs (empty-array path: (0, 0, md5('')))."""
+    from flink_streaming_demo_spark.schemas import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    old = TX.winnow_fingerprints(docs)
+    new = TX.winnow_fingerprint_stats(docs)
+    assert old.exceptAll(new).count() == 0
+    assert new.exceptAll(old).count() == 0
+    edge = spark.createDataFrame(
+        [(1, None), (2, "a b"), (3, "a b c d e")],
+        "doc_id long, text string",
+    )
+    o2, n2 = TX.winnow_fingerprints(edge), TX.winnow_fingerprint_stats(edge)
+    assert o2.exceptAll(n2).count() == 0
+    assert n2.exceptAll(o2).count() == 0
