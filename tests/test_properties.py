@@ -736,3 +736,62 @@ def test_lateness_epoch_profile_and_merge_match_model(spark, events):
         for r in acc.collect()
     }
     assert folded == got
+
+
+_GRAM_TEXT = st.text(
+    alphabet=st.sampled_from(list("ab |é¢")),  # spaces + unicode + runs
+    max_size=24,
+)
+
+
+@given(texts=st.lists(_GRAM_TEXT, max_size=8))
+@settings(**_SETTINGS)
+def test_vectorized_gram_twins_match_expression_forms(spark, texts):
+    """The Arrow extraction twins must match their expression forms on
+    ADVERSARIAL text — consecutive/leading/trailing spaces (empty
+    tokens), unicode, empty strings — not just the single-space corpus:
+    shingle_rows vs explode(shingles), _ngram_rows vs posexplode
+    (_guarded_ngrams), winnow_fingerprint_stats vs winnow_fingerprints.
+    This pins py_token_grams' split(' ') convention (keep empties,
+    UTF-8 hashing) against Spark's split semantics."""
+    from flink_streaming_demo_spark.functions import text as TX
+    from flink_streaming_demo_spark.operators.dedup import (
+        SHINGLE_N,
+        shingle_rows,
+        shingles,
+        tokens,
+    )
+    from flink_streaming_demo_spark.plans.text_queries import (
+        SPAN_N,
+        _guarded_ngrams,
+        _ngram_rows,
+    )
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(
+        rows or [(0, "x")], "doc_id long, text string"
+    )
+    if not rows:
+        df = df.filter("doc_id < 0")
+
+    old_sh = df.filter(
+        F.size(tokens(F.col("text"))) >= SHINGLE_N
+    ).select("doc_id", F.explode(shingles(F.col("text"))).alias("shingle"))
+    new_sh = shingle_rows(df, "doc_id")
+    assert old_sh.exceptAll(new_sh).count() == 0
+    assert new_sh.exceptAll(old_sh).count() == 0
+
+    old_ng = df.select(
+        "doc_id",
+        F.posexplode(_guarded_ngrams(F.col("text"), SPAN_N)).alias(
+            "pos0", "gram"
+        ),
+    ).select("doc_id", (F.col("pos0") + 1).alias("s"), "gram")
+    new_ng = _ngram_rows(df, SPAN_N)
+    assert old_ng.exceptAll(new_ng).count() == 0
+    assert new_ng.exceptAll(old_ng).count() == 0
+
+    old_wf = TX.winnow_fingerprints(df)
+    new_wf = TX.winnow_fingerprint_stats(df)
+    assert old_wf.exceptAll(new_wf).count() == 0
+    assert new_wf.exceptAll(old_wf).count() == 0
