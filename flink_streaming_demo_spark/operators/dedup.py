@@ -384,15 +384,16 @@ def ngram_jaccard_pairs(
     # into the candidate path with no extra shuffle on the big side.
     # ``materialize_shingles``: the filtered shingle frame feeds BOTH
     # sides of the pair join plus the per-doc counts (4 references), and
-    # each reference otherwise re-scans the corpus and re-explodes the
-    # shingles (24 parquet scans flagged by the tightened r12 plan
-    # audit; the registered query passes True — one tokenization pass
-    # instead of four, measured 6.3 -> 4.5 s at sf0.1). Opt-in rather
-    # than unconditional because localCheckpoint is an EAGER,
-    # non-resilient, token-sized materialization — a caller that only
-    # wants the plan, or that composes this after its own cut, should
-    # not pay it at construction time. (ngram_containment_pairs below
-    # shares the shape but sits under the audit limits at 16 scans.)
+    # each reference otherwise re-scans the corpus and re-runs the
+    # shingle extraction (24 parquet scans flagged by the tightened r12
+    # plan audit back when extraction was the HOF explode; the
+    # registered query passes True — one tokenization pass instead of
+    # four). Opt-in rather than unconditional because localCheckpoint
+    # is an EAGER, non-resilient, token-sized materialization — a
+    # caller that only wants the plan, or that composes this after its
+    # own cut, should not pay it at construction time.
+    # (ngram_containment_pairs below shares the shape; its registered
+    # query stays under the audit limits without the cut.)
     sh = drop_viral_keys(sh_all, "shingle", max_shingle_df)
     if materialize_shingles:
         sh = sh.localCheckpoint()
