@@ -795,3 +795,74 @@ def test_vectorized_gram_twins_match_expression_forms(spark, texts):
     new_wf = TX.winnow_fingerprint_stats(df)
     assert old_wf.exceptAll(new_wf).count() == 0
     assert new_wf.exceptAll(old_wf).count() == 0
+
+
+def _strip_model(texts: list[str], n: int) -> dict[int, tuple]:
+    """Reference model of strip_dup_spans: brute-force gram index,
+    coverage by any >= 2-doc gram window, gaps-and-islands span count,
+    md5 of the space-joined residue."""
+    import hashlib
+
+    grams: dict[str, set[int]] = {}
+    toks_by_doc = {}
+    for i, t in enumerate(texts):
+        toks = t.split(" ")
+        toks_by_doc[i] = toks
+        for s in range(len(toks) - n + 1):
+            grams.setdefault(" ".join(toks[s : s + n]), set()).add(i)
+    out = {}
+    for i, toks in toks_by_doc.items():
+        nt = len(toks)
+        covered = [False] * nt
+        for s in range(nt - n + 1):
+            if len(grams[" ".join(toks[s : s + n])]) >= 2:
+                for j in range(s, s + n):
+                    covered[j] = True
+        spans = sum(
+            1
+            for j in range(nt)
+            if covered[j] and (j == 0 or not covered[j - 1])
+        )
+        kept = " ".join(t for t, c in zip(toks, covered) if not c)
+        out[i] = (
+            nt,
+            sum(covered),
+            spans,
+            hashlib.md5(kept.encode()).hexdigest(),
+        )
+    return out
+
+
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["aa", "bb", "cc"]), min_size=0, max_size=14
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+@settings(**_SETTINGS)
+def test_strip_dup_spans_matches_brute_force(spark, docs):
+    """The vectorized gram pass + numpy interval sweep must equal the
+    brute-force coverage model on tiny-alphabet corpora that force
+    organic cross-doc repeats, overlapping spans, and fully-covered
+    docs (n = 3 keeps windows short enough to overlap)."""
+    from flink_streaming_demo_spark.plans.text_queries import (
+        strip_dup_spans,
+    )
+
+    texts = [" ".join(toks) for toks in docs]
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (
+            r.n_tokens,
+            r.dup_token_count,
+            r.n_spans,
+            r.kept_hash,
+        )
+        for r in strip_dup_spans(df, n=3).collect()
+    }
+    assert got == _strip_model(texts, 3)
