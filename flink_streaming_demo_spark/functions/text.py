@@ -10,6 +10,9 @@ document fingerprinting.
 
 from __future__ import annotations
 
+import hashlib
+
+import numpy as np
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -506,7 +509,6 @@ def winnow_fp_rows(df, text_col: str = "text", id_col: str = "doc_id"):
     hs[i : i + min(w, n_grams-i+1)]; distinct selected values per doc.
     The per-doc computation lives in the shared ``_py_winnow`` kernel
     (also behind the vectorized digest form)."""
-    import numpy as np
     import pandas as pd
 
     from pyspark.sql import functions as F  # local: df-level helper
@@ -543,8 +545,6 @@ def winnow_fingerprint_stats(df, text_col: str = "text",
     lambda motivation (2.97 s -> ~0.8 s for the registered query at
     sf0.1). Sub-k and null docs emit (0, 0, md5('')) like the
     expression form's empty-array path."""
-    import hashlib
-
     import pandas as pd
 
     from pyspark.sql import functions as F  # local: df-level helper
@@ -587,11 +587,10 @@ def _py_winnow(text):
     """Shared numpy winnowing kernel: (k-gram hash array, SORTED DISTINCT
     1-based selected positions) per document, or None for null/sub-k
     docs — the _winnow_spark_exprs semantics verbatim (see
-    winnow_fp_rows' docstring for the equivalence argument)."""
-    import hashlib
-
-    import numpy as np
-
+    winnow_fp_rows' docstring for the equivalence argument). Called
+    once per DOCUMENT inside the Arrow extractors, so hashlib/numpy are
+    module-level imports — a per-call import would put a sys.modules
+    lookup in the hot loop this kernel exists to speed up."""
     k, w, p = WINNOW_K, WINNOW_W, _WINNOW_P
     if text is None:
         return None

@@ -537,6 +537,9 @@ _ROUND12_WINDOW = [
     # ways; parity green at sf0.001 + sf0.01). dedup_ngram_jaccard and
     # decon_source_overlap already hold slots below.
     "dedup_containment",
+    # 3f. r12 vectorized winnow digest twin (value-equality incl. edge
+    # docs; parity green at sf0.001 + sf0.01)
+    "doc_winnow_fingerprints",
     # 4. the age-4 r7 rows, coverage order (39 minus text_bpe_merges)
     "dedup_semantic", "embedding_quantize", "pipeline_embedding_dedup",
     "embedding_dim_profile", "embedding_random_projection",
@@ -549,23 +552,24 @@ _ROUND12_WINDOW = [
     "text_strip_dup_spans", "text_quality_logreg", "text_bpe_segment",
     "dedup_cluster_sizes", "dedup_lsh_scurve", "text_ngram_novelty",
     "events_error_after_click", "events_funnel_stages",
-    "events_cohort_retention", "events_winsorized_stats",
+    "events_cohort_retention",
     "events_scd2_type_history", "events_key_skew_report",
     "events_temporal_scd2_join", "events_throttle_kept",
     "sample_pack_subwords",
 ]
 # sample_temperature_weights, sample_weighted_topk,
-# events_type_transitions, events_first_in_burst and
-# events_daily_anomaly (r7 evidence, age 5 — still under the staleness
-# ceiling) were displaced from this window's tail by the _cov_frame /
-# winnow / logreg / shingle churn re-greens; each re-proven locally
-# via tools/parity.py at sf0.001 + sf0.01 on the day of displacement.
-# The staleness guard forces them into r13's front.
+# events_type_transitions, events_first_in_burst, events_daily_anomaly
+# and events_winsorized_stats (r7 evidence, age 5 — still under the
+# staleness ceiling) were displaced from this window's tail by the
+# _cov_frame / winnow / logreg / shingle churn re-greens; each
+# re-proven locally via tools/parity.py at sf0.001 + sf0.01 on the day
+# of displacement. The staleness guard forces them into r13's front.
 # r13 window guidance (write _ROUND13_WINDOW next round from this):
 #   0. text_bpe_merges, sample_temperature_weights,
 #      sample_weighted_topk, events_type_transitions,
-#      events_first_in_burst and events_daily_anomaly FIRST (displaced
-#      from this window, r7 evidence — the staleness-ceiling test in
+#      events_first_in_burst, events_daily_anomaly and
+#      events_winsorized_stats FIRST (displaced from this window, r7
+#      evidence — the staleness-ceiling test in
 #      tests/test_registry_window.py goes red if they are dropped
 #      again);
 #   1. any never-checked r13 additions (hygiene test enforces);
