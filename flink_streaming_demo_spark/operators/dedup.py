@@ -446,6 +446,7 @@ def ngram_containment_pairs(
     threshold: float = 0.8,
     min_tokens: int = SHINGLE_N,
     max_shingle_df: int = MAX_SHINGLE_DF,
+    materialize_shingles: bool = False,
 ) -> DataFrame:
     """Exact n-gram CONTAINMENT for candidate pairs — the asymmetric
     cousin of ngram_jaccard_pairs for the doc-inside-doc case Jaccard
@@ -456,8 +457,12 @@ def ngram_containment_pairs(
     with the Jaccard alongside — a pair with high containment but low
     Jaccard is precisely the subset-duplicate signature. Identical
     candidate plan to the Jaccard pass (stop-shingle cap, shuffle_hash
-    self equi-join, per-pair counts); at 100 TB run on LSH survivors."""
+    self equi-join, per-pair counts; ``materialize_shingles`` plays the
+    same opt-in role — the r12 plan read showed 8 extraction
+    re-derivations without the cut); at 100 TB run on LSH survivors."""
     sh_all = shingle_rows(df, id_col, text_col, min_tokens=min_tokens)
+    if materialize_shingles:
+        sh_all = sh_all.localCheckpoint()
     sh = drop_viral_keys(sh_all, "shingle", max_shingle_df)
     counts = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a").hint("shuffle_hash")

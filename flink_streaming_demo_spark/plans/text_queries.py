@@ -2810,7 +2810,9 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/dedup.py:ngram_containment_pairs)."""
     docs = t(spark, sf_dir, "documents").select("doc_id", "text")
     corpus = docs.unionAll(_chunk_leg(docs))
-    return dedup.ngram_containment_pairs(corpus, threshold=0.8)
+    return dedup.ngram_containment_pairs(
+        corpus, threshold=0.8, materialize_shingles=True
+    )
 
 
 register(
