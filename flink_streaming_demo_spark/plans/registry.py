@@ -564,7 +564,106 @@ _ROUND12_WINDOW = [
 # _cov_frame / winnow / logreg / shingle churn re-greens; each
 # re-proven locally via tools/parity.py at sf0.001 + sf0.01 on the day
 # of displacement. The staleness guard forces them into r13's front.
-# r13 window guidance (write _ROUND13_WINDOW next round from this):
+# ROTATION BUDGET RULE (r12 verdict #2): 193 registered queries over a
+# 50-slot window means steady-state evidence age ~= ceil(193/50) = 4
+# rounds — exactly ONE round of slack under the staleness ceiling of 5
+# (tests/test_registry_window.py). Therefore: new surface is capped at
+# ~2-3 queries/round (each new query consumes a front slot AND pushes a
+# displaced row one round closer to the ceiling), and any round that
+# wants more must first retire truly-redundant queries by composing
+# them into their consumers. Every displacement must be re-proven
+# locally (tools/parity.py at sf0.001 + sf0.01) the day it happens and
+# documented next to the window.
+#
+# ROUND-13 WINDOW (active), per the r12 verdict's #1/#6 and the
+# registry's own r13 guidance below:
+#   0. the 7 r7-evidence rows FIRST (age 5+1 = 6 against the landed r12
+#      driver row — the staleness-ceiling test was red until this
+#      window landed);
+#   1. never-checked r13 additions (hygiene test enforces) — slots
+#      reserved behind the r7 block, filled as the round adds surface;
+#   2. sample_mixture_rebalance / sample_mixture_stats fronted out of
+#      their r9-age order (r12 verdict #6: widest import fan-in in the
+#      repo, 18 modules each — any operator churn silently stales
+#      them);
+#   3. the remaining 46 r9 rows oldest-first per
+#      `tools/coverage.py --suggest-window`, truncated to fit: the 5
+#      tail rows that do not fit (layout_zorder_cells,
+#      events_sessionization, events_value_outliers,
+#      events_daily_moving_avg, events_kmv_distinct_users — all
+#      r9-green) roll to r14's front; each was re-proven locally via
+#      tools/parity.py at sf0.001 + sf0.01 on the day this window
+#      landed.
+_ROUND13_WINDOW = [
+    # 0. the 7 r7-evidence rows (oldest outstanding; ceiling-forced)
+    "text_bpe_merges",
+    "sample_temperature_weights",
+    "sample_weighted_topk",
+    "events_type_transitions",
+    "events_first_in_burst",
+    "events_daily_anomaly",
+    "events_winsorized_stats",
+    # 1. never-checked r13 additions land HERE (in front of the r9
+    #    block) as the round adds them, displacing the window tail with
+    #    documented local re-proof.
+    # 2. widest-fan-in rows fronted (r12 verdict #6)
+    "sample_mixture_rebalance",
+    "sample_mixture_stats",
+    # 3. r9 rows oldest-first (coverage order)
+    "sim_topk_cosine",
+    "sim_ann_lsh",
+    "sim_ivf_kmeans",
+    "sim_ivf_topk",
+    "sim_pq_adc",
+    "sim_pq_rerank",
+    "sim_ivfpq_topk",
+    "sim_pq_distortion",
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q6_revenue_forecast",
+    "tpch_q18_large_volume_customer",
+    "star_rollup_order_priority",
+    "star_cube_returnflag",
+    "star_grouping_sets",
+    "star_customers_with_urgent_orders",
+    "star_topk_orders_per_segment",
+    "star_lineitem_window_functions",
+    "star_distinct_part_supp",
+    "star_set_operations",
+    "star_scalar_functions",
+    "star_date_functions",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q10_returned_items",
+    "tpch_q13_customer_distribution",
+    "tpch_q14_promo_revenue",
+    "tpch_q15_top_supplier",
+    "tpch_q17_small_quantity",
+    "tpch_q19_discounted_revenue",
+    "text_redact_pii",
+    "text_unigram_logprob",
+    "dedup_repeated_ngrams",
+    "dedup_incremental",
+    "text_bpe_merges_batched",
+    "text_bpe_segment_batched",
+    "decon_canary_hits",
+    "taxi_early_arrival_fires",
+    "taxi_early_arrival_final",
+    "taxi_ride_durations",
+]
+# r14 window guidance (write _ROUND14_WINDOW next round from this):
+#   0. the 5 r9 rows that did not fit this window's tail FIRST
+#      (layout_zorder_cells, events_sessionization,
+#      events_value_outliers, events_daily_moving_avg,
+#      events_kmv_distinct_users — age 5 by r14, ceiling-forced);
+#   1. any never-checked r14 additions (hygiene test enforces);
+#   2. r13 churn needing re-green rows, if any plans change late;
+#   3. the r10 rows oldest-first (`python tools/coverage.py
+#      --suggest-window` emits the exact ordered list), then r11
+#      oldest-first with the leftover slots.
+# r13-era guidance retained below for the audit trail:
+# (write _ROUND13_WINDOW next round from this):
 #   0. text_bpe_merges, sample_temperature_weights,
 #      sample_weighted_topk, events_type_transitions,
 #      events_first_in_burst, events_daily_anomaly and
