@@ -973,6 +973,13 @@ def winnow_pairs(
     fp = winnow_fp_rows(df, text_col, id_col)
     if materialize_fps:
         fp = fp.localCheckpoint()
+    else:
+        # Library callers that skip the checkpoint still get ONE Arrow
+        # extraction: repartition(fp) plants a shared exchange that the
+        # stop-list groupBy and both join sides reuse (ReusedExchange),
+        # instead of re-running winnow_fp_rows per consumer (r13
+        # ADVICE — the r12 materialization change had dropped this).
+        fp = fp.repartition("fp")
     fp = drop_viral_keys(fp, "fp", max_fp_df)
     a = fp.alias("a").hint("shuffle_hash")
     b = fp.alias("b").hint("shuffle_hash")

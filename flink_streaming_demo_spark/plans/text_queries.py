@@ -2174,15 +2174,17 @@ def strip_dup_spans(
                 pdf["doc_id"], pdf["text"], pdf["starts"]
             ):
                 if text is None:
-                    # expression-form behavior: null text -> null stats
-                    # (size/filter of a null array), hash of the empty
-                    # residue
+                    # Oracle-pinned null-text behavior: n_tokens NULL
+                    # (len of a null token array), zero duplicated
+                    # tokens/spans (COALESCE over the missing agg rows),
+                    # hash of the empty residue. The expression form's
+                    # non-ANSI size(NULL) = -1 was NOT parity-safe here.
                     recs.append(
                         (
                             doc_id,
                             None,
-                            None,
-                            None,
+                            0,
+                            0,
                             hashlib.md5(b"").hexdigest(),
                         )
                     )

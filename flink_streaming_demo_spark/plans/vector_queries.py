@@ -1421,12 +1421,19 @@ def _cov_partials(batches):
     + 0.5), v)`` reproduces Spark's ROUND_HALF_UP of ``v*1e6`` exactly
     on this grid (verified exhaustively against BigDecimal HALF_UP of
     the shortest decimal repr for every near-boundary element at all
-    three SFs). int64 partial overflow is GUARDED, not assumed: the
-    worst-case bound rows * (max|x|^2 * 1e6 + 1) is checked against
-    2^62 per batch and raises loudly if a session's Arrow batch size
-    (spark.sql.execution.arrow.maxRecordsPerBatch, default 10k; 0 =
-    whole partition) times the embedding magnitude leaves the envelope
-    — at the default batch size that allows |x| up to ~2e5."""
+    three SFs). TWO loud per-batch guards, neither assumed:
+
+    * HALF_UP fidelity: the copysign/floor trick only matches
+      BigDecimal HALF_UP while |v*1e6| < 2^52 — past that, float64
+      spacing exceeds 1, the +0.5 tie pushes representable odd
+      integers UP where round-half-to-even (and Spark's round of an
+      exact integer) would leave them, so parity breaks SILENTLY well
+      before int64 overflows. Checked on max(|x|, |x|^2) per batch
+      (products dominate once |x| > 1); bounds |x| to ~6.7e4.
+    * int64 partial overflow: the worst-case bound
+      rows * (max|x|^2 * 1e6 + 1) is checked against 2^62 per batch,
+      covering any spark.sql.execution.arrow.maxRecordsPerBatch
+      setting (default 10k; 0 = whole partition)."""
     import numpy as np
     import pandas as pd
 
@@ -1437,6 +1444,14 @@ def _cov_partials(batches):
             continue
         X = np.asarray(vecs, dtype=np.float64)
         peak = float(np.abs(X).max())
+        if max(peak, peak * peak) * 1e6 >= float(2**52):
+            raise ValueError(
+                "covariance quantization leaves the HALF_UP-exact "
+                f"float64 envelope: max|x|={peak:.3g} puts a product "
+                "past 2^52 ulp-1 spacing, where floor(|v*1e6|+0.5) "
+                "diverges from Spark's BigDecimal HALF_UP; rescale "
+                "the embeddings"
+            )
         if X.shape[0] * (peak * peak * 1e6 + 1.0) >= float(2**62):
             raise ValueError(
                 "covariance int64 partial could overflow: "

@@ -488,3 +488,53 @@ def test_funnel_latency_matches_python_hist_replay(spark, sf_dir):
             np.sort(vals)[int(np.ceil(r.q * len(vals))) - 1]
         )
         assert abs(r.hist_quantile - order_stat) <= width + 1e-9
+
+
+def test_cov_partials_guards_and_halfup_fidelity():
+    """_cov_partials' two loud guards (r13 ADVICE): the HALF_UP-fidelity
+    envelope (|v*1e6| must stay under 2^52, i.e. |x| <~ 6.7e4) trips
+    BEFORE the int64 overflow guard, and inside the envelope the
+    copysign/floor quantization matches BigDecimal HALF_UP exactly on
+    near-boundary magnitudes."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import numpy as np
+    import pandas as pd
+    import pytest
+
+    from flink_streaming_demo_spark.plans.vector_queries import (
+        DIMS,
+        _cov_partials,
+    )
+
+    def batch(x):
+        return pd.DataFrame({"e": [[float(x)] * DIMS]})
+
+    # inside the envelope: runs, and the diagonal product partial is the
+    # HALF_UP-quantized square
+    x = 12345.6789
+    rows = next(_cov_partials(iter([batch(x)])))
+    diag = rows[(rows.i == 1) & (rows.j == 1)].iloc[0]
+    want = int(
+        (Decimal(repr(x)) ** 2 * 1000000).to_integral_value(ROUND_HALF_UP)
+    )
+    # the float64 product x*x is what the kernel (and Spark's codegen
+    # multiply) quantizes — allow the 1-ulp product difference vs the
+    # exact Decimal square
+    got_float = float(np.copysign(np.floor(abs(x * x * 1e6) + 0.5), 1.0))
+    assert diag.sxy == int(got_float)
+    assert abs(diag.sxy - want) <= 1
+    assert diag.sx == int(
+        (Decimal(repr(x)) * 1000000).to_integral_value(ROUND_HALF_UP)
+    )
+
+    # past the fidelity envelope (|x|^2*1e6 >= 2^52): loud, even though
+    # a single row is nowhere near int64 overflow
+    big = 7.0e4
+    assert big * big * 1e6 >= 2.0**52
+    with pytest.raises(ValueError, match="HALF_UP"):
+        next(_cov_partials(iter([batch(big)])))
+
+    # sanity: the envelope bound sits below the overflow bound for one
+    # row, so the fidelity guard is the one that fires first
+    assert 1 * (big * big * 1e6 + 1.0) < 2.0**62

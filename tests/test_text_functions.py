@@ -477,6 +477,19 @@ def test_new_operators_degenerate_inputs(spark):
     assert (r.dup_token_count, r.n_spans) == (0, 0)
     assert r.kept_hash == hashlib.md5(b"x1 x2 x3 x4 x5 x6 x7 x8 x9").hexdigest()
 
+    # span stripping: NULL text -> oracle-pinned degenerate row
+    # (n_tokens NULL from len(split(NULL)), counts COALESCE to 0, hash
+    # of the empty residue) — the r13 ADVICE null-branch fix.
+    with_null = spark.createDataFrame(
+        [(1, "x1 x2 x3 x4 x5 x6"), (2, None)], "doc_id long, text string"
+    )
+    rows = {r.doc_id: r for r in strip_dup_spans(with_null).collect()}
+    nr = rows[2]
+    assert (nr.n_tokens, nr.dup_token_count, nr.n_spans) == (None, 0, 0)
+    assert nr.kept_hash == hashlib.md5(b"").hexdigest()
+    # and the non-null sibling is untouched by the null row
+    assert rows[1].n_tokens == 6 and rows[1].dup_token_count == 0
+
     # PQ: corpus smaller than ksub -> codebook has |corpus| codes, still
     # encodes and ranks
     emb = spark.createDataFrame(
