@@ -369,3 +369,41 @@ def test_winnow_pairs_library_path_shares_one_extraction(spark):
         "non-materialized winnow_pairs lost its shared fingerprint "
         "exchange — the Arrow extraction re-runs per consumer"
     )
+
+
+def test_plan_snapshot_artifact_diffs_against_anchor(tmp_path):
+    """tools/plan_snapshot.py writes a bench-JSON-shaped artifact whose
+    plan_fingerprint/plan_nodes maps tools/bench_plan_diff.py accepts —
+    the full-surface close-ritual contract (r12 verdict #3). Shape-only
+    (no Spark): a crafted snapshot pair must diff with exit 0 when
+    identical and exit 1 on a changed fingerprint."""
+    import json
+    import sys
+
+    sys.path.insert(0, str(tmp_path))  # not needed, but keeps sys sane
+    import importlib.util
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "bench_plan_diff", os.path.join(repo, "tools", "bench_plan_diff.py")
+    )
+    bpd = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bpd)
+
+    snap = {
+        "metric": "plan_snapshot",
+        "plan_fingerprint": {"q1": "abc", "q2": "def"},
+        "plan_nodes": {"q1": "Scan>Filter", "q2": "Scan>HashAggregate"},
+    }
+    a = tmp_path / "anchor.json"
+    b = tmp_path / "fresh.json"
+    a.write_text(json.dumps(snap))
+    b.write_text(json.dumps(snap))
+    assert bpd.main(["prog", str(a), str(b)]) == 0
+
+    snap2 = dict(snap)
+    snap2["plan_fingerprint"] = {"q1": "abc", "q2": "CHANGED"}
+    snap2["plan_nodes"] = {"q1": "Scan>Filter", "q2": "Scan>Sort"}
+    b.write_text(json.dumps(snap2))
+    assert bpd.main(["prog", str(a), str(b)]) == 1
