@@ -591,6 +591,19 @@ def ivf_topk(
         F.col("nrm").alias("q_norm"),
         "centroid_id",
     )
+    return ivf_rank(qry, corp, k)
+
+
+def ivf_rank(qry: DataFrame, corp: DataFrame, k: int) -> DataFrame:
+    """Shared IVF scoring tail (the bm25_rank analogue for the dense
+    side): cell equi-join + exact rounded cosine + per-query rank.
+    ``qry``: (query_id, q_vec, q_norm, centroid_id) — one row per probed
+    cell, broadcast (provably small: n_queries x nprobe). ``corp``:
+    (neighbor_id, c_vec, c_norm, centroid_id) — one row per corpus
+    vector. Both the batch ``ivf_topk`` and the streaming-store read
+    view ``streaming/pipelines.ivf_topk_view`` rank through THIS
+    function, so view floats equal batch floats bit-for-bit over
+    identical frames (the streaming≡batch test pins it row-for-row)."""
     scored = (
         F.broadcast(qry)
         .join(corp, "centroid_id")

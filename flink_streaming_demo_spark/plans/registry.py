@@ -603,9 +603,14 @@ _ROUND13_WINDOW = [
     "events_first_in_burst",
     "events_daily_anomaly",
     "events_winsorized_stats",
-    # 1. never-checked r13 additions land HERE (in front of the r9
-    #    block) as the round adds them, displacing the window tail with
-    #    documented local re-proof.
+    # 1. never-checked r13 additions (budget: 2-3/round). Each
+    #    displaces one tail row, re-proven locally (tools/parity.py at
+    #    sf0.001 + sf0.01) on the day of displacement and rolled to
+    #    r14's front:
+    #    - sim_ivf_stream_topk (streaming IVF store round-trip, r12
+    #      verdict #4) displaced taxi_ride_durations (r9-green,
+    #      judge-re-verified at sf0.01 in r12).
+    "sim_ivf_stream_topk",
     # 2. widest-fan-in rows fronted (r12 verdict #6)
     "sample_mixture_rebalance",
     "sample_mixture_stats",
@@ -650,13 +655,13 @@ _ROUND13_WINDOW = [
     "decon_canary_hits",
     "taxi_early_arrival_fires",
     "taxi_early_arrival_final",
-    "taxi_ride_durations",
 ]
 # r14 window guidance (write _ROUND14_WINDOW next round from this):
-#   0. the 5 r9 rows that did not fit this window's tail FIRST
-#      (layout_zorder_cells, events_sessionization,
-#      events_value_outliers, events_daily_moving_avg,
-#      events_kmv_distinct_users — age 5 by r14, ceiling-forced);
+#   0. the 6 r9 rows displaced from this window's tail FIRST
+#      (taxi_ride_durations, layout_zorder_cells,
+#      events_sessionization, events_value_outliers,
+#      events_daily_moving_avg, events_kmv_distinct_users — age 5 by
+#      r14, ceiling-forced);
 #   1. any never-checked r14 additions (hygiene test enforces);
 #   2. r13 churn needing re-green rows, if any plans change late;
 #   3. the r10 rows oldest-first (`python tools/coverage.py

@@ -3,6 +3,8 @@
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -461,6 +463,107 @@ register(
             ) AS c_rank
             FROM corp_scored WHERE vec_id < {N_QUERIES}
         ) WHERE c_rank <= {IVF_NPROBE}
+    ),
+    scored AS (
+        SELECT query_id, neighbor_id,
+               ROUND({SIM.sql_cosine('q_vec', 'n_vec', DIMS)}, 6) AS score
+        FROM qry_cell JOIN corp_cell USING (centroid_id)
+        WHERE query_id <> neighbor_id
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC
+        ) AS rank
+        FROM scored
+    )
+    SELECT query_id, rank, neighbor_id, score
+    FROM ranked WHERE rank <= {TOP_K}
+    """,
+)
+
+
+# --- Streaming IVF index round-trip (dense serving symmetry) ------------------
+
+IVF_STREAM_NPROBE = 3
+
+
+def sim_ivf_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-k served THROUGH the incremental cell store: ingest the
+    embeddings table in three slices via the streaming index maintainer
+    (streaming/pipelines.streaming_ivf_index — the dense-side twin of
+    the BM25 index), then answer the standard query set from the store
+    read view (ivf_topk_view), probing 3 cells. The oracle is the plain
+    batch IVF SQL at nprobe=3: matching it proves the whole serving
+    round-trip — per-slice centroid assignment, parquet upsert-store
+    merges, probed-cell pruned read, and the shared ivf_rank tail —
+    end-to-end, not just the in-memory plan.
+
+    Construction runs the three store merges (a job-running build, like
+    the iterative trainers); the store lives under the system tempdir
+    keyed by SF and is rebuilt fresh each construction, so repeated runs
+    (bench warmups, parity) are deterministic and self-cleaning."""
+    import shutil
+    import tempfile
+
+    from flink_streaming_demo_spark.streaming.pipelines import (
+        ivf_topk_view,
+        streaming_ivf_index,
+    )
+    from flink_streaming_demo_spark.streaming.sinks import ParquetUpsertSink
+
+    emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    centroids = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_ivf_store",
+        os.path.basename(sf_dir.rstrip("/")),
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    cells = ParquetUpsertSink(
+        os.path.join(root, "cells"), ["vec_id"], n_buckets=8
+    )
+    body = streaming_ivf_index(cells, centroids)
+    for i in range(3):
+        body(emb.filter(F.col("vec_id") % 3 == i), epoch_id=i)
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    return ivf_topk_view(
+        spark, cells, queries, centroids, k=TOP_K, nprobe=IVF_STREAM_NPROBE
+    )
+
+
+register(
+    "sim_ivf_stream_topk",
+    sim_ivf_stream_topk,
+    f"""
+    WITH cent AS (
+        SELECT vec_id AS centroid_id, embedding AS c_vec
+        FROM embeddings WHERE vec_id < {N_CENTROIDS}
+    ),
+    corp_scored AS (
+        SELECT e.vec_id, e.embedding, centroid_id,
+               ROUND({SIM.sql_cosine('e.embedding', 'c_vec', DIMS)}, 6)
+                   AS c_score
+        FROM embeddings e CROSS JOIN cent
+    ),
+    corp_cell AS (
+        SELECT vec_id AS neighbor_id, embedding AS n_vec, centroid_id
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY vec_id ORDER BY c_score DESC, centroid_id ASC
+            ) AS c_rank
+            FROM corp_scored
+        ) WHERE c_rank = 1
+    ),
+    qry_cell AS (
+        SELECT vec_id AS query_id, embedding AS q_vec, centroid_id
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY vec_id ORDER BY c_score DESC, centroid_id ASC
+            ) AS c_rank
+            FROM corp_scored WHERE vec_id < {N_QUERIES}
+        ) WHERE c_rank <= {IVF_STREAM_NPROBE}
     ),
     scored AS (
         SELECT query_id, neighbor_id,

@@ -1154,3 +1154,103 @@ def bm25_maxp_view(
         .select("doc_id", "chunk_idx", "dl", "term", "tf")
     )
     return RETR.bm25_maxp_rank(tf, stats, terms, k=k)
+
+
+# --- Incremental IVF index (dense-retrieval streaming symmetry) --------------
+
+def streaming_ivf_index(cells_sink, centroids):
+    """foreachBatch body maintaining an incremental IVF index over an
+    append-only embedding stream: one keyed upsert store, (vec_id) ->
+    (centroid_id, embedding, nrm), assignments computed by the SAME
+    ``operators/similarity.assign_to_centroids`` the batch ``ivf_topk``
+    uses — the dense-side twin of ``streaming_bm25_index`` (r12 verdict
+    #4), completing the RAG-serving symmetry the lexical tier started
+    (reference analogue: the K2 upsert-store pattern,
+    ``ElasticsearchUpsertSink.scala:42-83``).
+
+    Replay safety (no epoch guard, like the BM25 indexer): vectors are
+    immutable and append-only and ``centroids`` is FIXED for the life of
+    the store, so a vector's (centroid_id, nrm) is a pure function of
+    its embedding — a crash-replayed micro-batch re-upserts
+    byte-identical rows and the store converges. Retraining centroids
+    invalidates every stored assignment; that is a REINDEX (new store
+    path), not an upsert — same contract as a production IVF serving
+    index, stamped here so nobody "refreshes" centroids in place.
+
+    Scale: assignment is a broadcast(K centroids) map-side scan of the
+    batch plus one per-vector rank exchange; store upserts touch only
+    the buckets the batch's vec_ids hash into. At real scale the store
+    would be PARTITIONED by centroid_id so a query's probes prune whole
+    partitions; ParquetUpsertSink buckets on the key (vec_id), so the
+    read view below relies on the centroid_id filter pushing into the
+    parquet scan instead — row-group-pruned, not partition-pruned.
+    """
+    from flink_streaming_demo_spark.operators import similarity as SIM
+
+    if not (hasattr(cells_sink, "path") and hasattr(cells_sink, "read")):
+        raise TypeError(
+            "streaming_ivf_index needs a store-backed sink; cells_sink "
+            f"is {type(cells_sink).__name__}"
+        )
+    if getattr(cells_sink, "key_cols", ["vec_id"]) != ["vec_id"]:
+        raise ValueError(
+            "cells_sink key_cols must be ['vec_id'] (one row per "
+            f"vector), got {cells_sink.key_cols}"
+        )
+    cent = centroids.select("centroid_id", "embedding").localCheckpoint()
+
+    def body(batch_df: DataFrame, epoch_id: int) -> None:
+        if not batch_df.head(1):
+            return
+        assigned = SIM.assign_to_centroids(batch_df, cent, 1).select(
+            "vec_id", "centroid_id", "embedding", "nrm"
+        )
+        cells_sink.foreach_batch(assigned, epoch_id)
+
+    return body
+
+
+def ivf_topk_view(
+    spark,
+    cells_sink,
+    queries: DataFrame,
+    centroids,
+    k: int = 5,
+    nprobe: int = 2,
+):
+    """Read-time IVF top-k over the incremental cell store. Assigns the
+    query vectors to their ``nprobe`` nearest centroids (same
+    ``assign_to_centroids``), prunes the store read to the probed cells,
+    and ranks through the SHARED ``operators/similarity.ivf_rank`` tail
+    — so the view's floats equal the batch ``ivf_topk``'s bit-for-bit
+    once the store has absorbed the same vectors (the streaming≡batch
+    test pins this row-for-row).
+
+    The probed-cell list is a bounded driver fetch (<= min(K,
+    n_queries x nprobe) rows — the broadcast-semi-join pattern, not a
+    data-sized collect) turned into an ``isin`` predicate that pushes
+    into the store's parquet scan: a 1000-cell store serving a 2-probe
+    query reads ~2/1000 of its rows, which is the whole point of IVF
+    serving."""
+    from flink_streaming_demo_spark.operators import similarity as SIM
+
+    qry = SIM.assign_to_centroids(queries, centroids, nprobe).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_vec"),
+        F.col("nrm").alias("q_norm"),
+        "centroid_id",
+    ).localCheckpoint()
+    cells = sorted(
+        r[0] for r in qry.select("centroid_id").distinct().collect()
+    )
+    corp = (
+        cells_sink.read(spark)
+        .filter(F.col("centroid_id").isin(cells))
+        .select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("embedding").alias("c_vec"),
+            F.col("nrm").alias("c_norm"),
+            "centroid_id",
+        )
+    )
+    return SIM.ivf_rank(qry, corp, k)

@@ -25,7 +25,11 @@ _SKIP_CONSTRUCTION = {"dedup_clusters", "sim_ivf_kmeans",
                       # pagerank checkpoints each iteration at construction
                       "graph_pagerank_neardup",
                       # these run the CC loop at construction
-                      "decon_split_by_cluster", "pipeline_keep_decisions"}
+                      "decon_split_by_cluster", "pipeline_keep_decisions",
+                      # builds the IVF upsert store (3 parquet merges)
+                      # at construction; the view plan's pruned-scan
+                      # shape is pinned by the streaming≡batch test
+                      "sim_ivf_stream_topk"}
 
 
 def _plan(spark, name, sf_dir) -> str:

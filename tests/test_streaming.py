@@ -2462,3 +2462,91 @@ def test_streaming_bm25_batch_view_equals_batch(spark, sf_dir):
     finally:
         shutil.rmtree(chunk_dir, ignore_errors=True)
         shutil.rmtree(root, ignore_errors=True)
+
+
+def test_streaming_ivf_index_view_equals_batch_and_is_replay_idempotent(
+    spark, sf_dir
+):
+    """Chunked replay of the embeddings table through the incremental
+    IVF indexer must make the read-time view equal the BATCH
+    sim_ivf_topk row-for-row, floats included (view and batch rank
+    through the shared similarity.ivf_rank tail over identical frames —
+    the dense-side twin of the BM25 index/view pair). Re-applying a
+    chunk must not change the store: with fixed centroids a vector's
+    assignment is a pure function of its embedding, so replay re-upserts
+    byte-identical rows."""
+    from flink_streaming_demo_spark.plans.vector_queries import (
+        IVF_NPROBE,
+        N_CENTROIDS,
+        N_QUERIES,
+        TOP_K,
+        sim_ivf_topk,
+    )
+    from flink_streaming_demo_spark.schemas import load_table
+    from flink_streaming_demo_spark.streaming.pipelines import (
+        ivf_topk_view,
+        streaming_ivf_index,
+        write_foreach_batch_stream,
+    )
+    from flink_streaming_demo_spark.streaming.sinks import ParquetUpsertSink
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    centroids = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    chunk_dir = replay.write_replay_chunks(
+        emb, n_chunks=3, order_col="vec_id"
+    )
+    root = tempfile.mkdtemp(prefix="ivf_")
+    cells = ParquetUpsertSink(root + "/cells", ["vec_id"])
+    body = streaming_ivf_index(cells, centroids)
+    try:
+        stream = replay.read_replay_stream(
+            spark,
+            chunk_dir,
+            "vec_id long, embedding array<float>",
+            max_files_per_trigger=1,
+        )
+        q = write_foreach_batch_stream(stream, body, "ivf_index")
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        queries = emb.filter(F.col("vec_id") < N_QUERIES)
+        want = [
+            tuple(r)
+            for r in sim_ivf_topk(spark, sf_dir)
+            .orderBy("query_id", "rank")
+            .collect()
+        ]
+        got = [
+            tuple(r)
+            for r in ivf_topk_view(
+                spark, cells, queries, centroids,
+                k=TOP_K, nprobe=IVF_NPROBE,
+            ).orderBy("query_id", "rank").collect()
+        ]
+        assert got == want
+        # replay idempotence: re-apply the middle chunk's vectors
+        body(emb.filter(F.col("vec_id") % 3 == 1), epoch_id=99)
+        again = [
+            tuple(r)
+            for r in ivf_topk_view(
+                spark, cells, queries, centroids,
+                k=TOP_K, nprobe=IVF_NPROBE,
+            ).orderBy("query_id", "rank").collect()
+        ]
+        assert again == want
+        # the read view PRUNES: its store scan carries the probed-cell
+        # isin predicate (the IVF serving point — a wide store is read
+        # ~nprobe/K, not fully)
+        view = ivf_topk_view(
+            spark, cells, queries, centroids, k=TOP_K, nprobe=IVF_NPROBE
+        )
+        plan = view._jdf.queryExecution().executedPlan().toString()
+        assert "centroid_id" in plan and "PushedFilters" in plan
+    finally:
+        shutil.rmtree(chunk_dir, ignore_errors=True)
+        shutil.rmtree(root, ignore_errors=True)

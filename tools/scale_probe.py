@@ -161,6 +161,14 @@ PROBE_QUERIES = [
     # two projection-pruned aggregation passes over the 10x fact table;
     # wall ~linear, output stays 6 rows.
     "system_profile_lineitem",
+    # round-13: the dense-serving maintainer round-trip (registered
+    # query; builds its own store at construction). 10x embeddings fill
+    # the 8 cells ~10x: the three maintainer merges scale with the
+    # assignment scan (broadcast-K map pass + per-vector rank exchange),
+    # and the view's probed-cell read scans ~nprobe/K of the 10x store
+    # (row-group pruned isin on centroid_id); the rank window stays
+    # slice-bounded per query. Wall should track the store build.
+    "sim_ivf_stream_topk",
 ]
 
 _DOC_SHIFT = 10_000_000
