@@ -25,6 +25,7 @@ from flink_streaming_demo_spark.streaming.early_trigger import (
 from flink_streaming_demo_spark.streaming.pipelines import (
     streaming_sliding_arrival_count,
     streaming_total_arrival_count,
+    write_foreach_batch_stream,
 )
 from flink_streaming_demo_spark.streaming.sinks import (
     InMemoryUpsertSink,
@@ -2550,3 +2551,137 @@ def test_streaming_ivf_index_view_equals_batch_and_is_replay_idempotent(
     finally:
         shutil.rmtree(chunk_dir, ignore_errors=True)
         shutil.rmtree(root, ignore_errors=True)
+
+
+def _fire_jump_oracle(counts, threshold):
+    """INDEPENDENT formulation of the reference trigger's emission
+    trajectory (the jump recurrence, same model as
+    operators/early_fire.sql_fire_jump): over the cumulative sums, fire
+    k emits the first cum >= s_{k-1} + threshold (s_{-1} = 0 — the
+    reset-to-zero discards overshoot, so the emitted total IS the jump
+    value), then FIRE_AND_PURGE emits the pane total. Returns the full
+    ordered trajectory [(cnt, is_final, fire_seq), ...]."""
+    cums = []
+    t = 0
+    for c in counts:
+        t += c
+        cums.append(t)
+    fires = []
+    floor = 0
+    for cum in cums:
+        if cum >= floor + threshold:
+            fires.append((cum, False, len(fires)))
+            floor = cum
+    fires.append((t, True, len(fires)))
+    return fires
+
+
+def test_early_fire_cadence_matches_reference_trajectory(spark):
+    """W3 fire CADENCE (SURVEY §5.3.3, r12 verdict #5): on a crafted
+    per-key sequence, BOTH the batch replay and the
+    applyInPandasWithState streaming form must emit the reference
+    trigger's exact trajectory — values AND order: partial at each
+    counter>=50 crossing with reset-on-fire (overshoot discarded, so
+    fire 2 lands at cum 135, not 115), FIRE_AND_PURGE final at
+    watermark >= window end, strictly AFTER every partial
+    (EarlyArrivalCount.scala:131-151). Streaming order is pinned by
+    per-epoch capture: each partial fires in the micro-batch its
+    triggering event arrives in (strictly increasing epochs), the final
+    in a later epoch than all partials."""
+    threshold = 50
+    counts = [20, 45, 10, 60, 5, 30, 25]  # cums 20,65,75,135,140,170,195
+    expected = _fire_jump_oracle(counts, threshold)
+    assert expected == [(65, False, 0), (135, False, 1),
+                        (195, False, 2), (195, True, 3)]
+
+    base = datetime(2024, 3, 1, 0, 0, 0)
+    # explicit micro-batch assignment (chunk column drives the range
+    # chunker — ts alone would lump every event into chunk 0 because
+    # the far-future sentinel stretches the ts range): the counts that
+    # trigger fires 0/1/2 land in chunks 0/1/2, the watermark-advancing
+    # sentinel alone in chunk 3.
+    chunk_of = [0, 0, 1, 1, 2, 2, 2]
+    rows = [
+        (7, base + timedelta(seconds=10 * i), c, chunk_of[i])
+        for i, c in enumerate(counts)
+    ]
+    # watermark-advancing sentinel (different cell, zero count: below
+    # threshold, so it contributes no fires of its own)
+    rows.append((999, base + timedelta(hours=2), 0, 3))
+    arrivals = spark.createDataFrame(
+        rows, "cell int, ts timestamp, passenger_cnt int, grp int"
+    )
+
+    # --- batch replay: trajectory per window, ordered by fire_seq
+    batch = [
+        r
+        for r in early_fire_counts(
+            arrivals.drop("grp"), threshold=threshold
+        ).collect()
+        if r.cell == 7
+    ]
+    by_window = {}
+    for r in batch:
+        by_window.setdefault(str(r.window_end), []).append(r)
+    assert len(by_window) == 3  # 15m/5m windows over a <5m burst
+    for fires in by_window.values():
+        fires.sort(key=lambda r: r.fire_seq)
+        assert [(r.cnt, r.is_final, r.fire_seq) for r in fires] == expected
+
+    # --- streaming form: per-epoch emission capture
+    chunk_dir = replay.write_replay_chunks(
+        arrivals, n_chunks=4, order_col="grp"
+    )
+    emissions: list[tuple[int, tuple]] = []
+
+    def record(batch_df, epoch_id):
+        for r in batch_df.collect():
+            if r.cell == 7:
+                emissions.append(
+                    (
+                        int(epoch_id),
+                        (str(r.window_end), r.cnt, r.is_final, r.fire_seq),
+                    )
+                )
+
+    try:
+        stream = replay.read_replay_stream(
+            spark,
+            chunk_dir,
+            "cell int, ts timestamp, passenger_cnt int, grp int",
+            max_files_per_trigger=1,
+        )
+        fired = streaming_early_fire_counts(
+            stream.drop("grp").withWatermark("ts", "60 seconds"),
+            threshold=threshold,
+        )
+        q = write_foreach_batch_stream(fired, record, "early_cadence")
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        stream_by_window: dict[str, list] = {}
+        for epoch, (w_end, cnt, is_final, seq) in emissions:
+            stream_by_window.setdefault(w_end, []).append(
+                (epoch, cnt, is_final, seq)
+            )
+        assert set(stream_by_window) == set(by_window)
+        for w_end, rows_ in stream_by_window.items():
+            # arrival (epoch) order IS trajectory order: values, flags
+            # and fire_seq in emission order must equal the oracle...
+            in_epoch_order = sorted(rows_, key=lambda x: (x[0], x[3]))
+            assert [
+                (cnt, fin, seq) for _, cnt, fin, seq in in_epoch_order
+            ] == expected
+            # ...each partial in a strictly LATER epoch than the one
+            # before (its triggering event arrives in a later chunk),
+            # and the final strictly after every partial
+            epochs = [e for e, _, fin, _ in in_epoch_order if not fin]
+            assert epochs == sorted(set(epochs)), (
+                "partial fires out of arrival order or batched together"
+            )
+            final_epoch = [e for e, _, fin, _ in in_epoch_order if fin]
+            assert len(final_epoch) == 1
+            assert final_epoch[0] > max(epochs)
+    finally:
+        shutil.rmtree(chunk_dir, ignore_errors=True)
