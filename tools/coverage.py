@@ -189,6 +189,29 @@ def main() -> int:
     for name in never:
         print(f"  ? {name}")
 
+    # Closure-churn window check (r12 verdict #6): a stale query OUTSIDE
+    # the upcoming driver window stays stale silently for at least one
+    # more round — exactly how the widest-fan-in queries (the mixture
+    # pair imports 18 modules each) drift. The window is the first 50
+    # registered names (what the driver will check next round), so this
+    # is the actionable subset of the `!` list above: either front these
+    # in the window or re-prove them locally (tools/parity.py) and note
+    # the displacement next to the window.
+    window_head = set(list(QUERIES)[:50])
+    unrefreshed = [
+        (name, rnd, why)
+        for name, rnd, why in stale
+        if name not in window_head
+    ]
+    print(
+        "stale AND not in the upcoming 50-slot window "
+        f"(churn will NOT be driver-re-greened next round): "
+        f"{len(unrefreshed)}"
+    )
+    for name, rnd, why in unrefreshed:
+        n_mods = why.count(",") + 1
+        print(f"  !! {name} (r{rnd}, closure churn in {n_mods} files)")
+
     # Age view: how many rounds ago each query's latest driver row was
     # recorded — the input the next round's window rotation is built
     # from (never-checked first, then oldest-first). "Current round" =
