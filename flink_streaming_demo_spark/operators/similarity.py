@@ -628,6 +628,99 @@ def ivf_rank(qry: DataFrame, corp: DataFrame, k: int) -> DataFrame:
     )
 
 
+def cell_neardup_gate(
+    batch: DataFrame,
+    store: DataFrame | None,
+    centroids: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Ingest-time embedding near-dup verdicts for an INCOMING batch
+    against the ADMITTED corpus — the dense twin of
+    ``operators/dedup.incremental_dedup_decisions`` (text), built on the
+    IVF cell store: a new vector is a near-dup iff some already-admitted
+    vector in its nearest centroid cell has rounded cosine >=
+    ``threshold`` (the SemDeDup blocking rule applied incrementally).
+
+    ``store``: (id_col, centroid_id, vec_col, nrm) rows of previously
+    admitted vectors — exactly what ``streaming_ivf_index`` maintains;
+    ``None`` = empty store (first batch), everything is 'new'.
+
+    Returns (id_col, verdict 'near_dup'|'new', dup_of = the max-cosine
+    admitted cell-mate with lowest-id tiebreak, -1 for 'new', cos_sim =
+    its cosine, NULL for 'new').
+
+    100 TB shape: the admitted corpus is never self-joined and never
+    shuffled — the small incoming batch is assigned (broadcast-K scan)
+    and then BROADCAST into a single equi-join on centroid_id against
+    the store, so the gate is one store scan bounded to the batch's
+    cells (with the store partitioned by centroid_id at real scale,
+    partition-pruned). Self-pairs are excluded so re-gating an already
+    admitted batch never matches a vector to itself.
+    """
+    assigned = assign_to_centroids(batch, centroids, 1, id_col, vec_col)
+    if store is None:
+        return assigned.select(
+            F.col(id_col),
+            F.lit("new").alias("verdict"),
+            F.lit(-1).cast("long").alias("dup_of"),
+            F.lit(None).cast("double").alias("cos_sim"),
+        )
+    inc = assigned.select(
+        F.col(id_col).alias("_in_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.col("nrm").alias("q_norm"),
+        "centroid_id",
+    )
+    members = store.select(
+        F.col(id_col).alias("member_id"),
+        F.col(vec_col).alias("m_vec"),
+        F.col("nrm").alias("m_norm"),
+        "centroid_id",
+    )
+    scored = (
+        F.broadcast(inc)
+        .join(members, "centroid_id")
+        .filter(F.col("_in_id") != F.col("member_id"))
+        .select(
+            "_in_id",
+            "member_id",
+            F.round(
+                dot(F.col("q_vec"), F.col("m_vec"))
+                / (F.col("q_norm") * F.col("m_norm")),
+                6,
+            ).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+    w = Window.partitionBy("_in_id").orderBy(
+        F.desc("cos_sim"), F.asc("member_id")
+    )
+    best = (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .select(
+            F.col("_in_id"),
+            F.col("member_id").alias("_dup_of"),
+            F.col("cos_sim").alias("_cos"),
+        )
+    )
+    return (
+        assigned.select(F.col(id_col))
+        .join(best, F.col(id_col) == F.col("_in_id"), "left")
+        .select(
+            F.col(id_col),
+            F.when(F.col("_dup_of").isNull(), F.lit("new"))
+            .otherwise(F.lit("near_dup"))
+            .alias("verdict"),
+            F.coalesce(F.col("_dup_of"), F.lit(-1)).cast("long")
+            .alias("dup_of"),
+            F.col("_cos").alias("cos_sim"),
+        )
+    )
+
+
 def ivf_probe_pairs(
     queries: DataFrame,
     corpus: DataFrame,

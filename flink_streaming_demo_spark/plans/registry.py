@@ -610,7 +610,11 @@ _ROUND13_WINDOW = [
     #    - sim_ivf_stream_topk (streaming IVF store round-trip, r12
     #      verdict #4) displaced taxi_ride_durations (r9-green,
     #      judge-re-verified at sf0.01 in r12).
+    #    - dedup_ivf_stream_gate (gate-then-ingest dense dedup front on
+    #      the same store) displaced taxi_early_arrival_final (r9-green,
+    #      judge-re-verified at sf0.01 in r12).
     "sim_ivf_stream_topk",
+    "dedup_ivf_stream_gate",
     # 2. widest-fan-in rows fronted (r12 verdict #6)
     "sample_mixture_rebalance",
     "sample_mixture_stats",
@@ -654,14 +658,13 @@ _ROUND13_WINDOW = [
     "text_bpe_segment_batched",
     "decon_canary_hits",
     "taxi_early_arrival_fires",
-    "taxi_early_arrival_final",
 ]
 # r14 window guidance (write _ROUND14_WINDOW next round from this):
-#   0. the 6 r9 rows displaced from this window's tail FIRST
-#      (taxi_ride_durations, layout_zorder_cells,
-#      events_sessionization, events_value_outliers,
-#      events_daily_moving_avg, events_kmv_distinct_users — age 5 by
-#      r14, ceiling-forced);
+#   0. the 7 r9 rows displaced from this window's tail FIRST
+#      (taxi_ride_durations, taxi_early_arrival_final,
+#      layout_zorder_cells, events_sessionization,
+#      events_value_outliers, events_daily_moving_avg,
+#      events_kmv_distinct_users — age 5 by r14, ceiling-forced);
 #   1. any never-checked r14 additions (hygiene test enforces);
 #   2. r13 churn needing re-green rows, if any plans change late;
 #   3. the r10 rows oldest-first (`python tools/coverage.py

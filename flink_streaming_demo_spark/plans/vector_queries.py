@@ -583,6 +583,114 @@ register(
 )
 
 
+# --- Ingest-time embedding near-dup gate over the IVF store -------------------
+
+
+def dedup_ivf_stream_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate-then-ingest dense dedup front: the embeddings table arrives
+    in three slices (vec_id % 3 == 0, 1, 2, in order); each slice is
+    verdicted against the already-admitted cell store (near_dup iff an
+    admitted nearest-cell mate has cosine >= NEARDUP_THRESHOLD, dup_of =
+    the max-cosine mate, lowest-id tiebreak) and then ingested via the
+    streaming IVF maintainer. The dense twin of dedup_incremental: the
+    oracle replays the slice order declaratively (candidates = same
+    cell, strictly earlier slice), so a green row proves the whole
+    gate-then-ingest trajectory — per-slice store states included — not
+    just a single batch verdict.
+
+    Construction runs the three gate+merge rounds (job-running build);
+    stores live under the system tempdir keyed by SF, rebuilt fresh per
+    construction (the sim_ivf_stream_topk pattern)."""
+    import shutil
+    import tempfile
+
+    from flink_streaming_demo_spark.streaming.pipelines import (
+        streaming_ivf_dedup_gate,
+    )
+    from flink_streaming_demo_spark.streaming.sinks import ParquetUpsertSink
+
+    emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    centroids = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_ivf_gate",
+        os.path.basename(sf_dir.rstrip("/")),
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    cells = ParquetUpsertSink(
+        os.path.join(root, "cells"), ["vec_id"], n_buckets=8
+    )
+    decisions = ParquetUpsertSink(
+        os.path.join(root, "decisions"), ["vec_id"], n_buckets=8
+    )
+    body = streaming_ivf_dedup_gate(
+        cells, decisions, centroids, threshold=NEARDUP_THRESHOLD
+    )
+    for i in range(3):
+        body(emb.filter(F.col("vec_id") % 3 == i), epoch_id=i)
+    return decisions.read(spark).select(
+        "vec_id",
+        F.pmod(F.col("vec_id"), F.lit(3)).cast("int").alias("slice"),
+        "verdict",
+        "dup_of",
+        "cos_sim",
+    )
+
+
+register(
+    "dedup_ivf_stream_gate",
+    dedup_ivf_stream_gate,
+    f"""
+    WITH cent AS (
+        SELECT vec_id AS centroid_id, embedding AS c_vec
+        FROM embeddings WHERE vec_id < {N_CENTROIDS}
+    ),
+    assigned AS (
+        SELECT vec_id, embedding, nrm, centroid_id,
+               CAST(vec_id % 3 AS INT) AS slice
+        FROM (
+            SELECT e.vec_id, e.embedding,
+                   {SIM.sql_l2_norm('e.embedding', DIMS)} AS nrm,
+                   centroid_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY ROUND({SIM.sql_cosine('e.embedding', 'c_vec',
+                                                      DIMS)}, 6) DESC,
+                                centroid_id ASC
+                   ) AS c_rank
+            FROM embeddings e CROSS JOIN cent
+        ) WHERE c_rank = 1
+    ),
+    cand AS (
+        SELECT i.vec_id, m.vec_id AS member_id,
+               ROUND({SIM.sql_dot('i.embedding', 'm.embedding', DIMS)}
+                     / (i.nrm * m.nrm), 6) AS cos_sim
+        FROM assigned i
+        JOIN assigned m
+          ON i.centroid_id = m.centroid_id AND m.slice < i.slice
+    ),
+    best AS (
+        SELECT vec_id, member_id AS dup_of, cos_sim
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY vec_id ORDER BY cos_sim DESC, member_id ASC
+            ) AS rk
+            FROM cand WHERE cos_sim >= {NEARDUP_THRESHOLD}
+        ) WHERE rk = 1
+    )
+    SELECT a.vec_id, a.slice,
+           CASE WHEN b.vec_id IS NULL THEN 'new' ELSE 'near_dup' END
+               AS verdict,
+           CAST(COALESCE(b.dup_of, -1) AS BIGINT) AS dup_of,
+           b.cos_sim
+    FROM assigned a
+    LEFT JOIN best b ON a.vec_id = b.vec_id
+    """,
+)
+
+
 # --- SemDeDup: cluster-then-dedup semantic deduplication ---------------------
 
 SEMDEDUP_THRESHOLD = 0.4

@@ -1254,3 +1254,73 @@ def ivf_topk_view(
         )
     )
     return SIM.ivf_rank(qry, corp, k)
+
+
+def streaming_ivf_dedup_gate(
+    cells_sink,
+    decisions_sink,
+    centroids,
+    threshold: float,
+):
+    """Gate-then-ingest foreachBatch body: each micro-batch of
+    (vec_id, embedding) rows is first VERDICTED against the admitted
+    store (``operators/similarity.cell_neardup_gate`` — near-dup iff an
+    already-admitted nearest-cell mate has cosine >= threshold), the
+    decisions written to ``decisions_sink``, and only then is the batch
+    upserted into the cell store (the ``streaming_ivf_index`` merge) —
+    the ingest-time dense dedup front of a training-data pipeline, the
+    embedding twin of ``streaming_incremental_dedup``.
+
+    Ordering matters and is forced: the decisions write fully
+    materializes the gate BEFORE the store merge rewrites the parquet
+    the gate read from.
+
+    Replay semantics (documented, weaker than the index maintainers'):
+    the STORE converges under crash replay exactly like
+    streaming_ivf_index (assignments are pure functions of the vector).
+    DECISIONS are at-least-once: re-gating an already-ingested batch
+    sees its own batch-mates in the store (self-pairs ARE excluded), so
+    a replayed verdict can flip 'new' -> 'near_dup' — monotone toward
+    more dedup, never the reverse, the standard at-least-once behavior
+    of any gate-then-ingest pipeline without a transactional store.
+    Exactly-once decisions would need the sink's epoch guard + a
+    store-side epoch column; out of contract here.
+    """
+    import os
+
+    from flink_streaming_demo_spark.operators import similarity as SIM
+
+    for sink, want_key, name in (
+        (cells_sink, ["vec_id"], "cells_sink"),
+        (decisions_sink, ["vec_id"], "decisions_sink"),
+    ):
+        if not (hasattr(sink, "path") or hasattr(sink, "foreach_batch")):
+            raise TypeError(
+                f"streaming_ivf_dedup_gate needs keyed sinks; {name} is "
+                f"{type(sink).__name__}"
+            )
+        if getattr(sink, "key_cols", want_key) != want_key:
+            raise ValueError(
+                f"{name} key_cols must be {want_key}, got {sink.key_cols}"
+            )
+    index_body = streaming_ivf_index(cells_sink, centroids)
+    cent = centroids.select("centroid_id", "embedding")
+
+    def body(batch_df: DataFrame, epoch_id: int) -> None:
+        if not batch_df.head(1):
+            return
+        spark = batch_df.sparkSession
+        store = (
+            cells_sink.read(spark)
+            if os.path.exists(cells_sink.path)
+            else None
+        )
+        decisions = SIM.cell_neardup_gate(
+            batch_df, store, cent, threshold
+        )
+        # materialize decisions BEFORE the store merge mutates the
+        # parquet they are derived from
+        decisions_sink.foreach_batch(decisions.localCheckpoint(), epoch_id)
+        index_body(batch_df, epoch_id)
+
+    return body

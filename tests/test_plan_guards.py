@@ -26,10 +26,10 @@ _SKIP_CONSTRUCTION = {"dedup_clusters", "sim_ivf_kmeans",
                       "graph_pagerank_neardup",
                       # these run the CC loop at construction
                       "decon_split_by_cluster", "pipeline_keep_decisions",
-                      # builds the IVF upsert store (3 parquet merges)
-                      # at construction; the view plan's pruned-scan
-                      # shape is pinned by the streaming≡batch test
-                      "sim_ivf_stream_topk"}
+                      # these build IVF upsert stores (parquet merges)
+                      # at construction; the view/gate plan shapes are
+                      # pinned by the streaming≡batch tests
+                      "sim_ivf_stream_topk", "dedup_ivf_stream_gate"}
 
 
 def _plan(spark, name, sf_dir) -> str:

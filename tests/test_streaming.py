@@ -2685,3 +2685,97 @@ def test_early_fire_cadence_matches_reference_trajectory(spark):
             assert final_epoch[0] > max(epochs)
     finally:
         shutil.rmtree(chunk_dir, ignore_errors=True)
+
+
+def test_streaming_ivf_dedup_gate_equals_batch_and_store_replay_safe(
+    spark, sf_dir
+):
+    """Chunked replay of embeddings through the gate-then-ingest body
+    must produce decisions identical to the batch 3-slice replay (the
+    registered dedup_ivf_stream_gate / its DuckDB oracle): verdicts,
+    dup_of and cosines row-for-row. The STORE must equal a full
+    streaming_ivf_index ingest and stay byte-identical when a chunk is
+    re-applied; re-gated DECISIONS may only flip new -> near_dup
+    (documented at-least-once monotonicity), never the reverse."""
+    from flink_streaming_demo_spark.plans.vector_queries import (
+        NEARDUP_THRESHOLD,
+        N_CENTROIDS,
+        dedup_ivf_stream_gate,
+    )
+    from flink_streaming_demo_spark.schemas import load_table
+    from flink_streaming_demo_spark.streaming.pipelines import (
+        streaming_ivf_dedup_gate,
+        write_foreach_batch_stream,
+    )
+    from flink_streaming_demo_spark.streaming.sinks import ParquetUpsertSink
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "embedding",
+        (F.col("vec_id") % 3).cast("int").alias("grp"),
+    )
+    centroids = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    chunk_dir = replay.write_replay_chunks(emb, n_chunks=3, order_col="grp")
+    root = tempfile.mkdtemp(prefix="ivfgate_")
+    cells = ParquetUpsertSink(root + "/cells", ["vec_id"])
+    decisions = ParquetUpsertSink(root + "/decisions", ["vec_id"])
+    body = streaming_ivf_dedup_gate(
+        cells, decisions, centroids, threshold=NEARDUP_THRESHOLD
+    )
+    try:
+        stream = replay.read_replay_stream(
+            spark,
+            chunk_dir,
+            "vec_id long, embedding array<float>, grp int",
+            max_files_per_trigger=1,
+        )
+        q = write_foreach_batch_stream(
+            stream.drop("grp"), body, "ivf_gate"
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        want = sorted(
+            tuple(r) for r in dedup_ivf_stream_gate(spark, sf_dir).collect()
+        )
+        got = sorted(
+            tuple(r)
+            for r in decisions.read(spark)
+            .select(
+                "vec_id",
+                F.pmod(F.col("vec_id"), F.lit(3)).cast("int").alias("slice"),
+                "verdict",
+                "dup_of",
+                "cos_sim",
+            )
+            .collect()
+        )
+        assert got == want
+        # store replay safety: re-applying a chunk leaves it unchanged
+        before = sorted(
+            (r.vec_id, r.centroid_id, float(r.nrm))
+            for r in cells.read(spark).collect()
+        )
+        body(
+            emb.filter(F.col("grp") == 1).drop("grp"), epoch_id=99
+        )
+        after = sorted(
+            (r.vec_id, r.centroid_id, float(r.nrm))
+            for r in cells.read(spark).collect()
+        )
+        assert after == before
+        # decision monotonicity under replay: new -> near_dup allowed
+        # (batch-mates now admitted), near_dup -> new never
+        regated = {
+            r.vec_id: r.verdict for r in decisions.read(spark).collect()
+        }
+        original = {v: verd for v, _, verd, _, _ in want}
+        for vid, verd in regated.items():
+            if original[vid] == "near_dup":
+                assert verd == "near_dup", vid
+    finally:
+        shutil.rmtree(chunk_dir, ignore_errors=True)
+        shutil.rmtree(root, ignore_errors=True)

@@ -169,6 +169,13 @@ PROBE_QUERIES = [
     # (row-group pruned isin on centroid_id); the rank window stays
     # slice-bounded per query. Wall should track the store build.
     "sim_ivf_stream_topk",
+    # round-13: gate-then-ingest dense dedup front. Each slice is
+    # broadcast against the admitted store's same-cell rows, so the
+    # gate is one store scan per slice (~linear in admitted rows);
+    # verdict counts scale with the rotated copies' within-copy
+    # geometry (cross-copy cosines decorrelate by construction). Wall
+    # should track the 3 store merges + 2 store scans.
+    "dedup_ivf_stream_gate",
 ]
 
 _DOC_SHIFT = 10_000_000
