@@ -866,3 +866,88 @@ def test_strip_dup_spans_matches_brute_force(spark, docs):
         for r in strip_dup_spans(df, n=3).collect()
     }
     assert got == _strip_model(texts, 3)
+
+
+def _gate_model(vecs, slices, n_cent, threshold):
+    """Reference model for cell_neardup_gate's slice replay: nearest
+    centroid by round-6 cosine (centroid_id tiebreak), candidates =
+    strictly-earlier-slice same-cell vectors, verdict near_dup iff some
+    candidate's round-6 cosine >= threshold, dup_of = max-cosine
+    candidate with lowest-id tiebreak. Plain python floats: integer
+    vector components keep dots exact, so both engines see identical
+    doubles before the shared round-6 grid."""
+    import math
+
+    def dot(a, b):
+        return float(sum(x * y for x, y in zip(a, b)))
+
+    def cos(a, b):
+        return round(
+            dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b))), 6
+        )
+
+    cents = list(range(n_cent))
+
+    def cell_of(v):
+        return max(cents, key=lambda c: (cos(v, vecs[c]), -c))
+
+    cells = {i: cell_of(v) for i, v in enumerate(vecs)}
+    out = {}
+    for i, v in enumerate(vecs):
+        cands = [
+            (cos(v, vecs[j]), j)
+            for j in range(len(vecs))
+            if slices[j] < slices[i] and cells[j] == cells[i]
+        ]
+        hits = [(c, j) for c, j in cands if c >= threshold]
+        if not hits:
+            out[i] = ("new", -1, None)
+        else:
+            c, j = max(hits, key=lambda t: (t[0], -t[1]))
+            out[i] = ("near_dup", j, c)
+    return out
+
+
+@given(
+    comps=st.lists(
+        st.tuples(*(st.integers(min_value=0, max_value=9),) * 4),
+        min_size=3,
+        max_size=14,
+    ),
+    slice_seed=st.integers(min_value=0, max_value=1000),
+)
+@settings(**_SETTINGS)
+def test_cell_neardup_gate_matches_python_model(spark, comps, slice_seed):
+    from flink_streaming_demo_spark.operators import similarity as SIM
+
+    # no zero vectors (norms must be positive); integer components keep
+    # the pre-round doubles bit-identical between engines
+    vecs = [(c0 + 1, c1, c2, c3) for c0, c1, c2, c3 in comps]
+    slices = [(i * 7 + slice_seed) % 3 for i in range(len(vecs))]
+    n_cent, threshold = 2, 0.4
+    want = _gate_model(vecs, slices, n_cent, threshold)
+
+    df = spark.createDataFrame(
+        [
+            (i, [float(x) for x in v], slices[i])
+            for i, v in enumerate(vecs)
+        ],
+        "vec_id long, embedding array<double>, slice int",
+    )
+    cent = df.filter(F.col("vec_id") < n_cent).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    got = {}
+    for k in sorted(set(slices)):
+        batch = df.filter(F.col("slice") == k).select("vec_id", "embedding")
+        prior = df.filter(F.col("slice") < k).select("vec_id", "embedding")
+        store = (
+            SIM.assign_to_centroids(prior, cent, 1)
+            if prior.head(1)
+            else None
+        )
+        for r in SIM.cell_neardup_gate(
+            batch, store, cent, threshold
+        ).collect():
+            got[r.vec_id] = (r.verdict, r.dup_of, r.cos_sim)
+    assert got == want
