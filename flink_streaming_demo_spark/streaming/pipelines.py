@@ -1243,9 +1243,15 @@ def ivf_topk_view(
     cells = sorted(
         r[0] for r in qry.select("centroid_id").distinct().collect()
     )
+    # empty query set -> empty probed-cell list; isin() with no
+    # operands raises, so pin the degenerate filter to false (the view
+    # returns an empty, correctly-typed frame)
+    probe_pred = (
+        F.col("centroid_id").isin(cells) if cells else F.lit(False)
+    )
     corp = (
         cells_sink.read(spark)
-        .filter(F.col("centroid_id").isin(cells))
+        .filter(probe_pred)
         .select(
             F.col("vec_id").alias("neighbor_id"),
             F.col("embedding").alias("c_vec"),

@@ -2779,3 +2779,38 @@ def test_streaming_ivf_dedup_gate_equals_batch_and_store_replay_safe(
     finally:
         shutil.rmtree(chunk_dir, ignore_errors=True)
         shutil.rmtree(root, ignore_errors=True)
+
+
+def test_ivf_topk_view_empty_query_set_returns_empty_frame(spark, sf_dir):
+    """Degenerate serving input: an EMPTY query set must yield an empty,
+    correctly-typed result (the probed-cell list is empty; a bare
+    isin() raises, so the view pins the filter to false)."""
+    from flink_streaming_demo_spark.plans.vector_queries import N_CENTROIDS
+    from flink_streaming_demo_spark.schemas import load_table
+    from flink_streaming_demo_spark.streaming.pipelines import (
+        ivf_topk_view,
+        streaming_ivf_index,
+    )
+    from flink_streaming_demo_spark.streaming.sinks import ParquetUpsertSink
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    centroids = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    root = tempfile.mkdtemp(prefix="ivf_empty_")
+    cells = ParquetUpsertSink(root + "/cells", ["vec_id"], n_buckets=4)
+    try:
+        streaming_ivf_index(cells, centroids)(
+            emb.limit(20), epoch_id=0
+        )
+        out = ivf_topk_view(
+            spark, cells, emb.filter(F.lit(False)), centroids, k=3
+        )
+        assert out.collect() == []
+        assert [f.name for f in out.schema.fields] == [
+            "query_id", "rank", "neighbor_id", "score",
+        ]
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
