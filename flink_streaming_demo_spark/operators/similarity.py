@@ -635,6 +635,7 @@ def cell_neardup_gate(
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    assigned: DataFrame | None = None,
 ) -> DataFrame:
     """Ingest-time embedding near-dup verdicts for an INCOMING batch
     against the ADMITTED corpus — the dense twin of
@@ -658,10 +659,21 @@ def cell_neardup_gate(
     cells (with the store partitioned by centroid_id at real scale,
     partition-pruned). Self-pairs are excluded so re-gating an already
     admitted batch never matches a vector to itself.
+
+    ``assigned``: optionally pass the batch's nearest-cell assignment
+    (``assign_to_centroids(batch, centroids, 1)``, possibly
+    checkpointed) so a gate-then-ingest caller assigns ONCE and feeds
+    the same frame to both the gate and the store upsert.
     """
-    assigned = assign_to_centroids(batch, centroids, 1, id_col, vec_col)
+    if assigned is None:
+        assigned = assign_to_centroids(batch, centroids, 1, id_col, vec_col)
+    # verdicts key off the raw batch ids, NOT the assignment output:
+    # with n_assign=1 the id sets are identical, and joining back to
+    # ``batch`` keeps the assignment subtree (broadcast-K cross join +
+    # rank window) out of the plan a second time
+    batch_ids = batch.select(F.col(id_col))
     if store is None:
-        return assigned.select(
+        return batch_ids.select(
             F.col(id_col),
             F.lit("new").alias("verdict"),
             F.lit(-1).cast("long").alias("dup_of"),
@@ -707,7 +719,7 @@ def cell_neardup_gate(
         )
     )
     return (
-        assigned.select(F.col(id_col))
+        batch_ids
         .join(best, F.col(id_col) == F.col("_in_id"), "left")
         .select(
             F.col(id_col),

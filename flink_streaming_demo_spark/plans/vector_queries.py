@@ -484,6 +484,30 @@ register(
 
 # --- Streaming IVF index round-trip (dense serving symmetry) ------------------
 
+# Per-(kind, SF) store roots for the job-running registered queries,
+# allocated once per PROCESS via mkdtemp: unique across concurrent
+# processes/users (a fixed world-shared /tmp path would let a second
+# run's rmtree delete the store a first run's returned lazy DataFrame
+# is still scanning, and fails outright across users on shared hosts),
+# while within one process repeated constructions reuse-and-rebuild the
+# same path so bench warmups and parity stay deterministic.
+_STORE_ROOTS: dict[tuple[str, str], str] = {}
+
+
+def _store_root(kind: str, sf_dir: str) -> str:
+    import shutil
+    import tempfile
+
+    key = (kind, os.path.basename(sf_dir.rstrip("/")))
+    root = _STORE_ROOTS.get(key)
+    if root is None:
+        root = tempfile.mkdtemp(prefix=f"spark_graft_{kind}_{key[1]}_")
+        _STORE_ROOTS[key] = root
+    else:
+        shutil.rmtree(root, ignore_errors=True)
+        os.makedirs(root, exist_ok=True)
+    return root
+
 IVF_STREAM_NPROBE = 3
 
 
@@ -499,12 +523,10 @@ def sim_ivf_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     end-to-end, not just the in-memory plan.
 
     Construction runs the three store merges (a job-running build, like
-    the iterative trainers); the store lives under the system tempdir
-    keyed by SF and is rebuilt fresh each construction, so repeated runs
-    (bench warmups, parity) are deterministic and self-cleaning."""
-    import shutil
-    import tempfile
-
+    the iterative trainers); the store lives at a per-process mkdtemp
+    root keyed by SF (_store_root) and is rebuilt fresh each
+    construction, so repeated runs (bench warmups, parity) are
+    deterministic and concurrent processes never clobber each other."""
     from flink_streaming_demo_spark.streaming.pipelines import (
         ivf_topk_view,
         streaming_ivf_index,
@@ -515,12 +537,7 @@ def sim_ivf_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
         F.col("vec_id").alias("centroid_id"), "embedding"
     )
-    root = os.path.join(
-        tempfile.gettempdir(),
-        "spark_graft_ivf_store",
-        os.path.basename(sf_dir.rstrip("/")),
-    )
-    shutil.rmtree(root, ignore_errors=True)
+    root = _store_root("ivf_store", sf_dir)
     cells = ParquetUpsertSink(
         os.path.join(root, "cells"), ["vec_id"], n_buckets=8
     )
@@ -599,11 +616,8 @@ def dedup_ivf_stream_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     just a single batch verdict.
 
     Construction runs the three gate+merge rounds (job-running build);
-    stores live under the system tempdir keyed by SF, rebuilt fresh per
-    construction (the sim_ivf_stream_topk pattern)."""
-    import shutil
-    import tempfile
-
+    stores live at a per-process mkdtemp root keyed by SF, rebuilt
+    fresh per construction (the sim_ivf_stream_topk pattern)."""
     from flink_streaming_demo_spark.streaming.pipelines import (
         streaming_ivf_dedup_gate,
     )
@@ -613,12 +627,7 @@ def dedup_ivf_stream_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
         F.col("vec_id").alias("centroid_id"), "embedding"
     )
-    root = os.path.join(
-        tempfile.gettempdir(),
-        "spark_graft_ivf_gate",
-        os.path.basename(sf_dir.rstrip("/")),
-    )
-    shutil.rmtree(root, ignore_errors=True)
+    root = _store_root("ivf_gate", sf_dir)
     cells = ParquetUpsertSink(
         os.path.join(root, "cells"), ["vec_id"], n_buckets=8
     )

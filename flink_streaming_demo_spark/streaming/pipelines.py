@@ -1231,7 +1231,15 @@ def ivf_topk_view(
     data-sized collect) turned into an ``isin`` predicate that pushes
     into the store's parquet scan: a 1000-cell store serving a 2-probe
     query reads ~2/1000 of its rows, which is the whole point of IVF
-    serving."""
+    serving.
+
+    Degenerate serving states return an empty, correctly-typed frame
+    instead of raising: an EMPTY query set (empty probed-cell list — a
+    bare isin() raises) and a NEVER-WRITTEN store (a read arriving
+    before the first non-empty micro-batch; the maintainer skips empty
+    batches, so the path may not exist yet)."""
+    import os
+
     from flink_streaming_demo_spark.operators import similarity as SIM
 
     qry = SIM.assign_to_centroids(queries, centroids, nprobe).select(
@@ -1240,6 +1248,15 @@ def ivf_topk_view(
         F.col("nrm").alias("q_norm"),
         "centroid_id",
     ).localCheckpoint()
+    if not os.path.exists(cells_sink.path):
+        # typed-empty corpus derived from the query frame's own dtypes
+        corp = qry.select(
+            F.col("query_id").alias("neighbor_id"),
+            F.col("q_vec").alias("c_vec"),
+            F.col("q_norm").alias("c_norm"),
+            "centroid_id",
+        ).filter(F.lit(False))
+        return SIM.ivf_rank(qry, corp, k)
     cells = sorted(
         r[0] for r in qry.select("centroid_id").distinct().collect()
     )
@@ -1296,21 +1313,27 @@ def streaming_ivf_dedup_gate(
 
     from flink_streaming_demo_spark.operators import similarity as SIM
 
-    for sink, want_key, name in (
-        (cells_sink, ["vec_id"], "cells_sink"),
-        (decisions_sink, ["vec_id"], "decisions_sink"),
-    ):
-        if not (hasattr(sink, "path") or hasattr(sink, "foreach_batch")):
-            raise TypeError(
-                f"streaming_ivf_dedup_gate needs keyed sinks; {name} is "
-                f"{type(sink).__name__}"
-            )
-        if getattr(sink, "key_cols", want_key) != want_key:
-            raise ValueError(
-                f"{name} key_cols must be {want_key}, got {sink.key_cols}"
-            )
-    index_body = streaming_ivf_index(cells_sink, centroids)
-    cent = centroids.select("centroid_id", "embedding")
+    # cells_sink must be a store-backed read/upsert sink (the gate READS
+    # it); streaming_ivf_index validates that plus the key. The
+    # decisions sink only needs keyed upsert writes — an in-memory sink
+    # is fine for tests — but the check is a hard AND like the sibling
+    # maintainers', not a vacuous OR: a sink missing foreach_batch must
+    # fail at WIRING time, not mid-stream on the first non-empty batch.
+    if not hasattr(decisions_sink, "foreach_batch"):
+        raise TypeError(
+            "streaming_ivf_dedup_gate needs a keyed upsert decisions "
+            f"sink; decisions_sink is {type(decisions_sink).__name__}"
+        )
+    if getattr(decisions_sink, "key_cols", ["vec_id"]) != ["vec_id"]:
+        raise ValueError(
+            "decisions_sink key_cols must be ['vec_id'] (one verdict "
+            f"per vector), got {decisions_sink.key_cols}"
+        )
+    # wiring-time validation of cells_sink (path + read + key) happens
+    # here; the returned body is NOT used — the gate body below upserts
+    # the already-computed assignment instead of re-assigning.
+    streaming_ivf_index(cells_sink, centroids)
+    cent = centroids.select("centroid_id", "embedding").localCheckpoint()
 
     def body(batch_df: DataFrame, epoch_id: int) -> None:
         if not batch_df.head(1):
@@ -1321,12 +1344,18 @@ def streaming_ivf_dedup_gate(
             if os.path.exists(cells_sink.path)
             else None
         )
+        # assign ONCE: the same frame feeds the gate's candidate join
+        # and the store upsert (localCheckpoint so neither consumer
+        # re-runs the broadcast-K scan + rank exchange)
+        assigned = SIM.assign_to_centroids(batch_df, cent, 1).select(
+            "vec_id", "centroid_id", "embedding", "nrm"
+        ).localCheckpoint()
         decisions = SIM.cell_neardup_gate(
-            batch_df, store, cent, threshold
+            batch_df, store, cent, threshold, assigned=assigned
         )
         # materialize decisions BEFORE the store merge mutates the
         # parquet they are derived from
         decisions_sink.foreach_batch(decisions.localCheckpoint(), epoch_id)
-        index_body(batch_df, epoch_id)
+        cells_sink.foreach_batch(assigned, epoch_id)
 
     return body

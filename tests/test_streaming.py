@@ -2814,3 +2814,71 @@ def test_ivf_topk_view_empty_query_set_returns_empty_frame(spark, sf_dir):
         ]
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def test_ivf_topk_view_never_written_store_returns_empty_frame(
+    spark, sf_dir
+):
+    """A serving read arriving BEFORE the first non-empty micro-batch
+    (the maintainer skips empty batches, so the store path may not
+    exist yet) must return an empty, correctly-typed frame instead of
+    raising PATH_NOT_FOUND."""
+    from flink_streaming_demo_spark.plans.vector_queries import N_CENTROIDS
+    from flink_streaming_demo_spark.schemas import load_table
+    from flink_streaming_demo_spark.streaming.pipelines import ivf_topk_view
+    from flink_streaming_demo_spark.streaming.sinks import ParquetUpsertSink
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    centroids = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    root = tempfile.mkdtemp(prefix="ivf_unwritten_")
+    try:
+        cells = ParquetUpsertSink(root + "/never_written", ["vec_id"])
+        out = ivf_topk_view(
+            spark, cells, emb.limit(3), centroids, k=3
+        )
+        assert out.collect() == []
+        assert [f.name for f in out.schema.fields] == [
+            "query_id", "rank", "neighbor_id", "score",
+        ]
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def test_streaming_ivf_dedup_gate_rejects_bad_decisions_sink(spark, sf_dir):
+    """Wiring-time sink validation (hard AND, not a vacuous OR): a
+    decisions sink without foreach_batch or with wrong key_cols must
+    fail at construction, not mid-stream on the first non-empty
+    batch."""
+    import pytest as _pytest
+
+    from flink_streaming_demo_spark.plans.vector_queries import N_CENTROIDS
+    from flink_streaming_demo_spark.schemas import load_table
+    from flink_streaming_demo_spark.streaming.pipelines import (
+        streaming_ivf_dedup_gate,
+    )
+    from flink_streaming_demo_spark.streaming.sinks import ParquetUpsertSink
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    centroids = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    root = tempfile.mkdtemp(prefix="ivf_badsink_")
+    try:
+        cells = ParquetUpsertSink(root + "/cells", ["vec_id"])
+
+        class NotASink:
+            path = root + "/x"  # path alone must NOT satisfy the guard
+
+        with _pytest.raises(TypeError, match="decisions"):
+            streaming_ivf_dedup_gate(cells, NotASink(), centroids, 0.4)
+        wrong_key = ParquetUpsertSink(root + "/d", ["vec_id", "slice"])
+        with _pytest.raises(ValueError, match="key_cols"):
+            streaming_ivf_dedup_gate(cells, wrong_key, centroids, 0.4)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
