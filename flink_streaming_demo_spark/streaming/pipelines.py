@@ -1359,3 +1359,29 @@ def streaming_ivf_dedup_gate(
         cells_sink.foreach_batch(assigned, epoch_id)
 
     return body
+
+
+def reindex_ivf_store(spark, old_sink, new_sink, new_centroids, epoch_id=0):
+    """Centroid retrain = REINDEX, operationalized: read the admitted
+    vectors out of the OLD cell store, re-assign them against the NEW
+    centroids (one bulk ``streaming_ivf_index`` merge into a NEW store
+    path), and return the new sink. The old store stays valid for
+    serving until the caller switches readers over — the blue/green
+    shape a production IVF serving index uses, and the documented
+    answer to ``streaming_ivf_index``'s fixed-centroids contract
+    (refreshing centroids in place would silently mix assignment
+    epochs).
+
+    Scale: one scan of the old store (vectors only; the stale
+    centroid_id/nrm columns are recomputed, not trusted) through the
+    broadcast-K assignment — the same cost as the original ingest,
+    amortizable by running it as a background batch job while the old
+    index keeps serving."""
+    if old_sink.path == new_sink.path:
+        raise ValueError(
+            "reindex requires a NEW store path (blue/green); in-place "
+            "centroid refresh would mix assignment epochs"
+        )
+    vectors = old_sink.read(spark).select("vec_id", "embedding")
+    streaming_ivf_index(new_sink, new_centroids)(vectors, epoch_id)
+    return new_sink

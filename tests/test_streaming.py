@@ -2882,3 +2882,59 @@ def test_streaming_ivf_dedup_gate_rejects_bad_decisions_sink(spark, sf_dir):
             streaming_ivf_dedup_gate(cells, wrong_key, centroids, 0.4)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def test_reindex_ivf_store_serves_retrained_centroids(spark, sf_dir):
+    """Blue/green reindex: after ingesting under seed centroids,
+    retraining (the sim_ivf_kmeans Lloyd trajectory) and reindexing
+    into a NEW store, the view over the new store must equal the batch
+    ivf_topk under the TRAINED centroids row-for-row — and an in-place
+    refresh (same path) is refused."""
+    from flink_streaming_demo_spark.operators import similarity as SIM
+    from flink_streaming_demo_spark.plans.vector_queries import (
+        IVF_NPROBE,
+        KMEANS_ITERS,
+        N_CENTROIDS,
+        N_QUERIES,
+        TOP_K,
+    )
+    from flink_streaming_demo_spark.schemas import load_table
+    from flink_streaming_demo_spark.streaming.pipelines import (
+        ivf_topk_view,
+        reindex_ivf_store,
+        streaming_ivf_index,
+    )
+    from flink_streaming_demo_spark.streaming.sinks import ParquetUpsertSink
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    seeds = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    root = tempfile.mkdtemp(prefix="ivf_reindex_")
+    try:
+        blue = ParquetUpsertSink(root + "/blue", ["vec_id"], n_buckets=4)
+        streaming_ivf_index(blue, seeds)(emb, epoch_id=0)
+        trained = SIM.kmeans_centroids(emb, seeds, n_iterations=KMEANS_ITERS)
+        with pytest.raises(ValueError, match="NEW store path"):
+            reindex_ivf_store(spark, blue, blue, trained)
+        green = ParquetUpsertSink(root + "/green", ["vec_id"], n_buckets=4)
+        reindex_ivf_store(spark, blue, green, trained)
+        queries = emb.filter(F.col("vec_id") < N_QUERIES)
+        want = [
+            tuple(r)
+            for r in SIM.ivf_topk(
+                queries, emb, trained, k=TOP_K, nprobe=IVF_NPROBE
+            ).orderBy("query_id", "rank").collect()
+        ]
+        got = [
+            tuple(r)
+            for r in ivf_topk_view(
+                spark, green, queries, trained,
+                k=TOP_K, nprobe=IVF_NPROBE,
+            ).orderBy("query_id", "rank").collect()
+        ]
+        assert got == want
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
