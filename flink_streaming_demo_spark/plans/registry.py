@@ -659,7 +659,90 @@ _ROUND13_WINDOW = [
     "decon_canary_hits",
     "taxi_early_arrival_fires",
 ]
-# r14 window guidance (write _ROUND14_WINDOW next round from this):
+# ROUND-14 WINDOW (active), per the r13 verdict's #1 and the r14
+# guidance retained below:
+#   0. the 7 r9-evidence rows displaced from r13's tail FIRST (age 5
+#      against the upcoming r14 driver row — the staleness-ceiling
+#      test forces them; taxi_early_arrival_final starts here and is
+#      REMOVED from the window if/when r14's retirement of that row
+#      lands, per the r13 verdict's #2);
+#   1. never-checked r14 additions (hygiene test enforces) — slots
+#      reserved behind the age-5 block, filled as the round adds
+#      surface (budget: 2-3/round per the rotation rule above);
+#   2. the 41 r10 rows oldest-first per
+#      `tools/coverage.py --suggest-window`;
+#   3. r11 rows oldest-first with the leftover slots
+#      (embedding_stats, label_centroid_distance) — these two are the
+#      displacement pool for step-1 additions; any displacement is
+#      re-proven locally (tools/parity.py at sf0.001 + sf0.01) on the
+#      day it happens and documented here.
+_ROUND14_WINDOW = [
+    # 0. the 7 age-5 rows (r9 evidence; ceiling-forced)
+    "taxi_ride_durations",
+    "taxi_early_arrival_final",
+    "layout_zorder_cells",
+    "events_sessionization",
+    "events_value_outliers",
+    "events_daily_moving_avg",
+    "events_kmv_distinct_users",
+    # 1. never-checked r14 additions land here as the round adds them.
+    # 2. the 41 r10 rows oldest-first (coverage order)
+    "sim_hard_negatives",
+    "dedup_embedding_neardup",
+    "sim_ann_recall",
+    "sim_ivf_recall",
+    "sim_mmr_diverse_topk",
+    "star_salted_join_counts",
+    "star_basket_pairs",
+    "tpch_running_revenue",
+    "system_data_expectations",
+    "pipeline_clean_corpus",
+    "dedup_cross_source_matrix",
+    "dedup_best_survivors",
+    "multimodal_frame_index",
+    "text_zipf_fit",
+    "layout_hilbert_cells",
+    "layout_skipping_stats",
+    "events_session_windows",
+    "events_kmv_rollup_users",
+    "events_kmv_set_ops",
+    "events_hll_distinct_users",
+    "events_hll_rollup_users",
+    "events_hll_lc_users",
+    "events_bloom_flagged_users",
+    "events_bloom_rollup_users",
+    "events_cms_user_counts",
+    "events_bloom_pruned_join",
+    "events_salted_user_counts",
+    "events_psi_value_drift",
+    "events_lateness_profile",
+    "events_sequence_patterns",
+    "events_watermark_delay_tradeoff",
+    "events_kmv_rolling_distinct",
+    "events_funnel_latency",
+    "events_hll_rolling_users",
+    "events_ab_test_report",
+    "events_attribution",
+    "sample_token_budget",
+    "sample_reservoir_weighted",
+    "doc_stable_ids",
+    "sample_epoch_shuffle",
+    "sample_interleave_sources",
+    # 3. r11 rows oldest-first (displacement pool for r14 additions)
+    "embedding_stats",
+    "label_centroid_distance",
+]
+# r15 window guidance (write _ROUND15_WINDOW next round from this):
+#   0. any rows displaced from this window's tail FIRST (each re-proven
+#      locally at sf0.001 + sf0.01 on the day of displacement — the
+#      displacement log lives in the comments above);
+#   1. any never-checked r15 additions (hygiene test enforces);
+#   2. r14 churn needing re-green rows, if any plans change late;
+#   3. the r11 rows oldest-first (`python tools/coverage.py
+#      --suggest-window` emits the exact ordered list), then r12
+#      oldest-first with the leftover slots.
+# r14-era guidance retained below for the audit trail:
+# (write _ROUND14_WINDOW next round from this):
 #   0. the 7 r9 rows displaced from this window's tail FIRST
 #      (taxi_ride_durations, taxi_early_arrival_final,
 #      layout_zorder_cells, events_sessionization,
