@@ -564,8 +564,11 @@ _ROUND12_WINDOW = [
 # _cov_frame / winnow / logreg / shingle churn re-greens; each
 # re-proven locally via tools/parity.py at sf0.001 + sf0.01 on the day
 # of displacement. The staleness guard forces them into r13's front.
-# ROTATION BUDGET RULE (r12 verdict #2): 193 registered queries over a
-# 50-slot window means steady-state evidence age ~= ceil(193/50) = 4
+# ROTATION BUDGET RULE (r12 verdict #2; math updated r14 after the
+# three retirements of r13 verdict #2 — taxi_early_arrival_final,
+# dedup_exact_survivors, dedup_cluster_sizes — composed into their
+# consumers): 192 + new registered queries over a 50-slot window means
+# steady-state evidence age ~= ceil(N/50) = 4
 # rounds — exactly ONE round of slack under the staleness ceiling of 5
 # (tests/test_registry_window.py). Therefore: new surface is capped at
 # ~2-3 queries/round (each new query consumes a front slot AND pushes a
@@ -677,9 +680,11 @@ _ROUND13_WINDOW = [
 #      re-proven locally (tools/parity.py at sf0.001 + sf0.01) on the
 #      day it happens and documented here.
 _ROUND14_WINDOW = [
-    # 0. the 7 age-5 rows (r9 evidence; ceiling-forced)
+    # 0. the age-5 rows (r9 evidence; ceiling-forced).
+    # taxi_early_arrival_final was 2nd here until its r14 retirement
+    # (r13 verdict #2): its assertion now lives in
+    # taxi_early_arrival_fires' oracle + test_early_fire.py.
     "taxi_ride_durations",
-    "taxi_early_arrival_final",
     "layout_zorder_cells",
     "events_sessionization",
     "events_value_outliers",

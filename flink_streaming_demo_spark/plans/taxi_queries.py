@@ -115,8 +115,17 @@ def taxi_early_arrival_fires(spark: SparkSession, sf_dir: str) -> DataFrame:
     s_k + T}: a recursive-CTE oracle replays the exact sequence — fire k's
     emitted total IS s_k (overshoot discarded by the reset-to-zero), and
     the final row carries the pane total with fire_seq = #partials. The
-    emission sequence is additionally pinned by tests/test_early_fire.py;
-    the finals also oracle-checked via taxi_early_arrival_final."""
+    emission sequence is additionally pinned by tests/test_early_fire.py.
+
+    This row also carries the retired taxi_early_arrival_final's
+    assertion (r13 verdict #2 — the finals were the is_final slice of
+    this same frame, so one oracle checks both): the fire_rows CTE
+    emits every pane's final row with the full pane total, and the
+    independent finals == plain-sliding-window identity stays pinned by
+    the chain tests/test_early_fire.py::test_final_matches_plain_window_sum
+    (fires.is_final == sliding_arrival_count, Spark-side) plus the
+    driver-checked taxi_sliding_arrival_count oracle (sliding == plain
+    GROUP BY SQL, DuckDB-side)."""
     from flink_streaming_demo_spark.operators.early_fire import (
         early_fire_counts,
     )
@@ -153,45 +162,13 @@ register(
 )
 
 
-def taxi_early_arrival_final(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Final (FIRE_AND_PURGE) results of the early-fire operator — must
-    equal the plain sliding-window aggregate (reference:
-    examples/EarlyArrivalCount.scala:144-151; the trigger changes cadence,
-    not final values). Oracle: the sliding-window SQL."""
-    from flink_streaming_demo_spark.operators.early_fire import (
-        early_fire_counts,
-    )
-
-    arrivals = taxi_apps.arrival_events(synthetic_taxi_rides(spark, sf_dir))
-    return (
-        early_fire_counts(arrivals)
-        .filter(F.col("is_final"))
-        .select("cell", "window_end", "cnt")
-    )
-
-
-register(
-    "taxi_early_arrival_final",
-    taxi_early_arrival_final,
-    f"""
-    WITH rides AS ({_RIDES_SQL}),
-    arrivals AS (
-        SELECT {geo.sql_grid_cell('lon', 'lat')} AS cell, ts, passenger_cnt
-        FROM rides
-        WHERE NOT is_start AND {geo.sql_is_in_nyc('lon', 'lat')}
-    ),
-    expanded AS (
-        SELECT cell, passenger_cnt,
-               time_bucket(INTERVAL '5 minutes', ts)
-                   - g.k * INTERVAL '5 minutes' AS w_start
-        FROM arrivals, generate_series(0, 2) AS g(k)
-    )
-    SELECT cell, w_start + INTERVAL '15 minutes' AS window_end,
-           CAST(SUM(passenger_cnt) AS BIGINT) AS cnt
-    FROM expanded
-    GROUP BY cell, w_start
-    """,
-)
+# taxi_early_arrival_final retired in r14 (r13 verdict #2, rotation
+# budget): its frame was the is_final slice of taxi_early_arrival_fires,
+# and its oracle's content is absorbed — the fires oracle checks the
+# final rows (full pane total, is_final = TRUE), and the independent
+# finals == plain-sliding-window identity is pinned by
+# tests/test_early_fire.py::test_final_matches_plain_window_sum chained
+# with the driver-checked taxi_sliding_arrival_count oracle.
 
 
 # --- S4: trip -> two-event ETL ----------------------------------------------

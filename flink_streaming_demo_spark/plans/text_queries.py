@@ -80,6 +80,12 @@ _PLANTED_SQL = f"""
 # --- Exact dedup -------------------------------------------------------------
 
 def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-hash dedup groups over the planted corpus. This row also
+    carries the retired dedup_exact_survivors' assertion (r13 verdict
+    #2, rotation budget): the survivor corpus is exactly this frame's
+    (keep_id, text_hash) projection, so one oracle checks both; the
+    exact_dedup() == keep-slice identity is pinned Spark-side by
+    tests/test_dedup.py::test_exact_survivors_are_groups_keep_slice."""
     return dedup.exact_dedup_groups(_planted_corpus(spark, sf_dir))
 
 
@@ -98,25 +104,12 @@ register(
 )
 
 
-def dedup_exact_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The deduplicated corpus itself (min doc_id survives)."""
-    return dedup.exact_dedup(_planted_corpus(spark, sf_dir)).select(
-        "doc_id", F.md5("text").alias("text_hash")
-    )
-
-
-register(
-    "dedup_exact_survivors",
-    dedup_exact_survivors,
-    f"""
-    WITH corpus AS ({_PLANTED_SQL})
-    SELECT doc_id, md5(text) AS text_hash
-    FROM corpus
-    WHERE doc_id IN (
-        SELECT MIN(doc_id) FROM corpus GROUP BY md5(text)
-    )
-    """,
-)
+# dedup_exact_survivors retired in r14 (r13 verdict #2, rotation
+# budget): the survivor corpus (min doc_id per text hash) is exactly the
+# (keep_id, text_hash) projection of dedup_exact_groups, whose oracle
+# now carries the assertion; the exact_dedup() operator itself stays
+# pinned to that slice by
+# tests/test_dedup.py::test_exact_survivors_are_groups_keep_slice.
 
 
 # --- MinHash + LSH near-dedup ------------------------------------------------
@@ -2555,35 +2548,13 @@ register(
 
 # --- Cluster-size histogram ---------------------------------------------------
 
-def dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Histogram of near-dup cluster sizes over the planted corpus —
-    the shape report a dedup run emits (a fat tail here means boilerplate
-    families, exactly what viral-cap tuning needs to see). Derived from
-    the same CC labels dedup_clusters proves."""
-    labels = dedup_clusters(spark, sf_dir)
-    return (
-        labels.groupBy("cluster_id")
-        .agg(F.count(F.lit(1)).alias("cluster_size"))
-        .groupBy("cluster_size")
-        .agg(F.count(F.lit(1)).alias("n_clusters"))
-    )
-
-
-def _cluster_sizes_oracle() -> str:
-    from flink_streaming_demo_spark.plans.registry import ORACLE_SQL
-
-    inner = ORACLE_SQL["dedup_clusters"]
-    return f"""
-    SELECT cluster_size, COUNT(*) AS n_clusters FROM (
-        SELECT cluster_id, COUNT(*) AS cluster_size FROM (
-            {inner}
-        ) GROUP BY cluster_id
-    ) GROUP BY cluster_size
-    """
-
-
-register("dedup_cluster_sizes", dedup_cluster_sizes,
-         _cluster_sizes_oracle())
+# dedup_cluster_sizes retired in r14 (r13 verdict #2, rotation budget):
+# its frame was a pure two-level groupBy-count over dedup_clusters'
+# labels and its oracle was a literal SQL wrapper around
+# ORACLE_SQL["dedup_clusters"] — no independent content beyond the
+# generic aggregate the surface proves elsewhere. The histogram shape
+# itself stays pinned on the planted corpus by
+# tests/test_dedup.py::test_cluster_size_histogram_planted.
 
 
 # --- Benchmark-canary contamination search ------------------------------------

@@ -596,3 +596,55 @@ def test_cross_source_matrix_accounts_every_pair(spark, sf_dir):
         assert r["src_a"] <= r["src_b"]
         assert 0 <= r["n_exactish"] <= r["n_pairs"]
         assert r["min_est"] <= r["max_est"]
+
+
+def test_exact_survivors_are_groups_keep_slice(spark, sf_dir):
+    """Absorbs the retired dedup_exact_survivors row (r13 verdict #2):
+    the survivor corpus returned by exact_dedup() must be exactly the
+    (keep_id, text_hash) projection of exact_dedup_groups() on the same
+    planted corpus — one driver oracle (dedup_exact_groups) then checks
+    both frames."""
+    from pyspark.sql import functions as F
+
+    from flink_streaming_demo_spark.plans.text_queries import (
+        _planted_corpus,
+    )
+
+    corpus = _planted_corpus(spark, sf_dir)
+    survivors = dedup.exact_dedup(corpus).select(
+        F.col("doc_id"), F.md5("text").alias("text_hash")
+    )
+    keep_slice = dedup.exact_dedup_groups(corpus).select(
+        F.col("keep_id").alias("doc_id"), "text_hash"
+    )
+    assert survivors.exceptAll(keep_slice).count() == 0
+    assert keep_slice.exceptAll(survivors).count() == 0
+
+
+def test_cluster_size_histogram_planted(spark, sf_dir):
+    """Absorbs the retired dedup_cluster_sizes row (r13 verdict #2): the
+    cluster-size histogram is a pure two-level groupBy over the
+    driver-checked dedup_clusters labels. Pin its invariants on the
+    planted corpus: every doc is labeled (singletons form size-1
+    clusters), the histogram mass equals the labeled-doc count, and the
+    planted exact+near families guarantee multi-member sizes."""
+    from pyspark.sql import functions as F
+
+    from flink_streaming_demo_spark.plans.text_queries import (
+        dedup_clusters,
+    )
+
+    labels = dedup_clusters(spark, sf_dir)
+    hist = (
+        labels.groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("cluster_size"))
+        .groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .collect()
+    )
+    assert hist, "planted corpus must produce near-dup clusters"
+    total_mass = sum(r.cluster_size * r.n_clusters for r in hist)
+    assert total_mass == labels.count()
+    assert any(r.cluster_size >= 2 for r in hist), (
+        "planted exact/near families must form multi-member clusters"
+    )
