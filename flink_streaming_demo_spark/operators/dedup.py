@@ -1292,3 +1292,214 @@ def incremental_dedup_decisions(
             .alias("matched_base_id"),
         )
     )
+
+
+# --- Cross-document exact-substring dedup (winnow-indexed) --------------------
+
+# Token span contract: strip shared runs of >= CROSS_DOC_MIN_SPAN tokens
+# (the Lee et al. 2022 "ExactSubstr" shape at word granularity; the
+# paper uses 50 BPE tokens — the synthetic corpus averages ~55 tokens
+# per doc, so the word-gram contract here is 12). The winnow index
+# (WINNOW_K=3 grams, WINNOW_W=4 window) guarantees any shared run of
+# >= W + K - 1 = 6 tokens yields a shared fingerprint, so candidate
+# generation is EXACT for this contract (modulo the documented viral
+# caps, which the oracle replays).
+CROSS_DOC_MIN_SPAN = 12
+MAX_CROSS_GRAM_DF = 256  # occurrence cap on anchor grams (viral guard)
+
+
+def _token_gram_rows(
+    df: DataFrame, n: int, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, s, gram): positional (1-based) space-joined token n-grams
+    per document, emitted by one Arrow-batched map pass over the scan
+    (the plans._ngram_rows shape; shares functions/text.py_token_grams
+    so tokenization cannot drift). Docs shorter than n tokens and null
+    texts emit nothing."""
+    import pandas as pd
+
+    from flink_streaming_demo_spark.functions.text import py_token_grams
+
+    id_type = dict(df.dtypes)[id_col]
+
+    def gen(batches):
+        for pdf in batches:
+            ids: list = []
+            ss: list = []
+            gs: list = []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                if text is None:
+                    continue
+                grams = py_token_grams(text, n)
+                if not grams:
+                    continue
+                ids.extend([doc_id] * len(grams))
+                ss.extend(range(1, len(grams) + 1))
+                gs.extend(grams)
+            yield pd.DataFrame({id_col: ids, "s": ss, "gram": gs})
+
+    return df.select(id_col, text_col).mapInPandas(
+        gen, schema=f"{id_col} {id_type}, s int, gram string"
+    )
+
+
+def cross_doc_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_span: int = CROSS_DOC_MIN_SPAN,
+    max_fp_df: int = MAX_FINGERPRINT_DF,
+    max_gram_df: int = MAX_CROSS_GRAM_DF,
+) -> DataFrame:
+    """Cross-document exact-substring dedup (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better", the
+    ExactSubstr pipeline at word-gram granularity): find token runs of
+    >= ``min_span`` tokens shared verbatim across documents and report
+    the maximal stripped spans of every LOWER-priority doc (priority =
+    min doc_id, the survivor convention of exact_dedup): the lowest-id
+    doc containing a span keeps it; every later doc's occurrence is
+    marked for removal.
+
+    Returns one row per maximal removed span:
+    (doc_id, span_start, span_end, span_tokens), positions 1-based
+    token indices, spans merged over ALL higher-priority partners
+    (overlapping or adjacent covered intervals coalesce).
+
+    Three stages, all bucketed — never all-pairs:
+
+    1. **Candidate pairs from the winnow index** (winnow_pairs with
+       min_shared=1): any shared run of >= WINNOW_W + WINNOW_K - 1 = 6
+       tokens shares a selected fingerprint (Schleimer et al. 2003
+       guarantee), so for min_span >= 6 no qualifying pair is missed;
+       the fingerprint equi-join is df-capped per key.
+    2. **Anchor join** restricted to candidate docs: positional
+       WINNOW_K-grams (one Arrow pass, semi-joined to candidate docs)
+       equi-joined on the gram, occurrence-capped (``max_gram_df``,
+       drop_viral_keys boundary: == cap kept), then semi-joined to the
+       candidate PAIR list — per-key fan-out is capped, pair volume is
+       bounded by candidates x shared grams.
+    3. **Diagonal runs -> interval merge**, all JVM window functions
+       partitioned by keys: matched anchors on one (id_a, id_b,
+       sa - sb) diagonal form gaps-and-islands runs (a maximal run of L
+       matched tokens is a run of L - K + 1 consecutive anchors); runs
+       of >= min_span tokens become covered intervals of the
+       higher-id doc, which merge per doc into maximal spans.
+
+    100 TB: stage 1 is the proven winnow_pairs shape; stage 2 touches
+    only docs that share >= 6-token runs (semi-join pushes the filter
+    into the gram extraction scan); stage 3's windows are partitioned
+    by (pair, diagonal) and by doc — no unpartitioned WindowExec. The
+    viral caps (max_fp_df on fingerprints, max_gram_df on anchor
+    grams) bound every join key's fan-out; both are replayed verbatim
+    by the DuckDB oracle.
+    """
+    # gram width IS the winnow gram width, so the stage-1 detection
+    # guarantee aligns exactly with the stage-2 anchors
+    from flink_streaming_demo_spark.functions.text import WINNOW_K
+
+    k = WINNOW_K
+    if min_span < k + 3:  # WINNOW_W + WINNOW_K - 1 with W=4
+        raise ValueError(
+            f"min_span={min_span} below the winnow detection guarantee "
+            f"(>= 6 tokens with K={k}, W=4); candidates would be missed"
+        )
+    # The pair list is referenced three times downstream (both legs of
+    # the candidate-doc union + the broadcast semi-join); without a cut
+    # each reference re-inlines the whole winnow join subtree and the
+    # plan blows past the lineage audit (measured 1,061 nodes at sf0.1
+    # uncut vs ~120 cut — the r11 PCA/RFM failure mode). The pair list
+    # is the INDEX output, orders of magnitude smaller than the corpus.
+    pairs = (
+        winnow_pairs(
+            df,
+            text_col=text_col,
+            id_col=id_col,
+            min_shared=1,
+            max_fp_df=max_fp_df,
+            materialize_fps=True,
+        )
+        .select("id_a", "id_b")
+        .localCheckpoint()
+    )
+    cand_docs = (
+        pairs.select(F.col("id_a").alias(id_col))
+        .union(pairs.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    grams = _token_gram_rows(
+        df.join(cand_docs, id_col, "left_semi"), k, text_col, id_col
+    )
+    # One Arrow extraction feeds three consumers (the stop-list groupBy
+    # and both self-join sides): a token-sized localCheckpoint, the
+    # winnow_pairs materialize_fps precedent — a repartition-planted
+    # shared exchange would still triple the gram-extraction subtree in
+    # the initial plan.
+    grams = drop_viral_keys(grams.localCheckpoint(), "gram", max_gram_df)
+    a = grams.alias("a").hint("shuffle_hash")
+    b = grams.alias("b").hint("shuffle_hash")
+    matched = (
+        a.join(
+            b,
+            (F.col("a.gram") == F.col("b.gram"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.s").alias("sa"),
+            F.col("b.s").alias("sb"),
+        )
+        .join(F.broadcast(pairs), ["id_a", "id_b"], "left_semi")
+    )
+    from pyspark.sql import Window as W
+
+    diag = (F.col("sa") - F.col("sb")).alias("diag")
+    run_w = W.partitionBy("id_a", "id_b", "diag").orderBy("sb")
+    runs = matched.select("id_a", "id_b", diag, "sb").withColumn(
+        "grp", F.col("sb") - F.row_number().over(run_w)
+    )
+    intervals = (
+        runs.groupBy("id_a", "id_b", "diag", "grp")
+        .agg(
+            F.min("sb").alias("st"),
+            (F.max("sb") + F.lit(k - 1)).alias("en"),
+        )
+        .filter(F.col("en") - F.col("st") + 1 >= min_span)
+        .select(F.col("id_b").alias(id_col), "st", "en")
+        .distinct()
+    )
+    merge_w = (
+        W.partitionBy(id_col)
+        .orderBy("st", "en")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    flagged = intervals.withColumn(
+        "new_island",
+        F.when(
+            F.col("st") > F.coalesce(F.max("en").over(merge_w), F.lit(-1)) + 1,
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    island_w = (
+        W.partitionBy(id_col)
+        .orderBy("st", "en")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    islands = flagged.withColumn(
+        "island", F.sum("new_island").over(island_w)
+    )
+    return (
+        islands.groupBy(id_col, "island")
+        .agg(
+            F.min("st").alias("span_start"),
+            F.max("en").alias("span_end"),
+        )
+        .select(
+            id_col,
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias(
+                "span_tokens"
+            ),
+        )
+    )

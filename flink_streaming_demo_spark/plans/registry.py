@@ -690,7 +690,8 @@ _ROUND14_WINDOW = [
     "events_value_outliers",
     "events_daily_moving_avg",
     "events_kmv_distinct_users",
-    # 1. never-checked r14 additions land here as the round adds them.
+    # 1. never-checked r14 additions (budget: 2-3/round)
+    "dedup_cross_doc_spans",
     # 2. the 41 r10 rows oldest-first (coverage order)
     "sim_hard_negatives",
     "dedup_embedding_neardup",

@@ -679,6 +679,111 @@ register(
 )
 
 
+# --- Cross-document exact-substring dedup (winnow-indexed) --------------------
+
+def dedup_cross_doc_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal cross-document duplicated token spans stripped from every
+    lower-priority doc (priority = min doc_id) over the planted corpus —
+    the Lee et al. ExactSubstr composition (r13 verdict #4): winnow
+    index -> candidate pairs -> anchor-gram diagonal runs -> interval
+    merge. The planted exact legs surface as whole-doc spans; the
+    natural corpus contributes its genuine shared boilerplate runs.
+    See operators/dedup.cross_doc_spans; brute-force-model hypothesis
+    test in tests/test_properties.py."""
+    return dedup.cross_doc_spans(_planted_corpus(spark, sf_dir))
+
+
+def _cross_doc_spans_oracle() -> str:
+    from flink_streaming_demo_spark.functions.text import WINNOW_K
+
+    k = WINNOW_K
+    return f"""
+    WITH corpus AS ({_PLANTED_SQL}),
+    {TX.sql_winnow_fp_ctes('corpus')},
+    fp_all AS (
+        SELECT doc_id, unnest(fps) AS fp FROM winnow_fps
+    ),
+    fp AS (
+        SELECT doc_id, fp FROM fp_all
+        QUALIFY COUNT(*) OVER (PARTITION BY fp)
+                <= {dedup.MAX_FINGERPRINT_DF}
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    ),
+    cdocs AS (
+        SELECT id_a AS doc_id FROM cand
+        UNION SELECT id_b FROM cand
+    ),
+    toks AS (
+        SELECT doc_id, string_split(text, ' ') AS tk FROM corpus
+        WHERE doc_id IN (SELECT doc_id FROM cdocs)
+    ),
+    grams_all AS (
+        SELECT doc_id, i AS s,
+               array_to_string(tk[i:i+{k - 1}], ' ') AS gram
+        FROM toks,
+             LATERAL unnest(generate_series(1, len(tk) - {k - 1}))
+                 AS u(i)
+        WHERE len(tk) >= {k}
+    ),
+    grams AS (
+        SELECT doc_id, s, gram FROM grams_all
+        QUALIFY COUNT(*) OVER (PARTITION BY gram)
+                <= {dedup.MAX_CROSS_GRAM_DF}
+    ),
+    matched AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.s AS sa, b.s AS sb
+        FROM grams a
+        JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        JOIN cand c ON c.id_a = a.doc_id AND c.id_b = b.doc_id
+    ),
+    runs AS (
+        SELECT id_a, id_b, sa - sb AS diag, sb,
+               sb - ROW_NUMBER() OVER (
+                   PARTITION BY id_a, id_b, sa - sb ORDER BY sb) AS grp
+        FROM matched
+    ),
+    ivals AS (
+        SELECT DISTINCT id_b AS doc_id, MIN(sb) AS st,
+               MAX(sb) + {k - 1} AS en
+        FROM runs GROUP BY id_a, id_b, diag, grp
+        HAVING MAX(sb) + {k - 1} - MIN(sb) + 1
+               >= {dedup.CROSS_DOC_MIN_SPAN}
+    ),
+    flagged AS (
+        SELECT doc_id, st, en,
+               CASE WHEN st > COALESCE(MAX(en) OVER (
+                        PARTITION BY doc_id ORDER BY st, en
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING), -1) + 1
+                    THEN 1 ELSE 0 END AS new_island
+        FROM ivals
+    ),
+    islands AS (
+        SELECT doc_id, st, en,
+               SUM(new_island) OVER (
+                   PARTITION BY doc_id ORDER BY st, en
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS island
+        FROM flagged
+    )
+    SELECT doc_id,
+           CAST(MIN(st) AS INT) AS span_start,
+           CAST(MAX(en) AS INT) AS span_end,
+           CAST(MAX(en) - MIN(st) + 1 AS INT) AS span_tokens
+    FROM islands GROUP BY doc_id, island
+    """
+
+
+register(
+    "dedup_cross_doc_spans",
+    dedup_cross_doc_spans,
+    _cross_doc_spans_oracle(),
+)
+
+
 # --- TF-IDF top terms ---------------------------------------------------------
 
 TFIDF_TOP_K = 3

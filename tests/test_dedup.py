@@ -648,3 +648,26 @@ def test_cluster_size_histogram_planted(spark, sf_dir):
     assert any(r.cluster_size >= 2 for r in hist), (
         "planted exact/near families must form multi-member clusters"
     )
+
+
+def test_cross_doc_spans_fixture(spark):
+    """Pinned fixture for cross_doc_spans: the lowest-id doc owns a
+    shared run; every later doc's occurrence becomes a maximal span;
+    runs below min_span are ignored; disjoint docs emit nothing."""
+    base = (
+        "alpha bravo charlie delta echo foxtrot golf hotel india "
+        "juliet kilo lima mike november oscar papa"
+    )
+    rows = [
+        (1, base + " quebec romeo sierra"),  # owner (min doc_id)
+        (2, "xx yy " + base + " zz"),        # 16-token copy at offset 2
+        (3, "totally different words with no overlap here at all"),
+        (4, base),                            # whole doc is the copy
+        (5, "p1 p2 p3 " + " ".join(base.split()[:11])),  # 11 < min_span
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(
+        tuple(r)
+        for r in dedup.cross_doc_spans(df, min_span=12).collect()
+    )
+    assert got == [(2, 3, 18, 16), (4, 1, 16, 16)]

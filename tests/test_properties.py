@@ -951,3 +951,72 @@ def test_cell_neardup_gate_matches_python_model(spark, comps, slice_seed):
         ).collect():
             got[r.vec_id] = (r.verdict, r.dup_of, r.cos_sim)
     assert got == want
+
+
+# --- Cross-doc exact-substring spans vs brute-force diagonal model -----------
+
+@given(
+    docs_tokens=st.lists(
+        st.lists(
+            st.sampled_from(["a", "b", "c"]),
+            min_size=1,
+            max_size=18,
+        ),
+        min_size=2,
+        max_size=4,
+    ),
+)
+@settings(**_SETTINGS)
+def test_cross_doc_spans_matches_brute_force(spark, docs_tokens):
+    """Random corpora over a 3-token vocabulary (dense long shared runs)
+    must match a direct O(L^2)-per-pair diagonal scan: for every doc b
+    and every higher-priority doc a < b, matched-token runs of
+    >= min_span on each alignment diagonal cover positions of b; the
+    union of covered positions forms the maximal spans. min_span = 6 is
+    exactly the winnow detection guarantee (W + K - 1), so the index
+    stage may not miss any qualifying pair; the viral caps are lifted so
+    the model can ignore them."""
+    min_span = 6
+    texts = {i + 1: toks for i, toks in enumerate(docs_tokens)}
+    want = set()
+    for b, tb in texts.items():
+        covered: set[int] = set()
+        for a, ta in texts.items():
+            if a >= b:
+                continue
+            for d in range(-(len(tb) - 1), len(ta)):
+                j = max(0, -d)
+                run = 0
+                while j <= len(tb):
+                    i = j + d
+                    if (
+                        j < len(tb)
+                        and 0 <= i < len(ta)
+                        and tb[j] == ta[i]
+                    ):
+                        run += 1
+                    else:
+                        if run >= min_span:
+                            covered.update(
+                                range(j - run + 1, j + 1)
+                            )  # 1-based
+                        run = 0
+                    j += 1
+        for start in sorted(covered):
+            if start - 1 in covered:
+                continue
+            end = start
+            while end + 1 in covered:
+                end += 1
+            want.add((b, start, end, end - start + 1))
+    df = spark.createDataFrame(
+        [(d, " ".join(toks)) for d, toks in texts.items()],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.doc_id, r.span_start, r.span_end, r.span_tokens)
+        for r in dedup.cross_doc_spans(
+            df, min_span=min_span, max_fp_df=10**6, max_gram_df=10**6
+        ).collect()
+    }
+    assert got == want
