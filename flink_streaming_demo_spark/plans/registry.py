@@ -690,8 +690,17 @@ _ROUND14_WINDOW = [
     "events_value_outliers",
     "events_daily_moving_avg",
     "events_kmv_distinct_users",
-    # 1. never-checked r14 additions (budget: 2-3/round)
+    # 1. never-checked r14 additions (budget: 2-3/round). Each
+    #    displaces one tail row from the displacement pool below,
+    #    re-proven locally (tools/parity.py at sf0.001 + sf0.01) on the
+    #    day of displacement:
+    #    - dedup_cross_doc_spans took the slot freed by the
+    #      taxi_early_arrival_final retirement (no displacement).
+    #    - sim_ivf_batch_topk displaced label_centroid_distance
+    #      (r11-green; re-proven at sf0.001 + sf0.01 the day of
+    #      displacement — rolls to r15's front).
     "dedup_cross_doc_spans",
+    "sim_ivf_batch_topk",
     # 2. the 41 r10 rows oldest-first (coverage order)
     "sim_hard_negatives",
     "dedup_embedding_neardup",
@@ -734,9 +743,10 @@ _ROUND14_WINDOW = [
     "doc_stable_ids",
     "sample_epoch_shuffle",
     "sample_interleave_sources",
-    # 3. r11 rows oldest-first (displacement pool for r14 additions)
+    # 3. r11 rows oldest-first (displacement pool for r14 additions;
+    #    label_centroid_distance displaced by sim_ivf_batch_topk, see
+    #    the displacement log above)
     "embedding_stats",
-    "label_centroid_distance",
 ]
 # r15 window guidance (write _ROUND15_WINDOW next round from this):
 #   0. any rows displaced from this window's tail FIRST (each re-proven

@@ -482,6 +482,124 @@ register(
 )
 
 
+# --- Batched IVF serving (dense twin of sim_bm25_batch_topk) ------------------
+
+def _label_query_table(emb: DataFrame) -> DataFrame:
+    """External query TABLE for batched dense retrieval: one synthetic
+    query vector per label — the round-6 per-dimension label centroid
+    (the label_centroid_distance construction). query_id = -(label + 1):
+    negative ids can never collide with corpus vec_ids at any SF, so
+    ivf_rank's self-pair exclusion never drops a legitimate neighbor of
+    an external query."""
+    return (
+        emb.select("label", F.posexplode(SIM._to_double(F.col("embedding"))))
+        .select(
+            "label", F.col("pos").alias("dim"), F.col("col").alias("val")
+        )
+        .groupBy("label", "dim")
+        .agg(F.round(F.avg("val"), 6).alias("qval"))
+        .groupBy("label")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("dim", "qval"))).alias(
+                "pairs"
+            )
+        )
+        .select(
+            (-(F.col("label").cast("long") + 1)).alias("vec_id"),
+            F.transform(F.col("pairs"), lambda p: p.qval).alias(
+                "embedding"
+            ),
+        )
+    )
+
+
+def sim_ivf_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched dense retrieval over a query TABLE (r13 verdict #5, the
+    serving symmetry of sim_bm25_batch_topk): one external query vector
+    per label (the round-6 label centroid — a distillation/eval batch,
+    NOT corpus members), every query answered in ONE plan through the
+    shared ivf_topk -> ivf_rank tail. The corpus-side cell assignment
+    (the dominant cost: corpus x K centroid scoring) is computed once
+    and amortized across the whole batch — the point of batching — and
+    the probed-cell union restricts the cell equi-join to the probed
+    cells (broadcast build side = n_queries x nprobe rows). Plan-width
+    guard: tests/test_plan_guards.py::test_ivf_batch_single_assignment
+    pins one corpus assignment subtree and no cartesian stage."""
+    emb = t(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding")
+    )
+    queries = _label_query_table(emb)
+    return SIM.ivf_topk(queries, emb, centroids, k=TOP_K, nprobe=IVF_NPROBE)
+
+
+register(
+    "sim_ivf_batch_topk",
+    sim_ivf_batch_topk,
+    f"""
+    WITH cent AS (
+        SELECT vec_id AS centroid_id, embedding AS c_vec
+        FROM embeddings WHERE vec_id < {N_CENTROIDS}
+    ),
+    qmeans AS (
+        SELECT label, di,
+               ROUND(AVG(CAST(embedding[di] AS DOUBLE)), 6) AS qval
+        FROM embeddings, generate_series(1, {DIMS}) AS u(di)
+        GROUP BY label, di
+    ),
+    queries AS (
+        SELECT CAST(-(label + 1) AS BIGINT) AS query_id,
+               list(qval ORDER BY di) AS q_vec
+        FROM qmeans GROUP BY label
+    ),
+    corp_scored AS (
+        SELECT e.vec_id, e.embedding, centroid_id,
+               ROUND({SIM.sql_cosine('e.embedding', 'c_vec', DIMS)}, 6)
+                   AS c_score
+        FROM embeddings e CROSS JOIN cent
+    ),
+    corp_cell AS (
+        SELECT vec_id AS neighbor_id, embedding AS n_vec, centroid_id
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY vec_id ORDER BY c_score DESC, centroid_id ASC
+            ) AS c_rank
+            FROM corp_scored
+        ) WHERE c_rank = 1
+    ),
+    qry_scored AS (
+        SELECT q.query_id, q.q_vec, c.centroid_id,
+               ROUND({SIM.sql_cosine('q.q_vec', 'c.c_vec', DIMS)}, 6)
+                   AS c_score
+        FROM queries q CROSS JOIN cent c
+    ),
+    qry_cell AS (
+        SELECT query_id, q_vec, centroid_id
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY query_id ORDER BY c_score DESC, centroid_id ASC
+            ) AS c_rank
+            FROM qry_scored
+        ) WHERE c_rank <= {IVF_NPROBE}
+    ),
+    scored AS (
+        SELECT query_id, neighbor_id,
+               ROUND({SIM.sql_cosine('q_vec', 'n_vec', DIMS)}, 6) AS score
+        FROM qry_cell JOIN corp_cell USING (centroid_id)
+        WHERE query_id <> neighbor_id
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC
+        ) AS rank
+        FROM scored
+    )
+    SELECT query_id, rank, neighbor_id, score
+    FROM ranked WHERE rank <= {TOP_K}
+    """,
+)
+
+
 # --- Streaming IVF index round-trip (dense serving symmetry) ------------------
 
 # Per-(kind, SF) store roots for the job-running registered queries,

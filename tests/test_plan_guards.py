@@ -411,3 +411,25 @@ def test_plan_snapshot_artifact_diffs_against_anchor(tmp_path):
     snap2["plan_nodes"] = {"q1": "Scan>Filter", "q2": "Scan>Sort"}
     b.write_text(json.dumps(snap2))
     assert bpd.main(["prog", str(a), str(b)]) == 1
+
+
+def test_ivf_batch_single_assignment(spark, sf_dir):
+    """sim_ivf_batch_topk's plan-width guard (r13 verdict #5): the
+    whole query batch must be answered in ONE plan with exactly one
+    corpus-assignment subtree — 4 bounded parquet scans (query-table
+    derivation, corpus, 2x the K-row centroid filter), ONE broadcast
+    equi-join on centroid_id for the ranking stage, and no
+    cartesian/sort-merge stage anywhere. A second corpus assignment or
+    an SMJ here means the batch is being re-scored per query."""
+    import re
+
+    plan = _plan(spark, "sim_ivf_batch_topk", sf_dir)
+    # formatted explain prints each node in the tree AND a detail
+    # section; count tree nodes only
+    nodes = re.findall(r"\(\d+\) ([A-Za-z ]+?)\s*$", plan, re.M)
+    assert nodes.count("Scan parquet") == 4, nodes
+    assert nodes.count("BroadcastHashJoin") == 1, nodes
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    # the two allowed BNLJs are the broadcast-K centroid scorings
+    assert nodes.count("BroadcastNestedLoopJoin") == 2, nodes
