@@ -613,6 +613,14 @@ _STORE_ROOTS: dict[tuple[str, str], str] = {}
 
 
 def _store_root(kind: str, sf_dir: str) -> str:
+    """Single-live-frame-per-kind constraint (r13 ADVICE): the
+    reuse-and-rebuild rmtree below invalidates any still-live DataFrame
+    a PRIOR construction of the same (kind, SF) returned in this
+    process — parquet file listings are captured at read time, so
+    re-collecting the old frame after a rebuild can hit
+    FileNotFoundException. Callers must treat each construction's
+    returned frame as superseding the previous one (the driver, bench,
+    and parity all do: build -> consume -> discard)."""
     import shutil
     import tempfile
 

@@ -1192,10 +1192,12 @@ def streaming_ivf_index(cells_sink, centroids):
             "streaming_ivf_index needs a store-backed sink; cells_sink "
             f"is {type(cells_sink).__name__}"
         )
-    if getattr(cells_sink, "key_cols", ["vec_id"]) != ["vec_id"]:
+    # getattr default of None (not the expected value): a sink MISSING
+    # the attribute must fail the wiring check, not pass it by default
+    if getattr(cells_sink, "key_cols", None) != ["vec_id"]:
         raise ValueError(
             "cells_sink key_cols must be ['vec_id'] (one row per "
-            f"vector), got {cells_sink.key_cols}"
+            f"vector), got {getattr(cells_sink, 'key_cols', None)}"
         )
     cent = centroids.select("centroid_id", "embedding").localCheckpoint()
 
@@ -1304,7 +1306,10 @@ def streaming_ivf_dedup_gate(
     DECISIONS are at-least-once: re-gating an already-ingested batch
     sees its own batch-mates in the store (self-pairs ARE excluded), so
     a replayed verdict can flip 'new' -> 'near_dup' — monotone toward
-    more dedup, never the reverse, the standard at-least-once behavior
+    more dedup, never the reverse — and an existing near_dup row's
+    (dup_of, cos_sim) can be RE-POINTED at a batch-mate the store now
+    holds with higher cosine (the verdict itself never weakens; the
+    attribution may move). Both are the standard at-least-once behavior
     of any gate-then-ingest pipeline without a transactional store.
     Exactly-once decisions would need the sink's epoch guard + a
     store-side epoch column; out of contract here.
@@ -1324,10 +1329,10 @@ def streaming_ivf_dedup_gate(
             "streaming_ivf_dedup_gate needs a keyed upsert decisions "
             f"sink; decisions_sink is {type(decisions_sink).__name__}"
         )
-    if getattr(decisions_sink, "key_cols", ["vec_id"]) != ["vec_id"]:
+    if getattr(decisions_sink, "key_cols", None) != ["vec_id"]:
         raise ValueError(
             "decisions_sink key_cols must be ['vec_id'] (one verdict "
-            f"per vector), got {decisions_sink.key_cols}"
+            f"per vector), got {getattr(decisions_sink, 'key_cols', None)}"
         )
     # wiring-time validation of cells_sink (path + read + key) happens
     # here; the returned body is NOT used — the gate body below upserts
@@ -1377,10 +1382,22 @@ def reindex_ivf_store(spark, old_sink, new_sink, new_centroids, epoch_id=0):
     broadcast-K assignment — the same cost as the original ingest,
     amortizable by running it as a background batch job while the old
     index keeps serving."""
-    if old_sink.path == new_sink.path:
+    import os
+
+    # realpath: trailing-slash or symlink aliases of the same store must
+    # not slip past the blue/green guard
+    if os.path.realpath(old_sink.path) == os.path.realpath(new_sink.path):
         raise ValueError(
             "reindex requires a NEW store path (blue/green); in-place "
             "centroid refresh would mix assignment epochs"
+        )
+    if os.path.exists(new_sink.path):
+        # a pre-populated target would silently mix assignment epochs —
+        # exactly the failure the blue/green contract exists to prevent
+        raise ValueError(
+            f"new store path {new_sink.path!r} already exists; blue/"
+            "green reindex writes a FRESH store (delete or pick a new "
+            "path)"
         )
     vectors = old_sink.read(spark).select("vec_id", "embedding")
     streaming_ivf_index(new_sink, new_centroids)(vectors, epoch_id)

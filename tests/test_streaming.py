@@ -2768,14 +2768,21 @@ def test_streaming_ivf_dedup_gate_equals_batch_and_store_replay_safe(
         )
         assert after == before
         # decision monotonicity under replay: new -> near_dup allowed
-        # (batch-mates now admitted), near_dup -> new never
+        # (batch-mates now admitted), near_dup -> new never; an existing
+        # near_dup's (dup_of, cos_sim) may be RE-POINTED, but only at a
+        # batch-mate with cosine >= the original (attribution moves
+        # toward more similarity, never less)
         regated = {
-            r.vec_id: r.verdict for r in decisions.read(spark).collect()
+            r.vec_id: (r.verdict, r.dup_of, r.cos_sim)
+            for r in decisions.read(spark).collect()
         }
-        original = {v: verd for v, _, verd, _, _ in want}
-        for vid, verd in regated.items():
-            if original[vid] == "near_dup":
+        original = {
+            v: (verd, dup_of, cos) for v, _, verd, dup_of, cos in want
+        }
+        for vid, (verd, _dup_of, cos) in regated.items():
+            if original[vid][0] == "near_dup":
                 assert verd == "near_dup", vid
+                assert cos >= original[vid][2], vid
     finally:
         shutil.rmtree(chunk_dir, ignore_errors=True)
         shutil.rmtree(root, ignore_errors=True)
