@@ -100,6 +100,104 @@ def changed_files_since(repo: str, commit: str) -> set[str]:
     return {line.strip() for line in out.splitlines() if line.strip()}
 
 
+# --- Executable-content fingerprints (r13 verdict #3) -------------------------
+#
+# The churn advisory counted ANY textual diff in a closure file, so one
+# docstring edit in operators/scale.py marked every sketch query stale —
+# ~100 false alarms in r13, too noisy to act on per-row. Churn now
+# compares EXECUTABLE content only: the AST with docstrings dropped
+# (comments never reach the AST), so comment/docstring-only edits no
+# longer stale their importers.
+
+def exec_fingerprint(src: str) -> str | None:
+    """md5 over the docstring-stripped AST dump of ``src``; None when
+    the source does not parse (callers treat unparseable as changed —
+    the audit must over-report, never under-report)."""
+    import hashlib
+
+    try:
+        tree = ast.parse(src)
+    except SyntaxError:
+        return None
+    for node in ast.walk(tree):
+        body = getattr(node, "body", None)
+        if (
+            isinstance(
+                node,
+                (
+                    ast.Module,
+                    ast.FunctionDef,
+                    ast.AsyncFunctionDef,
+                    ast.ClassDef,
+                ),
+            )
+            and body
+            and isinstance(body[0], ast.Expr)
+            and isinstance(body[0].value, ast.Constant)
+            and isinstance(body[0].value.value, str)
+        ):
+            node.body = body[1:] or [ast.Pass()]
+    return hashlib.md5(
+        ast.dump(tree, include_attributes=False).encode()
+    ).hexdigest()
+
+
+def _worktree_exec_fp(repo: str, relpath: str,
+                      memo: dict[str, str | None]) -> str | None:
+    if relpath not in memo:
+        path = os.path.join(repo, relpath)
+        if not os.path.exists(path):
+            memo[relpath] = None
+        else:
+            with open(path) as fh:
+                memo[relpath] = exec_fingerprint(fh.read())
+    return memo[relpath]
+
+
+def _blob_exec_fp(repo: str, commit: str, relpath: str,
+                  memo: dict[tuple[str, str], str | None]) -> str | None:
+    key = (commit, relpath)
+    if key not in memo:
+        out = subprocess.run(
+            ["git", "show", f"{commit}:{relpath}"],
+            cwd=repo, capture_output=True, text=True,
+        )
+        memo[key] = (
+            exec_fingerprint(out.stdout) if out.returncode == 0 else None
+        )
+    return memo[key]
+
+
+def closure_exec_fp(repo: str, mod: str,
+                    closure_memo: dict[str, set[str]],
+                    fp_memo: dict[str, str | None]) -> str:
+    """One fingerprint for a query module's whole import closure
+    (registry.py excluded, like stale_files): the ledger key that makes
+    a parity re-proof verifiably 'against the current code'."""
+    import hashlib
+
+    files = sorted(
+        import_closure(repo, mod, closure_memo)
+        - {f"{PKG}/plans/registry.py"}
+    )
+    parts = [
+        f"{f}:{_worktree_exec_fp(repo, f, fp_memo) or 'unparseable'}"
+        for f in files
+    ]
+    return hashlib.md5("\n".join(parts).encode()).hexdigest()
+
+
+LEDGER_PATH = "parity_ledger.json"
+
+
+def load_ledger(repo: str) -> dict:
+    path = os.path.join(repo, LEDGER_PATH)
+    if not os.path.exists(path):
+        return {}
+    with open(path) as f:
+        return json.load(f)
+
+
 def round_commit(repo: str, rnd: int) -> str:
     """Last commit touching that round's CORRECTNESS file — the round
     snapshot boundary. When the file is still untracked (the CURRENT
@@ -135,9 +233,27 @@ def main() -> int:
 
     memo: dict[str, set[str]] = {}
 
+    wt_fp_memo: dict[str, str | None] = {}
+    blob_fp_memo: dict[tuple[str, str], str | None] = {}
+    commit_by_round = {
+        rnd: round_commit(repo, rnd) for rnd in changed_by_round
+    }
+
+    def _exec_changed(relpath: str, rnd: int) -> bool:
+        """True when the file's EXECUTABLE content differs from the
+        round commit (docstring/comment-only churn does not count);
+        unparseable or absent on either side counts as changed."""
+        old = _blob_exec_fp(repo, commit_by_round[rnd], relpath,
+                            blob_fp_memo)
+        new = _worktree_exec_fp(repo, relpath, wt_fp_memo)
+        if old is None or new is None:
+            return True
+        return old != new
+
     def stale_files(name: str, rnd: int) -> set[str]:
-        """Package files of the query's import closure changed since its
-        round (HEAD-relative for an untracked current-round file)."""
+        """Package files of the query's import closure whose EXECUTABLE
+        content changed since its round (HEAD-relative for an untracked
+        current-round file)."""
         changed = changed_by_round[rnd]
         closure = import_closure(repo, QUERIES[name].__module__, memo)
         # registry.py is pure wiring (register() stores fn+sql; the
@@ -145,7 +261,9 @@ def main() -> int:
         # change query semantics, and it changes every round by design,
         # so counting it would mark the whole surface permanently stale.
         closure = closure - {f"{PKG}/plans/registry.py"}
-        return closure & changed
+        return {
+            f for f in closure & changed if _exec_changed(f, rnd)
+        }
 
     never, red, weak, green = [], [], [], []
     for name in QUERIES:
@@ -211,6 +329,41 @@ def main() -> int:
     for name, rnd, why in unrefreshed:
         n_mods = why.count(",") + 1
         print(f"  !! {name} (r{rnd}, closure churn in {n_mods} files)")
+
+    # --assert-reproven (r13 verdict #3): the close ritual's mechanical
+    # form of "every !! row was re-proven at sf0.01 this round". A `!!`
+    # row passes only when parity_ledger.json (written by
+    # tools/parity.py on every [OK]) holds an entry recorded at sf0.01
+    # whose closure fingerprint equals the CURRENT executable content of
+    # the query's import closure — a re-proof from before the churn, or
+    # at the wrong SF, does not count. Exit 1 on any miss, so the close
+    # notes can cite the invocation as a pass/fail check.
+    if "--assert-reproven" in sys.argv:
+        ledger = load_ledger(repo)
+        missing = []
+        for name, rnd, _why in unrefreshed:
+            entry = ledger.get(name)
+            fp = closure_exec_fp(
+                repo, QUERIES[name].__module__, memo, wt_fp_memo
+            )
+            if (
+                entry is None
+                or entry.get("closure_fp") != fp
+                or "sf0.01" not in entry.get("sfs", [])
+            ):
+                missing.append(name)
+        if missing:
+            print(
+                f"ASSERT-REPROVEN FAILED: {len(missing)} churned rows "
+                f"lack a current sf0.01 parity re-proof: "
+                f"{', '.join(sorted(missing))}"
+            )
+            return 1
+        print(
+            f"assert-reproven OK: all {len(unrefreshed)} churned "
+            f"out-of-window rows re-proven at sf0.01 against current "
+            f"executable content"
+        )
 
     # Age view: how many rounds ago each query's latest driver row was
     # recorded — the input the next round's window rotation is built

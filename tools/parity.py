@@ -150,6 +150,42 @@ def run(sf_dir: str, only: list[str] | None = None) -> dict[str, list[str]]:
     return results
 
 
+def _update_ledger(results: dict[str, list[str]], sf_dir: str) -> None:
+    """Record every [OK] row in parity_ledger.json keyed by the current
+    executable-content fingerprint of the query's import closure — the
+    evidence `tools/coverage.py --assert-reproven` checks mechanically
+    (r13 verdict #3). An [OK] after code churn resets the entry's SF
+    list; a FAIL drops the entry (stale proof must not linger)."""
+    import json
+
+    from flink_streaming_demo_spark.plans.registry import QUERIES
+    from tools import coverage as cov
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    ledger = cov.load_ledger(repo)
+    sf = os.path.basename(sf_dir.rstrip("/"))
+    closure_memo: dict[str, set[str]] = {}
+    fp_memo: dict[str, str | None] = {}
+    for name, problems in results.items():
+        if name not in QUERIES:
+            continue
+        if problems:
+            ledger.pop(name, None)
+            continue
+        fp = cov.closure_exec_fp(
+            repo, QUERIES[name].__module__, closure_memo, fp_memo
+        )
+        entry = ledger.get(name)
+        if entry is None or entry.get("closure_fp") != fp:
+            entry = {"closure_fp": fp, "sfs": []}
+        if sf not in entry["sfs"]:
+            entry["sfs"] = sorted(entry["sfs"] + [sf])
+        ledger[name] = entry
+    with open(os.path.join(repo, cov.LEDGER_PATH), "w") as f:
+        json.dump(ledger, f, indent=1, sort_keys=True)
+        f.write("\n")
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = sys.argv[2:] or None
@@ -168,6 +204,7 @@ def main() -> int:
         for p in problems:
             print(f"    {p}")
     print(f"{len(results) - bad}/{len(results)} queries match")
+    _update_ledger(results, sf_dir)
     return 1 if bad else 0
 
 
