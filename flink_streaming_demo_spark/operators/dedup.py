@@ -1343,7 +1343,7 @@ def _token_gram_rows(
     )
 
 
-def cross_doc_spans(
+def cross_doc_intervals(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
@@ -1351,19 +1351,19 @@ def cross_doc_spans(
     max_fp_df: int = MAX_FINGERPRINT_DF,
     max_gram_df: int = MAX_CROSS_GRAM_DF,
 ) -> DataFrame:
-    """Cross-document exact-substring dedup (Lee et al. 2022,
-    "Deduplicating Training Data Makes Language Models Better", the
-    ExactSubstr pipeline at word-gram granularity): find token runs of
-    >= ``min_span`` tokens shared verbatim across documents and report
-    the maximal stripped spans of every LOWER-priority doc (priority =
-    min doc_id, the survivor convention of exact_dedup): the lowest-id
-    doc containing a span keeps it; every later doc's occurrence is
-    marked for removal.
+    """Shared detection core of cross-document exact-substring dedup
+    (Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+    Better", the ExactSubstr pipeline at word-gram granularity): find
+    token runs of >= ``min_span`` tokens shared verbatim across
+    documents and return the covered intervals of every LOWER-priority
+    doc (priority = min doc_id, the survivor convention of exact_dedup:
+    the lowest-id doc containing a span keeps it; every later doc's
+    occurrence is marked for removal).
 
-    Returns one row per maximal removed span:
-    (doc_id, span_start, span_end, span_tokens), positions 1-based
-    token indices, spans merged over ALL higher-priority partners
-    (overlapping or adjacent covered intervals coalesce).
+    Returns (id_col, st, en): 1-based inclusive token intervals,
+    distinct but NOT yet merged — ``cross_doc_spans`` merges them into
+    maximal span reports, ``cross_doc_strip`` turns them into the
+    cleaned-corpus accounting.
 
     Three stages, all bucketed — never all-pairs:
 
@@ -1378,12 +1378,11 @@ def cross_doc_spans(
        drop_viral_keys boundary: == cap kept), then semi-joined to the
        candidate PAIR list — per-key fan-out is capped, pair volume is
        bounded by candidates x shared grams.
-    3. **Diagonal runs -> interval merge**, all JVM window functions
-       partitioned by keys: matched anchors on one (id_a, id_b,
-       sa - sb) diagonal form gaps-and-islands runs (a maximal run of L
-       matched tokens is a run of L - K + 1 consecutive anchors); runs
-       of >= min_span tokens become covered intervals of the
-       higher-id doc, which merge per doc into maximal spans.
+    3. **Diagonal runs**, all JVM window functions partitioned by
+       keys: matched anchors on one (id_a, id_b, sa - sb) diagonal form
+       gaps-and-islands runs (a maximal run of L matched tokens is a
+       run of L - K + 1 consecutive anchors); runs of >= min_span
+       tokens become the covered intervals of the higher-id doc.
 
     100 TB: stage 1 is the proven winnow_pairs shape; stage 2 touches
     only docs that share >= 6-token runs (semi-join pushes the filter
@@ -1458,7 +1457,7 @@ def cross_doc_spans(
     runs = matched.select("id_a", "id_b", diag, "sb").withColumn(
         "grp", F.col("sb") - F.row_number().over(run_w)
     )
-    intervals = (
+    return (
         runs.groupBy("id_a", "id_b", "diag", "grp")
         .agg(
             F.min("sb").alias("st"),
@@ -1467,6 +1466,28 @@ def cross_doc_spans(
         .filter(F.col("en") - F.col("st") + 1 >= min_span)
         .select(F.col("id_b").alias(id_col), "st", "en")
         .distinct()
+    )
+
+
+def cross_doc_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_span: int = CROSS_DOC_MIN_SPAN,
+    max_fp_df: int = MAX_FINGERPRINT_DF,
+    max_gram_df: int = MAX_CROSS_GRAM_DF,
+) -> DataFrame:
+    """Maximal removed-span REPORT of cross-doc exact-substring dedup:
+    one row per maximal covered span of a lower-priority doc —
+    (id_col, span_start, span_end, span_tokens), 1-based inclusive,
+    spans merged over ALL higher-priority partners (overlapping or
+    adjacent intervals coalesce). Detection semantics and scale shape:
+    see cross_doc_intervals; the merge is pure keyed window functions
+    (no unpartitioned WindowExec)."""
+    from pyspark.sql import Window as W
+
+    intervals = cross_doc_intervals(
+        df, text_col, id_col, min_span, max_fp_df, max_gram_df
     )
     merge_w = (
         W.partitionBy(id_col)
@@ -1502,4 +1523,105 @@ def cross_doc_spans(
                 "span_tokens"
             ),
         )
+    )
+
+
+def cross_doc_strip(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_span: int = CROSS_DOC_MIN_SPAN,
+    max_fp_df: int = MAX_FINGERPRINT_DF,
+    max_gram_df: int = MAX_CROSS_GRAM_DF,
+) -> DataFrame:
+    """The CLEANING step of cross-doc exact-substring dedup — the
+    deliverable the span report feeds (Lee et al. ExactSubstr: strip
+    the shared run from every doc except the highest-priority owner).
+    One row per corpus doc (owners and untouched docs included):
+    (id_col, n_tokens, dup_token_count, n_spans, kept_hash) — the
+    strip_dup_spans output shape, but PRIORITY-AWARE: the min-doc_id
+    owner of a span keeps its text, so unlike strip_dup_spans the
+    stripped corpus retains exactly one copy of every duplicated run.
+
+    kept_hash = md5 of the uncovered tokens joined by single space
+    (the corpus is single-space tokenized, so the residue is lossless);
+    fully-covered docs hash '' ; null-text docs emit (NULL, 0, 0,
+    md5('')) — the strip_dup_spans null convention, oracle-pinned.
+
+    Scale shape: cross_doc_intervals (winnow-indexed, pair-bounded)
+    plus one per-doc collect of that doc's intervals (interval count is
+    bounded by the doc's matched runs, never corpus-sized) and a
+    map-only Arrow pass doing the numpy coverage sweep per doc —
+    O(tokens + intervals), the strip_dup_spans finish kernel
+    generalized to variable-length intervals."""
+    intervals = cross_doc_intervals(
+        df, text_col, id_col, min_span, max_fp_df, max_gram_df
+    )
+    doc_iv = intervals.groupBy(id_col).agg(
+        F.sort_array(F.collect_list(F.struct("st", "en"))).alias("ivals")
+    )
+    joined = df.join(doc_iv, id_col, "left").select(
+        id_col, text_col, "ivals"
+    )
+
+    def finish(batches):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            recs = []
+            for doc_id, text, ivals in zip(
+                pdf[id_col], pdf[text_col], pdf["ivals"]
+            ):
+                if text is None:
+                    recs.append(
+                        (doc_id, None, 0, 0, hashlib.md5(b"").hexdigest())
+                    )
+                    continue
+                toks = text.split(" ")
+                nt = len(toks)
+                cov = np.zeros(nt + 2, dtype=np.int32)
+                if ivals is not None and len(ivals):
+                    st = np.asarray([iv["st"] for iv in ivals],
+                                    dtype=np.int64)
+                    en = np.asarray([iv["en"] for iv in ivals],
+                                    dtype=np.int64)
+                    np.add.at(cov, np.minimum(st, nt + 1), 1)
+                    np.add.at(cov, np.minimum(en + 1, nt + 1), -1)
+                covered = np.cumsum(cov[: nt + 1])[1:] > 0
+                n_dup = int(covered.sum())
+                prev = np.concatenate(([False], covered[:-1]))
+                n_spans = int((covered & ~prev).sum())
+                kept = " ".join(
+                    t for t, c in zip(toks, covered) if not c
+                )
+                recs.append(
+                    (
+                        doc_id,
+                        nt,
+                        n_dup,
+                        n_spans,
+                        hashlib.md5(kept.encode("utf-8")).hexdigest(),
+                    )
+                )
+            yield pd.DataFrame(
+                recs,
+                columns=[
+                    id_col,
+                    "n_tokens",
+                    "dup_token_count",
+                    "n_spans",
+                    "kept_hash",
+                ],
+            )
+
+    id_type = dict(df.dtypes)[id_col]
+    return joined.mapInPandas(
+        finish,
+        schema=(
+            f"{id_col} {id_type}, n_tokens int, dup_token_count int, "
+            "n_spans int, kept_hash string"
+        ),
     )

@@ -699,7 +699,12 @@ _ROUND14_WINDOW = [
     #    - sim_ivf_batch_topk displaced label_centroid_distance
     #      (r11-green; re-proven at sf0.001 + sf0.01 the day of
     #      displacement — rolls to r15's front).
+    #    - dedup_cross_doc_strip (the cleaning step of the span report,
+    #      closing r13 verdict #4's strip contract) displaced
+    #      embedding_stats (r11-green; re-proven at sf0.001 + sf0.01
+    #      the day of displacement — rolls to r15's front).
     "dedup_cross_doc_spans",
+    "dedup_cross_doc_strip",
     "sim_ivf_batch_topk",
     # 2. the 41 r10 rows oldest-first (coverage order)
     "sim_hard_negatives",
@@ -743,10 +748,9 @@ _ROUND14_WINDOW = [
     "doc_stable_ids",
     "sample_epoch_shuffle",
     "sample_interleave_sources",
-    # 3. r11 rows oldest-first (displacement pool for r14 additions;
-    #    label_centroid_distance displaced by sim_ivf_batch_topk, see
-    #    the displacement log above)
-    "embedding_stats",
+    # 3. r11 displacement pool exhausted: label_centroid_distance and
+    #    embedding_stats both displaced by r14 additions (see the
+    #    displacement log above) — they roll to r15's front.
 ]
 # r15 window guidance (write _ROUND15_WINDOW next round from this):
 #   0. any rows displaced from this window's tail FIRST (each re-proven

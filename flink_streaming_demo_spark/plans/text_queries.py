@@ -693,12 +693,16 @@ def dedup_cross_doc_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.cross_doc_spans(_planted_corpus(spark, sf_dir))
 
 
-def _cross_doc_spans_oracle() -> str:
+def _cross_doc_ival_ctes() -> str:
+    """Shared oracle CTE block replaying cross_doc_intervals verbatim
+    (winnow index -> capped candidate pairs -> capped anchor grams ->
+    diagonal runs -> >= min_span covered intervals of the higher-id
+    doc); both the span-report and the strip oracles select from
+    ``ivals``."""
     from flink_streaming_demo_spark.functions.text import WINNOW_K
 
     k = WINNOW_K
-    return f"""
-    WITH corpus AS ({_PLANTED_SQL}),
+    return f"""corpus AS ({_PLANTED_SQL}),
     {TX.sql_winnow_fp_ctes('corpus')},
     fp_all AS (
         SELECT doc_id, unnest(fps) AS fp FROM winnow_fps
@@ -751,7 +755,12 @@ def _cross_doc_spans_oracle() -> str:
         FROM runs GROUP BY id_a, id_b, diag, grp
         HAVING MAX(sb) + {k - 1} - MIN(sb) + 1
                >= {dedup.CROSS_DOC_MIN_SPAN}
-    ),
+    )"""
+
+
+def _cross_doc_spans_oracle() -> str:
+    return f"""
+    WITH {_cross_doc_ival_ctes()},
     flagged AS (
         SELECT doc_id, st, en,
                CASE WHEN st > COALESCE(MAX(en) OVER (
@@ -781,6 +790,71 @@ register(
     "dedup_cross_doc_spans",
     dedup_cross_doc_spans,
     _cross_doc_spans_oracle(),
+)
+
+
+def dedup_cross_doc_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cleaning step the span report feeds (Lee et al. ExactSubstr,
+    completing r13 verdict #4's 'then strip them from the
+    lower-priority doc'): per planted-corpus doc, the cleaned-corpus
+    accounting (n_tokens, dup_token_count, n_spans, kept_hash) with the
+    min-doc_id owner keeping its text — the priority-aware counterpart
+    of text_strip_dup_spans, which strips EVERY occurrence. See
+    operators/dedup.cross_doc_strip."""
+    return dedup.cross_doc_strip(_planted_corpus(spark, sf_dir))
+
+
+def _cross_doc_strip_oracle() -> str:
+    return f"""
+    WITH {_cross_doc_ival_ctes()},
+    alltoks AS (
+        SELECT doc_id, string_split(text, ' ') AS tk FROM corpus
+    ),
+    pos AS (
+        SELECT doc_id, j
+        FROM alltoks, LATERAL unnest(generate_series(1, len(tk))) AS p(j)
+    ),
+    covered AS (
+        SELECT DISTINCT p.doc_id, p.j
+        FROM pos p
+        JOIN ivals i
+          ON p.doc_id = i.doc_id AND p.j BETWEEN i.st AND i.en
+    ),
+    cov_islands AS (
+        SELECT doc_id, j,
+               CASE WHEN lag(j) OVER (PARTITION BY doc_id ORDER BY j)
+                         = j - 1
+                    THEN 0 ELSE 1 END AS is_start
+        FROM covered
+    ),
+    span_agg AS (
+        SELECT doc_id, COUNT(*) AS dup_token_count,
+               SUM(is_start) AS n_spans
+        FROM cov_islands GROUP BY doc_id
+    ),
+    kept_pos AS (
+        SELECT p.doc_id, list(p.j ORDER BY p.j) AS keep
+        FROM pos p
+        ANTI JOIN covered c ON p.doc_id = c.doc_id AND p.j = c.j
+        GROUP BY p.doc_id
+    )
+    SELECT t.doc_id,
+           CAST(len(t.tk) AS INT) AS n_tokens,
+           CAST(COALESCE(s.dup_token_count, 0) AS INT) AS dup_token_count,
+           CAST(COALESCE(s.n_spans, 0) AS INT) AS n_spans,
+           md5(COALESCE(array_to_string(
+               list_select(t.tk, COALESCE(k.keep, [])), ' '), ''))
+               AS kept_hash
+    FROM alltoks t
+    LEFT JOIN span_agg s ON s.doc_id = t.doc_id
+    LEFT JOIN kept_pos k ON k.doc_id = t.doc_id
+    """
+
+
+register(
+    "dedup_cross_doc_strip",
+    dedup_cross_doc_strip,
+    _cross_doc_strip_oracle(),
 )
 
 

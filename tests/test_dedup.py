@@ -671,3 +671,34 @@ def test_cross_doc_spans_fixture(spark):
         for r in dedup.cross_doc_spans(df, min_span=12).collect()
     )
     assert got == [(2, 3, 18, 16), (4, 1, 16, 16)]
+
+
+def test_cross_doc_strip_fixture(spark):
+    """Pinned fixture for cross_doc_strip: the owner keeps its text
+    (untouched hash), a partial copy loses exactly the copied run, a
+    whole-copy doc strips to the empty residue, and untouched docs
+    hash their original text."""
+    import hashlib
+
+    base = (
+        "alpha bravo charlie delta echo foxtrot golf hotel india "
+        "juliet kilo lima mike november oscar papa"
+    )
+    rows = [
+        (1, base + " quebec romeo sierra"),
+        (2, "xx yy " + base + " zz"),
+        (3, "totally different words with no overlap here at all"),
+        (4, base),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_tokens, r.dup_token_count, r.n_spans, r.kept_hash)
+        for r in dedup.cross_doc_strip(df, min_span=12).collect()
+    }
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()  # noqa: E731
+    assert got == {
+        1: (19, 0, 0, md5(rows[0][1])),   # owner: untouched
+        2: (19, 16, 1, md5("xx yy zz")),  # copied run stripped
+        3: (9, 0, 0, md5(rows[2][1])),    # no overlap: untouched
+        4: (16, 16, 1, md5("")),          # whole doc was the copy
+    }

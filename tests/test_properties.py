@@ -1020,3 +1020,35 @@ def test_cross_doc_spans_matches_brute_force(spark, docs_tokens):
         ).collect()
     }
     assert got == want
+    # the strip form must agree with the same covered-position model:
+    # per doc (n_tokens, covered count, island count, residue hash)
+    import hashlib
+
+    want_strip = {}
+    covered_by_doc = {
+        b: {
+            j
+            for (bb, st, en, _n) in want
+            if bb == b
+            for j in range(st, en + 1)
+        }
+        for b in texts
+    }
+    for b, tb in texts.items():
+        cov = covered_by_doc[b]
+        kept = " ".join(
+            t for j, t in enumerate(tb, start=1) if j not in cov
+        )
+        want_strip[b] = (
+            len(tb),
+            len(cov),
+            sum(1 for j in cov if j - 1 not in cov),
+            hashlib.md5(kept.encode()).hexdigest(),
+        )
+    got_strip = {
+        r.doc_id: (r.n_tokens, r.dup_token_count, r.n_spans, r.kept_hash)
+        for r in dedup.cross_doc_strip(
+            df, min_span=min_span, max_fp_df=10**6, max_gram_df=10**6
+        ).collect()
+    }
+    assert got_strip == want_strip

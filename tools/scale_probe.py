@@ -182,6 +182,11 @@ PROBE_QUERIES = [
     # sf0.1's exactly); the viral caps bind identically per copy. Wall
     # should track the winnow index + the pair-bounded anchor join.
     "dedup_cross_doc_spans",
+    # round-14: the strip form over the same intervals — adds one
+    # per-doc interval collect + a map-only Arrow coverage sweep, so
+    # wall should track the span report; dup_token_count mass scales
+    # ~Nx with the per-copy structure, output rows = corpus rows.
+    "dedup_cross_doc_strip",
     # round-14: batched dense retrieval over the label-centroid query
     # table. The corpus assignment (broadcast-K scan + per-vector rank
     # exchange) is the data-sized term and runs ONCE for the whole
