@@ -567,8 +567,9 @@ _ROUND12_WINDOW = [
 # ROTATION BUDGET RULE (r12 verdict #2; math updated r14 after the
 # three retirements of r13 verdict #2 — taxi_early_arrival_final,
 # dedup_exact_survivors, dedup_cluster_sizes — composed into their
-# consumers): 192 + new registered queries over a 50-slot window means
-# steady-state evidence age ~= ceil(N/50) = 4
+# consumers; the round then added 3 rows, landing at 195): N registered
+# queries over a 50-slot window means steady-state evidence age
+# ~= ceil(N/50) = 4
 # rounds — exactly ONE round of slack under the staleness ceiling of 5
 # (tests/test_registry_window.py). Therefore: new surface is capped at
 # ~2-3 queries/round (each new query consumes a front slot AND pushes a
