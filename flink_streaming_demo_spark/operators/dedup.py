@@ -1448,7 +1448,15 @@ def cross_doc_intervals(
             F.col("a.s").alias("sa"),
             F.col("b.s").alias("sb"),
         )
-        .join(F.broadcast(pairs), ["id_a", "id_b"], "left_semi")
+        # Semi-join on the candidate pair list: shuffle_hash, NOT a
+        # forced broadcast — unlike the provably-small frames this repo
+        # broadcasts (stop lists, n_queries x nprobe probes), the pair
+        # list scales with the corpus's duplication structure, and a
+        # forced broadcast is a driver OOM on an adversarially
+        # duplicated 100 TB corpus. AQE still demotes this to a
+        # broadcast join at runtime when the pair list is actually
+        # small, so the test-scale plan loses nothing.
+        .join(pairs.hint("shuffle_hash"), ["id_a", "id_b"], "left_semi")
     )
     from pyspark.sql import Window as W
 
