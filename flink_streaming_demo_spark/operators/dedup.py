@@ -1394,13 +1394,18 @@ def cross_doc_intervals(
     """
     # gram width IS the winnow gram width, so the stage-1 detection
     # guarantee aligns exactly with the stage-2 anchors
-    from flink_streaming_demo_spark.functions.text import WINNOW_K
+    from flink_streaming_demo_spark.functions.text import (
+        WINNOW_K,
+        WINNOW_W,
+    )
 
     k = WINNOW_K
-    if min_span < k + 3:  # WINNOW_W + WINNOW_K - 1 with W=4
+    guarantee = WINNOW_W + WINNOW_K - 1
+    if min_span < guarantee:
         raise ValueError(
             f"min_span={min_span} below the winnow detection guarantee "
-            f"(>= 6 tokens with K={k}, W=4); candidates would be missed"
+            f"(>= {guarantee} tokens with K={WINNOW_K}, W={WINNOW_W}); "
+            "candidates would be missed"
         )
     # The pair list is referenced three times downstream (both legs of
     # the candidate-doc union + the broadcast semi-join); without a cut
