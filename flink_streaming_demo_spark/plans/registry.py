@@ -753,7 +753,95 @@ _ROUND14_WINDOW = [
     #    embedding_stats both displaced by r14 additions (see the
     #    displacement log above) — they roll to r15's front.
 ]
-# r15 window guidance (write _ROUND15_WINDOW next round from this):
+# ROUND-15 WINDOW (active), per the r14 verdict's #1 and the r15
+# guidance retained below:
+#   0. the 2 rows displaced from r14's tail FIRST
+#      (embedding_stats, label_centroid_distance — r11 evidence, age 4
+#      against the upcoming r15 driver row; both re-proven at
+#      sf0.001 + sf0.01 on the day of displacement AND judge-re-proven
+#      at sf0.01 in the r14 session);
+#   1. never-checked r15 additions (hygiene test enforces) — slots
+#      reserved behind the displaced block, filled as the round adds
+#      surface (budget: 2-3/round per the rotation rule above);
+#   2. the remaining 44 r11 rows oldest-first per
+#      `tools/coverage.py --suggest-window`;
+#   3. r12 rows oldest-first with the leftover slots — these form the
+#      displacement pool for step-1 additions; any displacement is
+#      re-proven locally (tools/parity.py at sf0.001 + sf0.01) on the
+#      day it happens and documented here.
+_ROUND15_WINDOW = [
+    # 0. the r14-displaced rows (r11 evidence; oldest outstanding)
+    "embedding_stats",
+    "label_centroid_distance",
+    # 1. never-checked r15 additions (budget: 2-3/round) — slots open
+    #    here as the round adds surface; each either takes a slot freed
+    #    by a same-round retirement or displaces one tail row from the
+    #    r12 displacement pool below, re-proven locally
+    #    (tools/parity.py at sf0.001 + sf0.01) on the day of
+    #    displacement.
+    # 2. the 44 remaining r11 rows oldest-first (coverage order)
+    "sim_kcenter_coreset",
+    "sim_bm25_topk",
+    "sim_hybrid_rrf",
+    "sim_hybrid_ndcg",
+    "sim_bm25_maxp",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q4_order_priority",
+    "tpch_q9_product_profit",
+    "tpch_q11_important_stock",
+    "tpch_q12_ship_speed",
+    "tpch_q16_parts_supplier",
+    "tpch_q20_excess_supply",
+    "tpch_q21_waiting_orders",
+    "star_customers_without_orders",
+    "tpch_q22_global_sales_opportunity",
+    "dedup_exact_groups",
+    "dedup_minhash_lsh",
+    "doc_simhash",
+    "text_quality_scores",
+    "text_token_counts",
+    "lang_id_scores",
+    "doc_fingerprints",
+    "dedup_clusters",
+    "multimodal_features",
+    "dedup_simhash",
+    "dedup_simhash64",
+    "tfidf_top_terms",
+    "text_chunk_documents",
+    "decon_eval_overlap",
+    "taxi_end_events",
+    "taxi_cell_centers",
+    "taxi_total_arrival_count",
+    "taxi_sliding_arrival_count",
+    "taxi_trip_etl",
+    "events_hourly_counts",
+    "events_asof_latest_order",
+    "events_pivot_type_counts",
+    "events_approx_distinct_users",
+    "events_user_type_arrays",
+    "events_value_stats",
+    "events_json_props",
+    "events_hist_rolling_quantiles",
+    "events_cms_rolling_counts",
+    "sample_hash_split",
+    # 3. r12 rows oldest-first with the leftover slots (displacement
+    #    pool for step-1 additions)
+    "dedup_semantic",
+    "embedding_quantize",
+    "pipeline_embedding_dedup",
+    "embedding_dim_profile",
+]
+# r16 window guidance (write _ROUND16_WINDOW next round from this):
+#   0. any rows displaced from this window's tail FIRST (each re-proven
+#      locally at sf0.001 + sf0.01 on the day of displacement — the
+#      displacement log lives in the comments above);
+#   1. any never-checked r16 additions (hygiene test enforces);
+#   2. r15 churn needing re-green rows, if any plans change late;
+#   3. the r12 rows oldest-first (`python tools/coverage.py
+#      --suggest-window` emits the exact ordered list), then r13
+#      oldest-first with the leftover slots.
+# r15-era guidance retained below for the audit trail:
+# (write _ROUND15_WINDOW next round from this):
 #   0. any rows displaced from this window's tail FIRST (each re-proven
 #      locally at sf0.001 + sf0.01 on the day of displacement — the
 #      displacement log lives in the comments above);
