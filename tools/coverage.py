@@ -76,18 +76,44 @@ def _module_imports(repo: str, mod: str, src: str) -> set[str]:
 
 def import_closure(repo: str, mod: str, memo: dict[str, set[str]]) -> set[str]:
     """Transitive set of repo-relative package files ``mod`` depends on,
-    by static parse of the package-internal import statements."""
+    by static parse of the package-internal import statements.
+
+    Computed by BFS with a per-call visited set; ``memo`` caches only
+    COMPLETE closures. The earlier recursive form seeded ``memo[mod] =
+    set()`` as a cycle guard and then memoized whatever a module's
+    closure looked like mid-recursion, so for import cycles (the
+    plans <-> operators lazy imports) the module that closed the cycle
+    was cached with an incomplete closure and every later caller
+    inherited it — the reported closure (and the ledger fingerprint
+    built from it) depended on which query was asked about FIRST
+    (r15 finding: coverage.py's own main computed a different
+    closure_exec_fp than tools/parity.py for the same module, so
+    --assert-reproven rejected ledger entries parity.py had just
+    written)."""
     if mod in memo:
         return memo[mod]
-    memo[mod] = set()  # cycle guard
-    f = _module_file(repo, mod)
-    if f is None:
-        return memo[mod]
-    files = {f}
-    with open(os.path.join(repo, f)) as fh:
-        src = fh.read()
-    for d in _module_imports(repo, mod, src):
-        files |= import_closure(repo, d, memo)
+    files: set[str] = set()
+    seen = {mod}
+    queue = [mod]
+    while queue:
+        cur = queue.pop()
+        f = _module_file(repo, cur)
+        if f is None:
+            continue
+        files.add(f)
+        with open(os.path.join(repo, f)) as fh:
+            src = fh.read()
+        try:
+            deps = _module_imports(repo, cur, src)
+        except SyntaxError:
+            # Unparseable file: its own bytes still count toward the
+            # closure (closure_exec_fp hashes them raw), but its deps
+            # are unknowable — leave the rest of the BFS intact.
+            continue
+        for d in deps:
+            if d not in seen:
+                seen.add(d)
+                queue.append(d)
     memo[mod] = files
     return files
 
@@ -180,10 +206,22 @@ def closure_exec_fp(repo: str, mod: str,
         import_closure(repo, mod, closure_memo)
         - {f"{PKG}/plans/registry.py"}
     )
-    parts = [
-        f"{f}:{_worktree_exec_fp(repo, f, fp_memo) or 'unparseable'}"
-        for f in files
-    ]
+    parts = []
+    for f in files:
+        fp = _worktree_exec_fp(repo, f, fp_memo)
+        if fp is None:
+            # Unparseable or absent: fall back to the raw bytes so two
+            # DIFFERENT broken states of the same file get different
+            # closure fingerprints — a shared constant would let
+            # --assert-reproven accept a ledger entry recorded against
+            # a different version of the file (r14 ADVICE).
+            path = os.path.join(repo, f)
+            if os.path.exists(path):
+                with open(path, "rb") as fh:
+                    fp = "raw:" + hashlib.md5(fh.read()).hexdigest()
+            else:
+                fp = "absent"
+        parts.append(f"{f}:{fp}")
     return hashlib.md5("\n".join(parts).encode()).hexdigest()
 
 
