@@ -205,23 +205,44 @@ def main() -> int:
     # cross-round plan/wall comparison base, so they may only be
     # refreshed from an IDLE-box run. SPARK_GRAFT_UPDATE_ANCHOR=1 copies
     # the fresh sidecar over bench_anchor[_all].json — and REFUSES when
-    # loadavg-5min exceeded 2 at either end of the run (a co-tenant
-    # round would silently become the yardstick). The manual `cp` path
-    # still exists but the gated mode is the documented refresh ritual.
+    # loadavg-5min exceeded an idle threshold at either end of the run
+    # (a co-tenant round would silently become the yardstick). The
+    # threshold is normalized by core count (r14 ADVICE): an absolute
+    # "load 2" is idle on a 32-core box but 100% busy on 2 cores, so
+    # "idle" means load5 <= max(2, 0.25 * cpus) — the max() keeps the
+    # original contract on small hosts where Spark's own JVM threads
+    # alone push load past a strict quarter-of-cores line. The manual
+    # `cp` path still exists but the gated mode is the documented
+    # refresh ritual.
     if os.environ.get("SPARK_GRAFT_UPDATE_ANCHOR") == "1":
         import shutil
 
+        cpus = len(os.sched_getaffinity(0))
+        idle_ceiling = max(2.0, 0.25 * cpus)
         load5 = max(load_before[1], load_after[1])
-        if load5 > 2:
+        if load5 > idle_ceiling:
             raise RuntimeError(
-                f"anchor refresh refused: loadavg-5min {load5} > 2 — "
-                "re-run on an idle box (anchors must be least-contended "
-                "samples)"
+                f"anchor refresh refused: loadavg-5min {load5} > "
+                f"{idle_ceiling} (0.25 x {cpus} cpus) — re-run on an "
+                "idle box (anchors must be least-contended samples)"
             )
         anchor = os.path.join(
             os.path.dirname(os.path.abspath(__file__)),
             "bench_anchor_all.json" if bench_all else "bench_anchor.json",
         )
+        # A refresh must never change the anchor's SCALE: an sf0.001
+        # smoke run silently replacing the sf0.1 yardstick corrupts
+        # every cross-round wall comparison (r15 near-miss — exactly
+        # that happened on the first gated run of this round).
+        if os.path.exists(anchor):
+            with open(anchor) as f:
+                anchored_sf = json.load(f).get("sf")
+            if anchored_sf is not None and summary["sf"] != anchored_sf:
+                raise RuntimeError(
+                    f"anchor refresh refused: run sf {summary['sf']} != "
+                    f"anchored sf {anchored_sf} — refresh from the same "
+                    "scale the anchor measures"
+                )
         shutil.copyfile(details_path, anchor)
         print(f"anchor updated: {anchor} (loadavg5 {load5})",
               file=sys.stderr)

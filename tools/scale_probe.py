@@ -419,8 +419,13 @@ def _probe_callables() -> dict:
         (full-table streaming_ivf_index ingest) and memoized across
         calls, so probe()'s warmup call constructs it and the TIMED
         call runs ONLY ivf_topk_view — probed-cell pruned store scan +
-        the shared ivf_rank tail. input_mb for the timed run is the
-        store-read volume the pruning claim is about."""
+        the shared ivf_rank tail. The tiny query/centroid frames
+        (N_QUERIES=5, N_CENTROIDS=8 rows) are collected once at store
+        build and replayed via createDataFrame, so the timed plan
+        touches ONLY the store: re-deriving them from the embeddings
+        parquet inflated input_mb with corpus scans the pruning claim
+        is not about (r14 ADVICE). input_mb for the timed run is the
+        store-read volume alone."""
         import atexit
         import shutil
         import tempfile
@@ -442,22 +447,30 @@ def _probe_callables() -> dict:
             ParquetUpsertSink,
         )
 
-        emb = load_table(spark, sf_dir, "embeddings").select(
-            "vec_id", "embedding"
-        )
-        centroids = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
-            F.col("vec_id").alias("centroid_id"), "embedding"
-        )
-        sink = _ivf_stores.get(sf_dir)
-        if sink is None:
+        entry = _ivf_stores.get(sf_dir)
+        if entry is None:
+            emb = load_table(spark, sf_dir, "embeddings").select(
+                "vec_id", "embedding"
+            )
+            centroids = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
+                F.col("vec_id").alias("centroid_id"), "embedding"
+            )
+            queries = emb.filter(F.col("vec_id") < N_QUERIES)
             root = tempfile.mkdtemp(prefix="probe_ivfview_")
             atexit.register(shutil.rmtree, root, ignore_errors=True)
             sink = ParquetUpsertSink(root + "/cells", ["vec_id"])
             streaming_ivf_index(sink, centroids)(emb, epoch_id=0)
-            _ivf_stores[sf_dir] = sink
-        queries = emb.filter(F.col("vec_id") < N_QUERIES)
+            entry = (
+                sink,
+                centroids.schema, centroids.collect(),
+                queries.schema, queries.collect(),
+            )
+            _ivf_stores[sf_dir] = entry
+        sink, cent_schema, cent_rows, q_schema, q_rows = entry
         return ivf_topk_view(
-            spark, sink, queries, centroids,
+            spark, sink,
+            spark.createDataFrame(q_rows, schema=q_schema),
+            spark.createDataFrame(cent_rows, schema=cent_schema),
             k=TOP_K, nprobe=IVF_STREAM_NPROBE,
         )
 
