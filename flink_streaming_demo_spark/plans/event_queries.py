@@ -1619,7 +1619,7 @@ def events_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     (events_approx_distinct_users) is only bound-contract-checkable. State per group
     is <= 256 (bucket, max-rho) pairs built by one partial-agg-friendly
     MAX — the mergeable shape per-day partials roll up through
-    (events_hll_rollup_users). Bounded error vs exact and the
+    (events_hll_rolling_users). Bounded error vs exact and the
     sketch(A) ⊕ sketch(B) == sketch(A ∪ B) merge law are pinned in
     tests/test_scale_utils.py."""
     from flink_streaming_demo_spark.operators.scale import (
@@ -1645,14 +1645,22 @@ register(
 
 
 def events_hll_rollup_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HLL rollup: build per-(event_type, day) register partials, merge
+    """RETIRED registry row (r15, rotation slack — r14 verdict #2).
+
+    HLL rollup: build per-(event_type, day) register partials, merge
     them up to event_type by per-bucket MAX, then estimate — the
     incremental-view shape (daily partials roll up; history is never
     rescanned). Register merge is associative/commutative/idempotent,
-    so the result EQUALS the direct per-type sketch and the oracle is
-    the same register replay as events_hll_distinct_users — a hash
-    green here proves the Spark-side MERGE (grouped MAX over partials),
-    not just the single-shot sketch."""
+    so the result EQUALS the direct per-type sketch and the oracle was
+    the same register replay as events_hll_distinct_users (which stays
+    registered and driver-checked). The rollup-specific Spark content —
+    hll_partial -> hll_rollup -> hll_estimate over day partials — is
+    exactly what the driver-checked rolling sibling
+    (events_hll_rolling_users) replays per window-end; the retired
+    row's identity (rolled-up day partials == direct sketch) is pinned
+    by tests/test_retired_rows.py via exceptAll against
+    events_hll_distinct_users, and the merge law itself by
+    tests/test_scale_utils.py."""
     from flink_streaming_demo_spark.operators.scale import (
         hll_estimate,
         hll_partial,
@@ -1665,13 +1673,6 @@ def events_hll_rollup_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         daily.select("event_type", "bucket", "rho"), ["event_type"]
     )
     return hll_estimate(rolled, ["event_type"])
-
-
-register(
-    "events_hll_rollup_users",
-    events_hll_rollup_users,
-    _hll_oracle(),
-)
 
 
 def events_hll_lc_users(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1860,7 +1861,8 @@ def events_bloom_rollup_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     idempotent, so the merged sketch is BYTE-equal to the direct
     per-type sketch and the oracle replays the direct build — a hash
     green proves the Spark-side merge arithmetic, mirroring
-    events_kmv_rollup_users / events_hll_rollup_users."""
+    events_kmv_rollup_users (and the retired events_hll_rollup_users,
+    whose identity is pinned in tests/test_retired_rows.py)."""
     from flink_streaming_demo_spark.operators.scale import (
         bloom_maybe_contains,
         bloom_partial,

@@ -564,14 +564,16 @@ _ROUND12_WINDOW = [
 # _cov_frame / winnow / logreg / shingle churn re-greens; each
 # re-proven locally via tools/parity.py at sf0.001 + sf0.01 on the day
 # of displacement. The staleness guard forces them into r13's front.
-# ROTATION BUDGET RULE (r12 verdict #2; math updated r14 after the
-# three retirements of r13 verdict #2 — taxi_early_arrival_final,
-# dedup_exact_survivors, dedup_cluster_sizes — composed into their
-# consumers; the round then added 3 rows, landing at 195): N registered
-# queries over a 50-slot window means steady-state evidence age
-# ~= ceil(N/50) = 4
-# rounds — exactly ONE round of slack under the staleness ceiling of 5
-# (tests/test_registry_window.py). Therefore: new surface is capped at
+# ROTATION BUDGET RULE (r12 verdict #2; math updated r15 after the
+# three retirements of r14 verdict #2 — doc_simhash,
+# doc_winnow_fingerprints, events_hll_rollup_users — composed into
+# their consumers/tests (test_retired_rows.py), following r14's
+# taxi_early_arrival_final / dedup_exact_survivors /
+# dedup_cluster_sizes. 195 - 3 retired + this round's additions): N
+# registered queries over a 50-slot window means steady-state evidence
+# age ~= ceil(N/50) = 4 rounds at N in (151..200] — ONE round of slack
+# under the staleness ceiling of 5 (tests/test_registry_window.py);
+# each retirement buys headroom inside that band. Therefore: new surface is capped at
 # ~2-3 queries/round (each new query consumes a front slot AND pushes a
 # displaced row one round closer to the ceiling), and any round that
 # wants more must first retire truly-redundant queries by composing
@@ -778,8 +780,17 @@ _ROUND15_WINDOW = [
     #    by a same-round retirement or displaces one tail row from the
     #    r12 displacement pool below, re-proven locally
     #    (tools/parity.py at sf0.001 + sf0.01) on the day of
-    #    displacement.
-    # 2. the 44 remaining r11 rows oldest-first (coverage order)
+    #    displacement. One slot is free from the doc_simhash retirement
+    #    (see section 2); it is reserved for this round's streaming
+    #    cross-doc gate.
+    # 2. the remaining r11 rows oldest-first (coverage order).
+    # doc_simhash was here until its r15 retirement (r14 verdict #2,
+    # rotation slack): its full-documents DuckDB parity is preserved in
+    # tests/test_retired_rows.py (tools/parity.compare against
+    # DOC_SIMHASH_ORACLE); doc_winnow_fingerprints and
+    # events_hll_rollup_users (both out-of-window) were retired the
+    # same way — see their docstrings and test_retired_rows.py.
+    # Registered surface: 195 -> 192.
     "sim_kcenter_coreset",
     "sim_bm25_topk",
     "sim_hybrid_rrf",
@@ -797,7 +808,6 @@ _ROUND15_WINDOW = [
     "tpch_q22_global_sales_opportunity",
     "dedup_exact_groups",
     "dedup_minhash_lsh",
-    "doc_simhash",
     "text_quality_scores",
     "text_token_counts",
     "lang_id_scores",

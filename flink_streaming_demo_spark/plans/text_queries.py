@@ -206,21 +206,23 @@ register(
 # --- SimHash fingerprints ----------------------------------------------------
 
 def doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RETIRED registry row (r15, rotation slack — r14 verdict #2): the
+    projection whose expressions dedup_simhash / dedup_simhash64
+    compose over the planted corpus. The full-documents DuckDB parity
+    this row's driver check provided is preserved verbatim by
+    tests/test_retired_rows.py, which runs this callable against
+    DOC_SIMHASH_ORACLE through tools/parity.compare."""
     docs = t(spark, sf_dir, "documents")
     return TX.simhash16_agg(docs)
 
 
-register(
-    "doc_simhash",
-    doc_simhash,
-    f"""
+DOC_SIMHASH_ORACLE = f"""
     SELECT
         doc_id,
         {TX.sql_simhash16('text')} AS simhash,
         {TX.sql_token_count('text')} AS n_tokens
     FROM documents
-    """,
-)
+    """
 
 
 # --- Quality scoring ---------------------------------------------------------
@@ -627,24 +629,23 @@ register(
 # --- Winnowing fingerprints ---------------------------------------------------
 
 def doc_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Winnowing (MOSS) fingerprints per document over the planted
-    corpus — exact copies share the full digest; near copies (appended
-    tail) share most selected fingerprints but digest-differ, which the
-    counts make visible. Runs the vectorized twin (value-identical,
-    exceptAll-pinned); see functions/text.winnow_fingerprint_stats /
-    winnow_fingerprints."""
+    """RETIRED registry row (r15, rotation slack — r14 verdict #2): the
+    per-doc stats projection of the shared winnow builder that
+    dedup_winnow_pairs (and the cross-doc tier) exercises; the
+    vectorized twin is already value-pinned to the expression form
+    (tests/test_text_functions.py, tests/test_properties.py). The
+    planted-corpus DuckDB parity this row's driver check provided is
+    preserved verbatim by tests/test_retired_rows.py, which runs this
+    callable against DOC_WINNOW_FP_ORACLE through
+    tools/parity.compare."""
     return TX.winnow_fingerprint_stats(_planted_corpus(spark, sf_dir))
 
 
-register(
-    "doc_winnow_fingerprints",
-    doc_winnow_fingerprints,
-    f"""
+DOC_WINNOW_FP_ORACLE = f"""
     WITH corpus AS ({_PLANTED_SQL}),
     {TX.sql_winnow_ctes('corpus')}
     SELECT doc_id, n_grams, n_fingerprints, winnow_digest FROM winnowed
-    """,
-)
+    """
 
 
 def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:

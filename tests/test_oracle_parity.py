@@ -76,6 +76,8 @@ def test_shuffle_partition_count_invariance(spark, sf_dir):
         "events_user_rfm",            # exact_global_ntile chunk ranks
         "events_kmv_distinct_users",  # order-statistics sketch
         "events_hll_rollup_users",    # register-merge sketch rollup
+        #   ^ retired registry row (r15): injected below from its
+        #     module so the merge path keeps its invariance pin
         "taxi_early_arrival_fires",   # applyInPandas replay groups
         "text_bpe_merges_batched",    # iterative trainer w/ checkpoints
         "sample_weighted_topk",       # two-level salted top-k
@@ -95,7 +97,12 @@ def test_shuffle_partition_count_invariance(spark, sf_dir):
         "sim_bm25_batch_topk",        # query-partitioned rank + union pivot
         "sim_ivf_multiprobe_recall",  # per-level rank windows + hit joins
     ]
-    qs = e.queries()
+    from flink_streaming_demo_spark.plans.event_queries import (
+        events_hll_rollup_users,
+    )
+
+    qs = dict(e.queries())
+    qs["events_hll_rollup_users"] = events_hll_rollup_users
     baseline = {
         n: sorted(map(tuple, qs[n](spark, sf_dir).collect()))
         for n in names

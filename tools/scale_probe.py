@@ -93,7 +93,9 @@ PROBE_QUERIES = [
     # near-FLAT under 10x input (the register table is cardinality-
     # bounded) while KMV's distinct shuffle grows ~10x.
     "events_hll_distinct_users",
-    "events_hll_rollup_users",
+    # events_hll_rollup_users retired r15 (rotation slack): its merge
+    # path is the rolling tier's per-window merge, probed below; the
+    # rolled == direct identity is pinned in tests/test_retired_rows.py.
     # round-10: the rest of the sketch family. Bloom/CMS/histogram all
     # aggregate over FIXED domains (words, (row, col) counters, bins), so
     # their sketch-side shuffles must stay near-flat under 10x input; the
