@@ -1638,3 +1638,236 @@ def cross_doc_strip(
             "n_spans int, kept_hash string"
         ),
     )
+
+
+# --- Incremental cross-doc gate core (streaming ExactSubstr front) ------------
+
+def cross_doc_gate_runs(
+    base_docs: DataFrame | None,
+    base_fps: DataFrame | None,
+    incoming: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_span: int = CROSS_DOC_MIN_SPAN,
+    max_fp_df: int = MAX_FINGERPRINT_DF,
+    max_gram_df: int = MAX_CROSS_GRAM_DF,
+    incoming_fps: DataFrame | None = None,
+) -> DataFrame:
+    """Incremental form of ``cross_doc_intervals`` for the streaming
+    ingest gate: detect token runs of >= ``min_span`` shared verbatim
+    between an INCOMING batch and the already-ADMITTED corpus, and
+    return (id_col [incoming doc], match_id [admitted partner], st, en)
+    qualifying runs on the incoming doc's token axis. Priority is
+    arrival order (the admitted corpus always owns the span), not
+    min-doc_id — the gate twin of the batch operator's survivor
+    convention, mirroring dedup_ivf_stream_gate's slice semantics.
+
+    Same three bucketed stages as the batch form (never all-pairs),
+    with the candidate stage pointed at the store-backed fingerprint
+    index instead of a self-join:
+
+    1. candidate pairs = store fps x batch fps equi-join on fp, with
+       the viral-fp cap computed over the UNION frame (store + batch —
+       exactly the frame the batch form caps, restricted to the causal
+       prefix);
+    2. anchor K-grams extracted only for candidate docs on each side,
+       gram cap computed over the union of both sides' candidate grams;
+    3. diagonal gaps-and-islands runs on (match, incoming, diag =
+       s_inc - s_base), windows partitioned by those keys.
+
+    ``base_docs``/``base_fps`` may be None (empty store): no runs.
+    ``incoming_fps`` lets the caller hand in the batch's already-
+    computed winnow fingerprint rows so the gate and the subsequent
+    store ingest share one Arrow extraction.
+
+    Replay semantics (the gate body documents the decision side): a
+    replayed batch finds ITSELF in the store; self-pairs are excluded
+    (match_id != incoming id), but batch-mates become legal partners —
+    monotone toward more dedup, the dedup_ivf_stream_gate contract.
+
+    100 TB: the store-side fp read is key-bucketed parquet (the fp
+    equi-join shuffles index-sized frames, df-capped per key); gram
+    extraction touches only candidate docs via semi-joins pushed into
+    the scans; the pair semi-join is shuffle-hash, NOT forced broadcast
+    (the pair list scales with the corpus's duplication structure —
+    the cross_doc_intervals driver-OOM rationale)."""
+    from flink_streaming_demo_spark.functions.text import (
+        WINNOW_K,
+        WINNOW_W,
+        winnow_fp_rows,
+    )
+
+    k = WINNOW_K
+    guarantee = WINNOW_W + WINNOW_K - 1
+    if min_span < guarantee:
+        raise ValueError(
+            f"min_span={min_span} below the winnow detection guarantee "
+            f"(>= {guarantee} tokens with K={WINNOW_K}, W={WINNOW_W}); "
+            "candidates would be missed"
+        )
+    empty = incoming.sparkSession.createDataFrame(
+        [],
+        schema=(
+            f"{id_col} {dict(incoming.dtypes)[id_col]}, "
+            f"match_id {dict(incoming.dtypes)[id_col]}, st int, en int"
+        ),
+    )
+    if base_docs is None or base_fps is None:
+        return empty
+    inc_fps = (
+        incoming_fps
+        if incoming_fps is not None
+        else winnow_fp_rows(incoming, text_col, id_col).localCheckpoint()
+    )
+    # viral-fp cap over the causal union frame (store rows + batch rows)
+    tagged = base_fps.select(
+        id_col, "fp", F.lit(True).alias("is_base")
+    ).unionByName(
+        inc_fps.select(id_col, "fp", F.lit(False).alias("is_base"))
+    )
+    capped = drop_viral_keys(tagged, "fp", max_fp_df)
+    bb = capped.filter("is_base").alias("bb")
+    ii = capped.filter(~F.col("is_base")).alias("ii")
+    # Pair index: store doc x incoming doc sharing any surviving fp
+    # (min_shared = 1, the detection-guarantee setting). Self-pairs
+    # excluded for replay safety. localCheckpoint: the pair list is
+    # referenced three times downstream (both candidate-doc semi-joins
+    # + the anchor semi-join) — the cross_doc_intervals plan-width cut.
+    pairs = (
+        bb.join(
+            ii,
+            (F.col("bb.fp") == F.col("ii.fp"))
+            & (F.col(f"bb.{id_col}") != F.col(f"ii.{id_col}")),
+        )
+        .select(
+            F.col(f"bb.{id_col}").alias("match_id"),
+            F.col(f"ii.{id_col}").alias("inc_id"),
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    if not pairs.head(1):
+        return empty
+    base_cand = base_docs.join(
+        pairs.select(F.col("match_id").alias(id_col)).distinct(),
+        id_col,
+        "left_semi",
+    )
+    inc_cand = incoming.join(
+        pairs.select(F.col("inc_id").alias(id_col)).distinct(),
+        id_col,
+        "left_semi",
+    )
+    grams = (
+        _token_gram_rows(base_cand, k, text_col, id_col)
+        .select(id_col, "s", "gram", F.lit(True).alias("is_base"))
+        .unionByName(
+            _token_gram_rows(inc_cand, k, text_col, id_col).select(
+                id_col, "s", "gram", F.lit(False).alias("is_base")
+            )
+        )
+        .localCheckpoint()
+    )
+    grams = drop_viral_keys(grams, "gram", max_gram_df)
+    gb = grams.filter("is_base").alias("gb")
+    gi = grams.filter(~F.col("is_base")).alias("gi")
+    matched = (
+        gb.hint("shuffle_hash")
+        .join(gi.hint("shuffle_hash"), F.col("gb.gram") == F.col("gi.gram"))
+        .select(
+            F.col(f"gb.{id_col}").alias("match_id"),
+            F.col(f"gi.{id_col}").alias("inc_id"),
+            F.col("gb.s").alias("sb"),
+            F.col("gi.s").alias("si"),
+        )
+        # shuffle-hash semi-join on the pair index, NOT forced broadcast
+        # (driver-OOM rationale above; AQE may demote when tiny)
+        .join(pairs.hint("shuffle_hash"), ["match_id", "inc_id"], "left_semi")
+    )
+    from pyspark.sql import Window as W
+
+    diag = (F.col("si") - F.col("sb")).alias("diag")
+    run_w = W.partitionBy("match_id", "inc_id", "diag").orderBy("si")
+    runs = matched.select("match_id", "inc_id", diag, "si").withColumn(
+        "grp", F.col("si") - F.row_number().over(run_w)
+    )
+    return (
+        runs.groupBy("match_id", "inc_id", "diag", "grp")
+        .agg(
+            F.min("si").alias("st"),
+            (F.max("si") + F.lit(k - 1)).alias("en"),
+        )
+        .filter(F.col("en") - F.col("st") + 1 >= min_span)
+        .select(F.col("inc_id").alias(id_col), "match_id", "st", "en")
+        .distinct()
+    )
+
+
+def cross_doc_gate_decisions(
+    base_docs: DataFrame | None,
+    base_fps: DataFrame | None,
+    incoming: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_span: int = CROSS_DOC_MIN_SPAN,
+    max_fp_df: int = MAX_FINGERPRINT_DF,
+    max_gram_df: int = MAX_CROSS_GRAM_DF,
+    incoming_fps: DataFrame | None = None,
+) -> DataFrame:
+    """One verdict row per incoming doc from ``cross_doc_gate_runs``:
+    (id_col, verdict, match_id, span_tokens, n_matches) where verdict is
+    'dup_span' iff the doc shares a >= min_span run with the admitted
+    corpus, match_id/span_tokens name the LONGEST such run's admitted
+    partner (ties: lowest match_id, then lowest st), and n_matches
+    counts distinct admitted partners with a qualifying run. 'new' rows
+    carry (match_id = -1, span_tokens = 0, n_matches = 0) — the
+    dedup_ivf_stream_gate null-free convention."""
+    from pyspark.sql import Window as W
+
+    runs = cross_doc_gate_runs(
+        base_docs,
+        base_fps,
+        incoming,
+        text_col,
+        id_col,
+        min_span,
+        max_fp_df,
+        max_gram_df,
+        incoming_fps=incoming_fps,
+    )
+    span = (F.col("en") - F.col("st") + 1).alias("span_tokens")
+    best_w = W.partitionBy(id_col).orderBy(
+        (F.col("en") - F.col("st") + 1).desc(),
+        F.col("match_id").asc(),
+        F.col("st").asc(),
+    )
+    best = (
+        runs.select(id_col, "match_id", "st", "en", span)
+        .withColumn("rk", F.row_number().over(best_w))
+        .filter(F.col("rk") == 1)
+        .drop("rk", "st", "en")
+    )
+    stats = runs.groupBy(id_col).agg(
+        F.countDistinct("match_id").cast("int").alias("n_matches")
+    )
+    id_type = dict(incoming.dtypes)[id_col]
+    return (
+        incoming.select(id_col)
+        .join(best, id_col, "left")
+        .join(stats, id_col, "left")
+        .select(
+            id_col,
+            F.when(F.col("match_id").isNull(), F.lit("new"))
+            .otherwise(F.lit("dup_span"))
+            .alias("verdict"),
+            F.coalesce(F.col("match_id"), F.lit(-1))
+            .cast(id_type)
+            .alias("match_id"),
+            F.coalesce(F.col("span_tokens"), F.lit(0))
+            .cast("int")
+            .alias("span_tokens"),
+            F.coalesce(F.col("n_matches"), F.lit(0))
+            .cast("int")
+            .alias("n_matches"),
+        )
+    )

@@ -780,9 +780,11 @@ _ROUND15_WINDOW = [
     #    by a same-round retirement or displaces one tail row from the
     #    r12 displacement pool below, re-proven locally
     #    (tools/parity.py at sf0.001 + sf0.01) on the day of
-    #    displacement. One slot is free from the doc_simhash retirement
-    #    (see section 2); it is reserved for this round's streaming
-    #    cross-doc gate.
+    #    displacement.
+    #    - dedup_crossdoc_stream_gate (streaming lexical ingest gate,
+    #      r14 verdict #3) took the slot freed by the doc_simhash
+    #      retirement (no displacement).
+    "dedup_crossdoc_stream_gate",
     # 2. the remaining r11 rows oldest-first (coverage order).
     # doc_simhash was here until its r15 retirement (r14 verdict #2,
     # rotation slack): its full-documents DuckDB parity is preserved in

@@ -8,6 +8,8 @@ operators have real work to do.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -856,6 +858,194 @@ register(
     "dedup_cross_doc_strip",
     dedup_cross_doc_strip,
     _cross_doc_strip_oracle(),
+)
+
+
+# --- Streaming cross-doc ingest gate (lexical twin of the IVF gate) -----------
+
+CROSSDOC_GATE_SLICES = 3
+
+
+def dedup_crossdoc_stream_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate-then-ingest lexical dedup front (r14 verdict #3): the
+    planted corpus arrives in three slices (doc_id % 3 == 0, 1, 2, in
+    order); each slice is verdicted against the already-admitted corpus
+    ('dup_span' iff the doc shares a >= CROSS_DOC_MIN_SPAN verbatim
+    token run with an admitted doc — the Lee et al. ExactSubstr
+    detection pointed at a store-backed winnow fingerprint index) and
+    only then ingested (fingerprint rows into the index store, texts
+    into the docs store). The lexical twin of dedup_ivf_stream_gate:
+    the oracle replays the slice order declaratively (candidates =
+    earlier slice only, caps computed over each slice's causal prefix),
+    so a green row proves the whole gate-then-ingest trajectory —
+    per-slice store states included — not just a single batch verdict.
+
+    Construction runs the three gate+merge rounds (job-running build);
+    stores live at a per-process mkdtemp root keyed by SF, rebuilt
+    fresh per construction (the sim_ivf_stream_topk pattern)."""
+    from flink_streaming_demo_spark.plans.vector_queries import _store_root
+    from flink_streaming_demo_spark.streaming.pipelines import (
+        streaming_crossdoc_dedup_gate,
+    )
+    from flink_streaming_demo_spark.streaming.sinks import ParquetUpsertSink
+
+    corpus = _planted_corpus(spark, sf_dir)
+    root = _store_root("crossdoc_gate", sf_dir)
+    docs = ParquetUpsertSink(
+        os.path.join(root, "docs"), ["doc_id"], n_buckets=8
+    )
+    fps = ParquetUpsertSink(
+        os.path.join(root, "fps"), ["doc_id", "fp"], n_buckets=8
+    )
+    decisions = ParquetUpsertSink(
+        os.path.join(root, "decisions"), ["doc_id"], n_buckets=8
+    )
+    body = streaming_crossdoc_dedup_gate(docs, fps, decisions)
+    for i in range(CROSSDOC_GATE_SLICES):
+        body(
+            corpus.filter(
+                F.pmod(F.col("doc_id"), F.lit(CROSSDOC_GATE_SLICES)) == i
+            ),
+            epoch_id=i,
+        )
+    return decisions.read(spark).select(
+        "doc_id",
+        F.pmod(F.col("doc_id"), F.lit(CROSSDOC_GATE_SLICES))
+        .cast("int")
+        .alias("slice"),
+        "verdict",
+        "match_id",
+        "span_tokens",
+        "n_matches",
+    )
+
+
+def _crossdoc_gate_oracle() -> str:
+    """Generated per-slice replay of the gate trajectory: for each
+    incoming slice i >= 1, the capped fingerprint frame is the CAUSAL
+    prefix (slices <= i — store content after ingesting slices < i plus
+    the batch), candidates pair admitted (slice < i) with incoming
+    (slice = i) docs, anchor grams are extracted for that slice's
+    candidate docs only with the gram cap computed over that frame, and
+    diagonal runs >= min_span become verdicts. Slice 0 gates against an
+    empty store: all 'new'."""
+    from flink_streaming_demo_spark.functions.text import WINNOW_K
+
+    k = WINNOW_K
+    legs = []
+    for i in range(1, CROSSDOC_GATE_SLICES):
+        legs.append(f"""
+    fp{i} AS (
+        SELECT doc_id, slice, fp FROM fp_all WHERE slice <= {i}
+        QUALIFY COUNT(*) OVER (PARTITION BY fp)
+                <= {dedup.MAX_FINGERPRINT_DF}
+    ),
+    cand{i} AS (
+        SELECT DISTINCT b.doc_id AS match_id, a.doc_id AS inc_id
+        FROM fp{i} b
+        JOIN fp{i} a ON b.fp = a.fp
+         AND b.slice < {i} AND a.slice = {i}
+         AND b.doc_id <> a.doc_id
+    ),
+    grams{i}_all AS (
+        SELECT t.doc_id, t.slice, g.s, g.gram FROM grams_base g
+        JOIN toks t USING (doc_id)
+        WHERE t.doc_id IN (SELECT match_id FROM cand{i}
+                           UNION SELECT inc_id FROM cand{i})
+    ),
+    grams{i} AS (
+        SELECT doc_id, slice, s, gram FROM grams{i}_all
+        QUALIFY COUNT(*) OVER (PARTITION BY gram)
+                <= {dedup.MAX_CROSS_GRAM_DF}
+    ),
+    runs{i} AS (
+        SELECT c.match_id, c.inc_id, gi.s - gb.s AS diag, gi.s AS si,
+               gi.s - ROW_NUMBER() OVER (
+                   PARTITION BY c.match_id, c.inc_id, gi.s - gb.s
+                   ORDER BY gi.s) AS grp
+        FROM grams{i} gb
+        JOIN grams{i} gi ON gb.gram = gi.gram
+         AND gb.slice < {i} AND gi.slice = {i}
+        JOIN cand{i} c ON c.match_id = gb.doc_id AND c.inc_id = gi.doc_id
+    ),
+    ivals{i} AS (
+        SELECT DISTINCT inc_id AS doc_id, match_id,
+               MIN(si) AS st, MAX(si) + {k - 1} AS en
+        FROM runs{i} GROUP BY match_id, inc_id, diag, grp
+        HAVING MAX(si) + {k - 1} - MIN(si) + 1
+               >= {dedup.CROSS_DOC_MIN_SPAN}
+    ),
+    best{i} AS (
+        SELECT doc_id, match_id, en - st + 1 AS span_tokens
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY doc_id
+                ORDER BY en - st + 1 DESC, match_id ASC, st ASC) AS rk
+            FROM ivals{i}
+        ) WHERE rk = 1
+    ),
+    stats{i} AS (
+        SELECT doc_id, COUNT(DISTINCT match_id) AS n_matches
+        FROM ivals{i} GROUP BY doc_id
+    ),
+    leg{i} AS (
+        SELECT c.doc_id, {i} AS slice,
+               CASE WHEN b.doc_id IS NULL THEN 'new'
+                    ELSE 'dup_span' END AS verdict,
+               CAST(COALESCE(b.match_id, -1) AS BIGINT) AS match_id,
+               CAST(COALESCE(b.span_tokens, 0) AS INT) AS span_tokens,
+               CAST(COALESCE(s.n_matches, 0) AS INT) AS n_matches
+        FROM sliced c
+        LEFT JOIN best{i} b USING (doc_id)
+        LEFT JOIN stats{i} s ON s.doc_id = c.doc_id
+        WHERE c.slice = {i}
+    )""")
+    leg_union = "\n    UNION ALL ".join(
+        [
+            f"""SELECT doc_id, 0 AS slice, 'new' AS verdict,
+           CAST(-1 AS BIGINT) AS match_id, 0 AS span_tokens,
+           0 AS n_matches
+    FROM sliced WHERE slice = 0"""
+        ]
+        + [
+            f"SELECT * FROM leg{i}"
+            for i in range(1, CROSSDOC_GATE_SLICES)
+        ]
+    )
+    return f"""
+    WITH corpus AS ({_PLANTED_SQL}),
+    sliced AS (
+        SELECT doc_id, CAST(doc_id % {CROSSDOC_GATE_SLICES} AS INT)
+                   AS slice, text
+        FROM corpus
+    ),
+    {TX.sql_winnow_fp_ctes('sliced')},
+    fp_all AS (
+        SELECT f.doc_id, s.slice, f.fp
+        FROM (SELECT doc_id, unnest(list_distinct(fps)) AS fp
+              FROM winnow_fps) f
+        JOIN sliced s USING (doc_id)
+    ),
+    toks AS (
+        SELECT doc_id, slice, string_split(text, ' ') AS tk FROM sliced
+    ),
+    grams_base AS (
+        SELECT doc_id, i AS s,
+               array_to_string(tk[i:i+{k - 1}], ' ') AS gram
+        FROM toks,
+             LATERAL unnest(generate_series(1, len(tk) - {k - 1}))
+                 AS u(i)
+        WHERE len(tk) >= {k}
+    ),
+    {','.join(legs)}
+    {leg_union}
+    """
+
+
+register(
+    "dedup_crossdoc_stream_gate",
+    dedup_crossdoc_stream_gate,
+    _crossdoc_gate_oracle(),
 )
 
 

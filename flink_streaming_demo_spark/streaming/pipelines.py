@@ -1402,3 +1402,107 @@ def reindex_ivf_store(spark, old_sink, new_sink, new_centroids, epoch_id=0):
     vectors = old_sink.read(spark).select("vec_id", "embedding")
     streaming_ivf_index(new_sink, new_centroids)(vectors, epoch_id)
     return new_sink
+
+
+# --- Streaming cross-doc exact-substring ingest gate (lexical twin) ----------
+
+def streaming_crossdoc_dedup_gate(
+    docs_sink,
+    fps_sink,
+    decisions_sink,
+    min_span: int | None = None,
+    max_fp_df: int | None = None,
+    max_gram_df: int | None = None,
+):
+    """Gate-then-ingest foreachBatch body for cross-document
+    exact-substring dedup — the LEXICAL twin of
+    ``streaming_ivf_dedup_gate`` (r14 verdict #3): each micro-batch of
+    (doc_id, text) rows is first VERDICTED against the admitted corpus
+    (``operators/dedup.cross_doc_gate_decisions`` — 'dup_span' iff the
+    doc shares a >= min_span verbatim token run with an admitted doc),
+    the decisions written to ``decisions_sink``, and only then are the
+    batch's winnow fingerprint rows merged into the index store and its
+    texts into the docs store. The winnow fingerprint index rides the
+    ``streaming_bm25_index`` store skeleton: documents are immutable
+    and append-only, so (doc_id, fp) rows never change — a crash-
+    replayed micro-batch re-upserts byte-identical rows and both stores
+    converge (the postings-store replay argument).
+
+    Ordering matters and is forced: the decisions write fully
+    materializes the gate BEFORE either store merge rewrites the
+    parquet the gate read from (gate-then-ingest).
+
+    Replay semantics (the dedup_ivf_stream_gate contract): STORES
+    converge under crash replay (byte-identical upserts). DECISIONS are
+    at-least-once — re-gating an already-ingested batch sees its own
+    batch-mates in the store (self-pairs ARE excluded), so a replayed
+    verdict can flip 'new' -> 'dup_span' and a dup row's (match_id,
+    span_tokens, n_matches) can strengthen toward the larger admitted
+    corpus — monotone toward more dedup, never the reverse. Exactly-
+    once decisions would need the sink's epoch guard + a store-side
+    epoch column; out of contract here.
+
+    One Arrow winnow extraction per batch: the fingerprint rows are
+    computed once (localCheckpoint) and feed BOTH the gate's candidate
+    join and the index-store merge."""
+    import os
+
+    from flink_streaming_demo_spark.operators import dedup as D
+
+    for sink, want_key, name, need_read in (
+        (docs_sink, ["doc_id"], "docs_sink", True),
+        (fps_sink, ["doc_id", "fp"], "fps_sink", True),
+        (decisions_sink, ["doc_id"], "decisions_sink", False),
+    ):
+        if not hasattr(sink, "foreach_batch"):
+            raise TypeError(
+                f"streaming_crossdoc_dedup_gate needs keyed upsert "
+                f"sinks; {name} is {type(sink).__name__}"
+            )
+        if need_read and not (hasattr(sink, "path") and hasattr(sink, "read")):
+            raise TypeError(
+                f"streaming_crossdoc_dedup_gate reads {name} back; it "
+                f"must be store-backed, got {type(sink).__name__}"
+            )
+        if getattr(sink, "key_cols", None) != want_key:
+            raise ValueError(
+                f"{name} key_cols must be {want_key}, got "
+                f"{getattr(sink, 'key_cols', None)}"
+            )
+
+    kwargs = {}
+    if min_span is not None:
+        kwargs["min_span"] = min_span
+    if max_fp_df is not None:
+        kwargs["max_fp_df"] = max_fp_df
+    if max_gram_df is not None:
+        kwargs["max_gram_df"] = max_gram_df
+
+    def body(batch_df: DataFrame, epoch_id: int) -> None:
+        if not batch_df.head(1):
+            return
+        from flink_streaming_demo_spark.functions.text import (
+            winnow_fp_rows,
+        )
+
+        spark = batch_df.sparkSession
+        batch = batch_df.select("doc_id", "text").localCheckpoint()
+        base_docs = (
+            docs_sink.read(spark)
+            if os.path.exists(docs_sink.path)
+            else None
+        )
+        base_fps = (
+            fps_sink.read(spark) if os.path.exists(fps_sink.path) else None
+        )
+        inc_fps = winnow_fp_rows(batch).localCheckpoint()
+        decisions = D.cross_doc_gate_decisions(
+            base_docs, base_fps, batch, incoming_fps=inc_fps, **kwargs
+        )
+        # materialize decisions BEFORE the store merges mutate the
+        # parquet they are derived from
+        decisions_sink.foreach_batch(decisions.localCheckpoint(), epoch_id)
+        fps_sink.foreach_batch(inc_fps, epoch_id)
+        docs_sink.foreach_batch(batch, epoch_id)
+
+    return body

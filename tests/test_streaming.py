@@ -2945,3 +2945,135 @@ def test_reindex_ivf_store_serves_retrained_centroids(spark, sf_dir):
         assert got == want
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def test_streaming_crossdoc_dedup_gate_equals_batch_and_replay_safe(
+    spark, sf_dir
+):
+    """Chunked replay of the planted corpus through the lexical
+    gate-then-ingest body must produce decisions identical to the batch
+    3-slice replay (the registered dedup_crossdoc_stream_gate / its
+    DuckDB oracle): verdicts, match_id, span_tokens, n_matches
+    row-for-row. Both STORES (docs, winnow fp index) must stay
+    byte-identical when a chunk is re-applied (append-only immutable
+    docs — the BM25-postings replay argument); re-gated DECISIONS may
+    only flip new -> dup_span (documented at-least-once monotonicity),
+    never the reverse, and an existing dup row's span_tokens/n_matches
+    may only strengthen toward the larger admitted corpus."""
+    from flink_streaming_demo_spark.plans.text_queries import (
+        _planted_corpus,
+        dedup_crossdoc_stream_gate,
+    )
+    from flink_streaming_demo_spark.streaming.pipelines import (
+        streaming_crossdoc_dedup_gate,
+    )
+    from flink_streaming_demo_spark.streaming.sinks import ParquetUpsertSink
+
+    corpus = _planted_corpus(spark, sf_dir).select(
+        "doc_id", "text", (F.col("doc_id") % 3).cast("int").alias("grp")
+    )
+    chunk_dir = replay.write_replay_chunks(corpus, n_chunks=3, order_col="grp")
+    root = tempfile.mkdtemp(prefix="crossdoc_gate_")
+    docs = ParquetUpsertSink(root + "/docs", ["doc_id"])
+    fps = ParquetUpsertSink(root + "/fps", ["doc_id", "fp"])
+    decisions = ParquetUpsertSink(root + "/decisions", ["doc_id"])
+    body = streaming_crossdoc_dedup_gate(docs, fps, decisions)
+    try:
+        stream = replay.read_replay_stream(
+            spark,
+            chunk_dir,
+            "doc_id long, text string, grp int",
+            max_files_per_trigger=1,
+        )
+        q = write_foreach_batch_stream(
+            stream.drop("grp"), body, "crossdoc_gate"
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        want = sorted(
+            tuple(r)
+            for r in dedup_crossdoc_stream_gate(spark, sf_dir).collect()
+        )
+        got = sorted(
+            tuple(r)
+            for r in decisions.read(spark)
+            .select(
+                "doc_id",
+                F.pmod(F.col("doc_id"), F.lit(3)).cast("int").alias("slice"),
+                "verdict",
+                "match_id",
+                "span_tokens",
+                "n_matches",
+            )
+            .collect()
+        )
+        assert got == want
+        # store replay safety: re-applying a chunk leaves both stores
+        # unchanged (byte-identical re-upserts of immutable rows)
+        docs_before = sorted(
+            (r.doc_id, r.text) for r in docs.read(spark).collect()
+        )
+        fps_before = sorted(
+            (r.doc_id, r.fp) for r in fps.read(spark).collect()
+        )
+        body(corpus.filter(F.col("grp") == 1).drop("grp"), epoch_id=99)
+        assert sorted(
+            (r.doc_id, r.text) for r in docs.read(spark).collect()
+        ) == docs_before
+        assert sorted(
+            (r.doc_id, r.fp) for r in fps.read(spark).collect()
+        ) == fps_before
+        # decision monotonicity under replay: new -> dup_span allowed
+        # (batch-mates and later slices now admitted), dup_span -> new
+        # never; an existing dup row may be re-pointed only at an
+        # equal-or-longer run with equal-or-more distinct partners
+        regated = {
+            r.doc_id: (r.verdict, r.span_tokens, r.n_matches)
+            for r in decisions.read(spark).collect()
+        }
+        original = {
+            d: (verd, span, nm) for d, _, verd, _, span, nm in want
+        }
+        for doc, (verd, span, nm) in regated.items():
+            if original[doc][0] == "dup_span":
+                assert verd == "dup_span", doc
+                assert span >= original[doc][1], doc
+                assert nm >= original[doc][2], doc
+    finally:
+        shutil.rmtree(chunk_dir, ignore_errors=True)
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def test_streaming_crossdoc_dedup_gate_rejects_bad_sinks(spark):
+    """Wiring-time sink validation (hard AND, not a vacuous OR): a
+    non-store-backed docs/fps sink, wrong key_cols anywhere, or a
+    decisions sink without foreach_batch must all fail at construction,
+    not mid-stream on the first non-empty batch."""
+    from flink_streaming_demo_spark.streaming.pipelines import (
+        streaming_crossdoc_dedup_gate,
+    )
+    from flink_streaming_demo_spark.streaming.sinks import ParquetUpsertSink
+
+    root = tempfile.mkdtemp(prefix="crossdoc_badsink_")
+    try:
+        docs = ParquetUpsertSink(root + "/docs", ["doc_id"])
+        fps = ParquetUpsertSink(root + "/fps", ["doc_id", "fp"])
+        dec = ParquetUpsertSink(root + "/dec", ["doc_id"])
+
+        class NotASink:
+            path = root + "/x"  # path alone must NOT satisfy the guard
+
+        with pytest.raises(TypeError, match="docs_sink"):
+            streaming_crossdoc_dedup_gate(NotASink(), fps, dec)
+        with pytest.raises(ValueError, match="fps_sink"):
+            streaming_crossdoc_dedup_gate(
+                docs, ParquetUpsertSink(root + "/f2", ["fp"]), dec
+            )
+        with pytest.raises(ValueError, match="decisions_sink"):
+            streaming_crossdoc_dedup_gate(
+                docs, fps, ParquetUpsertSink(root + "/d2", ["doc_id", "s"])
+            )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
