@@ -1489,6 +1489,7 @@ def cross_doc_spans(
     min_span: int = CROSS_DOC_MIN_SPAN,
     max_fp_df: int = MAX_FINGERPRINT_DF,
     max_gram_df: int = MAX_CROSS_GRAM_DF,
+    intervals: DataFrame | None = None,
 ) -> DataFrame:
     """Maximal removed-span REPORT of cross-doc exact-substring dedup:
     one row per maximal covered span of a lower-priority doc —
@@ -1496,12 +1497,19 @@ def cross_doc_spans(
     spans merged over ALL higher-priority partners (overlapping or
     adjacent intervals coalesce). Detection semantics and scale shape:
     see cross_doc_intervals; the merge is pure keyed window functions
-    (no unpartitioned WindowExec)."""
+    (no unpartitioned WindowExec).
+
+    ``intervals`` lets a pipeline running BOTH the report and the strip
+    hand in a materialized ``cross_doc_intervals(df, ...)`` frame
+    (localCheckpoint it first) so the winnow index is paid once — the
+    winnow_pairs materialize_fps precedent; value-identical to the
+    inline path (pinned in tests/test_dedup.py)."""
     from pyspark.sql import Window as W
 
-    intervals = cross_doc_intervals(
-        df, text_col, id_col, min_span, max_fp_df, max_gram_df
-    )
+    if intervals is None:
+        intervals = cross_doc_intervals(
+            df, text_col, id_col, min_span, max_fp_df, max_gram_df
+        )
     merge_w = (
         W.partitionBy(id_col)
         .orderBy("st", "en")
@@ -1546,6 +1554,7 @@ def cross_doc_strip(
     min_span: int = CROSS_DOC_MIN_SPAN,
     max_fp_df: int = MAX_FINGERPRINT_DF,
     max_gram_df: int = MAX_CROSS_GRAM_DF,
+    intervals: DataFrame | None = None,
 ) -> DataFrame:
     """The CLEANING step of cross-doc exact-substring dedup — the
     deliverable the span report feeds (Lee et al. ExactSubstr: strip
@@ -1566,10 +1575,15 @@ def cross_doc_strip(
     bounded by the doc's matched runs, never corpus-sized) and a
     map-only Arrow pass doing the numpy coverage sweep per doc —
     O(tokens + intervals), the strip_dup_spans finish kernel
-    generalized to variable-length intervals."""
-    intervals = cross_doc_intervals(
-        df, text_col, id_col, min_span, max_fp_df, max_gram_df
-    )
+    generalized to variable-length intervals.
+
+    ``intervals``: see cross_doc_spans — a report+clean pipeline hands
+    in one materialized ``cross_doc_intervals`` frame and pays the
+    winnow index once."""
+    if intervals is None:
+        intervals = cross_doc_intervals(
+            df, text_col, id_col, min_span, max_fp_df, max_gram_df
+        )
     doc_iv = intervals.groupBy(id_col).agg(
         F.sort_array(F.collect_list(F.struct("st", "en"))).alias("ivals")
     )

@@ -702,3 +702,50 @@ def test_cross_doc_strip_fixture(spark):
         3: (9, 0, 0, md5(rows[2][1])),    # no overlap: untouched
         4: (16, 16, 1, md5("")),          # whole doc was the copy
     }
+
+
+def test_cross_doc_materialized_intervals_handoff(spark, sf_dir):
+    """The opt-in materialized-intervals handoff (r14 verdict #4): a
+    pipeline running BOTH the span report and the strip hands one
+    localCheckpointed cross_doc_intervals frame to both consumers and
+    pays the winnow index once — the results must be value-identical
+    to each consumer's inline path."""
+    from flink_streaming_demo_spark.plans.text_queries import (
+        _planted_corpus,
+    )
+
+    corpus = _planted_corpus(spark, sf_dir)
+    ivals = dedup.cross_doc_intervals(corpus).localCheckpoint()
+    for inline, handed in (
+        (dedup.cross_doc_spans(corpus),
+         dedup.cross_doc_spans(corpus, intervals=ivals)),
+        (dedup.cross_doc_strip(corpus),
+         dedup.cross_doc_strip(corpus, intervals=ivals)),
+    ):
+        assert inline.exceptAll(handed).count() == 0
+        assert handed.exceptAll(inline).count() == 0
+
+
+def test_cross_doc_spans_min_span_50_fixture(spark):
+    """Deterministic pin at the Lee-et-al production operating point
+    (min_span ~ 50, r14 verdict #6): a 55-token run shared with a
+    higher-priority doc is reported as exactly one 55-token span of the
+    lower-priority doc; a 49-token shared run stays BELOW the bar and
+    must produce nothing — the qualifying-run cut, not the index
+    detection floor, decides."""
+    long_run = " ".join(f"tok{i}" for i in range(55))
+    short_run = " ".join(f"sho{i}" for i in range(49))
+    rows = [
+        (1, long_run + " owner tail marker one"),
+        (2, "copy lead-in words here " + long_run),
+        (3, short_run + " other content entirely"),
+        (4, "different head material " + short_run),
+        (5, "no overlap with anything at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.doc_id, r.span_start, r.span_end, r.span_tokens)
+        for r in dedup.cross_doc_spans(df, min_span=50).collect()
+    }
+    # doc 2's copy of the 55-run starts after its 4 lead-in tokens
+    assert got == {(2, 5, 59, 55)}
