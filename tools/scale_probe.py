@@ -202,6 +202,14 @@ PROBE_QUERIES = [
     # must track the probed slice (~nprobe/K of the store scan at this
     # cell count), not re-read the whole store per query batch.
     "ivf_view_read_sized",
+    # round-15: the streaming cross-doc ingest gate, end-to-end (three
+    # gate+merge rounds incl. store builds — the dedup_ivf_stream_gate
+    # probe convention). The token-suffix copies are winnow-disjoint,
+    # so per-slice candidate pairs and anchor matches scale ~Nx with
+    # within-copy structure unchanged; wall should track the winnow
+    # extractions + the pair-bounded per-slice anchor joins, decisions
+    # rows = corpus rows exactly.
+    "dedup_crossdoc_stream_gate",
 ]
 
 _DOC_SHIFT = 10_000_000
