@@ -236,13 +236,33 @@ def main() -> int:
         # that happened on the first gated run of this round).
         if os.path.exists(anchor):
             with open(anchor) as f:
-                anchored_sf = json.load(f).get("sf")
+                anchored = json.load(f)
+            anchored_sf = anchored.get("sf")
             if anchored_sf is not None and summary["sf"] != anchored_sf:
                 raise RuntimeError(
                     f"anchor refresh refused: run sf {summary['sf']} != "
                     f"anchored sf {anchored_sf} — refresh from the same "
                     "scale the anchor measures"
                 )
+            # Calibration guard (r15): loadavg misses co-tenants that
+            # steal cycles without queuing runnable threads — an "idle"
+            # r15 run measured calib 0.163 s vs the anchor's 0.095 s
+            # (71% slower single-core) and would have replaced the
+            # fast anchor with a contended sample. Refuse when this
+            # run's slowest calibration is > 1.25x the anchor's
+            # slowest: an anchor may only be replaced from a box at
+            # least roughly as fast as the one that set it.
+            anc_calib = anchored.get("calib_sha256_200k_sec")
+            if anc_calib:
+                run_worst = max(calib_before, calib_after)
+                if run_worst > 1.25 * max(anc_calib):
+                    raise RuntimeError(
+                        f"anchor refresh refused: calibration "
+                        f"{run_worst:.4f}s > 1.25x anchored "
+                        f"{max(anc_calib):.4f}s — the box is slower "
+                        "than the anchor's sample (hidden co-tenancy); "
+                        "re-run when calibration recovers"
+                    )
         shutil.copyfile(details_path, anchor)
         print(f"anchor updated: {anchor} (loadavg5 {load5})",
               file=sys.stderr)
