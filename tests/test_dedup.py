@@ -749,3 +749,38 @@ def test_cross_doc_spans_min_span_50_fixture(spark):
     }
     # doc 2's copy of the 55-run starts after its 4 lead-in tokens
     assert got == {(2, 5, 59, 55)}
+
+
+def test_cross_doc_gate_caps_are_causal(spark):
+    """The gate's viral-fp cap is computed over each batch's CAUSAL
+    frame (admitted store + batch), so the SAME incoming document can
+    be flagged against a small store and cap-suppressed against a
+    grown one — the per-slice semantics the registered oracle replays.
+    Pinned deterministically by identical-text docs (they share every
+    winnowed fingerprint, so each fp's document frequency equals the
+    frame's doc count exactly)."""
+    from flink_streaming_demo_spark.functions.text import winnow_fp_rows
+
+    run = " ".join(f"w{i}" for i in range(20))  # 20 tokens >= min_span
+
+    def frame(ids):
+        return spark.createDataFrame(
+            [(i, run) for i in ids], "doc_id long, text string"
+        )
+
+    def verdicts(base_ids, inc_ids, cap):
+        base = frame(base_ids)
+        got = dedup.cross_doc_gate_decisions(
+            base, winnow_fp_rows(base), frame(inc_ids), max_fp_df=cap
+        )
+        return {r.doc_id: (r.verdict, r.span_tokens) for r in got.collect()}
+
+    # small store: union frame df = 2 <= cap -> detected, full-run span
+    assert verdicts([1], [10], cap=2) == {10: ("dup_span", 20)}
+    # grown store, same incoming text: df = 4 > cap -> every fp dropped
+    # on BOTH sides, no candidate pair, verdict downgrades to 'new' —
+    # the documented viral-cap suppression, now state-dependent
+    assert verdicts([1, 2, 3], [10], cap=2) == {10: ("new", 0)}
+    # and with the cap at the boundary (== is KEPT, drop_viral_keys
+    # contract) the grown store detects again
+    assert verdicts([1, 2, 3], [10], cap=4) == {10: ("dup_span", 20)}
