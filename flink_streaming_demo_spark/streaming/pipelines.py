@@ -1506,3 +1506,35 @@ def streaming_crossdoc_dedup_gate(
         docs_sink.foreach_batch(batch, epoch_id)
 
     return body
+
+
+def crossdoc_admitted_view(spark, docs_sink, decisions_sink):
+    """Serving-side read view over the cross-doc gate's stores: the
+    cleaned corpus = every admitted doc whose decision is 'new' — what
+    a training-data pipeline actually feeds downstream after the gate.
+    The gate ingests EVERY batch doc (decisions are a separate keyed
+    table, the dedup_ivf_stream_gate convention), so the view is a
+    keyed anti-join of the docs store against the flagged slice of the
+    decisions store — both bucketed parquet reads, the verdict filter
+    pushed into the decisions scan. A doc with no decision row (stores
+    written outside the gate body) is conservatively KEPT: decisions
+    are at-least-once, so absence means 'never gated', not 'dup'.
+
+    Reads tolerate never-written stores (a view arriving before the
+    first non-empty micro-batch) by returning an empty, correctly-typed
+    frame — the ivf_topk_view contract."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    if not os.path.exists(docs_sink.path):
+        return spark.createDataFrame([], "doc_id bigint, text string")
+    docs = docs_sink.read(spark).select("doc_id", "text")
+    if not os.path.exists(decisions_sink.path):
+        return docs
+    flagged = (
+        decisions_sink.read(spark)
+        .filter(F.col("verdict") == "dup_span")
+        .select("doc_id")
+    )
+    return docs.join(flagged, "doc_id", "left_anti")

@@ -3077,3 +3077,50 @@ def test_streaming_crossdoc_dedup_gate_rejects_bad_sinks(spark):
             )
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def test_crossdoc_admitted_view_is_corpus_minus_flagged(spark, sf_dir):
+    """The gate's serving view must equal the full corpus minus the
+    docs the trajectory flagged (the gate ingests everything; decisions
+    are a separate keyed table), and must return empty/pass-through
+    frames for never-written stores instead of raising."""
+    from flink_streaming_demo_spark.plans.text_queries import (
+        _planted_corpus,
+        dedup_crossdoc_stream_gate,
+    )
+    from flink_streaming_demo_spark.streaming.pipelines import (
+        crossdoc_admitted_view,
+        streaming_crossdoc_dedup_gate,
+    )
+    from flink_streaming_demo_spark.streaming.sinks import ParquetUpsertSink
+
+    corpus = _planted_corpus(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="crossdoc_view_")
+    docs = ParquetUpsertSink(root + "/docs", ["doc_id"])
+    fps = ParquetUpsertSink(root + "/fps", ["doc_id", "fp"])
+    dec = ParquetUpsertSink(root + "/dec", ["doc_id"])
+    try:
+        # never-written stores: typed empty, then docs pass-through
+        empty = crossdoc_admitted_view(spark, docs, dec)
+        assert empty.collect() == []
+        assert [f.name for f in empty.schema.fields] == ["doc_id", "text"]
+        body = streaming_crossdoc_dedup_gate(docs, fps, dec)
+        for i in range(3):
+            body(
+                corpus.filter(F.col("doc_id") % 3 == i).select(
+                    "doc_id", "text"
+                ),
+                epoch_id=i,
+            )
+        flagged = {
+            r.doc_id
+            for r in dedup_crossdoc_stream_gate(spark, sf_dir)
+            .filter(F.col("verdict") == "dup_span")
+            .collect()
+        }
+        assert flagged, "planted corpus must flag cross-doc dups"
+        kept = {r.doc_id for r in crossdoc_admitted_view(spark, docs, dec).collect()}
+        everyone = {r.doc_id for r in corpus.collect()}
+        assert kept == everyone - flagged
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
