@@ -784,3 +784,26 @@ def test_cross_doc_gate_caps_are_causal(spark):
     # and with the cap at the boundary (== is KEPT, drop_viral_keys
     # contract) the grown store detects again
     assert verdicts([1, 2, 3], [10], cap=4) == {10: ("dup_span", 20)}
+
+
+def test_cross_doc_gate_degenerate_docs_are_new(spark):
+    """Null-text and sub-k-token docs produce no fingerprints and no
+    anchor grams, so the gate must verdict them 'new' (not raise, not
+    drop them from the decisions frame) on both sides of the store."""
+    from flink_streaming_demo_spark.functions.text import winnow_fp_rows
+
+    base = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(20))), (2, None), (3, "ab")],
+        "doc_id long, text string",
+    )
+    incoming = spark.createDataFrame(
+        [(10, None), (11, "xy"), (12, " ".join(f"w{i}" for i in range(20)))],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: r.verdict
+        for r in dedup.cross_doc_gate_decisions(
+            base, winnow_fp_rows(base), incoming
+        ).collect()
+    }
+    assert got == {10: "new", 11: "new", 12: "dup_span"}
