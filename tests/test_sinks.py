@@ -152,3 +152,53 @@ def test_crossdoc_gate_decisions_exactly_once_with_duckdb_sink(
     )
     assert sorted(tuple(r) for r in dec.read(spark).collect()) == first
     assert os.path.exists(docs.path)
+
+
+def test_duckdb_sink_in_a_real_update_stream(spark, sf_dir, root):
+    """K3 through the transactional backend: the running-total update
+    stream (key = cell) wired via write_update_stream into the DuckDB
+    sink must converge to the batch result — the same contract the
+    in-memory and parquet convergence tests pin, now against the SQL
+    store (timestamps included, exercising the TIMESTAMP type map)."""
+    from flink_streaming_demo_spark.plans.taxi_apps import (
+        total_arrival_count,
+    )
+    from flink_streaming_demo_spark.sources.taxi import synthetic_taxi_rides
+    from flink_streaming_demo_spark.streaming import replay
+    from flink_streaming_demo_spark.streaming.pipelines import (
+        streaming_total_arrival_count,
+    )
+    from flink_streaming_demo_spark.streaming.sinks import (
+        write_update_stream,
+    )
+
+    rides = synthetic_taxi_rides(spark, sf_dir).filter(
+        F.col("ride_id") % 5 == 0
+    )
+    chunk_dir = replay.write_replay_chunks(rides, n_chunks=4, order_col="ts")
+    sink = DuckDBUpsertSink(root + "/k3.duckdb", ["cell"])
+    schema = (
+        "ride_id long, ts timestamp, is_start boolean, lon double, "
+        "lat double, passenger_cnt int"
+    )
+    try:
+        stream = replay.read_replay_stream(
+            spark, chunk_dir, schema, max_files_per_trigger=1
+        )
+        q = write_update_stream(
+            streaming_total_arrival_count(stream), sink, "k3_duck", "update"
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        got = {
+            r.cell: (r.cnt, r.max_ts) for r in sink.read(spark).collect()
+        }
+        expected = {
+            r.cell: (r.cnt, r.max_ts)
+            for r in total_arrival_count(rides).collect()
+        }
+        assert got == expected
+    finally:
+        shutil.rmtree(chunk_dir, ignore_errors=True)
