@@ -1394,19 +1394,10 @@ def cross_doc_intervals(
     """
     # gram width IS the winnow gram width, so the stage-1 detection
     # guarantee aligns exactly with the stage-2 anchors
-    from flink_streaming_demo_spark.functions.text import (
-        WINNOW_K,
-        WINNOW_W,
-    )
+    from flink_streaming_demo_spark.functions.text import WINNOW_K
 
     k = WINNOW_K
-    guarantee = WINNOW_W + WINNOW_K - 1
-    if min_span < guarantee:
-        raise ValueError(
-            f"min_span={min_span} below the winnow detection guarantee "
-            f"(>= {guarantee} tokens with K={WINNOW_K}, W={WINNOW_W}); "
-            "candidates would be missed"
-        )
+    _require_min_span(min_span)
     # The pair list is referenced three times downstream (both legs of
     # the candidate-doc union + the broadcast semi-join); without a cut
     # each reference re-inlines the whole winnow join subtree and the
@@ -1656,6 +1647,45 @@ def cross_doc_strip(
 
 # --- Incremental cross-doc gate core (streaming ExactSubstr front) ------------
 
+def _require_min_span(min_span: int) -> None:
+    """Shared min_span guard for the batch and gate cross-doc fronts:
+    below the winnow detection guarantee (W + K - 1 tokens) the
+    fingerprint index can MISS qualifying pairs, so both entry points
+    must refuse — one derivation, one message (r15 review: the guard
+    was copy-pasted and could drift)."""
+    from flink_streaming_demo_spark.functions.text import (
+        WINNOW_K,
+        WINNOW_W,
+    )
+
+    guarantee = WINNOW_W + WINNOW_K - 1
+    if min_span < guarantee:
+        raise ValueError(
+            f"min_span={min_span} below the winnow detection guarantee "
+            f"(>= {guarantee} tokens with K={WINNOW_K}, W={WINNOW_W}); "
+            "candidates would be missed"
+        )
+
+
+def _drop_viral_keys_distinct(
+    df: DataFrame, key_col: str, cap: int, distinct_cols: list[str]
+) -> DataFrame:
+    """``drop_viral_keys`` with the occurrence count taken over
+    DISTINCT ``distinct_cols`` rows instead of raw rows — for frames
+    where the same logical row can legitimately appear twice (the
+    gate's causal union under crash replay). Same boundary semantics:
+    exactly ``cap`` occurrences is KEPT."""
+    stop = (
+        df.select(*distinct_cols)
+        .distinct()
+        .groupBy(key_col)
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") > cap)
+        .select(key_col)
+    )
+    return df.join(F.broadcast(stop), key_col, "left_anti")
+
+
 def cross_doc_gate_runs(
     base_docs: DataFrame | None,
     base_fps: DataFrame | None,
@@ -1707,18 +1737,11 @@ def cross_doc_gate_runs(
     the cross_doc_intervals driver-OOM rationale)."""
     from flink_streaming_demo_spark.functions.text import (
         WINNOW_K,
-        WINNOW_W,
         winnow_fp_rows,
     )
 
     k = WINNOW_K
-    guarantee = WINNOW_W + WINNOW_K - 1
-    if min_span < guarantee:
-        raise ValueError(
-            f"min_span={min_span} below the winnow detection guarantee "
-            f"(>= {guarantee} tokens with K={WINNOW_K}, W={WINNOW_W}); "
-            "candidates would be missed"
-        )
+    _require_min_span(min_span)
     empty = incoming.sparkSession.createDataFrame(
         [],
         schema=(
@@ -1733,13 +1756,22 @@ def cross_doc_gate_runs(
         if incoming_fps is not None
         else winnow_fp_rows(incoming, text_col, id_col).localCheckpoint()
     )
-    # viral-fp cap over the causal union frame (store rows + batch rows)
+    # Viral-fp cap over the causal union frame (store rows + batch
+    # rows), counted over DISTINCT (doc, fp): a crash-replayed batch
+    # appears on BOTH sides of the union, and counting its rows twice
+    # could push a fingerprint over the cap that the original gating
+    # kept — dropping the candidate pairs and flipping committed
+    # dup_span decisions back to 'new', the exact reversal the
+    # monotone replay contract forbids (r15 review). In the normal
+    # disjoint flow distinct == raw, so the oracle is unchanged.
     tagged = base_fps.select(
         id_col, "fp", F.lit(True).alias("is_base")
     ).unionByName(
         inc_fps.select(id_col, "fp", F.lit(False).alias("is_base"))
     )
-    capped = drop_viral_keys(tagged, "fp", max_fp_df)
+    capped = _drop_viral_keys_distinct(
+        tagged, "fp", max_fp_df, [id_col, "fp"]
+    )
     bb = capped.filter("is_base").alias("bb")
     ii = capped.filter(~F.col("is_base")).alias("ii")
     # Pair index: store doc x incoming doc sharing any surviving fp
@@ -1782,7 +1814,11 @@ def cross_doc_gate_runs(
         )
         .localCheckpoint()
     )
-    grams = drop_viral_keys(grams, "gram", max_gram_df)
+    # gram cap: distinct (doc, s, gram) for the same replay reason —
+    # a replayed doc's grams sit in BOTH candidate sides
+    grams = _drop_viral_keys_distinct(
+        grams, "gram", max_gram_df, [id_col, "s", "gram"]
+    )
     gb = grams.filter("is_base").alias("gb")
     gi = grams.filter(~F.col("is_base")).alias("gi")
     matched = (
@@ -1838,6 +1874,11 @@ def cross_doc_gate_decisions(
     dedup_ivf_stream_gate null-free convention."""
     from pyspark.sql import Window as W
 
+    # Materialize the runs once: both consumers below (the best-run
+    # window and the distinct-partner count) would otherwise each
+    # re-inline the full anchor-join subtree — the heaviest stage of
+    # every micro-batch executed twice (r15 review). The run list is
+    # interval-sized, orders of magnitude smaller than the gram frames.
     runs = cross_doc_gate_runs(
         base_docs,
         base_fps,
@@ -1848,7 +1889,7 @@ def cross_doc_gate_decisions(
         max_fp_df,
         max_gram_df,
         incoming_fps=incoming_fps,
-    )
+    ).localCheckpoint()
     span = (F.col("en") - F.col("st") + 1).alias("span_tokens")
     best_w = W.partitionBy(id_col).orderBy(
         (F.col("en") - F.col("st") + 1).desc(),

@@ -437,30 +437,65 @@ class DuckDBUpsertSink:
 
     # -- contract surface ----------------------------------------------------
 
+    def _epoch_committed(self, epoch_id: int) -> bool:
+        """True when the ledger already holds ``epoch_id`` — checked
+        BEFORE the batch's Spark job runs, so a crash-replayed committed
+        epoch (the exact case the ledger exists for) skips the whole
+        computation, not just the insert."""
+        import duckdb
+
+        if not os.path.exists(self.path):
+            return False
+        con = duckdb.connect(self.path, read_only=True)
+        try:
+            have = con.execute(
+                "SELECT count(*) FROM information_schema.tables "
+                "WHERE table_name = 'upsert_epochs'"
+            ).fetchone()[0]
+            if not have:
+                return False
+            return bool(
+                con.execute(
+                    "SELECT count(*) FROM upsert_epochs WHERE epoch_id = ?",
+                    [int(epoch_id)],
+                ).fetchone()[0]
+            )
+        finally:
+            con.close()
+
     def foreach_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
         import duckdb
 
+        if self.epoch_exactly_once and self._epoch_committed(epoch_id):
+            return
+        # The winning rows come back in batch-SCHEMA column order:
+        # latest_per_key reorders its output to (key_cols..., values...),
+        # so a keys-not-first schema would otherwise zip values into the
+        # wrong INSERT columns (silently, when adjacent types coincide).
+        cols = [f.name for f in batch_df.schema.fields]
         rows = [
             tuple(r)
-            for r in latest_per_key(
-                batch_df, self.key_cols, self.order_col
-            ).collect()
+            for r in latest_per_key(batch_df, self.key_cols, self.order_col)
+            .select(*cols)
+            .collect()
         ]
         if not rows:
             return
         con = duckdb.connect(self.path)
         try:
-            cols = self._ensure_tables(con, batch_df)
+            self._ensure_tables(con, batch_df)
             con.execute("BEGIN TRANSACTION")
             try:
                 if self.epoch_exactly_once:
+                    # re-check inside the transaction: the cheap
+                    # pre-check above races with itself only in theory
+                    # (one driver), but correctness must not rest on it
                     seen = con.execute(
                         "SELECT count(*) FROM upsert_epochs "
                         "WHERE epoch_id = ?",
                         [int(epoch_id)],
                     ).fetchone()[0]
                     if seen:
-                        # committed epoch replayed: exactly-once no-op
                         con.execute("ROLLBACK")
                         return
                     con.execute(

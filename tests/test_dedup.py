@@ -807,3 +807,27 @@ def test_cross_doc_gate_degenerate_docs_are_new(spark):
         ).collect()
     }
     assert got == {10: "new", 11: "new", 12: "dup_span"}
+
+
+def test_cross_doc_gate_replay_does_not_double_count_caps(spark):
+    """Regression (r15 review): a crash-replayed batch sits on BOTH
+    sides of the gate's causal union, and counting its fingerprint/gram
+    rows twice could push a key over the viral cap that the original
+    gating kept — silently flipping committed dup_span verdicts back to
+    'new'. The caps must count DISTINCT (doc, ...) rows: 3 admitted
+    docs sharing every fingerprint re-gated as a 2-doc replay reads
+    df = 3 (kept at cap 4), not 3 + 2 = 5 (dropped)."""
+    from flink_streaming_demo_spark.functions.text import winnow_fp_rows
+
+    run = " ".join(f"w{i}" for i in range(20))
+    base = spark.createDataFrame(
+        [(i, run) for i in (1, 2, 3)], "doc_id long, text string"
+    )
+    replayed = base.filter("doc_id >= 2")
+    got = {
+        r.doc_id: r.verdict
+        for r in dedup.cross_doc_gate_decisions(
+            base, winnow_fp_rows(base), replayed, max_fp_df=4
+        ).collect()
+    }
+    assert got == {2: "dup_span", 3: "dup_span"}

@@ -202,3 +202,22 @@ def test_duckdb_sink_in_a_real_update_stream(spark, sf_dir, root):
         assert got == expected
     finally:
         shutil.rmtree(chunk_dir, ignore_errors=True)
+
+
+def test_duckdb_sink_keys_not_first_schema(spark, root):
+    """Regression (r15 review): latest_per_key reorders its output to
+    (key_cols..., values...), so a batch whose key column is NOT the
+    leftmost must still land values in the right store columns — with
+    adjacent same-typed columns the misalignment would be a silent
+    swap, not an error."""
+    sink = DuckDBUpsertSink(root + "/kn.duckdb", ["k"], order_col="o")
+    sink.foreach_batch(
+        spark.createDataFrame(
+            [("va", 1, "vb", 2), ("vc", 1, "vd", 9)],
+            "s1 string, k bigint, s2 string, o int",
+        ),
+        0,
+    )
+    assert [tuple(r) for r in sink.read(spark).collect()] == [
+        ("vc", 1, "vd", 9)
+    ]

@@ -97,6 +97,13 @@ def import_closure(repo: str, mod: str, memo: dict[str, set[str]]) -> set[str]:
     queue = [mod]
     while queue:
         cur = queue.pop()
+        if cur != mod and cur in memo:
+            # memo holds only COMPLETE closures (top-level results), so
+            # folding one in and skipping its subtree is safe — without
+            # this the BFS re-parsed the shared closure once per query,
+            # ~queries x files parses across a coverage run (r15 review)
+            files |= memo[cur]
+            continue
         f = _module_file(repo, cur)
         if f is None:
             continue
