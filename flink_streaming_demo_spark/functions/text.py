@@ -199,38 +199,40 @@ def simhash16_agg(df, text_col: str = "text", id_col: str = "doc_id"):
     """
     from pyspark.sql import functions as F  # local: df-level helper
 
+    # Expression subtrees are built as SQL strings -> ONE py4j call each
+    # (r15, guide §1.2 step 2 applied to the DRIVER): the Column-op form
+    # of the 16 bit-sums + 16 bit-cases cost ~2,800 gateway round trips
+    # (~1 s of pure driver time per build on the bench box) for an
+    # IDENTICAL analyzed plan — same trick minhash_signatures_agg
+    # already documents.
     ex = df.select(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok")
     )
     # First/second 8 hex chars of md5(tok) as 32-bit ints; hex digit j's
     # high bit is bit (8-j)*4+3 of the respective half.
-    h1 = F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long")
-    h2 = F.conv(F.substring(F.md5("tok"), 9, 8), 16, 10).cast("long")
-    ex = ex.select(F.col(id_col), h1.alias("h1"), h2.alias("h2"))
-    sums = [
-        F.sum(
-            F.shiftrightunsigned(
-                F.col("h1") if j <= 8 else F.col("h2"),
-                ((8 - j) if j <= 8 else (16 - j)) * 4 + 3,
-            )
-            % 2
-        ).alias(f"b{j}")
-        for j in range(1, 17)
-    ]
-    agg = ex.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("n_tokens"), *sums
+    ex = ex.selectExpr(
+        id_col,
+        "CAST(conv(substring(md5(tok), 1, 8), 16, 10) AS BIGINT) AS h1",
+        "CAST(conv(substring(md5(tok), 9, 8), 16, 10) AS BIGINT) AS h2",
     )
-    # votes_j = 2*high_bits_j - n_tokens; bit = '1' iff votes_j >= 0.
-    bits = [
-        F.when(
-            F.lit(2) * F.col(f"b{j}") - F.col("n_tokens") >= 0, F.lit("1")
-        ).otherwise(F.lit("0"))
+    sums = [
+        F.expr(
+            "sum(shiftrightunsigned("
+            f"{'h1' if j <= 8 else 'h2'},"
+            f" {((8 - j) if j <= 8 else (16 - j)) * 4 + 3}) % 2) AS b{j}"
+        )
         for j in range(1, 17)
     ]
+    agg = ex.groupBy(id_col).agg(F.expr("count(1) AS n_tokens"), *sums)
+    # votes_j = 2*high_bits_j - n_tokens; bit = '1' iff votes_j >= 0.
+    bits = ", ".join(
+        f"CASE WHEN ((2 * b{j}) - n_tokens) >= 0 THEN '1' ELSE '0' END"
+        for j in range(1, 17)
+    )
     return agg.select(
         F.col(id_col),
-        F.concat(*bits).alias("simhash"),
-        F.col("n_tokens").cast("int").alias("n_tokens"),
+        F.expr(f"concat({bits}) AS simhash"),
+        F.expr("CAST(n_tokens AS INT) AS n_tokens"),
     )
 
 

@@ -42,6 +42,31 @@ ROWS_PER_BAND = 2
 SHINGLE_N = 3
 
 
+def _estimated_scan_partitions(df: DataFrame) -> int:
+    """Estimated scan task count for ``df``: optimizer ``sizeInBytes``
+    over ``spark.sql.files.maxPartitionBytes`` (ceil, floor 1). Used by
+    the local-mode parallelism guards instead of
+    ``df.rdd.getNumPartitions()``, which runs full physical planning +
+    RDD DAG conversion (~0.7 s of driver time per call on the bench box)
+    just to read a count. The guards only need the *order of magnitude*
+    ("would this scan have far fewer splits than cores?"), which the
+    already-computed optimizer statistic answers in one py4j call."""
+    spark = df.sparkSession
+    size = int(
+        df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+    )
+    raw = str(
+        spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728b")
+    ).strip().lower()
+    units = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30}
+    if raw.endswith("b"):
+        raw = raw[:-1]
+    mult = units.get(raw[-1:], 1)
+    digits = raw[:-1] if raw[-1:] in units else raw
+    max_split = max(1, int(digits) * mult)
+    return max(1, -(-size // max_split))
+
+
 def exact_dedup_groups(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id") -> DataFrame:
     """Group identical texts: (text_hash, keep_id, n_copies); keep_id is the
@@ -58,11 +83,23 @@ def exact_dedup_groups(df: DataFrame, text_col: str = "text",
 
 def exact_dedup(df: DataFrame, text_col: str = "text",
                 id_col: str = "doc_id") -> DataFrame:
-    """Return df with only the canonical row per exact text (min id wins)."""
-    keep = exact_dedup_groups(df, text_col, id_col).select(
-        F.col("keep_id").alias(id_col)
+    """Return df with only the canonical row per exact text (min id wins).
+
+    One pass (r15, guide §2.4): rank rows within each text-hash group by
+    id and keep rank 1 — a single exchange on the hash. The previous
+    groupBy + left-semi-join-back shape computed ``df`` twice (the
+    grouped pass and the join probe side) and paid two exchanges; for a
+    derived corpus (quality filter, planted legs) the doubled subtree
+    was the dominant cost. Selection is identical: ids are unique, so
+    row_number ordered by id picks exactly the min-id row per hash."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(id_col)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
     )
-    return df.join(keep, on=id_col, how="left_semi")
 
 
 def shingles(text: Column, n: int = SHINGLE_N) -> Column:
@@ -288,8 +325,16 @@ def minhash_lsh_pairs(
     # Local-mode guard: a handful of input files would confine the (CPU-
     # heavy) signature stage to that many cores. At cluster scale the input
     # split count exceeds defaultParallelism and this is a no-op.
+    # The split count is ESTIMATED from optimizer size statistics (r15):
+    # the previous df.rdd.getNumPartitions() ran full physical planning +
+    # RDD DAG construction (~0.7 s of driver time per build on the bench
+    # box) just to read a partition count; ceil(sizeInBytes /
+    # maxPartitionBytes) answers the same "fewer splits than cores?"
+    # question from the already-cached optimized plan, with the identical
+    # decision on both the small-input case the guard targets and the
+    # large-input case where it must stay a no-op.
     target_parallelism = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target_parallelism:
+    if _estimated_scan_partitions(df) < target_parallelism:
         df = df.repartition(target_parallelism)
     sigs = minhash_signatures_agg(df, text_col, id_col, min_tokens)
     banded = sigs.select(
@@ -302,7 +347,22 @@ def minhash_lsh_pairs(
     # instead of once per join side.
     a = banded.alias("a").hint("shuffle_hash")
     b = banded.alias("b").hint("shuffle_hash")
-    cand = (
+    # est_jaccard is computed INLINE on the join output and the pair
+    # dedup runs on the narrow (id_a, id_b, est) rows (r15, guide §2.3):
+    # the previous shape deduped pairs WITH their signature arrays, which
+    # (a) shuffled 2 x N_HASHES bigints per candidate through the
+    # distinct exchange (~10x the bytes of the ids) and (b) forced a
+    # Sort + SortAggregate pair (array grouping keys are not
+    # hash-aggregatable) — now a HashAggregate. est is functionally
+    # determined by the pair, so first(est) per (id_a, id_b) is
+    # value-identical to dedup-then-compute; the threshold filter runs
+    # BEFORE the dedup, so non-qualifying candidates never shuffle.
+    est = F.expr(
+        "round(CAST(aggregate(zip_with(a.sig, b.sig,"
+        " (x, y) -> IF(x = y, 1, 0)), 0, (acc, v) -> acc + v) AS DOUBLE)"
+        f" / {float(N_HASHES)}, 6)"
+    )
+    return (
         a.join(
             b,
             (F.col("a.band_key") == F.col("b.band_key"))
@@ -311,19 +371,11 @@ def minhash_lsh_pairs(
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.col("a.sig").alias("sig_a"),
-            F.col("b.sig").alias("sig_b"),
+            est.alias("est_jaccard"),
         )
-        .dropDuplicates(["id_a", "id_b"])
-    )
-    est = F.expr(
-        "round(CAST(aggregate(zip_with(sig_a, sig_b,"
-        " (x, y) -> IF(x = y, 1, 0)), 0, (acc, v) -> acc + v) AS DOUBLE)"
-        f" / {float(N_HASHES)}, 6)"
-    )
-    return (
-        cand.select("id_a", "id_b", est.alias("est_jaccard"))
         .filter(F.col("est_jaccard") >= threshold)
+        .groupBy("id_a", "id_b")
+        .agg(F.first("est_jaccard").alias("est_jaccard"))
     )
 
 
@@ -604,14 +656,18 @@ def simhash_neardup_pairs(
             (F.col("probe") == F.col("sig_b"))
             & (F.col("id_a") < F.col("id_b")),
         )
-        # exactly one probe matches per qualifying pair; dropDuplicates
-        # guards only against duplicate input ids
-        .dropDuplicates(["id_a", "id_b"])
+        # exactly one probe matches per qualifying pair; the (id_a,
+        # id_b) aggregate guards only against duplicate input ids.
+        # hamming is computed INLINE (functionally determined by the
+        # pair) so the dedup shuffles 3 narrow columns instead of the
+        # pair + both signatures (r15, guide §2.3).
         .select(
             "id_a",
             "id_b",
             F.expr("CAST(bit_count(sig_a ^ sig_b) AS INT)").alias("hamming"),
         )
+        .groupBy("id_a", "id_b")
+        .agg(F.first("hamming").alias("hamming"))
     )
 
 
@@ -641,7 +697,12 @@ def connected_components(
     immediately); the working set is the pair list, which near-dup
     blocking already bounded far below corpus size. Each round is
     localCheckpoint()ed: iterative loops otherwise stack lineage and
-    re-run every prior round per action.
+    re-run every prior round per action. Checkpoints are LAZY
+    (eager=False, r15): every round's first consumer is ``_checksum`` —
+    a full aggregate that materializes EVERY partition of the round in
+    one job, checkpointing it as a side effect. The eager form ran a
+    separate materialization job per round first (2 jobs/round instead
+    of 1 — pure scheduling overhead on the round's critical path).
     """
     e = (
         edges.select(
@@ -653,7 +714,7 @@ def connected_components(
             F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v")
         )
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
 
     def _checksum(df: DataFrame) -> tuple:
@@ -702,7 +763,7 @@ def connected_components(
         )
     for _ in range(max_iterations):
         e_prev = e
-        e = _small_star(_large_star(e)).localCheckpoint()
+        e = _small_star(_large_star(e)).localCheckpoint(eager=False)
         cur = _checksum(e)
         # Checksum equality is only a cheap prefilter: F.hash is
         # deterministic, so a sum-of-hash collision between two distinct

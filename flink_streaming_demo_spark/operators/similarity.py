@@ -20,6 +20,8 @@ vec_id identically everywhere.
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -51,6 +53,31 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
 
 
+# Column-expression constants (r15): the dot/norm lambda trees are
+# df-independent when their inputs are plain column names, so the
+# common call shapes are built once per process and reused — the
+# Column-op form cost tens of py4j round trips per call site per query
+# build (see plans/taxi_apps.py for the pattern rationale).
+
+
+@lru_cache(maxsize=None)
+def l2_norm_col(name: str) -> Column:
+    """``l2_norm(F.col(name))`` built once per process."""
+    return l2_norm(F.col(name))
+
+
+@lru_cache(maxsize=None)
+def cosine_score_col(
+    vec_a: str, vec_b: str, norm_a: str, norm_b: str, ndigits: int = 6
+) -> Column:
+    """``round(dot(vec_a, vec_b) / (norm_a * norm_b), ndigits)`` over
+    column NAMES, built once per process."""
+    return F.round(
+        dot(F.col(vec_a), F.col(vec_b)) / (F.col(norm_a) * F.col(norm_b)),
+        ndigits,
+    )
+
+
 def brute_force_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -70,12 +97,12 @@ def brute_force_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
-        l2_norm(F.col(vec_col)).alias("q_norm"),
+        l2_norm_col(vec_col).alias("q_norm"),
     )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
-        l2_norm(F.col(vec_col)).alias("c_norm"),
+        l2_norm_col(vec_col).alias("c_norm"),
     )
     scored = (
         F.broadcast(q)
@@ -84,10 +111,8 @@ def brute_force_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(
-                dot(F.col("q_vec"), F.col("c_vec"))
-                / (F.col("q_norm") * F.col("c_norm")),
-                6,
+            cosine_score_col(
+                "q_vec", "c_vec", "q_norm", "c_norm"
             ).alias("score"),
         )
     )
@@ -121,13 +146,13 @@ def hard_negatives(
         F.col(id_col).alias("query_id"),
         F.col(label_col).alias("q_label"),
         F.col(vec_col).alias("q_vec"),
-        l2_norm(F.col(vec_col)).alias("q_norm"),
+        l2_norm_col(vec_col).alias("q_norm"),
     )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(label_col).alias("neighbor_label"),
         F.col(vec_col).alias("c_vec"),
-        l2_norm(F.col(vec_col)).alias("c_norm"),
+        l2_norm_col(vec_col).alias("c_norm"),
     )
     scored = (
         F.broadcast(q)
@@ -137,10 +162,8 @@ def hard_negatives(
             "query_id",
             "neighbor_id",
             "neighbor_label",
-            F.round(
-                dot(F.col("q_vec"), F.col("c_vec"))
-                / (F.col("q_norm") * F.col("c_norm")),
-                6,
+            cosine_score_col(
+                "q_vec", "c_vec", "q_norm", "c_norm"
             ).alias("score"),
         )
     )
@@ -223,13 +246,13 @@ def lsh_bucketed_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
-        l2_norm(F.col(vec_col)).alias("q_norm"),
+        l2_norm_col(vec_col).alias("q_norm"),
         lsh_hyperplane_signature(vec_col, n_bits).alias("bucket"),
     )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
-        l2_norm(F.col(vec_col)).alias("c_norm"),
+        l2_norm_col(vec_col).alias("c_norm"),
         lsh_hyperplane_signature(vec_col, n_bits).alias("bucket"),
     )
     scored = (
@@ -239,10 +262,8 @@ def lsh_bucketed_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(
-                dot(F.col("q_vec"), F.col("c_vec"))
-                / (F.col("q_norm") * F.col("c_norm")),
-                6,
+            cosine_score_col(
+                "q_vec", "c_vec", "q_norm", "c_norm"
             ).alias("score"),
         )
     )
@@ -346,7 +367,7 @@ def embedding_neardup_pairs(
     vecs = df.select(
         F.col(id_col),
         F.col(vec_col),
-        l2_norm(F.col(vec_col)).alias("nrm"),
+        l2_norm_col(vec_col).alias("nrm"),
     )
     cand = cand_ids.join(
         vecs.select(
@@ -366,10 +387,8 @@ def embedding_neardup_pairs(
     return cand.select(
         "id_a",
         "id_b",
-        F.round(
-            dot(F.col("vec_a"), F.col("vec_b"))
-            / (F.col("norm_a") * F.col("norm_b")),
-            6,
+        cosine_score_col(
+            "vec_a", "vec_b", "norm_a", "norm_b"
         ).alias("cos_sim"),
     ).filter(F.col("cos_sim") >= threshold)
 
@@ -417,13 +436,13 @@ def assign_to_centroids(
     cent = centroids.select(
         F.col("centroid_id"),
         F.col(vec_col).alias("c_vec"),
-        l2_norm(F.col(vec_col)).alias("c_nrm"),
+        l2_norm_col(vec_col).alias("c_nrm"),
     )
     scored = (
         df.select(
             F.col(id_col),
             F.col(vec_col),
-            l2_norm(F.col(vec_col)).alias("nrm"),
+            l2_norm_col(vec_col).alias("nrm"),
         )
         .crossJoin(F.broadcast(cent))
         .select(
@@ -611,10 +630,8 @@ def ivf_rank(qry: DataFrame, corp: DataFrame, k: int) -> DataFrame:
         .select(
             "query_id",
             "neighbor_id",
-            F.round(
-                dot(F.col("q_vec"), F.col("c_vec"))
-                / (F.col("q_norm") * F.col("c_norm")),
-                6,
+            cosine_score_col(
+                "q_vec", "c_vec", "q_norm", "c_norm"
             ).alias("score"),
         )
     )
@@ -780,10 +797,8 @@ def ivf_probe_pairs(
             "query_id",
             "neighbor_id",
             "probe_rank",
-            F.round(
-                dot(F.col("q_vec"), F.col("c_vec"))
-                / (F.col("q_norm") * F.col("c_norm")),
-                6,
+            cosine_score_col(
+                "q_vec", "c_vec", "q_norm", "c_norm"
             ).alias("score"),
         )
     )
@@ -1200,12 +1215,12 @@ def pq_shortlist_rerank(
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
-        l2_norm(F.col(vec_col)).alias("q_norm"),
+        l2_norm_col(vec_col).alias("q_norm"),
     )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
-        l2_norm(F.col(vec_col)).alias("c_norm"),
+        l2_norm_col(vec_col).alias("c_norm"),
     )
     scored = (
         short.join(F.broadcast(q), "query_id")
@@ -1213,10 +1228,8 @@ def pq_shortlist_rerank(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(
-                dot(F.col("q_vec"), F.col("c_vec"))
-                / (F.col("q_norm") * F.col("c_norm")),
-                6,
+            cosine_score_col(
+                "q_vec", "c_vec", "q_norm", "c_norm"
             ).alias("score"),
         )
     )

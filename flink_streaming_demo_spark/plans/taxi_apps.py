@@ -19,10 +19,33 @@ which AQE handles.
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from flink_streaming_demo_spark.functions import geo
+
+# Column-expression constants (r15): the geo/window expression trees the
+# three apps share are df-independent (unresolved attribute refs by
+# name), so they are built ONCE per process and reused. Building them
+# Column-op-by-Column-op on every query construction cost hundreds of
+# py4j gateway round trips per build — pure driver latency inside the
+# bench's timed region (and the driver's). lru_cache rather than import-
+# time module constants because Column construction needs a live JVM
+# gateway; the cached Columns stay valid for the life of that JVM
+# (local mode: the process).
+
+
+@lru_cache(maxsize=None)
+def _arrival_exprs() -> tuple:
+    return (
+        ~F.col("is_start"),
+        geo.is_in_nyc(F.col("lon"), F.col("lat")),
+        geo.grid_cell(F.col("lon"), F.col("lat")).alias("cell"),
+        F.col("ts"),
+        F.col("passenger_cnt"),
+    )
 
 
 def arrival_events(rides: DataFrame) -> DataFrame:
@@ -35,15 +58,24 @@ def arrival_events(rides: DataFrame) -> DataFrame:
     P1 — project to (cell, ts, passenger_cnt)
          (reference: examples/TotalArrivalCount.scala:70-73)
     """
-    return (
-        rides.filter(~F.col("is_start"))
-        .filter(geo.is_in_nyc(F.col("lon"), F.col("lat")))
-        .select(
-            geo.grid_cell(F.col("lon"), F.col("lat")).alias("cell"),
-            F.col("ts"),
-            F.col("passenger_cnt"),
-        )
+    is_end, bbox, cell, ts, cnt = _arrival_exprs()
+    return rides.filter(is_end).filter(bbox).select(cell, ts, cnt)
+
+
+@lru_cache(maxsize=None)
+def _total_exprs() -> tuple:
+    aggs = (
+        F.max("ts").alias("max_ts"),
+        F.sum("passenger_cnt").cast("bigint").alias("cnt"),
     )
+    out = (
+        F.col("cell"),
+        F.col("max_ts"),
+        geo.cell_center_lon(F.col("cell")).alias("center_lon"),
+        geo.cell_center_lat(F.col("cell")).alias("center_lat"),
+        F.col("cnt"),
+    )
+    return aggs, out
 
 
 def total_arrival_count(rides: DataFrame) -> DataFrame:
@@ -57,17 +89,24 @@ def total_arrival_count(rides: DataFrame) -> DataFrame:
     The streaming variant (update output mode) re-emits changed cells per
     micro-batch — see streaming/pipelines.py.
     """
-    agg = arrival_events(rides).groupBy("cell").agg(
-        F.max("ts").alias("max_ts"),
-        F.sum("passenger_cnt").cast("bigint").alias("cnt"),
+    total_aggs, total_out = _total_exprs()
+    return arrival_events(rides).groupBy("cell").agg(*total_aggs).select(
+        *total_out
     )
-    return agg.select(
+
+
+@lru_cache(maxsize=None)
+def _sliding_exprs(window: str, slide: str) -> tuple:
+    win = F.window(F.col("ts"), window, slide)
+    agg_expr = F.sum("passenger_cnt").cast("bigint").alias("cnt")
+    out = (
         F.col("cell"),
-        F.col("max_ts"),
+        F.col("window.end").alias("window_end"),
         geo.cell_center_lon(F.col("cell")).alias("center_lon"),
         geo.cell_center_lat(F.col("cell")).alias("center_lat"),
         F.col("cnt"),
     )
+    return win, agg_expr, out
 
 
 def sliding_arrival_count(
@@ -84,18 +123,13 @@ def sliding_arrival_count(
     (SURVEY §4.1). ``window.end`` is exclusive-end, same as Flink's
     ``window.getEnd``.
     """
+    win, agg_expr, out = _sliding_exprs(window, slide)
     agg = (
         arrival_events(rides)
-        .groupBy(F.window(F.col("ts"), window, slide), F.col("cell"))
-        .agg(F.sum("passenger_cnt").cast("bigint").alias("cnt"))
+        .groupBy(win, F.col("cell"))
+        .agg(agg_expr)
     )
-    return agg.select(
-        F.col("cell"),
-        F.col("window.end").alias("window_end"),
-        geo.cell_center_lon(F.col("cell")).alias("center_lon"),
-        geo.cell_center_lat(F.col("cell")).alias("center_lat"),
-        F.col("cnt"),
-    )
+    return agg.select(*out)
 
 
 # ---------------------------------------------------------------------------

@@ -209,25 +209,26 @@ def taxi_trip_etl(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.lit(1) + (F.col("event_id") % 4)).cast("int").alias("passenger_cnt"),
         F.col("value").cast("float").alias("travel_dist"),
     )
-    starts = trips.select(
-        F.col("trip_id").alias("ride_id"),
-        F.col("start_ts").alias("ts"),
-        F.lit(True).alias("is_start"),
-        F.col("start_lon").alias("lon"),
-        F.col("start_lat").alias("lat"),
-        F.col("passenger_cnt"),
-        F.lit(-1.0).cast("float").alias("travel_dist"),
-    )
-    ends = trips.select(
-        F.col("trip_id").alias("ride_id"),
-        F.col("end_ts").alias("ts"),
-        F.lit(False).alias("is_start"),
-        F.col("end_lon").alias("lon"),
-        F.col("end_lat").alias("lat"),
-        F.col("passenger_cnt"),
-        F.col("travel_dist"),
-    )
-    return starts.unionAll(ends)
+    # ONE scan (r15): the two-projection unionAll read the events table
+    # twice; each trip row now explodes into its START and END event in
+    # a single pass — identical row multiset, half the input I/O.
+    return trips.select(
+        F.explode(
+            F.expr(
+                "array("
+                " named_struct("
+                "  'ride_id', trip_id, 'ts', start_ts,"
+                "  'is_start', true, 'lon', start_lon, 'lat', start_lat,"
+                "  'passenger_cnt', passenger_cnt,"
+                "  'travel_dist', CAST(-1.0 AS FLOAT)),"
+                " named_struct("
+                "  'ride_id', trip_id, 'ts', end_ts,"
+                "  'is_start', false, 'lon', end_lon, 'lat', end_lat,"
+                "  'passenger_cnt', passenger_cnt,"
+                "  'travel_dist', travel_dist))"
+            )
+        ).alias("e")
+    ).select("e.*")
 
 
 register(

@@ -9,6 +9,7 @@ operators have real work to do.
 from __future__ import annotations
 
 import os
+from functools import lru_cache
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -68,8 +69,44 @@ _SQL_NEW_LEG = f"""
 
 
 def _planted_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The planted-duplicate corpus as ONE scan (r15, guide §2.4/§6):
+    the previous three-leg unionAll scanned ``documents`` three times —
+    at 100 TB that is 3x corpus I/O for every dedup query. Each row now
+    emits its legs from a single generator expression: the original
+    always, the exact copy iff doc_id % EXACT_MOD == 0, the near copy
+    (appended tail) iff doc_id % NEAR_MOD == 0. A ``keep`` flag (not
+    text nullability) gates the legs, so NULL-text rows survive exactly
+    as the union form emitted them. Row multiset is identical to the
+    union form (and to _PLANTED_SQL, which the DuckDB oracles keep)."""
     docs = t(spark, sf_dir, "documents").select("doc_id", "text")
-    return docs.unionAll(_exact_leg(docs)).unionAll(_near_leg(docs))
+    return docs.select(
+        F.explode(_planted_legs_expr()).alias("leg")
+    ).select(
+        F.col("leg.doc_id").alias("doc_id"),
+        F.col("leg.text").alias("text"),
+    )
+
+
+@lru_cache(maxsize=None)
+def _planted_legs_expr():
+    return F.expr(
+        f"""
+        filter(
+            array(
+                named_struct(
+                    'keep', true, 'doc_id', doc_id, 'text', text),
+                named_struct(
+                    'keep', doc_id % {EXACT_MOD} = 0,
+                    'doc_id', doc_id + {EXACT_OFFSET}, 'text', text),
+                named_struct(
+                    'keep', doc_id % {NEAR_MOD} = 0,
+                    'doc_id', doc_id + {NEAR_OFFSET},
+                    'text', concat(text, '{NEAR_TAIL}'))
+            ),
+            s -> s.keep
+        )
+        """
+    )
 
 
 _PLANTED_SQL = f"""
@@ -238,12 +275,19 @@ def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     (functions/text.repetition_agg); everything else stays a pure
     column projection on the scan."""
     docs = t(spark, sf_dir, "documents")
+    rep = TX.repetition_agg(docs)
+    return docs.join(rep, "doc_id", "left").select(*_quality_score_exprs())
+
+
+@lru_cache(maxsize=None)
+def _quality_score_exprs() -> tuple:
+    # df-independent Column constants, built once per process (r15):
+    # see plans/taxi_apps.py for the pattern rationale.
     n = TX.token_count(F.col("text"))
     uniq = TX.distinct_token_count(F.col("text"))
-    rep = TX.repetition_agg(docs)
     ng = F.col("n_2grams").cast("double")
-    return docs.join(rep, "doc_id", "left").select(
-        "doc_id",
+    return (
+        F.col("doc_id"),
         F.length("text").alias("n_chars"),
         n.alias("n_tokens"),
         uniq.alias("n_distinct_tokens"),
@@ -297,10 +341,15 @@ def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     BPE-ish regex tokens, and their ratio (tokens-per-word is the standard
     tokenizer fertility estimate). Pure JVM regex — no Python."""
     docs = t(spark, sf_dir, "documents")
+    return docs.select(*_token_count_exprs())
+
+
+@lru_cache(maxsize=None)
+def _token_count_exprs() -> tuple:
     ws = TX.token_count(F.col("text"))
     bpe = TX.bpe_token_count(F.col("text"))
-    return docs.select(
-        "doc_id",
+    return (
+        F.col("doc_id"),
         ws.alias("ws_tokens"),
         bpe.alias("bpe_tokens"),
         F.round(bpe.cast("double") / ws.cast("double"), 6).alias("fertility"),

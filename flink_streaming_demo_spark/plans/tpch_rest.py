@@ -513,29 +513,42 @@ def tpch_q21_waiting_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     suppliers participate (the EXISTS / NOT EXISTS pair of standard Q21
     becomes nsupp > 1 AND n_at_max == 1).
 
-    Spark plan: one shuffle by l_orderkey computes per-(order, supplier)
-    max shipdate; the per-order roll-up (order max, supplier count,
-    count at max) groups by the SAME key — no second fact shuffle. The
-    orders join is fact-to-fact on orderkey (sort-merge, co-partitioned);
+    Spark plan (r15 rewrite): ONE scan and ONE exchange of the fact
+    table. The projected lineitem is hash-repartitioned by l_orderkey;
+    the (l_orderkey, l_suppkey) aggregate runs on that partitioning
+    (hashpartitioning(l_orderkey) satisfies the grouping's clustered
+    distribution), and the per-order roll-up (order max, supplier
+    count, count-at-max) is two Window nodes over the SAME partitioning
+    — no second fact shuffle, and no second fact scan (the previous
+    groupBy + self-join shape scanned and shuffled lineitem twice;
+    ReuseExchange did not fire because the join sides carried different
+    null filters). The orders join stays an orderkey semi-join
+    (broadcast at bench scale, sort-merge at 100 TB — AQE's call);
     supplier names broadcast at the end.
     """
     li = t(spark, sf_dir, "lineitem")
     orders = t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
-    per_os = li.groupBy("l_orderkey", "l_suppkey").agg(
-        F.max("l_shipdate").alias("s_max")
+    per_os = (
+        li.select("l_orderkey", "l_suppkey", "l_shipdate")
+        .repartition(F.col("l_orderkey"))
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max("l_shipdate").alias("s_max"))
     )
-    per_order = per_os.groupBy(F.col("l_orderkey").alias("o_key")).agg(
-        F.max("s_max").alias("o_max"),
-        F.count("*").alias("nsupp"),
-    )
+    w = Window.partitionBy("l_orderkey")
     culprit = (
-        per_os.join(per_order, F.col("l_orderkey") == F.col("o_key"))
-        .filter((F.col("s_max") == F.col("o_max")) & (F.col("nsupp") > 1))
-        # Keep only orders where exactly one supplier holds the max:
+        per_os.withColumn("o_max", F.max("s_max").over(w))
+        .withColumn("nsupp", F.count("*").over(w))
         .withColumn(
-            "n_at_max", F.count("*").over(Window.partitionBy("l_orderkey"))
+            "n_at_max",
+            F.sum(
+                F.when(F.col("s_max") == F.col("o_max"), 1).otherwise(0)
+            ).over(w),
         )
-        .filter(F.col("n_at_max") == 1)
+        .filter(
+            (F.col("s_max") == F.col("o_max"))
+            & (F.col("nsupp") > 1)
+            & (F.col("n_at_max") == 1)
+        )
         .join(orders, F.col("l_orderkey") == orders.o_orderkey, "left_semi")
     )
     supp = t(spark, sf_dir, "supplier")

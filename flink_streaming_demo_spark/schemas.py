@@ -83,15 +83,38 @@ NANO_TS_COLS = {
 }
 
 
+# Metadata-only cache (r15 optimization round): the DISCOVERED parquet
+# schema per (sf_dir, table). Rediscovering the schema on every
+# load_table call re-lists the path and re-reads parquet footers inside
+# the JVM (~0.15-0.3 s per call on the bench box; TPC-H queries call
+# load_table up to 6x per build, all inside the driver's timed region) —
+# at cluster scale the same repeated listing cost is guide §6's
+# "file listing" tax. The cache holds ONLY the StructType (metadata, no
+# rows, no results): every query execution still scans the parquet
+# inputs from disk, so bench/oracle runs remain full computations.
+_SCHEMA_CACHE: dict = {}
+
+
 def load_table(spark, sf_dir: str, name: str):
     """Read one driver-generated parquet table (TESTDATA.md), converting
-    nano-precision timestamp columns to TimestampType (microseconds)."""
+    nano-precision timestamp columns to TimestampType (microseconds).
+
+    The raw (pre-conversion) schema is discovered once per
+    (sf_dir, table) per process and cached — see _SCHEMA_CACHE. The
+    nano-vs-NTZ decision is re-derived from the cached schema, so the
+    returned frame is identical to an uncached read."""
     from pyspark.sql import functions as F
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    dtypes = dict(df.dtypes)
+    path = f"{sf_dir}/{name}.parquet"
+    key = (sf_dir, name)
+    schema = _SCHEMA_CACHE.get(key)
+    if schema is None:
+        schema = spark.read.parquet(path).schema
+        _SCHEMA_CACHE[key] = schema
+    df = spark.read.schema(schema).parquet(path)
+    dtypes = {f.name: f.dataType.simpleString() for f in schema.fields}
     for c in NANO_TS_COLS.get(name, ()):
         if dtypes.get(c) == "bigint":
             df = df.withColumn(c, F.expr(f"timestamp_micros({c} DIV 1000)"))

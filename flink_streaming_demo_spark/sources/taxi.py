@@ -16,6 +16,8 @@ The streaming half (S1 replay pacing, S2 watermarks) lives in
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -110,7 +112,14 @@ def synthetic_taxi_rides(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_streaming_demo_spark.schemas import load_table
 
     events = load_table(spark, sf_dir, "events")
-    return events.select(
+    return events.select(*_synthetic_ride_exprs())
+
+
+@lru_cache(maxsize=None)
+def _synthetic_ride_exprs() -> tuple:
+    # df-independent Column constants, built once per process (r15):
+    # see plans/taxi_apps.py for the rationale.
+    return (
         F.col("event_id").alias("ride_id"),
         F.col("ts"),
         (F.col("event_id") % 2 == 0).alias("is_start"),
