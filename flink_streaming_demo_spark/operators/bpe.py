@@ -79,7 +79,7 @@ def bpe_train_merges(
     ``n_merges`` most frequent adjacent-pair merges, in training order."""
     vocab = word_frequency_table(docs, text_col).select(
         _to_repr(F.col("word")).alias("s"), "cnt"
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     winners = []
     for rank in range(1, n_merges + 1):
         sym = _symbols("s")
@@ -99,12 +99,16 @@ def bpe_train_merges(
             .groupBy("p.pa", "p.pb")
             .agg(F.sum("cnt").alias("pair_count"))
         )
+        # Lazy checkpoint (r15): the winner materializes inside the
+        # SAME iteration's vocab-rewrite job (its broadcast build), so
+        # each merge costs one job instead of two; the vocab rewrite
+        # below stays EAGER to drive the iteration.
         win = (
             pairs.orderBy(
                 F.desc("pair_count"), F.asc("pa"), F.asc("pb")
             )
             .limit(1)
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         winners.append(win.select(F.lit(rank).alias("rank"), "pa", "pb",
                                   "pair_count"))
@@ -375,7 +379,7 @@ def bpe_train_merges_batched(
 
     vocab = word_frequency_table(docs, text_col).select(
         _to_repr(F.col("word")).alias("s"), "cnt"
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     winners = []
     done = 0
     for _ in range(n_batches):
@@ -401,7 +405,7 @@ def bpe_train_merges_batched(
             pairs.orderBy(*order)
             .limit(batch_k)
             .withColumn("rn", F.row_number().over(Window.orderBy(*order)))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         kept = (
             _batch_keep(cand)
@@ -411,8 +415,11 @@ def bpe_train_merges_batched(
                     "int"
                 ),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
+        # kept.count() is the pass's ONE driving action (r15): it
+        # materializes kept and, transitively, cand — two fewer jobs
+        # per pass than the eager checkpoints.
         n_kept = kept.count()
         if n_kept == 0:
             break

@@ -448,7 +448,7 @@ def ngram_jaccard_pairs(
     # query stays under the audit limits without the cut.)
     sh = drop_viral_keys(sh_all, "shingle", max_shingle_df)
     if materialize_shingles:
-        sh = sh.localCheckpoint()
+        sh = sh.localCheckpoint(eager=False)
     counts = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     # shuffle_hash, not the default sort-merge: both sides are the same
     # narrow (id, shingle) frame, and sorting 2x N rows by a long text
@@ -514,7 +514,7 @@ def ngram_containment_pairs(
     re-derivations without the cut); at 100 TB run on LSH survivors."""
     sh_all = shingle_rows(df, id_col, text_col, min_tokens=min_tokens)
     if materialize_shingles:
-        sh_all = sh_all.localCheckpoint()
+        sh_all = sh_all.localCheckpoint(eager=False)
     sh = drop_viral_keys(sh_all, "shingle", max_shingle_df)
     counts = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a").hint("shuffle_hash")
@@ -1033,7 +1033,7 @@ def winnow_pairs(
     # but ~15x faster extraction (see functions/text.winnow_fp_rows)
     fp = winnow_fp_rows(df, text_col, id_col)
     if materialize_fps:
-        fp = fp.localCheckpoint()
+        fp = fp.localCheckpoint(eager=False)
     else:
         # Library callers that skip the checkpoint still get ONE Arrow
         # extraction: repartition(fp) plants a shared exchange that the
@@ -1095,7 +1095,7 @@ def source_overlap_matrix(
         # (sizes, join sides a and b); opt-in localCheckpoint so they
         # share one derivation (the winnow_pairs precedent) — the
         # registered query passes True
-        sh = sh.localCheckpoint()
+        sh = sh.localCheckpoint(eager=False)
     sizes = sh.groupBy("src").agg(F.count(F.lit(1)).alias("n_shingles"))
     a = sh.select(F.col("src").alias("source_a"), "shingle")
     b = sh.select(F.col("src").alias("source_b"), "shingle")
@@ -1475,7 +1475,7 @@ def cross_doc_intervals(
             materialize_fps=True,
         )
         .select("id_a", "id_b")
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     cand_docs = (
         pairs.select(F.col("id_a").alias(id_col))
@@ -1490,7 +1490,7 @@ def cross_doc_intervals(
     # winnow_pairs materialize_fps precedent — a repartition-planted
     # shared exchange would still triple the gram-extraction subtree in
     # the initial plan.
-    grams = drop_viral_keys(grams.localCheckpoint(), "gram", max_gram_df)
+    grams = drop_viral_keys(grams.localCheckpoint(eager=False), "gram", max_gram_df)
     a = grams.alias("a").hint("shuffle_hash")
     b = grams.alias("b").hint("shuffle_hash")
     matched = (
@@ -1815,7 +1815,7 @@ def cross_doc_gate_runs(
     inc_fps = (
         incoming_fps
         if incoming_fps is not None
-        else winnow_fp_rows(incoming, text_col, id_col).localCheckpoint()
+        else winnow_fp_rows(incoming, text_col, id_col).localCheckpoint(eager=False)
     )
     # Viral-fp cap over the causal union frame (store rows + batch
     # rows), counted over DISTINCT (doc, fp): a crash-replayed batch
@@ -1851,7 +1851,7 @@ def cross_doc_gate_runs(
             F.col(f"ii.{id_col}").alias("inc_id"),
         )
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     if not pairs.head(1):
         return empty
@@ -1873,7 +1873,7 @@ def cross_doc_gate_runs(
                 id_col, "s", "gram", F.lit(False).alias("is_base")
             )
         )
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     # gram cap: distinct (doc, s, gram) for the same replay reason —
     # a replayed doc's grams sit in BOTH candidate sides
@@ -1950,7 +1950,7 @@ def cross_doc_gate_decisions(
         max_fp_df,
         max_gram_df,
         incoming_fps=incoming_fps,
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     span = (F.col("en") - F.col("st") + 1).alias("span_tokens")
     best_w = W.partitionBy(id_col).orderBy(
         (F.col("en") - F.col("st") + 1).desc(),

@@ -1354,13 +1354,18 @@ def streaming_ivf_dedup_gate(
         # re-runs the broadcast-K scan + rank exchange)
         assigned = SIM.assign_to_centroids(batch_df, cent, 1).select(
             "vec_id", "centroid_id", "embedding", "nrm"
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
         decisions = SIM.cell_neardup_gate(
             batch_df, store, cent, threshold, assigned=assigned
         )
-        # materialize decisions BEFORE the store merge mutates the
-        # parquet they are derived from
-        decisions_sink.foreach_batch(decisions.localCheckpoint(), epoch_id)
+        # decisions must be materialized BEFORE the store merge mutates
+        # the parquet they are derived from; the lazy checkpoint keeps
+        # that ordering (it materializes inside the decisions-store
+        # write, which runs before the cells merge) without the eager
+        # form's separate materialization job per batch (r15).
+        decisions_sink.foreach_batch(
+            decisions.localCheckpoint(eager=False), epoch_id
+        )
         cells_sink.foreach_batch(assigned, epoch_id)
 
     return body
@@ -1486,7 +1491,9 @@ def streaming_crossdoc_dedup_gate(
         )
 
         spark = batch_df.sparkSession
-        batch = batch_df.select("doc_id", "text").localCheckpoint()
+        batch = batch_df.select("doc_id", "text").localCheckpoint(
+            eager=False
+        )
         base_docs = (
             docs_sink.read(spark)
             if os.path.exists(docs_sink.path)
@@ -1495,13 +1502,18 @@ def streaming_crossdoc_dedup_gate(
         base_fps = (
             fps_sink.read(spark) if os.path.exists(fps_sink.path) else None
         )
-        inc_fps = winnow_fp_rows(batch).localCheckpoint()
+        inc_fps = winnow_fp_rows(batch).localCheckpoint(eager=False)
         decisions = D.cross_doc_gate_decisions(
             base_docs, base_fps, batch, incoming_fps=inc_fps, **kwargs
         )
-        # materialize decisions BEFORE the store merges mutate the
-        # parquet they are derived from
-        decisions_sink.foreach_batch(decisions.localCheckpoint(), epoch_id)
+        # decisions must be materialized BEFORE the store merges mutate
+        # the parquet they are derived from; the lazy checkpoint keeps
+        # that ordering (it materializes inside the decisions-store
+        # write, which runs before either merge) without the eager
+        # form's separate materialization job per batch (r15).
+        decisions_sink.foreach_batch(
+            decisions.localCheckpoint(eager=False), epoch_id
+        )
         fps_sink.foreach_batch(inc_fps, epoch_id)
         docs_sink.foreach_batch(batch, epoch_id)
 
