@@ -269,6 +269,51 @@ def repetition_agg(df, text_col: str = "text", id_col: str = "doc_id"):
     )
 
 
+#: Shared 2-gram array expression (adjacent token pairs, multiset order)
+#: — the per-row twin of repetition_agg's explode input.
+def _grams2_expr(text_col: str = "text") -> str:
+    sp = f"split({text_col}, ' ')"
+    return (
+        f"zip_with(slice({sp}, 1, size({sp}) - 1), "
+        f"slice({sp}, 2, size({sp}) - 1), (x, y) -> concat(x, ' ', y))"
+    )
+
+
+def repetition_cols(text_col: str = "text") -> tuple[Column, Column, Column]:
+    """Per-ROW repetition signals: (n_2grams, n_distinct_2grams,
+    top_2gram_count) as nullable Columns over the same 2-gram multiset as
+    repetition_agg — NULL where the agg form produces no row (NULL text;
+    < 2 tokens yields 0/0/0 best, callers coalesce like they coalesce the
+    agg's missing rows).
+
+    This is the shuffle-free form (r15, guide §2.4): the agg form
+    shuffles one row per distinct (doc, gram) — at corpus scale that is
+    nearly every 2-gram of every document crossing the exchange just to
+    be counted and immediately re-collapsed per doc. All three stats are
+    functions of the doc's own gram array, so they are computed inline:
+    size, size(array_distinct), and max run length over array_sort
+    (sorting groups equal grams, so the longest run IS the top count).
+    Value-pinned to repetition_agg by tests/test_text_functions.py."""
+    g = _grams2_expr(text_col)
+    top = (
+        f"aggregate(array_sort({g}), "
+        "named_struct('prev', CAST(NULL AS STRING), 'run', 0, 'best', 0), "
+        "(acc, x) -> named_struct("
+        " 'prev', x,"
+        " 'run', CASE WHEN acc.prev IS NOT NULL AND x = acc.prev"
+        "             THEN acc.run + 1 ELSE 1 END,"
+        " 'best', GREATEST(acc.best,"
+        "         CASE WHEN acc.prev IS NOT NULL AND x = acc.prev"
+        "             THEN acc.run + 1 ELSE 1 END)), "
+        "acc -> acc.best)"
+    )
+    return (
+        F.expr(f"size({g})"),
+        F.expr(f"size(array_distinct({g}))"),
+        F.expr(top),
+    )
+
+
 # PII-ish patterns, kept to the Java-regex/RE2 common subset (no
 # lookaround, no backrefs) so Spark and DuckDB match identically.
 EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"

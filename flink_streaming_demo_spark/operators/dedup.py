@@ -736,20 +736,26 @@ def connected_components(
             .agg(F.min("v").alias("mn"))
             .select("u", F.least("mn", "u").alias("m"))
         )
-        # connect every strictly-larger neighbor to the neighborhood min
+        # connect every strictly-larger neighbor to the neighborhood min.
+        # No distinct here (r15): the output is canonical (u > v) by
+        # construction — m <= center < v — and the small-star half that
+        # always follows absorbs duplicate edges in its groupBy-min and
+        # final distinct, so the extra exchange bought nothing. The
+        # joins are shuffle_hash-hinted: both sides are narrow long
+        # pairs already exchanged on u, and the default sort-merge
+        # added two sorts per round on the loop's critical path.
         return (
-            nbrs.join(m, "u")
+            nbrs.hint("shuffle_hash").join(m.hint("shuffle_hash"), "u")
             .filter(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .filter(F.col("u") != F.col("v"))
-            .distinct()
         )
 
     def _small_star(cur: DataFrame) -> DataFrame:
         # cur is canonical (u > v): v ranges over u's smaller neighbors
         m = cur.groupBy("u").agg(F.min("v").alias("m"))
         return (
-            cur.join(m, "u")
+            cur.hint("shuffle_hash").join(m.hint("shuffle_hash"), "u")
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .union(m.select("u", F.col("m").alias("v")))
             .filter(F.col("u") != F.col("v"))

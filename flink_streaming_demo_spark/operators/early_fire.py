@@ -99,9 +99,17 @@ def early_fire_counts(
     windowed = assign_sliding_windows(
         arrivals, "ts", window_secs, slide_secs
     )
+    # Lazy-checkpointed (r15, guide §2.4): ``totals`` feeds BOTH the
+    # below-threshold final rows and the above-threshold key list, and
+    # the two consumers prune different columns, so the optimizer plans
+    # the whole scan->explode->aggregate subtree TWICE (three input
+    # scans per run counting the raw-row leg). The checkpoint computes
+    # the pane aggregate once — per (cell, window) rows, the same
+    # intermediate the pair-list checkpoints in operators/dedup.py
+    # bound, orders of magnitude below the raw events it aggregates.
     totals = windowed.groupBy("cell", "w_start", "w_end").agg(
         F.sum("passenger_cnt").cast("bigint").alias("total")
-    )
+    ).localCheckpoint(eager=False)
     small = totals.filter(F.col("total") < threshold).select(
         F.col("cell"),
         F.col("w_end").alias("window_end"),

@@ -210,7 +210,8 @@ def events_asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     3. purchases EQUI-join the probe results on (user, cutoff): join
        output is exactly O(purchases) — no pair expansion at fact scale.
 
-    The struct max tie-breaks on (o_orderdate, o_orderkey), mirrored in
+    The max tie-breaks on (o_orderdate, o_orderkey) — encoded as one
+    bigint so it hash-aggregates (see the inline comment) — mirrored in
     the oracle's row_number order."""
     ev = t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
     orders = t(spark, sf_dir, "orders")
@@ -227,30 +228,43 @@ def events_asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0),
         ),
     )
-    # (1) per-(user, month) latest order — the only order-scale shuffle
+    # (1) per-(user, month) latest order — the only order-scale shuffle.
+    # The lexicographic max over (o_orderdate, o_orderkey) rides ONE
+    # BIGINT — unix_date * 2^44 + orderkey — instead of max(struct)
+    # (r15, guide §2.3/§3): struct grouping values are not
+    # hash-aggregatable, so the struct form planned Sort+SortAggregate
+    # twice (a full map-side sort of the orders scan); the encoded max
+    # is a plain HashAggregate, and the same bigint then flows through
+    # the union + running-max window (numeric max, no struct compare)
+    # and is decoded only at the final projection. Exact while
+    # o_orderkey < 2^44 (~1.8e13 — TPC-H orderkey reaches 6e9 at
+    # SF1000; dates are post-1970 so unix_date is nonnegative).
+    enc_k = 1 << 44
+    enc = (
+        F.unix_date(F.col("o_orderdate").cast("date")).cast("bigint")
+        * F.lit(enc_k)
+        + F.col("o_orderkey")
+    )
     bidx = F.year("o_orderdate") * 12 + F.month("o_orderdate")
     ord_b = orders.groupBy(
         F.col("o_custkey"), bidx.alias("bidx")
-    ).agg(
-        F.max(F.struct(F.col("o_orderdate"), F.col("o_orderkey"))).alias("mx")
-    )
+    ).agg(F.max(enc).alias("enc"))
     # (2) union bucket rows with probe keys; one per-user running max.
     # flag=-1 sorts a probe BEFORE orders of its own month, so the window
     # sees exactly the strictly-earlier buckets (o_orderdate < cutoff).
-    mx_type = "struct<o_orderdate:timestamp,o_orderkey:bigint>"
     probes = ev.select("user_id", "cutoff").distinct()
     order_rows = ord_b.select(
         F.col("o_custkey").alias("user_id"),
         F.col("bidx").alias("t"),
         F.lit(0).alias("flag"),
-        F.col("mx"),
+        F.col("enc"),
         F.lit(None).cast("timestamp").alias("cutoff"),
     )
     probe_rows = probes.select(
         "user_id",
         (F.year("cutoff") * 12 + F.month("cutoff")).alias("t"),
         F.lit(-1).alias("flag"),
-        F.lit(None).cast(mx_type).alias("mx"),
+        F.lit(None).cast("bigint").alias("enc"),
         F.col("cutoff"),
     )
     w = (
@@ -260,7 +274,7 @@ def events_asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     asof_dim = (
         order_rows.unionByName(probe_rows)
-        .withColumn("latest", F.max("mx").over(w))
+        .withColumn("latest", F.max("enc").over(w))
         .filter((F.col("flag") == -1) & F.col("latest").isNotNull())
         .select("user_id", "cutoff", "latest")
     )
@@ -274,8 +288,11 @@ def events_asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "user_id",
         ev.cutoff.alias("cutoff"),
-        F.col("latest.o_orderdate").alias("o_orderdate"),
-        F.col("latest.o_orderkey").alias("o_orderkey"),
+        F.expr(
+            f"CAST(date_add(DATE '1970-01-01',"
+            f" CAST(latest DIV {enc_k} AS INT)) AS TIMESTAMP)"
+        ).alias("o_orderdate"),
+        (F.col("latest") % F.lit(enc_k)).alias("o_orderkey"),
     )
 
 

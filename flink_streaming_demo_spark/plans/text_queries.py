@@ -270,13 +270,14 @@ def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document quality metrics: length, token stats, stopword ratio,
     uniqueness ratio, plus Gopher-style repetition signals (duplicate
     2-gram fraction, top 2-gram share) — the standard pre-training
-    corpus filters, applied BEFORE any near-dup pass. The repetition
-    stats come from one explode + partial-aggregated groupBy
-    (functions/text.repetition_agg); everything else stays a pure
-    column projection on the scan."""
+    corpus filters, applied BEFORE any near-dup pass. ONE projection on
+    ONE scan (r15, guide §2.4): the repetition stats are per-row array
+    expressions (functions/text.repetition_cols) — the previous
+    explode + groupBy + join-back shape scanned the corpus twice and
+    shuffled one row per distinct (doc, 2-gram), pure overhead for
+    stats that are functions of each doc's own gram array."""
     docs = t(spark, sf_dir, "documents")
-    rep = TX.repetition_agg(docs)
-    return docs.join(rep, "doc_id", "left").select(*_quality_score_exprs())
+    return docs.select(*_quality_score_exprs())
 
 
 @lru_cache(maxsize=None)
@@ -285,7 +286,8 @@ def _quality_score_exprs() -> tuple:
     # see plans/taxi_apps.py for the pattern rationale.
     n = TX.token_count(F.col("text"))
     uniq = TX.distinct_token_count(F.col("text"))
-    ng = F.col("n_2grams").cast("double")
+    n2, nd2, top2 = TX.repetition_cols("text")
+    ng = n2.cast("double")
     return (
         F.col("doc_id"),
         F.length("text").alias("n_chars"),
@@ -294,12 +296,12 @@ def _quality_score_exprs() -> tuple:
         F.round(uniq.cast("double") / n.cast("double"), 6).alias("uniq_ratio"),
         TX.avg_token_len(F.col("text")).alias("avg_token_len"),
         TX.stopword_ratio(F.col("text")).alias("stopword_ratio"),
-        F.coalesce("n_2grams", F.lit(0)).alias("n_2grams"),
+        F.coalesce(n2, F.lit(0)).alias("n_2grams"),
         F.coalesce(
-            F.round((ng - F.col("n_distinct_2grams")) / ng, 6), F.lit(0.0)
+            F.round((ng - nd2) / ng, 6), F.lit(0.0)
         ).alias("dup_2gram_frac"),
         F.coalesce(
-            F.round(F.col("top_2gram_count") / ng, 6), F.lit(0.0)
+            F.round(top2 / ng, 6), F.lit(0.0)
         ).alias("top_2gram_share"),
         (
             TX.quality_pass(F.col("text"))

@@ -38,6 +38,24 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # Size-based post-shuffle coalescing (r15, guide §2.2): the
+        # parallelismFirst default pins every post-shuffle stage at
+        # ~defaultParallelism read tasks even when the shuffle holds a
+        # few KB, so small-stage scheduling overhead dominates iterative
+        # and multi-exchange operators. False = AQE sizes read partitions
+        # by bytes (the advisory target below), which is also the
+        # documented production setting; the advisory size is THE
+        # scale knob and stays env-overridable for cluster deployments
+        # (guide §9 suggests 256m on real clusters; 64m — Spark's own
+        # default — keeps local parallelism for the mid-size shuffles).
+        .config(
+            "spark.sql.adaptive.coalescePartitions.parallelismFirst",
+            os.environ.get("SPARK_GRAFT_COALESCE_PARALLELISM_FIRST", "false"),
+        )
+        .config(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            os.environ.get("SPARK_GRAFT_ADVISORY_PARTITION_SIZE", "64m"),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.shuffle.spill.compress", "true")

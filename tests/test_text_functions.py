@@ -21,6 +21,40 @@ def test_repetition_agg_counts(spark):
     assert 3 not in got  # single-token doc: callers coalesce to zero
 
 
+def test_repetition_cols_match_agg(spark):
+    """The per-row repetition expressions (the shuffle-free form
+    text_quality_scores uses since r15) must equal the explode+groupBy
+    form wherever the agg produces a row, and behave like the agg's
+    missing-row/NULL cases elsewhere (0/0/0 for sub-2-token docs, NULL
+    for NULL text)."""
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, "a b a b a b"),
+        (2, "w x y z"),
+        (3, "solo"),
+        (4, None),
+        (5, "r r r r r r r r r r"),  # one gram repeated 9x
+        (6, "x y x z x y x y"),      # mixed runs
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    n2, nd2, top2 = TX.repetition_cols("text")
+    got = {
+        r.doc_id: (r.n2, r.nd2, r.top2)
+        for r in df.select(
+            "doc_id", n2.alias("n2"), nd2.alias("nd2"), top2.alias("top2")
+        ).collect()
+    }
+    agg = {
+        r.doc_id: (r.n_2grams, r.n_distinct_2grams, r.top_2gram_count)
+        for r in TX.repetition_agg(df).collect()
+    }
+    for doc_id, expect in agg.items():
+        assert got[doc_id] == expect
+    assert got[3] == (0, 0, 0)       # sub-2-token: agg emits no row
+    assert got[4] == (None, None, None)  # NULL text propagates
+
+
 def test_winnow_fingerprints_match_python_model(spark):
     """The expression-tree winnowing must match a straightforward Python
     model (rightmost-minimum per window) — including repeated-gram ties,
