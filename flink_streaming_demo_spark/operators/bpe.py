@@ -99,10 +99,9 @@ def bpe_train_merges(
             .groupBy("p.pa", "p.pb")
             .agg(F.sum("cnt").alias("pair_count"))
         )
-        # Lazy checkpoint (r15): the winner materializes inside the
-        # SAME iteration's vocab-rewrite job (its broadcast build), so
-        # each merge costs one job instead of two; the vocab rewrite
-        # below stays EAGER to drive the iteration.
+        # Lazy checkpoint (r15): the winner materializes inside its
+        # first consumer's job (the broadcast build feeding the next
+        # vocab rewrite), so each merge costs one job instead of two.
         win = (
             pairs.orderBy(
                 F.desc("pair_count"), F.asc("pa"), F.asc("pb")
@@ -119,7 +118,12 @@ def bpe_train_merges(
         vocab = (
             vocab.crossJoin(F.broadcast(win.select("pa", "pb")))
             .select(F.replace(F.col("s"), find, repl).alias("s"), "cnt")
-            .localCheckpoint()
+            # Lazy too (r15): the merge count is FIXED — no
+            # data-dependent control flow needs a mid-loop action, so
+            # the whole trainer builds without running a single job;
+            # every round's cut materializes inside the final
+            # consumer's execution, in dependency order.
+            .localCheckpoint(eager=False)
         )
     out = winners[0]
     for w in winners[1:]:
@@ -220,6 +224,18 @@ def bpe_segment(
     At extreme vocabularies (the broadcast map is vocab-sized) swap the
     final lookup for an explode + broadcast word_seg equi-join — same
     word_seg frame, data-sized shuffle instead of a giant map literal.
+
+    r15: the per-doc counts come from the concatenated seg STREAM via
+    string ops (each word contributes syms = '||'-count + 1, so
+    n_subwords = '||'-count(stream) + n_words) instead of a per-token
+    interpreted aggregate that regex-split every segmentation — the
+    stream is built once (it already feeds seg_hash) and scanned twice.
+    A full doc-level fold (replay the merges over the whole doc as one
+    string, no vocab map at all) was measured value-identical but
+    ~2.4x slower at sf0.1 — n_merges full-document replace scans cost
+    more than the per-token map probes on this corpus's tiny (31-word)
+    vocabulary — and is the documented fallback only for vocabularies
+    too large to broadcast.
     """
     ordered = merges.orderBy("rank").select(
         F.array_sort(
@@ -242,9 +258,6 @@ def bpe_segment(
             ),
         )
 
-    def n_syms(s):
-        return F.size(F.split(F.btrim(s, F.lit("|")), r"\|\|"))
-
     vocab = (
         docs.select(F.explode(words).alias("word"))
         .distinct()
@@ -256,6 +269,10 @@ def bpe_segment(
             F.collect_list(F.struct("word", "seg"))
         ).alias("wmap")
     )
+    st = F.col("_stream")
+    n_dseps = F.length(st) - F.length(
+        F.replace(st, F.lit("||"), F.lit(""))
+    )
     return (
         docs.select(F.col(id_col), F.col(text_col))
         .crossJoin(F.broadcast(wmap))
@@ -265,15 +282,21 @@ def bpe_segment(
                 words, lambda w: F.element_at(F.col("wmap"), w)
             ).alias("segs"),
         )
+        # staged selects: _stream is referenced twice (count + md5), so
+        # it gets its own projection — CollapseProject does not
+        # re-inline non-cheap multi-referenced aliases.
+        .select(
+            F.col(id_col),
+            F.size("segs").alias("n_words"),
+            F.concat_ws(" ", F.col("segs")).alias("_stream"),
+        )
         .select(
             id_col,
-            F.size("segs").alias("n_words"),
-            F.aggregate(
-                F.col("segs"),
-                F.lit(0).cast("long"),
-                lambda acc, s: acc + n_syms(s).cast("long"),
-            ).alias("n_subwords"),
-            F.md5(F.concat_ws(" ", F.col("segs"))).alias("seg_hash"),
+            "n_words",
+            (n_dseps / F.lit(2) + F.col("n_words"))
+            .cast("long")
+            .alias("n_subwords"),
+            F.md5(st).alias("seg_hash"),
         )
     )
 
@@ -446,7 +469,11 @@ def bpe_train_merges_batched(
                 ).alias("s"),
                 "cnt",
             )
-            .localCheckpoint()
+            # Lazy (r15): the NEXT pass's kept.count() materializes this
+            # fold as a side effect of scanning its pair counts — one
+            # job per pass instead of two, and the final pass's rewrite
+            # (which nothing consumes) never runs at all.
+            .localCheckpoint(eager=False)
         )
     if not winners:
         # degenerate corpus (no adjacent pairs anywhere): same
