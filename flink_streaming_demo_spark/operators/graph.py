@@ -53,10 +53,12 @@ def pagerank(
     # typically the output of the whole MinHash-LSH pipeline, and every
     # contrib join below re-executes its subtree otherwise (measured:
     # iterations+1 full signature passes) — same pattern as
-    # connected_components' pair-list checkpoint.
-    sym = sym.localCheckpoint()
+    # connected_components' pair-list checkpoint. Lazy (r15): the ONE
+    # unavoidable action — deg.count(), which the 1/n teleport term
+    # needs — materializes both cuts in a single job.
+    sym = sym.localCheckpoint(eager=False)
     deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("degree"))
-    deg = deg.localCheckpoint()
+    deg = deg.localCheckpoint(eager=False)
     n = deg.count()
     if n == 0:
         return deg.select(
@@ -64,33 +66,43 @@ def pagerank(
             "degree",
             F.lit(0.0).alias("pr"),
         )
+    # ranks carry degree AND prd = pr/degree (r15): the per-edge
+    # pr/degree division was a third per-round join (sym ⋈ ranks ⋈ deg)
+    # computing the SAME per-node double once per edge — summing the
+    # identical doubles, so mass is bit-identical with one join less
+    # and the division done n times instead of |E| times.
     ranks = deg.select(
-        F.col("src").alias("id"), F.lit(1.0 / n).alias("pr")
+        F.col("src").alias("id"),
+        "degree",
+        F.lit(1.0 / n).alias("pr"),
+        (F.lit(1.0 / n) / F.col("degree")).alias("prd"),
     )
     teleport = (1.0 - damping) / n
     for _ in range(iterations):
         contrib = (
             sym.join(ranks.withColumnRenamed("id", "src"), "src")
-            .join(deg, "src")
             .groupBy("dst")
-            .agg(F.sum(F.col("pr") / F.col("degree")).alias("mass"))
+            .agg(F.sum(F.col("prd")).alias("mass"))
+        )
+        pr = F.lit(teleport) + F.lit(damping) * F.coalesce(
+            F.col("mass"), F.lit(0.0)
         )
         ranks = (
-            deg.select(F.col("src").alias("id"))
+            deg.select(F.col("src").alias("id"), "degree")
             .join(contrib.withColumnRenamed("dst", "id"), "id", "left")
             .select(
                 "id",
-                (
-                    F.lit(teleport)
-                    + F.lit(damping) * F.coalesce(F.col("mass"), F.lit(0.0))
-                ).alias("pr"),
+                "degree",
+                pr.alias("pr"),
+                (pr / F.col("degree")).alias("prd"),
             )
-            .localCheckpoint()
+            # Lazy (r15): the iteration count is FIXED — no
+            # data-dependent control flow needs a mid-loop action, so
+            # all rounds materialize in dependency order inside the
+            # final consumer's job.
+            .localCheckpoint(eager=False)
         )
-    return (
-        ranks.join(deg.withColumnRenamed("src", "id"), "id")
-        .select("id", "degree", F.round("pr", 6).alias("pr"))
-    )
+    return ranks.select("id", "degree", F.round("pr", 6).alias("pr"))
 
 
 def sql_pagerank_ctes(

@@ -2172,11 +2172,18 @@ def sim_mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     100 TB shape: the single data-sized pass is the relevance scan
     (broadcast queries × corpus, same tier as sim_topk_cosine),
-    localCheckpointed once; each step then joins the candidate pool
-    against the ≤ k·|Q| selected rows (broadcast) and takes a
-    per-query windowed argmax — per-step cost is one small-side join
-    over the pool, never a corpus rescan, and state is k vectors per
-    query."""
+    localCheckpointed once; each step then updates the candidate
+    pool's running max-similarity INCREMENTALLY against the ONE new
+    pick per query (r15: max over a growing set == greatest of the
+    previous max and the newest similarity — max of doubles is
+    order-independent, so values are bit-identical to the re-aggregated
+    form) — per-step cost is one broadcast join of ≤ |Q| picked rows
+    against the pool, no per-step groupBy shuffle, no corpus rescan
+    (the pool carries cvec, so the pick needs no join back to the
+    embeddings), and state is k vectors per query. The step count is
+    FIXED, so every checkpoint is lazy: the whole trajectory builds
+    without running a job and materializes in dependency order inside
+    the consumer's action."""
     emb = t(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
@@ -2185,7 +2192,7 @@ def sim_mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = emb.select(
         F.col("vec_id").alias("cand_id"), F.col("embedding").alias("cvec")
     )
-    cands = (
+    pool = (
         q.crossJoin(c)
         .filter(F.col("cand_id") != F.col("query_id"))
         .select(
@@ -2193,57 +2200,26 @@ def sim_mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cand_id",
             "cvec",
             SIM.cosine(F.col("qvec"), F.col("cvec")).alias("rel"),
+            # running max_{s in selected} sim(c, s); NULL before the
+            # first selection so the first greatest() is exactly the
+            # first similarity (cosine can be negative — a 0.0 floor
+            # would be wrong).
+            F.lit(None).cast("double").alias("msim"),
         )
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("mmr"), F.asc("cand_id")
     )
     sel = None
     for step in range(1, MMR_K + 1):
-        if sel is None:
-            scored = cands.select(
-                "query_id",
-                "cand_id",
-                "rel",
-                (
-                    F.lit(MMR_LAMBDA) * F.col("rel")
-                    - F.lit(MMR_MU) * F.lit(0.0)
-                ).alias("mmr"),
-            )
-        else:
-            avail = cands.join(
-                sel.select(
-                    "query_id", F.col("sel_id").alias("cand_id")
-                ),
-                ["query_id", "cand_id"],
-                "left_anti",
-            )
-            sims = (
-                avail.join(
-                    F.broadcast(sel.select("query_id", "svec")),
-                    "query_id",
-                )
-                .groupBy("query_id", "cand_id", "rel")
-                .agg(
-                    F.max(
-                        SIM.cosine(F.col("cvec"), F.col("svec"))
-                    ).alias("msim")
-                )
-            )
-            scored = sims.select(
-                "query_id",
-                "cand_id",
-                "rel",
-                (
-                    F.lit(MMR_LAMBDA) * F.col("rel")
-                    - F.lit(MMR_MU) * F.col("msim")
-                ).alias("mmr"),
-            )
+        mmr = F.lit(MMR_LAMBDA) * F.col("rel") - F.lit(MMR_MU) * (
+            F.lit(0.0) if step == 1 else F.col("msim")
+        )
         pick = (
-            scored.withColumn("_rn", F.row_number().over(w))
+            pool.withColumn("mmr", mmr)
+            .withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)
-            .join(c, "cand_id")
             .select(
                 "query_id",
                 F.col("cand_id").alias("sel_id"),
@@ -2252,9 +2228,29 @@ def sim_mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "mmr",
                 F.lit(step).alias("step"),
             )
+            .localCheckpoint(eager=False)
         )
         sel = pick if sel is None else sel.unionByName(pick)
-        sel = sel.localCheckpoint()
+        if step < MMR_K:
+            pool = (
+                pool.join(
+                    F.broadcast(
+                        pick.select("query_id", "sel_id", "svec")
+                    ),
+                    "query_id",
+                )
+                .filter(F.col("cand_id") != F.col("sel_id"))
+                .select(
+                    "query_id",
+                    "cand_id",
+                    "cvec",
+                    "rel",
+                    F.greatest(
+                        "msim", SIM.cosine(F.col("cvec"), F.col("svec"))
+                    ).alias("msim"),
+                )
+                .localCheckpoint(eager=False)
+            )
     return sel.select(
         "query_id",
         "step",

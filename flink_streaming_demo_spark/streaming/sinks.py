@@ -267,28 +267,39 @@ class ParquetUpsertSink:
         if not touched:
             return
         exists = os.path.exists(self.path)
-        if exists:
-            self._check_layout()
-            old = spark.read.parquet(self.path).filter(
-                F.col(BUCKET_COL).isin(touched)
+        if not exists:
+            # First write: nothing reads the path, no merge — write the
+            # fresh rows straight in (r15: the staging round-trip below
+            # is pure overhead here).
+            fresh.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(
+                self.path
             )
-            keep = old.join(
-                fresh.select(*self.key_cols).distinct(),
-                on=self.key_cols,
-                how="left_anti",
-            )
-            merged = keep.unionByName(fresh)
-        else:
-            merged = fresh
-        # Stage the merged (touched-buckets-only) rows first: Spark refuses
-        # to overwrite a path it is concurrently reading, and staging also
-        # bounds the window where a crash could lose rows. Staging volume is
-        # O(touched buckets), not O(table).
-        staging = self.path + "._staging"
-        merged.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(staging)
+            self._write_meta()
+            return
+        self._check_layout()
+        old = spark.read.parquet(self.path).filter(
+            F.col(BUCKET_COL).isin(touched)
+        )
+        keep = old.join(
+            fresh.select(*self.key_cols).distinct(),
+            on=self.key_cols,
+            how="left_anti",
+        )
+        # Materialize the merged (touched-buckets-only) rows BEFORE the
+        # overwrite: Spark refuses to overwrite a path its plan reads
+        # from, and the write must not consume half-replaced input. The
+        # localCheckpoint cut (r15) serves both — the write's plan is a
+        # checkpointed RDD, not the path — replacing the previous
+        # staging-parquet write + re-read (one extra full write AND scan
+        # of the merged rows per micro-batch). Staged volume is still
+        # O(touched buckets), not O(table), in block-manager
+        # memory-and-disk instead of a second parquet copy; the crash
+        # window is unchanged (the dynamic partition overwrite itself
+        # was never atomic across buckets — replayed micro-batches
+        # re-converge the store either way).
+        merged = keep.unionByName(fresh).localCheckpoint()
         (
-            spark.read.parquet(staging)
-            .write.mode("overwrite")
+            merged.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy(BUCKET_COL)
             .parquet(self.path)
