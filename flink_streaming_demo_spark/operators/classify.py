@@ -84,7 +84,7 @@ def logreg_train(
     spark = feats.sparkSession
     w = spark.createDataFrame(
         [([0.0] * dims,)], "w array<double>"
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     for _ in range(n_iterations):
         scored = feats.crossJoin(F.broadcast(w))
         # All dims' gradient means in ONE pass — no posexplode, no
@@ -122,7 +122,7 @@ def logreg_train(
                     lambda wj, gj: F.round(wj - F.lit(lr) * gj, 6),
                 ).alias("w")
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
     return w
 

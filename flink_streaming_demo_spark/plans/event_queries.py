@@ -881,14 +881,14 @@ def events_user_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("_max_ts") - F.col("last_ts")).alias("recency_secs"),
         "frequency",
         "monetary",
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     scored = exact_global_ntile(
         scored, _RFM_TILES, "recency_secs", "user_id", out_col="r_score"
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     scored = exact_global_ntile(
         scored, _RFM_TILES, "frequency", "user_id", desc=True,
         out_col="f_score",
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     scored = exact_global_ntile(
         scored, _RFM_TILES, "monetary", "user_id", desc=True,
         out_col="m_score",

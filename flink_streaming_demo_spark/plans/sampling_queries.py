@@ -617,7 +617,7 @@ def sample_pack_subwords(spark: SparkSession, sf_dir: str) -> DataFrame:
     # and at scale, the tokenizer pass re-RUN per reference).
     sized = docs.select("doc_id", "source").join(
         seg, "doc_id"
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     packed = sampling.pack_greedy(
         sized, "n_subwords", _PACK_CAPACITY, part_col="source"
     )
@@ -1122,7 +1122,7 @@ def sample_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("tile").cast("double")
         + sampling.hash_bucket(F.col("doc_id")).cast("double")
         / F.lit(1e6),
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     return sampling.exact_global_rank(
         keyed, "ckey", "doc_id", out_col="curriculum_pos"
     ).select("curriculum_pos", "doc_id", "tile", "n_chars")

@@ -2555,7 +2555,7 @@ def strip_dup_spans(
     """
     doc_grams = _ngram_rows(docs, n)
     if materialize_grams:
-        doc_grams = doc_grams.localCheckpoint()
+        doc_grams = doc_grams.localCheckpoint(eager=False)
     # Grams occurring in >= 2 distinct docs (two-level agg: partial
     # (gram, doc) distinct-ing, then gram-level doc count).
     dup_grams = (
@@ -2833,7 +2833,7 @@ def text_quality_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 4.7 s at sf0.1). The standard cache-the-training-set move;
     # bit-identical doubles, so the engine-exact trajectory and the
     # oracle's feat CTE are unaffected.
-    feats = CL.quality_features(docs).localCheckpoint()
+    feats = CL.quality_features(docs).localCheckpoint(eager=False)
     w = CL.logreg_train(feats)
     return CL.logreg_score(feats, w)
 
@@ -3116,7 +3116,7 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the gate must not float with SHINGLE_N's default
         shingle_rows(docs, "doc_id", n=3, min_tokens=3)
         .withColumnRenamed("shingle", "gram")
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     first = grams.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
     per_doc = (

@@ -1882,7 +1882,7 @@ def _cov_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("sx").cast("decimal(38,0)")).alias("sx_diag"),
             F.sum("n").alias("n"),
         )
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     firsts = sums.filter(F.col("i") == F.col("j")).select(
         F.col("j").alias("d"), F.col("sx_diag").alias("sx_d")
@@ -2063,7 +2063,7 @@ def embedding_pca_top_component(
         f.filter(F.col("i") != F.col("j")).select(
             F.col("j").alias("i"), F.col("i").alias("j"), "c"
         )
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     v = full.select(F.col("i").alias("dim")).distinct().select(
         "dim", F.lit(0.125).alias("val")
     )
@@ -2095,7 +2095,7 @@ def embedding_pca_top_component(
         v = w.crossJoin(F.broadcast(norm)).select(
             F.col("i").alias("dim"),
             (F.col("w") / F.col("nrm")).alias("val"),
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
     return v.crossJoin(F.broadcast(norm)).select(
         F.col("dim"),
         F.round(F.col("val"), 6).alias("loading"),
@@ -2361,7 +2361,7 @@ def sim_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0.0).alias("radius"),
         F.lit(1).alias("step"),
     )
-    sel = seed.localCheckpoint()
+    sel = seed.localCheckpoint(eager=False)
     for step in range(2, KC_K + 1):
         avail = emb.join(
             sel.select(F.col("vec_id")), "vec_id", "left_anti"
@@ -2389,7 +2389,7 @@ def sim_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(step).alias("step"),
             )
         )
-        sel = sel.unionByName(pick).localCheckpoint()
+        sel = sel.unionByName(pick).localCheckpoint(eager=False)
     return sel.select(
         "step",
         F.col("vec_id").alias("sel_id"),
