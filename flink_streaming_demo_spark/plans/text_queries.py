@@ -2277,8 +2277,15 @@ def decon_split_by_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_streaming_demo_spark.operators import sampling
 
     corpus = _planted_corpus(spark, sf_dir)
-    pairs = dedup.minhash_lsh_pairs(corpus, threshold=0.5).select(
-        "id_a", "id_b"
+    # The pair list feeds TWO consumers (CC and the re-audit cells
+    # join); without the cut the whole MinHash-LSH subtree executes
+    # once per consumer (r15 — the CC pair-list checkpoint precedent;
+    # the frame is near-dup-pair sized). CC's own first checksum
+    # action materializes it during build.
+    pairs = (
+        dedup.minhash_lsh_pairs(corpus, threshold=0.5)
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=False)
     )
     labels = dedup.connected_components(pairs)
     membership = corpus.select("doc_id").join(
@@ -2292,10 +2299,14 @@ def decon_split_by_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id"),
     )
+    # split feeds both sides of the cells join; it is CORPUS-sized, so
+    # no checkpoint — a planted hash exchange lets ReusedExchange
+    # compute the label join once (the winnow_pairs repartition
+    # precedent).
     split = membership.select(
         "doc_id",
         sampling.hash_split(F.col("cluster_id")).alias("split"),
-    )
+    ).repartition("doc_id")
     cells = (
         pairs.join(
             split.select(F.col("doc_id").alias("id_a"),
@@ -3369,11 +3380,15 @@ def dedup_best_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = _planted_corpus(spark, sf_dir)
     pairs = dedup.minhash_lsh_pairs(corpus, threshold=0.5)
     labels = dedup.dedup_clusters(corpus, pairs)
+    # scored feeds the per-cluster argmax window AND the cluster stats,
+    # both keyed by cluster_id — the planted exchange is the
+    # partitioning both consumers need, so ReusedExchange computes the
+    # corpus join once instead of once per consumer (r15).
     scored = labels.join(corpus, "doc_id").select(
         "doc_id",
         "cluster_id",
         TX.token_count(F.col("text")).alias("n_tokens"),
-    )
+    ).repartition("cluster_id")
     from pyspark.sql import Window
 
     w = Window.partitionBy("cluster_id").orderBy(

@@ -1517,8 +1517,13 @@ def sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     would. Composes the two registered pipelines; the oracle composes
     their registered SQL verbatim (registry.ORACLE_SQL), so both sides
     stay definitionally in sync with the queries they grade."""
-    exact = sim_topk_cosine(spark, sf_dir).select(
-        "query_id", "neighbor_id"
+    # exact feeds BOTH the hits join and the per-query totals: the cut
+    # (k x |Q| rows) stops the full brute-force top-k subtree from
+    # executing once per consumer (r15).
+    exact = (
+        sim_topk_cosine(spark, sf_dir)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint(eager=False)
     )
     approx = sim_ann_lsh(spark, sf_dir).select("query_id", "neighbor_id")
     hits = exact.join(approx, ["query_id", "neighbor_id"]).groupBy(
@@ -1574,8 +1579,11 @@ def sim_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     seeding or nprobe-selection change fails the driver like a wrong
     join would). Composes the two registered pipelines; the oracle
     composes their registered SQL verbatim."""
-    exact = sim_topk_cosine(spark, sf_dir).select(
-        "query_id", "neighbor_id"
+    # same two-consumer cut as sim_ann_recall (r15)
+    exact = (
+        sim_topk_cosine(spark, sf_dir)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint(eager=False)
     )
     approx = sim_ivf_topk(spark, sf_dir).select("query_id", "neighbor_id")
     hits = exact.join(approx, ["query_id", "neighbor_id"]).groupBy(
@@ -1659,7 +1667,12 @@ def sim_ivf_multiprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     topk = cand.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= TOP_K
     )
-    exact = sim_topk_cosine(spark, sf_dir).select("query_id", "neighbor_id")
+    # exact feeds the hits join AND the total-count leg — cut once (r15)
+    exact = (
+        sim_topk_cosine(spark, sf_dir)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint(eager=False)
+    )
     hits = topk.join(exact, ["query_id", "neighbor_id"]).groupBy(
         "nprobe"
     ).agg(F.count(F.lit(1)).alias("n_hits"))
@@ -2675,6 +2688,10 @@ def sim_hybrid_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same neighbor_id tie-break — the oracle derives dense10 from
     vec_head the same way)."""
     lex, vec_pool = _hybrid_lists(spark, sf_dir)
+    # the dense pool feeds the fusion AND the ideal-ranking leg; the
+    # cut (50-row list) stops the corpus-scan top-k from executing
+    # once per consumer (r15)
+    vec_pool = vec_pool.localCheckpoint(eager=False)
     fused = RETR.rrf_fuse(lex, vec_pool, k=HYBRID_K).select(
         "doc_id", "rank"
     )
