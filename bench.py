@@ -162,7 +162,14 @@ def main() -> int:
         "loadavg_1_5_15_after": load_after,
         # absolute box-speed yardstick (see cpu_calibration_sec)
         "calib_sha256_200k_sec": [calib_before, calib_after],
-        "cpus": len(os.sched_getaffinity(0)),
+        # Effective parallelism (r16, VERDICT r15 #4): the session runs
+        # local[$SPARK_GRAFT_CPUS], so an 8-core scaling run must say 8
+        # here even on a 32-core box — sched_getaffinity alone reported
+        # the box, not the session.
+        "cpus": min(
+            int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
+            len(os.sched_getaffinity(0)),
+        ),
         "details": (
             "bench_details_all.json" if bench_all else "bench_details.json"
         ),

@@ -50,21 +50,32 @@ def _estimated_scan_partitions(df: DataFrame) -> int:
     RDD DAG conversion (~0.7 s of driver time per call on the bench box)
     just to read a count. The guards only need the *order of magnitude*
     ("would this scan have far fewer splits than cores?"), which the
-    already-computed optimizer statistic answers in one py4j call."""
-    spark = df.sparkSession
-    size = int(
-        df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
-    )
-    raw = str(
-        spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728b")
-    ).strip().lower()
-    units = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30}
-    if raw.endswith("b"):
-        raw = raw[:-1]
-    mult = units.get(raw[-1:], 1)
-    digits = raw[:-1] if raw[-1:] in units else raw
-    max_split = max(1, int(digits) * mult)
-    return max(1, -(-size // max_split))
+    already-computed optimizer statistic answers in one py4j call.
+
+    Any failure (a byte-size suffix this parser does not know, a plan
+    without stats) falls back to ``df.rdd.getNumPartitions()`` — the
+    slow-but-exact count this estimate replaces (r16 ADVICE): the guard
+    must degrade to correct-but-slower, never raise."""
+    try:
+        spark = df.sparkSession
+        size = int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+        raw = str(
+            spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728b")
+        ).strip().lower()
+        units = {
+            "k": 1 << 10, "m": 1 << 20, "g": 1 << 30,
+            "t": 1 << 40, "p": 1 << 50,
+        }
+        if raw.endswith("b"):
+            raw = raw[:-1]
+        mult = units.get(raw[-1:], 1)
+        digits = raw[:-1] if raw[-1:] in units else raw
+        max_split = max(1, int(digits) * mult)
+        return max(1, -(-size // max_split))
+    except Exception:
+        return df.rdd.getNumPartitions()
 
 
 def exact_dedup_groups(df: DataFrame, text_col: str = "text",

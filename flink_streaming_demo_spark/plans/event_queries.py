@@ -238,7 +238,14 @@ def events_asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the union + running-max window (numeric max, no struct compare)
     # and is decoded only at the final projection. Exact while
     # o_orderkey < 2^44 (~1.8e13 — TPC-H orderkey reaches 6e9 at
-    # SF1000; dates are post-1970 so unix_date is nonnegative).
+    # SF1000; dates are post-1970 so unix_date is nonnegative) AND
+    # while o_orderdate is date-granular (r16 ADVICE): the cast to
+    # DATE truncates any time-of-day before the max and the decode
+    # reconstructs midnight, so two same-day orders tie-break by
+    # orderkey, not by intra-day time. True of this schema —
+    # o_orderdate is generated as a pure date (sources/tpch.py) and
+    # the oracle twin applies the same truncation — but a
+    # timestamp-granular source would need epoch-seconds encoding.
     enc_k = 1 << 44
     enc = (
         F.unix_date(F.col("o_orderdate").cast("date")).cast("bigint")

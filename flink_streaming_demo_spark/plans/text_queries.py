@@ -297,12 +297,18 @@ def _quality_score_exprs() -> tuple:
         TX.avg_token_len(F.col("text")).alias("avg_token_len"),
         TX.stopword_ratio(F.col("text")).alias("stopword_ratio"),
         F.coalesce(n2, F.lit(0)).alias("n_2grams"),
-        F.coalesce(
-            F.round((ng - nd2) / ng, 6), F.lit(0.0)
-        ).alias("dup_2gram_frac"),
-        F.coalesce(
-            F.round(top2 / ng, 6), F.lit(0.0)
-        ).alias("top_2gram_share"),
+        # Guard the divisions (r16 ADVICE): a doc with < 2 tokens has a
+        # non-NULL n_2grams of 0, and under ANSI mode 0/0 throws
+        # DIVIDE_BY_ZERO instead of yielding the NULL the old
+        # explode+groupBy+left-join shape produced. when(n2 > 0) restores
+        # the old 0.0-for-sub-2-gram-docs behavior exactly (NULL text →
+        # condition NULL → otherwise-branch 0.0, same as the coalesce).
+        F.when(n2 > 0, F.round((ng - nd2) / ng, 6))
+        .otherwise(F.lit(0.0))
+        .alias("dup_2gram_frac"),
+        F.when(n2 > 0, F.round(top2 / ng, 6))
+        .otherwise(F.lit(0.0))
+        .alias("top_2gram_share"),
         (
             TX.quality_pass(F.col("text"))
         ).alias("passes_quality"),

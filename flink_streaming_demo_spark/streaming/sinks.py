@@ -296,7 +296,14 @@ class ParquetUpsertSink:
         # memory-and-disk instead of a second parquet copy; the crash
         # window is unchanged (the dynamic partition overwrite itself
         # was never atomic across buckets — replayed micro-batches
-        # re-converge the store either way).
+        # re-converge the store either way). LOCAL-MODE ASSUMPTION
+        # (r16 ADVICE): localCheckpoint blocks live in executor block
+        # managers, so on a multi-executor cluster an executor lost
+        # between this checkpoint and the overwrite makes the merge
+        # unrecoverable mid-batch (the old staging parquet was
+        # re-readable). A cluster deployment should reinstate an
+        # on-disk staging write here; in this engine's local[{n}]
+        # harness the executor IS the driver, so the window is moot.
         merged = keep.unionByName(fresh).localCheckpoint()
         (
             merged.write.mode("overwrite")

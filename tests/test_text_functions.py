@@ -55,6 +55,32 @@ def test_repetition_cols_match_agg(spark):
     assert got[4] == (None, None, None)  # NULL text propagates
 
 
+def test_quality_score_exprs_survive_sub_2gram_docs(spark):
+    """text_quality_scores' select list must not throw DIVIDE_BY_ZERO
+    under ANSI mode for docs with < 2 tokens (n_2grams = 0, non-NULL) or
+    NULL text — both must yield the 0.0 the old explode+groupBy+left-join
+    shape produced (r16 ADVICE)."""
+    from flink_streaming_demo_spark.plans.text_queries import (
+        _quality_score_exprs,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "solo"), (2, None), (3, "a b a b a b")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in df.select(*_quality_score_exprs()).collect()}
+    assert got[1].n_2grams == 0
+    assert got[1].dup_2gram_frac == 0.0
+    assert got[1].top_2gram_share == 0.0
+    assert got[2].n_2grams == 0
+    assert got[2].dup_2gram_frac == 0.0
+    assert got[2].top_2gram_share == 0.0
+    # sanity on a normal doc: 5 grams, 2 distinct, top x3
+    assert got[3].n_2grams == 5
+    assert got[3].dup_2gram_frac == 0.6
+    assert got[3].top_2gram_share == 0.6
+
+
 def test_winnow_fingerprints_match_python_model(spark):
     """The expression-tree winnowing must match a straightforward Python
     model (rightmost-minimum per window) — including repeated-gram ties,
