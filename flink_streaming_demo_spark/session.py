@@ -38,19 +38,22 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        # Size-based post-shuffle coalescing (r15, guide §2.2): the
-        # parallelismFirst default pins every post-shuffle stage at
-        # ~defaultParallelism read tasks even when the shuffle holds a
-        # few KB, so small-stage scheduling overhead dominates iterative
-        # and multi-exchange operators. False = AQE sizes read partitions
-        # by bytes (the advisory target below), which is also the
-        # documented production setting; the advisory size is THE
-        # scale knob and stays env-overridable for cluster deployments
-        # (guide §9 suggests 256m on real clusters; 64m — Spark's own
-        # default — keeps local parallelism for the mid-size shuffles).
+        # Post-shuffle coalescing mode (r16, guide §2.2 + §1.2): r15
+        # shipped parallelismFirst=false (size-based coalescing, 64m
+        # advisory) as the default and the driver's bench regressed 15%
+        # — at sf0.1 every post-shuffle stage holds KBs, so AQE coalesced
+        # each one to ~1 task and the 32-core session lost all
+        # post-shuffle parallelism. An idle-box interleaved A/B this
+        # round (local[32], best-of-3, two pairs) measured false = 42.4 /
+        # 44.0 s vs true = 25.4 / 20.6 s headline total — ~2x. Default
+        # therefore reverts to Spark's own parallelismFirst=true; the
+        # size-based mode remains the documented CLUSTER override
+        # (SPARK_GRAFT_COALESCE_PARALLELISM_FIRST=false +
+        # SPARK_GRAFT_ADVISORY_PARTITION_SIZE=256m per guide §9) where
+        # post-shuffle partitions hold hundreds of MB, not KBs.
         .config(
             "spark.sql.adaptive.coalescePartitions.parallelismFirst",
-            os.environ.get("SPARK_GRAFT_COALESCE_PARALLELISM_FIRST", "false"),
+            os.environ.get("SPARK_GRAFT_COALESCE_PARALLELISM_FIRST", "true"),
         )
         .config(
             "spark.sql.adaptive.advisoryPartitionSizeInBytes",
