@@ -1752,12 +1752,21 @@ def _drop_viral_keys_distinct(
     DISTINCT ``distinct_cols`` rows instead of raw rows — for frames
     where the same logical row can legitimately appear twice (the
     gate's causal union under crash replay). Same boundary semantics:
-    exactly ``cap`` occurrences is KEPT."""
+    exactly ``cap`` occurrences is KEPT.
+
+    One exchange, not two (r16, guide §2.4): distinct-then-count is a
+    count of distinct non-key tuples per key, so a single
+    ``groupBy(key).agg(countDistinct(...))`` replaces the
+    distinct+groupBy pair (the distinct's exchange disappears; partial
+    map-side distinct-aggregation still bounds the hot-key reducer).
+    ``countDistinct`` drops tuples with any NULL where distinct+count
+    kept them — every caller caps (doc_id, fp/s/gram) tuples that are
+    non-null by construction (ids and positions from the corpus, keys
+    from the extractors), so the counts are identical."""
+    others = [c for c in distinct_cols if c != key_col]
     stop = (
-        df.select(*distinct_cols)
-        .distinct()
-        .groupBy(key_col)
-        .agg(F.count(F.lit(1)).alias("_df"))
+        df.groupBy(key_col)
+        .agg(F.countDistinct(*others).alias("_df"))
         .filter(F.col("_df") > cap)
         .select(key_col)
     )
@@ -1847,9 +1856,17 @@ def cross_doc_gate_runs(
     ).unionByName(
         inc_fps.select(id_col, "fp", F.lit(False).alias("is_base"))
     )
+    # One planted exchange on the join key (r16, guide §2.4): the
+    # base/incoming sides below filter the SAME capped frame, so
+    # without this the pair join plans two hashpartitioning(fp)
+    # exchanges whose children differ only by the is_base filter —
+    # the store scan + cap subtree executes twice per micro-batch.
+    # Repartitioning once above the filters makes the second side a
+    # ReusedExchange: one subtree execution, one shuffle of the same
+    # bytes.
     capped = _drop_viral_keys_distinct(
         tagged, "fp", max_fp_df, [id_col, "fp"]
-    )
+    ).repartition("fp")
     bb = capped.filter("is_base").alias("bb")
     ii = capped.filter(~F.col("is_base")).alias("ii")
     # Pair index: store doc x incoming doc sharing any surviving fp
@@ -1857,6 +1874,13 @@ def cross_doc_gate_runs(
     # excluded for replay safety. localCheckpoint: the pair list is
     # referenced three times downstream (both candidate-doc semi-joins
     # + the anchor semi-join) — the cross_doc_intervals plan-width cut.
+    # No eager emptiness probe (r16, guide §2.4/§1.2): the former
+    # ``pairs.head(1)`` early-return ran the whole fp-cap+join subtree
+    # as its own job on every micro-batch just to detect the no-
+    # candidates case; an empty pair list flows through the gram and
+    # run stages as empty frames (AQE collapses them) and yields the
+    # same empty run set, so the probe bought nothing when candidates
+    # exist — the common case — and one extra job barrier per batch.
     pairs = (
         bb.join(
             ii,
@@ -1870,8 +1894,6 @@ def cross_doc_gate_runs(
         .distinct()
         .localCheckpoint(eager=False)
     )
-    if not pairs.head(1):
-        return empty
     base_cand = base_docs.join(
         pairs.select(F.col("match_id").alias(id_col)).distinct(),
         id_col,
@@ -1894,9 +1916,13 @@ def cross_doc_gate_runs(
     )
     # gram cap: distinct (doc, s, gram) for the same replay reason —
     # a replayed doc's grams sit in BOTH candidate sides
+    # Same planted-exchange trick as the fp cap above: one
+    # hashpartitioning(gram) shuffle shared by both filtered sides of
+    # the anchor join (the gram frame is checkpointed, but the two
+    # sides still each paid a cache read + exchange).
     grams = _drop_viral_keys_distinct(
         grams, "gram", max_gram_df, [id_col, "s", "gram"]
-    )
+    ).repartition("gram")
     gb = grams.filter("is_base").alias("gb")
     gi = grams.filter(~F.col("is_base")).alias("gi")
     matched = (
@@ -1974,20 +2000,29 @@ def cross_doc_gate_decisions(
         F.col("match_id").asc(),
         F.col("st").asc(),
     )
+    # Best run and distinct-partner count in ONE window pass (r16,
+    # guide §2.4): both are keyed by the incoming doc, so computing
+    # n_matches as size(collect_set(match_id)) over the same partition
+    # shares the best window's exchange — the former separate
+    # groupBy(countDistinct) re-shuffled the runs by doc_id a second
+    # time and needed a second join back to the batch. collect_set
+    # collects distinct values (match_id is never NULL in a run row),
+    # so its size IS countDistinct.
+    stats_w = W.partitionBy(id_col)
     best = (
         runs.select(id_col, "match_id", "st", "en", span)
         .withColumn("rk", F.row_number().over(best_w))
+        .withColumn(
+            "n_matches",
+            F.size(F.collect_set("match_id").over(stats_w)).cast("int"),
+        )
         .filter(F.col("rk") == 1)
         .drop("rk", "st", "en")
-    )
-    stats = runs.groupBy(id_col).agg(
-        F.countDistinct("match_id").cast("int").alias("n_matches")
     )
     id_type = dict(incoming.dtypes)[id_col]
     return (
         incoming.select(id_col)
         .join(best, id_col, "left")
-        .join(stats, id_col, "left")
         .select(
             id_col,
             F.when(F.col("match_id").isNull(), F.lit("new"))

