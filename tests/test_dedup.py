@@ -809,6 +809,30 @@ def test_cross_doc_gate_degenerate_docs_are_new(spark):
     assert got == {10: "new", 11: "new", 12: "dup_span"}
 
 
+def test_cross_doc_gate_multi_partner_stats(spark):
+    """Focused pin for the r16 decisions rewrite (best run and partner
+    count fused into one window pass): an incoming doc matched by
+    SEVERAL admitted partners must report n_matches = number of
+    distinct partners (size(collect_set) == countDistinct) and
+    match_id = the LOWEST-id partner on span ties — the exact tuple the
+    former separate groupBy(countDistinct) + second join produced."""
+    from flink_streaming_demo_spark.functions.text import winnow_fp_rows
+
+    run = " ".join(f"w{i}" for i in range(20))
+    base = spark.createDataFrame(
+        [(i, run) for i in (7, 3, 5)], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.verdict, r.match_id, r.span_tokens, r.n_matches)
+        for r in dedup.cross_doc_gate_decisions(
+            base, winnow_fp_rows(base),
+            spark.createDataFrame([(10, run)], "doc_id long, text string"),
+            max_fp_df=10,
+        ).collect()
+    }
+    assert got == {10: ("dup_span", 3, 20, 3)}
+
+
 def test_cross_doc_gate_replay_does_not_double_count_caps(spark):
     """Regression (r15 review): a crash-replayed batch sits on BOTH
     sides of the gate's causal union, and counting its fingerprint/gram

@@ -7,6 +7,8 @@ from __future__ import annotations
 import subprocess
 import sys
 
+import pytest
+
 
 def _run(script: str) -> subprocess.CompletedProcess:
     return subprocess.run(
@@ -18,6 +20,7 @@ def _run(script: str) -> subprocess.CompletedProcess:
     )
 
 
+@pytest.mark.slow
 def test_clean_corpus_example_runs():
     r = _run("examples/clean_corpus_end_to_end.py")
     assert r.returncode == 0, r.stderr[-2000:]
@@ -25,6 +28,7 @@ def test_clean_corpus_example_runs():
     assert "merges:" in r.stdout
 
 
+@pytest.mark.slow
 def test_streaming_ingest_example_runs():
     r = _run("examples/streaming_ingest.py")
     assert r.returncode == 0, r.stderr[-2000:]
@@ -32,6 +36,7 @@ def test_streaming_ingest_example_runs():
     assert "exact_dup" in r.stdout
 
 
+@pytest.mark.slow
 def test_bench_emits_valid_json_line():
     """bench.py is the driver's per-round artifact: it must run and its
     LAST stdout line must be the documented one-line JSON contract."""
@@ -80,6 +85,7 @@ def test_data_recipe_example_runs():
     assert "weighted reservoir" in r.stdout
 
 
+@pytest.mark.slow
 def test_watermark_tuning_example_runs():
     r = _run("examples/watermark_tuning.py")
     assert r.returncode == 0, r.stderr[-2000:]
@@ -104,6 +110,7 @@ def test_pipeline_health_example_runs():
     assert "report complete" in r.stdout
 
 
+@pytest.mark.slow
 def test_hybrid_retrieval_example_runs():
     r = _run("examples/hybrid_retrieval.py")
     assert r.returncode == 0, r.stderr[-2000:]

@@ -22,6 +22,7 @@ def test_all_queries_registered():
     assert set(e.oracle_sql()) <= set(qs)
 
 
+@pytest.mark.slow
 def test_parity(parity_results):
     failures = {k: v for k, v in parity_results.items() if v}
     assert not failures, failures
@@ -63,6 +64,7 @@ def test_driver_contract_integrity():
     assert len(qs) >= 135
 
 
+@pytest.mark.slow
 def test_shuffle_partition_count_invariance(spark, sf_dir):
     """Determinism under re-partitioning (the judge's r7 spot-check,
     made permanent): rank/window/sketch/iterative queries must produce

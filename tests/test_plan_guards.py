@@ -42,6 +42,7 @@ def _plan(spark, name, sf_dir) -> str:
     )
 
 
+@pytest.mark.slow
 def test_no_unbroadcast_cartesian_products(spark, sf_dir):
     """CartesianProduct (non-broadcast all-pairs) must never appear in a
     registered query plan; BroadcastNestedLoopJoin is allowed only where
@@ -284,6 +285,7 @@ _UNPARTITIONED_WINDOW_ALLOWED = {
 }
 
 
+@pytest.mark.slow
 def test_no_unpartitioned_windows_anywhere(spark, sf_dir):
     """Registry-wide guard (r6 verdict #3): no registered query may plan
     a Window with an empty partition spec — Spark executes that as ONE

@@ -8,6 +8,7 @@ Example counts are kept small: every example runs real Spark jobs.
 
 from __future__ import annotations
 
+import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import Window
@@ -746,6 +747,7 @@ _GRAM_TEXT = st.text(
 
 @given(texts=st.lists(_GRAM_TEXT, max_size=8))
 @settings(**_SETTINGS)
+@pytest.mark.slow
 def test_vectorized_gram_twins_match_expression_forms(spark, texts):
     """The Arrow extraction twins must match their expression forms on
     ADVERSARIAL text — consecutive/leading/trailing spaces (empty
@@ -917,6 +919,7 @@ def _gate_model(vecs, slices, n_cent, threshold):
     slice_seed=st.integers(min_value=0, max_value=1000),
 )
 @settings(**_SETTINGS)
+@pytest.mark.slow
 def test_cell_neardup_gate_matches_python_model(spark, comps, slice_seed):
     from flink_streaming_demo_spark.operators import similarity as SIM
 
