@@ -1220,6 +1220,26 @@ def bm25_maxp_view(
 
 # --- Incremental IVF index (dense-retrieval streaming symmetry) --------------
 
+def _check_ivf_cells_sink(cells_sink) -> None:
+    """Wiring-time validation of an IVF cell store sink, shared by the
+    index maintainer and the dedup gate (r16): the gate used to call
+    ``streaming_ivf_index`` just for these checks and discard the
+    returned body — which also discarded the body's EAGER centroid
+    checkpoint, a thrown-away materialization job per gate wiring."""
+    if not (hasattr(cells_sink, "path") and hasattr(cells_sink, "read")):
+        raise TypeError(
+            "streaming_ivf_index needs a store-backed sink; cells_sink "
+            f"is {type(cells_sink).__name__}"
+        )
+    # getattr default of None (not the expected value): a sink MISSING
+    # the attribute must fail the wiring check, not pass it by default
+    if getattr(cells_sink, "key_cols", None) != ["vec_id"]:
+        raise ValueError(
+            "cells_sink key_cols must be ['vec_id'] (one row per "
+            f"vector), got {getattr(cells_sink, 'key_cols', None)}"
+        )
+
+
 def streaming_ivf_index(cells_sink, centroids):
     """foreachBatch body maintaining an incremental IVF index over an
     append-only embedding stream: one keyed upsert store, (vec_id) ->
@@ -1249,18 +1269,7 @@ def streaming_ivf_index(cells_sink, centroids):
     """
     from flink_streaming_demo_spark.operators import similarity as SIM
 
-    if not (hasattr(cells_sink, "path") and hasattr(cells_sink, "read")):
-        raise TypeError(
-            "streaming_ivf_index needs a store-backed sink; cells_sink "
-            f"is {type(cells_sink).__name__}"
-        )
-    # getattr default of None (not the expected value): a sink MISSING
-    # the attribute must fail the wiring check, not pass it by default
-    if getattr(cells_sink, "key_cols", None) != ["vec_id"]:
-        raise ValueError(
-            "cells_sink key_cols must be ['vec_id'] (one row per "
-            f"vector), got {getattr(cells_sink, 'key_cols', None)}"
-        )
+    _check_ivf_cells_sink(cells_sink)
     cent = centroids.select("centroid_id", "embedding").localCheckpoint()
 
     def body(batch_df: DataFrame, epoch_id: int) -> None:
@@ -1400,10 +1409,11 @@ def streaming_ivf_dedup_gate(
             "decisions_sink key_cols must be ['vec_id'] (one verdict "
             f"per vector), got {getattr(decisions_sink, 'key_cols', None)}"
         )
-    # wiring-time validation of cells_sink (path + read + key) happens
-    # here; the returned body is NOT used — the gate body below upserts
-    # the already-computed assignment instead of re-assigning.
-    streaming_ivf_index(cells_sink, centroids)
+    # wiring-time validation of cells_sink (path + read + key) only —
+    # the gate body below upserts the already-computed assignment
+    # instead of re-assigning, so no index body (and no discarded
+    # eager centroid checkpoint) is built here (r16).
+    _check_ivf_cells_sink(cells_sink)
     cent = centroids.select("centroid_id", "embedding").localCheckpoint()
 
     def body(batch_df: DataFrame, epoch_id: int) -> None:
